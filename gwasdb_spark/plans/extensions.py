@@ -1,0 +1,412 @@
+"""Training-data-pipeline extension queries (BASELINE.json north star).
+
+Beyond the reference's own operator surface: deduplication families,
+embedding similarity search, text analysis, streaming-shaped rollups, and
+multimodal binary plumbing — each a `queries()` entry; SQL-expressible ones
+carry DuckDB oracles, hash-based ones (minhash/simhash/LSH) are rows-only
+and are instead cross-validated against their exact twins in tests/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from gwasdb_spark.catalog import table
+from gwasdb_spark.functions import text as TX
+from gwasdb_spark.functions.vectors import cosine, dot, l2_norm
+from gwasdb_spark.operators import dedup as DD
+from gwasdb_spark.operators.similarity import brute_force_topk, hyperplane_lsh_topk
+from gwasdb_spark.plans.base import query
+from gwasdb_spark.plans.helpers import cents, hour_str, money
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x01_dedup_exact",
+    "X-dedup",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def x01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on a 128-bit content digest, min-id
+    survivor. One shuffle of skinny (hash,id) rows — never the documents."""
+    d = table(spark, sf_dir, "documents")
+    return DD.exact_duplicates(d, "doc_id", "text")
+
+
+@query(
+    "x02_ngram_jaccard_pairs",
+    "X-dedup",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(
+               list_transform(
+                 range(1, greatest(len(w) - 2, 0) + 1),
+                 i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS shingles
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+            FROM documents)
+    ),
+    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+    ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    rare AS (SELECT shingle FROM ex GROUP BY shingle HAVING COUNT(*) <= 100),
+    pruned AS (SELECT ex.doc_id, ex.shingle FROM ex JOIN rare USING (shingle)),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+      FROM pruned a JOIN pruned b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) >= 0.12
+    """,
+)
+def x02_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs. Shingle-equi-join with a
+    frequency prune (shingles in >100 docs dropped) — the quadratic-blowup
+    guard that makes this viable at corpus scale. Jaccard is an exact
+    integer ratio: engine-portable unrounded."""
+    d = table(spark, sf_dir, "documents")
+    return DD.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.12, max_shingle_docs=100
+    )
+
+
+@query("x03_minhash_lsh_pairs", "X-dedup", oracle=None)
+def x03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs (32 hashes, 8 bands × 4 rows). Hash-based
+    → no SQL oracle; tests/test_dedup.py cross-validates its estimates
+    against x02's exact Jaccard on the same corpus."""
+    d = table(spark, sf_dir, "documents")
+    return DD.minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, num_hashes=32, bands=8, min_est_jaccard=0.2
+    ).orderBy("id_a", "id_b")
+
+
+@query("x04_simhash_pairs", "X-dedup", oracle=None)
+def x04_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (64-bit signatures, 4 bands, hamming ≤ 12).
+    Signature aggregation is expression-only (codegen); band join bounds the
+    candidate set."""
+    d = table(spark, sf_dir, "documents")
+    return DD.simhash_near_pairs(d, "doc_id", "text", max_hamming=12, bands=4).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_COS_SQL = (
+    "list_sum(list_transform(range(1, 65), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+@query(
+    "x05_ann_cosine_topk",
+    "X-sim",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             {_COS_SQL.format(a='qv', b='cv')}
+               / (sqrt({_COS_SQL.format(a='qv', b='qv')})
+                  * sqrt({_COS_SQL.format(a='cv', b='cv')})) AS cos_raw
+      FROM q CROSS JOIN c WHERE query_id != neighbor_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+           ROUND(cos_raw, 6) AS cosine
+    FROM (
+      SELECT query_id, neighbor_id, cos_raw,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_raw DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def x05_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 5 query vectors — the exact ANN
+    baseline. Queries broadcast; corpus scanned once; cosine is a codegen'd
+    sequential fold. Rounded to 6 dp (engines may associate the 64-term sum
+    differently at ~1e-13)."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    res = brute_force_topk(q, e, "vec_id", "embedding", k=10)
+    return res.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
+    )
+
+
+@query("x05b_ann_lsh_topk", "X-sim", oracle=None)
+def x05b_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN (the scale path): signatures bucket the
+    corpus, exact cosine re-scores bucket-mates only. Recall vs x05's exact
+    result is asserted in tests/test_similarity.py."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    res = hyperplane_lsh_topk(q, e, "vec_id", "embedding", k=10, dim=64)
+    return res.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
+    ).orderBy("query_id", "rank")
+
+
+@query(
+    "x09_embedding_stats",
+    "X-sim",
+    oracle="""
+    SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+           ROUND(sqrt(list_sum(list_transform(range(1, 65),
+                 i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))), 6)
+             AS l2_norm,
+           ROUND(list_sum(list_transform(range(1, 65),
+                 i -> CAST(embedding[i] AS DOUBLE))) / 64.0, 6) AS mean_val
+    FROM embeddings
+    """,
+)
+def x09_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector column statistics — norm/mean via sequential folds (rounded:
+    cross-engine FP association)."""
+    e = table(spark, sf_dir, "embeddings")
+    s = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(l2_norm(F.col("embedding")), 6).alias("l2_norm"),
+        F.round(s / F.lit(64.0), 6).alias("mean_val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x06_text_stats",
+    "X-text",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_actual,
+           CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens_ws,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                AS BIGINT) AS n_tokens_bpe,
+           CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+             / CAST(length(text) AS DOUBLE) AS punct_ratio,
+           CAST(len(regexp_extract_all(lower(text),
+                '\b(the|and|of|to|a|in|is|that)\b')) AS BIGINT) AS n_stopwords_en
+    FROM documents
+    """,
+)
+def x06_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text statistics: token counts (whitespace + BPE-ish
+    regex), punctuation ratio, stopword count — all JVM-side regexp
+    expressions folded into the scan projection."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_actual"),
+        TX.n_tokens_ws(F.col("text")).alias("n_tokens_ws"),
+        TX.n_tokens_bpe(F.col("text")).alias("n_tokens_bpe"),
+        (
+            F.regexp_count(F.col("text"), F.lit(r"[^A-Za-z0-9\s]")).cast("double")
+            / F.length("text").cast("double")
+        ).alias("punct_ratio"),
+        TX.stopword_count(F.col("text"), "en").alias("n_stopwords_en"),
+    )
+
+
+@query(
+    "x07_lang_id",
+    "X-text",
+    oracle=r"""
+    WITH s AS (
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|ein|nicht|mit)\b')) AS BIGINT) AS score_de,
+        CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is|that)\b')) AS BIGINT) AS score_en,
+        CAST(len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|un|es)\b')) AS BIGINT) AS score_es,
+        CAST(len(regexp_extract_all(lower(text), '\b(le|la|de|et|un|est|que|pour)\b')) AS BIGINT) AS score_fr
+      FROM documents
+    )
+    SELECT doc_id, score_de, score_en, score_es, score_fr,
+           CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+                WHEN score_de >= score_en AND score_de >= score_es
+                     AND score_de >= score_fr THEN 'de'
+                WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
+                WHEN score_es >= score_fr THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM s
+    """,
+)
+def x07_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language-ID heuristic: per-language word-boundary regexp
+    scores, deterministic argmax (ties → lexicographically first language,
+    all-zero → 'und')."""
+    d = table(spark, sf_dir, "documents")
+    scores = TX.lang_scores(F.col("text"))
+    return d.select(
+        "doc_id",
+        *[scores[lang].alias(f"score_{lang}") for lang in sorted(scores)],
+        TX.lang_id(F.col("text")).alias("lang_pred"),
+    )
+
+
+@query(
+    "x08_fingerprint",
+    "X-text",
+    oracle=r"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def x08_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content fingerprint: lowercase → strip punctuation →
+    collapse whitespace → md5. Formatting-robust exact-dup key."""
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Streaming-shaped rollups (batch-equivalent; live streams in streaming/)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "st01_hourly_rollup",
+    "X-stream,§2.10",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           (CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0)
+             AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def st01_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed event rollup — the batch twin of the watermarked streaming
+    aggregation in gwasdb_spark.streaming.events (same grouping, same exact-
+    cents sums; structured-streaming parity asserted in tests)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            hour_str("ts").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money(F.sum(cents(F.col("value")))).alias("total_value"),
+        )
+    )
+
+
+@query(
+    "st02_sessionize",
+    "X-stream",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY epoch_us(ts), event_id) AS prev_us
+      FROM events
+    ),
+    f AS (
+      SELECT user_id, event_id,
+             CASE WHEN prev_us IS NULL
+                       OR ts_us - prev_us > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM g
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(new_session) AS BIGINT) AS n_sessions
+    FROM f GROUP BY user_id
+    """,
+)
+def st02_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via lag window — exact
+    integer microsecond arithmetic, engine-portable. The stateful-streaming
+    twin uses applyInPandasWithState (gwasdb_spark.streaming.sessions)."""
+    e = table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(ts_us, F.col("event_id"))
+    g = e.select(
+        "user_id",
+        "event_id",
+        ts_us.alias("ts_us"),
+        F.lag(ts_us).over(w).alias("prev_us"),
+    )
+    f = g.select(
+        "user_id",
+        F.when(
+            F.col("prev_us").isNull()
+            | ((F.col("ts_us") - F.col("prev_us")) > 1800 * 1_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    return f.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("new_session").cast("long").alias("n_sessions"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary plumbing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mm01_binary_meta",
+    "X-multimodal",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS digest
+    FROM documents
+    """,
+)
+def mm01_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column plumbing: text payload → binary, byte length +
+    content digest. The decode/feature UDF surface (stubbed — no media libs
+    in-container) lives in gwasdb_spark.multimodal."""
+    d = table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.md5(payload).alias("digest"),
+    )
+
+
+@query("mm02_fake_features", "X-multimodal", oracle=None)
+def mm02_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature-extraction plumbing over binary payloads with a
+    deterministic fake decoder (real schema/batching, stubbed media decode).
+    Rows-only check; determinism asserted in tests/test_multimodal.py."""
+    from gwasdb_spark.multimodal.binary import extract_fake_features, to_binary_table
+
+    d = table(spark, sf_dir, "documents")
+    return extract_fake_features(to_binary_table(d)).orderBy("doc_id")

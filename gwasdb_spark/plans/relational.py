@@ -1,0 +1,1297 @@
+"""SURVEY.md §2 operator inventory as oracle-checked Spark plans.
+
+Each query re-expresses one (or a cluster of) reference operators over the
+driver's TPC-H-ish test tables. Docstrings cite the reference usage
+(`/root/reference/<file>:<line>`). Naming convention matches SURVEY.md §2
+ids: s* scans/sources, p* predicates/projections, j* joins, a* aggregations,
+w* window extensions, o* sorts/limits, u* set ops, f* scalar functions,
+g* GWAS-audit ports, q* flagship/headline queries.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from gwasdb_spark.catalog import table
+from gwasdb_spark.plans.base import query
+from gwasdb_spark.plans.helpers import cents, day_str, money, sql_cents, sql_money
+
+# ---------------------------------------------------------------------------
+# Scans / sources / sinks (SURVEY.md §2.1)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "s01_full_scan",
+    "S1,S2,S19",
+    oracle="SELECT r_regionkey, r_name FROM region",
+)
+def s01_full_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eager full scan of a dimension table — `tbl(con,'study') %>% collect()`
+    at app startup (gwasDB/app.R:33). Collect stays at the caller."""
+    return table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+
+
+@query(
+    "s02_schema_only_head0",
+    "O3",
+    oracle="SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem LIMIT 0",
+)
+def s02_schema_only_head0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`head(0)` — schema-only empty relation, the app's default UI state
+    (gwasDB/app.R:92)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .limit(0)
+    )
+
+
+@query(
+    "s03_csv_stage_glob_read",
+    "S3,S4,S8,S9,S10,U1",
+    oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+)
+def s03_csv_stage_glob_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition CSV staging then typed multi-file union read — the
+    reference stages per-(chr,study) CSVs (R/wrangle_data.Rmd:77,82,258) and
+    reads them back with `map_dfr(files, vroom)` typed `col_types`
+    (R/wrangle_data.Rmd:116). Here: supplier → partitioned CSV → glob read
+    with an explicit StructType (no inference), implicit union."""
+    sup = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    out = os.path.join(tempfile.gettempdir(), "gwasdb_spark_stage", "supplier_csv")
+    (
+        sup.repartition(4, "s_nationkey")
+        .write.mode("overwrite")
+        .option("header", True)
+        .csv(out)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_nationkey", T.IntegerType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+        ]
+    )
+    return spark.read.schema(schema).option("header", True).csv(out)
+
+
+@query(
+    "s05_sql_text_entry",
+    "S17,S18,J7",
+    oracle="""
+    SELECT o_orderkey, c_name, o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderstatus = 'F' AND c_mktsegment = 'BUILDING'
+    """,
+)
+def s05_sql_text_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-text entry point — the engine accepts raw SQL chunks exactly like
+    the reference's knitr ```{sql} chunks (R/wrangle_data.Rmd:96-109,355);
+    same Catalyst plan as the DataFrame API."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        SELECT o_orderkey, c_name, o_totalprice
+        FROM v_orders JOIN v_customer ON o_custkey = c_custkey
+        WHERE o_orderstatus = 'F' AND c_mktsegment = 'BUILDING'
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projections / filters / predicates (SURVEY.md §2.2)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "p01_projection",
+    "P1",
+    oracle="SELECT c_custkey, c_name, c_nationkey FROM customer",
+)
+def p01_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`select(chr, pos, kgp_id)` (gwasDB/app.R:91). Column pruning reaches
+    the parquet scan (ReadSchema shows 3 columns only)."""
+    return table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+
+
+@query(
+    "p02_projection_rename",
+    "P2,P4",
+    oracle="""
+    SELECT c_custkey AS custkey, c_mktsegment AS segment, c_acctbal AS balance
+    FROM customer
+    """,
+)
+def p02_projection_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`select(kgp_id, marker_name = snp)` / `rename(...)`
+    (R/wrangle_data.Rmd:82,217)."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("balance"),
+    )
+
+
+@query(
+    "p03_drop_cols",
+    "P3",
+    oracle="SELECT p_partkey, p_name, p_brand, p_size FROM part",
+)
+def p03_drop_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`select(-maf, -a1)` column drop (R/wrangle_data.Rmd:251)."""
+    return table(spark, sf_dir, "part").drop("p_type", "p_retailprice")
+
+
+@query(
+    "p04_derived_neglog10",
+    "P5,F10",
+    oracle="""
+    SELECT event_id, ROUND(-log10(value / 1000.0), 9) AS neg_log10_p
+    FROM events WHERE value > 0
+    """,
+)
+def p04_derived_neglog10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`mutate(neg_log10_p = -log10(p))` — the Manhattan-plot y axis
+    (R/wrangle_data.Rmd:265). Rounded to 9 dp: log10 may differ by 1 ulp
+    across libm implementations."""
+    e = table(spark, sf_dir, "events")
+    return e.filter(F.col("value") > 0).select(
+        "event_id",
+        F.round(-F.log10(F.col("value") / F.lit(1000.0)), 9).alias("neg_log10_p"),
+    )
+
+
+@query(
+    "p05_filter_eq",
+    "P6",
+    oracle="""
+    SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def p05_filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`filter(chr == !!input$marker_chr)` (gwasDB/app.R:83). Predicate is
+    pushed to the parquet scan (PushedFilters)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "p06_filter_between",
+    "P7",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice BETWEEN 100000 AND 150000
+    """,
+)
+def p06_filter_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`between(pos, start, end)` genome-region predicate (gwasDB/app.R:84-86)."""
+    o = table(spark, sf_dir, "orders")
+    return o.filter(F.col("o_totalprice").between(100000, 150000)).select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "p07_filter_date_range",
+    "P7,F16",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, strftime(l_shipdate, '%Y-%m-%d') AS ship_day
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+      AND l_shipdate < TIMESTAMP '1998-03-01'
+    """,
+)
+def p07_filter_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range predicate on a temporal key (the reference's region queries bind
+    chr + pos range; here a shipdate window). Partition pruning / min-max
+    skipping serve this at scale (SURVEY.md §4)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-03-01"))
+    ).select("l_orderkey", "l_linenumber", day_str("l_shipdate").alias("ship_day"))
+
+
+@query(
+    "p08_locus_window",
+    "P8,J10,S19",
+    oracle="""
+    WITH anchor AS (
+      SELECT o_orderdate AS ad FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 1
+    )
+    SELECT o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_day,
+           c.c_name, n.n_name AS nation, o.o_totalprice AS stat
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate BETWEEN (SELECT ad FROM anchor) - INTERVAL 10 DAY
+                            AND (SELECT ad FROM anchor) + INTERVAL 10 DAY
+    """,
+)
+def p08_locus_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP: the ±10 kb locus-window query (gwasDB/app.R:149-154) — the
+    app looks up a clicked marker's position (first collect, app.R:148), then
+    issues a second windowed query on `combined`. Analog: anchor = the top
+    order's date, window = ±10 days, denormalized through customer ⋈ nation
+    (both broadcast). Two-step lifecycle preserved deliberately."""
+    o = table(spark, sf_dir, "orders")
+    anchor_row = (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderdate")
+        .first()
+    )
+    ad = anchor_row["o_orderdate"]
+    lo, hi = ad - _dt.timedelta(days=10), ad + _dt.timedelta(days=10)
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    return (
+        o.filter(F.col("o_orderdate").between(F.lit(lo), F.lit(hi)))
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "o_orderkey",
+            day_str("o_orderdate").alias("order_day"),
+            "c_name",
+            F.col("n_name").alias("nation"),
+            F.col("o_totalprice").alias("stat"),
+        )
+    )
+
+
+@query(
+    "p09_regex_filter",
+    "P9,F1",
+    oracle="""
+    SELECT p_partkey, p_name FROM part
+    WHERE regexp_matches(p_name, '^(red|blue) (bolt|gear)$')
+    """,
+)
+def p09_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`filter(str_detect(kgp_id, !!input$probe_id))` marker search
+    (gwasDB/app.R:99). Pattern kept in the RE2 ∩ Java-regex common dialect."""
+    p = table(spark, sf_dir, "part")
+    return p.filter(F.col("p_name").rlike("^(red|blue) (bolt|gear)$")).select(
+        "p_partkey", "p_name"
+    )
+
+
+@query(
+    "p10_regex_negate",
+    "P10,F1",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE NOT regexp_matches(text, 'spark|stream')
+    """,
+)
+def p10_regex_negate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negated regex filter — `str_detect(..., negate=TRUE)` drops
+    chr:pos-style names (R/wrangle_data.Rmd:82)."""
+    d = table(spark, sf_dir, "documents")
+    return d.filter(~F.col("text").rlike("spark|stream")).select("doc_id", "lang")
+
+
+@query(
+    "p11_in_list",
+    "P11",
+    oracle="""
+    SELECT n_nationkey, n_name FROM nation
+    WHERE n_name IN ('CHINA', 'FRANCE', 'GERMANY', 'PERU')
+    """,
+)
+def p11_in_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`filter(name %in% !!input$gwas_study)` (gwasDB/app.R:169)."""
+    n = table(spark, sf_dir, "nation")
+    return n.filter(F.col("n_name").isin("CHINA", "FRANCE", "GERMANY", "PERU")).select(
+        "n_nationkey", "n_name"
+    )
+
+
+@query(
+    "p12_semi_in_subquery",
+    "P12,J9",
+    oracle="""
+    SELECT p_partkey, p_name FROM part
+    WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+    """,
+)
+def p12_semi_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery as left-semi join — `filter(snp %in% gwas$snp)`
+    (R/wrangle_data.Rmd:241-248). Spark keeps it a semi-join (no fan-out)."""
+    p = table(spark, sf_dir, "part")
+    keys = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    return p.join(keys, p.p_partkey == keys.l_partkey, "left_semi").select(
+        "p_partkey", "p_name"
+    )
+
+
+@query(
+    "p13_null_filter",
+    "P13,F14,F15",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, NULLIF(l_tax, 0.0) AS tax_or_null
+    FROM lineitem
+    WHERE NULLIF(l_tax, 0.0) IS NOT NULL AND l_returnflag = 'A'
+    """,
+)
+def p13_null_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`filter(!is.na(or) & remove_snp == FALSE)` (R/wrangle_data.Rmd:264) —
+    null predicate + literal-NA injection (`nullif` plays the reference's
+    'NA'→NULL normalization, R/load_urate2020_gwas.Rmd:244)."""
+    li = table(spark, sf_dir, "lineitem")
+    tax_or_null = F.nullif(F.col("l_tax"), F.lit(0.0))
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            tax_or_null.alias("tax_or_null"),
+            "l_returnflag",
+        )
+        .filter(F.col("tax_or_null").isNotNull() & (F.col("l_returnflag") == "A"))
+        .drop("l_returnflag")
+    )
+
+
+@query(
+    "p14_threshold_qc_split",
+    "P14,P15,F13",
+    oracle="""
+    SELECT event_id, value, TRUE AS remove_flag
+    FROM events WHERE value < 0.3
+    """,
+)
+def p14_threshold_qc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QC threshold split — `ifelse(info_score < 0.3, TRUE, FALSE)` then route
+    removed rows to `no_gwas_result` (R/wrangle_data.Rmd:234; view predicate
+    R/postgres_process.Rmd:137). Returns the tombstoned side."""
+    e = table(spark, sf_dir, "events")
+    flagged = e.withColumn(
+        "remove_flag", F.when(F.col("value") < 0.3, F.lit(True)).otherwise(F.lit(False))
+    )
+    return flagged.filter(F.col("remove_flag")).select("event_id", "value", "remove_flag")
+
+
+@query(
+    "p15_conditional_expr",
+    "P15,F13",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'high' END AS bal_band
+    FROM customer
+    """,
+)
+def p15_conditional_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`ifelse(str_detect(...), a, b)` conditional rewrite
+    (R/wrangle_data.Rmd:267-268) as when/otherwise."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+        .alias("bal_band"),
+    )
+
+
+@query(
+    "p16_pull_distinct",
+    "P16,A3",
+    oracle="SELECT DISTINCT o_orderstatus AS status FROM orders",
+)
+def p16_pull_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`pull(id)` single-column extraction (gwasDB/app.R:169) — the engine
+    returns a 1-column frame; the caller materializes the vector."""
+    return (
+        table(spark, sf_dir, "orders")
+        .select(F.col("o_orderstatus").alias("status"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY.md §2.3)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j01_left_join_multikey",
+    "J1,J2",
+    oracle="""
+    WITH a AS (
+      SELECT l_orderkey, l_returnflag,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey, l_returnflag
+    ),
+    b AS (
+      SELECT l_orderkey, l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_lines
+      FROM lineitem WHERE l_linestatus = 'F'
+      GROUP BY l_orderkey, l_returnflag
+    )
+    SELECT a.l_orderkey, a.l_returnflag, a.sum_qty, b.n_lines
+    FROM a LEFT JOIN b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_returnflag = b.l_returnflag
+    """,
+)
+def j01_left_join_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left join on a composite key — dplyr natural-join chains
+    `left_join(hwe_all, hwe_aff)` infer shared keys (R/wrangle_data.Rmd:245);
+    Spark requires them explicit (SURVEY.md J1 note)."""
+    li = table(spark, sf_dir, "lineitem")
+    a = li.groupBy("l_orderkey", "l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty")
+    )
+    b = (
+        li.filter(F.col("l_linestatus") == "F")
+        .groupBy("l_orderkey", "l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+    )
+    return a.join(b, ["l_orderkey", "l_returnflag"], "left")
+
+
+@query(
+    "j02_right_join",
+    "J4",
+    oracle="""
+    WITH r AS (
+      SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_returned
+      FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_orderkey
+    )
+    SELECT o.o_orderkey, o.o_orderstatus, r.n_returned
+    FROM r RIGHT JOIN orders o ON r.l_orderkey = o.o_orderkey
+    """,
+)
+def j02_right_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`right_join(res_wide, by='snp')` (R/wrangle_data.Rmd:251) — orders with
+    no returned lineitems survive with NULL counts."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    r = (
+        li.filter(F.col("l_returnflag") == "R")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_returned"))
+    )
+    return r.join(o, r.l_orderkey == o.o_orderkey, "right").select(
+        "o_orderkey", "o_orderstatus", "n_returned"
+    )
+
+
+@query(
+    "j03_join_renamed_keys",
+    "J3",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, c.c_custkey
+    FROM supplier s JOIN customer c ON s.s_nationkey = c.c_nationkey
+    WHERE c.c_acctbal > 9900
+    """,
+)
+def j03_join_renamed_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join with differently-named keys via join-expression —
+    `left_join(by = c("snp_id"="marker_name", ...))` (R/wrangle_data.Rmd:266)."""
+    s = table(spark, sf_dir, "supplier")
+    c = table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9900)
+    return s.join(c, s.s_nationkey == c.c_nationkey).select(
+        "s_suppkey", "s_name", "c_custkey"
+    )
+
+
+@query(
+    "j04_broadcast_dims",
+    "J5,J10",
+    oracle="""
+    SELECT r.r_name AS region, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           (CAST(SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0)
+             AS total_balance
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def j04_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-dimension joins — `left_join(study_info, ...)` metadata joins
+    (R/wrangle_data.Rmd:308) as explicit broadcasts: zero shuffle of the fact
+    side for the join itself."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            money(F.sum(cents(F.col("c_acctbal")))).alias("total_balance"),
+        )
+    )
+
+
+@query(
+    "j05_cross_join",
+    "J6",
+    oracle="""
+    SELECT r_name, s.status FROM region
+    CROSS JOIN (SELECT DISTINCT o_orderstatus AS status FROM orders) s
+    """,
+)
+def j05_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`crossing(name, chrs)` work-list cross join (R/wrangle_data.Rmd:308)."""
+    r = table(spark, sf_dir, "region").select("r_name")
+    s = (
+        table(spark, sf_dir, "orders")
+        .select(F.col("o_orderstatus").alias("status"))
+        .distinct()
+    )
+    return r.crossJoin(s)
+
+
+@query(
+    "j06_anti_join",
+    "J8",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+    """,
+)
+def j06_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join orphan check — `left join ... where b37_kgp is NULL`
+    (R/wrangle_data.Rmd:355): orders with no lineitems."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    return o.join(li, o.o_orderkey == li.l_orderkey, "left_anti").select(
+        "o_orderkey", "o_orderstatus"
+    )
+
+
+@query(
+    "j07_semi_join",
+    "J9",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49
+    )
+    """,
+)
+def j07_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join keep-matched — `where b37_kgp is not NULL` before insert
+    (R/wrangle_data.Rmd:376)."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    return o.join(li, o.o_orderkey == li.l_orderkey, "left_semi").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "j08_export_view",
+    "J10,S18",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice AS stat,
+           c.c_name, c.c_mktsegment
+    FROM lineitem l
+    LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    LEFT JOIN (SELECT c_custkey, c_name, c_mktsegment FROM customer) c
+      ON o.o_custkey = c.c_custkey
+    WHERE l.l_discount >= 0.08
+    """,
+)
+def j08_export_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The denormalized export view — `gwas LEFT JOIN b37 USING(kgp_id) LEFT
+    JOIN (SELECT id AS study_id, ... FROM study) WHERE impute_score >= 0.3`
+    with `stat` aliased (R/postgres_process.Rmd:137). The reference's
+    flagship 'combined' table is this shape (gwasDB/app.R:132)."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_discount") >= 0.08)
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left")
+        .join(c, o.o_custkey == c.c_custkey, "left")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_extendedprice").alias("stat"),
+            "c_name",
+            "c_mktsegment",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY.md §2.4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a01_count_global",
+    "A1",
+    oracle="SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem",
+)
+def a01_count_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-count reconciliation — `select count(*)+1 from tmp_b37` vs `wc -l`
+    (R/wrangle_data.Rmd:124-128)."""
+    return table(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+@query(
+    "a02_groupby_count",
+    "A2",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def a02_groupby_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution sanity check — `select chr, count(*) ... group by chr`
+    (R/wrangle_data.Rmd:132). Partial (map-side) aggregation then one shuffle
+    on the grouping key."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "a03_distinct",
+    "A3",
+    oracle="SELECT DISTINCT c_nationkey, c_mktsegment FROM customer",
+)
+def a03_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`distinct()` after alias projection (R/wrangle_data.Rmd:82)."""
+    return table(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment").distinct()
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "a04_pivot_wide",
+    "A4",
+    oracle="""
+    SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket,
+      {cols}
+    FROM events GROUP BY user_id % 10
+    """.format(
+        cols=",\n      ".join(
+            f"CAST(COUNT(*) FILTER (event_type = '{t}') AS BIGINT) AS {t}_cnt,\n"
+            f"      (CAST(SUM(CASE WHEN event_type = '{t}' "
+            f"THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS DOUBLE) / 100.0)"
+            f" AS {t}_sum"
+            for t in _EVENT_TYPES
+        )
+    ),
+)
+def a04_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tidyr `pivot_wider(values_from = c(geno,...), names_from = test)` —
+    HWE long→wide, multi-value (R/wrangle_data.Rmd:210,426-429). Spark
+    `groupBy().pivot(col, values).agg(...)` with explicit pivot values (no
+    extra distinct pass) and `{test}_{value}` naming."""
+    e = table(spark, sf_dir, "events")
+    piv = (
+        e.withColumn("user_bucket", (F.col("user_id") % 10).cast("long"))
+        .groupBy("user_bucket")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            money(F.coalesce(F.sum(cents(F.col("value"))), F.lit(0))).alias("sum"),
+        )
+    )
+    cols = [F.col("user_bucket")]
+    for t in _EVENT_TYPES:
+        cols.append(F.col(f"{t}_cnt"))
+        cols.append(F.col(f"{t}_sum"))
+    return piv.select(*cols)
+
+
+@query(
+    "a05_manual_pivot_join",
+    "A5,J1",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events WHERE event_type IN ('click', 'view', 'purchase')
+      GROUP BY 1, 2
+    )
+    SELECT a.user_bucket,
+           a.n AS click_n, b.n AS view_n, c.n AS purchase_n
+    FROM (SELECT user_bucket, n FROM base WHERE event_type = 'click') a
+    LEFT JOIN (SELECT user_bucket, n FROM base WHERE event_type = 'view') b
+      ON a.user_bucket = b.user_bucket
+    LEFT JOIN (SELECT user_bucket, n FROM base WHERE event_type = 'purchase') c
+      ON a.user_bucket = c.user_bucket
+    """,
+)
+def a05_manual_pivot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's production pivot: filter test=='ALL'/'AFF'/'UNAFF' into
+    three frames, project+rename, left-join back (R/wrangle_data.Rmd:241-245).
+    Kept join-shaped for parity; a04 is the efficient single-pass form."""
+    e = table(spark, sf_dir, "events")
+    base = (
+        e.filter(F.col("event_type").isin("click", "view", "purchase"))
+        .withColumn("user_bucket", (F.col("user_id") % 10).cast("long"))
+        .groupBy("user_bucket", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    a = base.filter(F.col("event_type") == "click").select(
+        "user_bucket", F.col("n").alias("click_n")
+    )
+    b = base.filter(F.col("event_type") == "view").select(
+        "user_bucket", F.col("n").alias("view_n")
+    )
+    c = base.filter(F.col("event_type") == "purchase").select(
+        "user_bucket", F.col("n").alias("purchase_n")
+    )
+    return a.join(b, "user_bucket", "left").join(c, "user_bucket", "left")
+
+
+# ---------------------------------------------------------------------------
+# Window extensions (SURVEY.md §2.5 — absent in reference; engine extensions)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w01_topk_per_group",
+    "W-ext",
+    oracle="""
+    SELECT c_nationkey, c_custkey, c_acctbal, CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey) AS rank
+      FROM customer
+    ) WHERE rank <= 3
+    """,
+)
+def w01_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine extension (SURVEY.md §2.5): top-k per group via ranking window —
+    'top hits per study'. Deterministic tiebreak on the key."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("c_nationkey", "c_custkey", "c_acctbal", "rank")
+    )
+
+
+@query(
+    "w02_running_total",
+    "W-ext",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           (CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                 OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE) / 100.0) AS running_spend
+    FROM orders
+    """,
+)
+def w02_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine extension: cumulative aggregate window (exact-cents so the
+    running double is engine-identical)."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        money(F.sum(cents(F.col("o_totalprice"))).over(w)).alias("running_spend"),
+    )
+
+
+@query(
+    "w03_auto_increment",
+    "W-ext,§1.4",
+    oracle="""
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY segment) AS BIGINT) AS id, segment
+    FROM (SELECT DISTINCT c_mktsegment AS segment FROM customer)
+    """,
+)
+def w03_auto_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERIAL/AUTOINCREMENT emulation (study.id, R/gwas_ddl_postgres.sql:24):
+    row_number over a global ordering at append time (SURVEY.md §1.4)."""
+    seg = (
+        table(spark, sf_dir, "customer")
+        .select(F.col("c_mktsegment").alias("segment"))
+        .distinct()
+    )
+    w = Window.orderBy("segment")
+    return seg.withColumn("id", F.row_number().over(w).cast("long")).select("id", "segment")
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / top-k (SURVEY.md §2.6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "o01_topk_orders",
+    "O1,O4",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def o01_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`arrange(pos)` + `head(n)` (gwasDB/app.R:94, R/wrangle_data.Rmd:447).
+    Spark executes sort+limit as TakeOrderedAndProject (no global sort)."""
+    return (
+        table(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+@query(
+    "o02_multikey_sort",
+    "O2",
+    oracle="SELECT n_regionkey, n_name FROM nation ORDER BY n_regionkey, n_name",
+)
+def o02_multikey_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`arrange(chr, pos)` multi-key sort (gwasDB/app.R:101)."""
+    return table(spark, sf_dir, "nation").select("n_regionkey", "n_name").orderBy(
+        "n_regionkey", "n_name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (SURVEY.md §2.7)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "u01_union_all",
+    "U1,U2",
+    oracle="""
+    SELECT c_custkey AS entity_key, 'customer' AS entity_kind FROM customer
+    UNION ALL
+    SELECT s_suppkey AS entity_key, 'supplier' AS entity_kind FROM supplier
+    """,
+)
+def u01_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-all — per-chr file concat `map_dfr` / header-stripped `cat`
+    (R/wrangle_data.Rmd:116, R/postgres_process.Rmd:10) and
+    INSERT INTO...SELECT appends. `unionByName` for position-safety."""
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity_key"), F.lit("customer").alias("entity_kind")
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("entity_key"), F.lit("supplier").alias("entity_kind")
+    )
+    return c.unionByName(s)
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions (SURVEY.md §2.8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f01_id_parse_regex",
+    "F2,F3,F8,F9",
+    oracle="""
+    WITH ids AS (
+      SELECT p_partkey,
+             CAST(p_partkey AS VARCHAR) || ':' || CAST(p_size AS VARCHAR)
+               || '_' || p_brand || ',' || CAST(p_retailprice AS VARCHAR) AS kgp_id
+      FROM part
+    )
+    SELECT p_partkey, kgp_id,
+           regexp_extract(kgp_id, '^([0-9]+):', 1) AS id_part,
+           regexp_extract(kgp_id, ':([0-9]+)_', 1) AS size_part,
+           regexp_replace(kgp_id, ',[0-9.]+$', '') AS id_no_suffix,
+           substr(kgp_id, 1, position(':' IN kgp_id) - 1) AS prefix
+    FROM ids
+    """,
+)
+def f01_id_parse_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-id synthesis and re-parsing — the reference builds
+    `{chr}:{position}_{ref}_{alt}` ids (R/load_urate2020_gwas.Rmd:128), parses
+    alleles back out with str_extract/str_remove (R/wrangle_data.Rmd:217),
+    strips `,position` suffixes (`:268`) and truncates at the first comma
+    (SUBSTR+POSITION, R/postgres_process.Rmd:119)."""
+    p = table(spark, sf_dir, "part")
+    ids = p.select(
+        "p_partkey",
+        F.concat(
+            F.col("p_partkey").cast("string"),
+            F.lit(":"),
+            F.col("p_size").cast("string"),
+            F.lit("_"),
+            F.col("p_brand"),
+            F.lit(","),
+            F.col("p_retailprice").cast("string"),
+        ).alias("kgp_id"),
+    )
+    return ids.select(
+        "p_partkey",
+        "kgp_id",
+        F.regexp_extract("kgp_id", r"^([0-9]+):", 1).alias("id_part"),
+        F.regexp_extract("kgp_id", r":([0-9]+)_", 1).alias("size_part"),
+        F.regexp_replace("kgp_id", r",[0-9.]+$", "").alias("id_no_suffix"),
+        F.expr("substr(kgp_id, 1, instr(kgp_id, ':') - 1)").alias("prefix"),
+    )
+
+
+@query(
+    "f02_maf_genotype",
+    "F6,F11,F12,U-udf",
+    oracle="""
+    WITH g AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(CAST(l_quantity AS INTEGER) AS VARCHAR) || '/' ||
+             CAST(l_linenumber AS VARCHAR) || '/' ||
+             CAST(l_suppkey % 7 AS VARCHAR) AS geno
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber, geno,
+           CAST(string_split(geno, '/')[2] AS DOUBLE) +
+             2 * CAST(string_split(geno, '/')[1] AS DOUBLE) AS minor_count,
+           (CAST(string_split(geno, '/')[2] AS DOUBLE) +
+              2 * CAST(string_split(geno, '/')[1] AS DOUBLE)) /
+           (2 * (CAST(string_split(geno, '/')[1] AS DOUBLE) +
+                 CAST(string_split(geno, '/')[2] AS DOUBLE) +
+                 CAST(string_split(geno, '/')[3] AS DOUBLE))) AS maf
+    FROM g
+    """,
+)
+def f02_maf_genotype(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's single UDF, made native: `maf_calc(geno)` splits the
+    `"hom1/het/hom2"` count string and computes minor-allele frequency
+    (R/wrangle_data.Rmd:196-201). Here as pure Catalyst expressions — split +
+    arithmetic, no Python in the hot path (SURVEY.md §2.11). The pandas_udf
+    twin lives in gwasdb_spark.functions.scalar and is asserted equal in
+    tests."""
+    li = table(spark, sf_dir, "lineitem")
+    g = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.concat_ws(
+            "/",
+            F.col("l_quantity").cast("int"),
+            F.col("l_linenumber"),
+            (F.col("l_suppkey") % 7),
+        ).alias("geno"),
+    )
+    parts = F.split(F.col("geno"), "/")
+    hom1 = parts.getItem(0).cast("double")
+    het = parts.getItem(1).cast("double")
+    hom2 = parts.getItem(2).cast("double")
+    minor = het + 2 * hom1
+    return g.select(
+        "l_orderkey",
+        "l_linenumber",
+        "geno",
+        minor.alias("minor_count"),
+        (minor / (2 * (hom1 + het + hom2))).alias("maf"),
+    )
+
+
+@query(
+    "f03_pad_concat",
+    "F5,F7",
+    oracle="""
+    SELECT n_nationkey,
+           lpad(CAST(n_nationkey AS VARCHAR), 2, '0') AS chr_padded,
+           n_name || ',' || CAST(n_regionkey AS VARCHAR) AS united
+    FROM nation
+    """,
+)
+def f03_pad_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`str_pad(chr, 2, 'left', '0')` filename padding (R/wrangle_data.Rmd:223)
+    and `unite(...)` column concat (`:251`)."""
+    n = table(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.lpad(F.col("n_nationkey").cast("string"), 2, "0").alias("chr_padded"),
+        F.concat_ws(",", F.col("n_name"), F.col("n_regionkey").cast("string")).alias(
+            "united"
+        ),
+    )
+
+
+@query(
+    "f04_date_parts",
+    "F16",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           CAST(month(o_orderdate) AS BIGINT) AS order_month,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_day
+    FROM orders WHERE o_orderkey % 100 = 0
+    """,
+)
+def f04_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date handling — `gwas_date` DATE literals (R/wrangle_data.Rmd:176-181);
+    temporal parts extraction for partition derivation."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        day_str("o_orderdate").alias("order_day"),
+    )
+
+
+@query(
+    "f05_clean_names",
+    "F18,S5",
+    oracle="SELECT c_custkey AS cust_key, c_name AS cust_name FROM customer",
+)
+def f05_clean_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header normalization — `janitor::clean_names()` on every raw read
+    (R/wrangle_data.Rmd:231). Engine fn: gwasdb_spark.sources.csv.clean_names;
+    demonstrated via a renamed projection."""
+    from gwasdb_spark.sources.csv import clean_names
+
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("Cust Key"), F.col("c_name").alias("CUST-Name")
+    )
+    cleaned = clean_names(c)
+    return cleaned.select("cust_key", "cust_name")
+
+
+# ---------------------------------------------------------------------------
+# GWAS self-audit ports (SURVEY.md §5 — the reference's manual checks)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "g01_count_reconciliation",
+    "A1,§5",
+    oracle="SELECT CAST(COUNT(*) + 1 AS BIGINT) AS n_plus_header FROM lineitem",
+)
+def g01_count_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Port of the reference's load reconciliation: `select count(*)+1 from
+    tmp_b37` compared against `wc -l` of the staged CSV
+    (R/wrangle_data.Rmd:124-128)."""
+    return table(spark, sf_dir, "lineitem").agg(
+        (F.count(F.lit(1)) + 1).alias("n_plus_header")
+    )
+
+
+@query(
+    "g02_chr_distribution",
+    "A2,§5",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY year(o_orderdate)
+    """,
+)
+def g02_chr_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Port of the per-chromosome distribution sanity check
+    (R/wrangle_data.Rmd:132) — here per order-year."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.year("o_orderdate").cast("long").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "g03_fk_orphan_audit",
+    "J8,§5",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
+    WHERE l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_size <= 40)
+    """,
+)
+def g03_fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Port of the referential-integrity audit: anti-join the fact table
+    against the dimension and report orphans (R/wrangle_data.Rmd:355,381) —
+    Spark has no FK enforcement, so this is the engine's post-write audit."""
+    li = table(spark, sf_dir, "lineitem")
+    pk = table(spark, sf_dir, "part").filter(F.col("p_size") <= 40).select("p_partkey")
+    return li.join(
+        pk, li.l_partkey == pk.p_partkey, "left_anti"
+    ).select("l_orderkey", "l_linenumber", "l_partkey")
+
+
+# ---------------------------------------------------------------------------
+# Headline analytical queries (scale benchmarks; bench.py drives these)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q01_pricing_summary",
+    "A1-A5,P6,O2",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      (CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0)
+        AS sum_base_price,
+      (CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE)
+         / 10000.0) AS sum_disc_price,
+      (CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                * (100 + CAST(ROUND(l_tax * 100) AS BIGINT))) AS DOUBLE)
+         / 1000000.0) AS sum_charge,
+      (CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*)) AS avg_qty,
+      (CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+         / 100.0 / COUNT(*)) AS avg_price,
+      (CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS DOUBLE)
+         / 100.0 / COUNT(*)) AS avg_disc,
+      CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Headline scan-heavy aggregation (TPC-H Q1 shape): one pass over the
+    fact table, partial aggregation map-side, 6-group shuffle. All money math
+    in exact integer cents (see plans/base.py docstring)."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-02")
+    )
+    price_c = cents(F.col("l_extendedprice"))
+    disc_c = cents(F.col("l_discount"))
+    tax_c = cents(F.col("l_tax"))
+    qty = F.col("l_quantity").cast("long")
+    cnt = F.count(F.lit(1))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).alias("sum_qty"),
+            money(F.sum(price_c)).alias("sum_base_price"),
+            (F.sum(price_c * (100 - disc_c)).cast("double") / F.lit(10000.0)).alias(
+                "sum_disc_price"
+            ),
+            (
+                F.sum(price_c * (100 - disc_c) * (100 + tax_c)).cast("double")
+                / F.lit(1000000.0)
+            ).alias("sum_charge"),
+            (F.sum(qty).cast("double") / cnt).alias("avg_qty"),
+            (F.sum(price_c).cast("double") / F.lit(100.0) / cnt).alias("avg_price"),
+            (F.sum(disc_c).cast("double") / F.lit(100.0) / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q03_shipping_priority",
+    "J10,A2,O1,O4",
+    oracle="""
+    SELECT l.l_orderkey,
+           (CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+              AS DOUBLE) / 10000.0) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_day,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Headline join+agg+top-k (TPC-H Q3 shape): selective dimension filter,
+    two joins, grouped revenue, top-10. Customer side broadcasts; revenue in
+    exact cents so ordering is engine-identical."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15")
+    )
+    rev = F.sum(
+        cents(F.col("l_extendedprice")) * (100 - cents(F.col("l_discount")))
+    ).cast("double") / F.lit(10000.0)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(rev.alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            day_str("o_orderdate").alias("order_day"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q05_local_supplier_volume",
+    "J5,J10,A2",
+    oracle="""
+    SELECT n.n_name AS nation,
+           (CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+              AS DOUBLE) / 10000.0) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name IN ('ASIA', 'EUROPE')
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Headline multi-join (TPC-H Q5 shape): 6-table star join; all dims
+    broadcast, the only shuffles are fact⋈fact and the final 25-group agg."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    rev = F.sum(
+        cents(F.col("l_extendedprice")) * (100 - cents(F.col("l_discount")))
+    ).cast("double") / F.lit(10000.0)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(rev.alias("revenue"))
+    )

@@ -1,0 +1,76 @@
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF_DIR = os.environ.get("GWASDB_TEST_SF_DIR", "/root/testdata/sf0.001")
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from gwasdb_spark.session import get_spark
+
+    s = get_spark("gwasdb_spark_tests")
+    yield s
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    yield con
+    con.close()
+
+
+def _norm_cell(v):
+    """Engine-portable canonical cell value (mirrors the driver's
+    order-insensitive value hash)."""
+    if v is None:
+        return "∅"
+    if isinstance(v, (np.floating, float)):
+        f = float(v)
+        if math.isnan(f):
+            return "∅"
+        if f == 0.0:
+            f = 0.0  # normalize -0.0
+        return repr(f)
+    if isinstance(v, (np.integer, int)):
+        return repr(float(int(v)))
+    if isinstance(v, (np.bool_, bool)):
+        return repr(bool(v))
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def canonical_rows(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    out = [tuple(_norm_cell(v) for v in row) for row in df[cols].itertuples(index=False)]
+    out.sort()
+    return out
+
+
+def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str):
+    assert sorted(spark_pdf.columns) == sorted(oracle_pdf.columns), (
+        f"{name}: column names differ: {sorted(spark_pdf.columns)} vs "
+        f"{sorted(oracle_pdf.columns)}"
+    )
+    assert len(spark_pdf) == len(oracle_pdf), (
+        f"{name}: row counts differ: {len(spark_pdf)} vs {len(oracle_pdf)}"
+    )
+    a = canonical_rows(spark_pdf)
+    b = canonical_rows(oracle_pdf)
+    if a != b:
+        diffs = [(x, y) for x, y in zip(a, b) if x != y][:5]
+        raise AssertionError(f"{name}: value mismatch; first diffs: {diffs}")
