@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {"q1": sec, ...}, "sf": <sf>}
+
+Each query is fully executed (foreach-noop action — results are consumed,
+not collected to the driver, mirroring a real sink). A warmup pass on
+sf0.001 triggers JVM/codegen warm paths so measured numbers reflect steady
+state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "p08_locus_window",
+    "j08_export_view",
+    "a04_pivot_wide",
+    "w01_topk_per_group",
+    "st01_hourly_rollup",
+    "st02_sessionize",
+    "x01_dedup_exact",
+    "x02_ngram_jaccard_pairs",
+    "x03_minhash_lsh_pairs",
+    "x05_ann_cosine_topk",
+    "x06_text_stats",
+    "x08_fingerprint",
+]
+
+
+def _consume(df) -> int:
+    """Execute the full plan without driver-side materialization."""
+    return df.count() if df.isStreaming is False else 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from gwasdb_spark.plans import QUERIES
+    from gwasdb_spark.session import get_spark
+
+    spark = get_spark("gwasdb_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    # Warmup on the smallest SF: JIT, codegen cache, parquet footer caches.
+    warm_dir = "/root/testdata/sf0.001"
+    for name in HEADLINE:
+        if name in QUERIES and os.path.isdir(warm_dir):
+            try:
+                _consume(QUERIES[name].fn(spark, warm_dir))
+            except Exception:
+                pass
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        if name not in QUERIES:
+            continue
+        t0 = time.perf_counter()
+        _consume(QUERIES[name].fn(spark, sf_dir))
+        dt = round(time.perf_counter() - t0, 3)
+        timings[name] = dt
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline-suite wall time (local[%s])"
+                % os.environ.get("SPARK_GRAFT_CPUS", "*"),
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -18,6 +18,7 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
 
 # plink chromosome codings (R/gwas_ddl_postgres.sql:6, R/wrangle_data.Rmd:67-69)
 PLINK_CHR_CODES = {**{str(i): i for i in range(1, 23)}, "X": 23, "Y": 24, "XY": 25, "MT": 26}
@@ -58,7 +59,7 @@ def maf_expr(geno: Column) -> Column:
     return (het + 2 * hom1) / (2 * (hom1 + het + hom2))
 
 
-@pandas_udf("double")
+@pandas_udf(DoubleType())
 def maf_pandas_udf(geno: pd.Series) -> pd.Series:
     """Vectorized Arrow UDF twin of maf_expr (SURVEY.md §2.11). Batch-wise
     pandas ops — never row-at-a-time Python."""

@@ -1,0 +1,175 @@
+"""End-to-end GWAS warehouse test: raw TSVs → ingest DAG → silver tables →
+gold `combined` → app-surface queries → audits. Mirrors the reference's
+entry-point 2 + 1 lifecycles (SURVEY.md §3) on deterministic fixtures."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gwasdb_spark import schemas as S
+from gwasdb_spark.gwas import api
+from gwasdb_spark.gwas.audit import chr_distribution, warehouse_audit
+from gwasdb_spark.gwas.ingest import RawStudyInputs, ingest_study, next_study_id
+from gwasdb_spark.gwas.warehouse import Warehouse
+
+from tests.gwas_fixtures import b37_rows, study_rows, write_raw_study
+
+
+@pytest.fixture(scope="module")
+def wh(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("gwas_wh"))
+    fx = write_raw_study(str(tmp_path_factory.mktemp("raw")))
+    w = Warehouse(spark, root)
+
+    w.write("b37", spark.createDataFrame(b37_rows(fx["snps"]), schema=S.B37))
+    w.write("study", spark.createDataFrame(study_rows(), schema=S.STUDY))
+    marker = spark.createDataFrame(
+        [
+            {"kgp_id": s["kgp_id"], "marker_name": s["snp"]}
+            for s in fx["snps"]
+            if s["snp"].startswith("rs")
+        ],
+        schema=S.MARKER,
+    )
+    w.write("marker", marker)
+
+    inputs = RawStudyInputs(
+        gwas_tsv=fx["gwas_tsv"], hwe_tsv=fx["hwe_tsv"], mfi_tsv=fx["mfi_tsv"]
+    )
+    gwas_rows, tombstones = ingest_study(spark, inputs, study_id=1, marker=marker)
+    w.write("gwas", gwas_rows)
+    w.write("no_gwas_result", tombstones)
+    w.build_combined()
+    w.fixture_facts = fx
+    return w
+
+
+def test_ingest_row_accounting(wh):
+    """Every raw SNP lands in exactly one of gwas / no_gwas_result."""
+    fx = wh.fixture_facts
+    n_gwas = wh.read("gwas").count()
+    n_tomb = wh.read("no_gwas_result").count()
+    assert n_gwas + n_tomb == fx["n_snps"]
+    assert n_tomb >= max(fx["n_null_or"], fx["n_low_info"])
+
+
+def test_qc_semantics(wh):
+    """Survivors all have impute_score >= 0.3 and non-null stat
+    (R/wrangle_data.Rmd:234,264)."""
+    g = wh.read("gwas")
+    assert g.filter(F.col("impute_score") < 0.3).count() == 0
+    assert g.filter(F.col("stat").isNull()).count() == 0
+
+
+def test_maf_native_vs_pandas_udf(wh, spark):
+    """The engine's two MAF implementations agree (SURVEY.md §2.11)."""
+    from gwasdb_spark.functions.scalar import maf_expr, maf_pandas_udf
+
+    g = wh.read("gwas").filter(F.col("geno_all").isNotNull()).limit(200)
+    both = g.select(
+        maf_expr(F.col("geno_all")).alias("native"),
+        maf_pandas_udf(F.col("geno_all")).alias("vectorized"),
+    )
+    bad = both.filter(
+        F.abs(F.col("native") - F.col("vectorized")) > 1e-12
+    ).count()
+    assert bad == 0
+
+
+def test_combined_matches_manual_join(wh, spark):
+    """Gold `combined` == the export-view definition computed independently
+    (R/postgres_process.Rmd:137)."""
+    gwas = wh.read("gwas")
+    b37 = wh.read("b37")
+    study = wh.read("study")
+    expected = (
+        gwas.filter(F.col("impute_score") >= 0.3)
+        .join(b37, "kgp_id", "left")
+        .join(
+            study.select(F.col("id").alias("study_id"), "name"),
+            "study_id",
+            "left",
+        )
+        .count()
+    )
+    assert wh.read("combined").count() == expected
+    # plotting columns present (gwasDB/app.R:164-182)
+    for c in ("chr", "pos", "neg_log10_p", "name", "or"):
+        assert c in wh.read("combined").columns
+
+
+def test_locus_window_flagship(wh):
+    """±10 kb locus window around a marker returns exactly the combined rows
+    within the window on the same chromosome (gwasDB/app.R:149-154)."""
+    some = wh.read("combined").orderBy("kgp_id").first()
+    res = api.locus_window(wh, some["kgp_id"], flank=10_000).collect()
+    assert len(res) >= 1
+    for r in res:
+        assert r["chr"] == some["chr"]
+        assert abs(r["pos"] - some["pos"]) <= 10_000
+
+
+def test_markers_by_region_and_probe(wh):
+    b = wh.read("b37").filter(F.col("chr") == 1).orderBy("pos")
+    lo = b.first()["pos"]
+    res = api.markers_by_region(wh, 1, lo, lo + 50_000).collect()
+    assert len(res) >= 1
+    assert all(r["chr"] == 1 for r in res)
+
+    probe = api.markers_by_probe(wh, "^1:").limit(5).collect()
+    assert all(r["kgp_id"].startswith("1:") for r in probe)
+
+    assert api.empty_markers(wh).count() == 0
+
+
+def test_warehouse_audit_clean(wh):
+    """Referential integrity holds after ingest (anti-join audits all empty —
+    the reference's §5 checks)."""
+    report = warehouse_audit(wh)
+    assert report == {k: 0 for k in report}
+
+
+def test_chr_distribution(wh):
+    dist = {r["chr"]: r["n"] for r in chr_distribution(wh.read("b37")).collect()}
+    assert set(dist) == {1, 2, 3, 23}
+    assert sum(dist.values()) == wh.fixture_facts["n_snps"]
+
+
+def test_serial_id_emulation(wh):
+    assert next_study_id(wh.read("study")) == 3
+
+
+def test_partition_layout(wh):
+    """b37/gwas/combined are chr-partitioned on disk → region queries prune."""
+    import os
+
+    for t in ("b37", "gwas", "combined"):
+        entries = os.listdir(wh.path(t))
+        assert any(e.startswith("chr=") for e in entries), t
+
+
+def test_dml_ops(wh, spark):
+    from gwasdb_spark.gwas import dml
+
+    g = wh.read("gwas")
+    n0 = g.count()
+
+    # DELETE WHERE (M1)
+    deleted = dml.delete_where(g, F.col("study_id") == 1)
+    assert deleted.count() == 0
+
+    # UPDATE SET via comma-truncation fixup (M2)
+    spiked = g.limit(1).withColumn("kgp_id", F.concat(F.col("kgp_id"), F.lit(",123")))
+    fixed = dml.comma_truncate_fixup(spiked)
+    assert fixed.filter(F.col("kgp_id").contains(",")).count() == 0
+
+    # MERGE upsert: re-inserting the same keys must not grow the table (PK)
+    merged = dml.merge_upsert(g, g.limit(10), ["kgp_id", "study_id"])
+    assert merged.count() == n0
+
+    # INSERT VALUES (M3)
+    row = g.first().asDict()
+    row["kgp_id"] = "9:131271296_C_T"  # the reference's manual fixup row
+    grown = dml.insert_values(g, [row])
+    assert grown.count() == n0 + 1
