@@ -69,24 +69,28 @@ def ngram_jaccard_pairs(
     web-dedup pipelines) → self-equi-join on shingle → count shared →
     jaccard from exact per-doc shingle counts. Jaccard is an exact integer
     ratio — engine-portable without rounding."""
-    shingled = df.select(
-        F.col(id_col).alias("doc"), word_shingles(F.col(text_col), n).alias("shingles")
-    )
-    sizes = shingled.select("doc", F.size("shingles").alias("n_shingles"))
-    exploded = shingled.select("doc", F.explode("shingles").alias("shingle"))
+    # One shingle pipeline, exploded once; downstream works on 8-byte
+    # xxhash64 keys — the pair join shuffles (long, long) rows, never
+    # strings. (Hash collisions would perturb counts; at 64 bits the
+    # probability is ~n^2/2^64 — negligible even at corpus scale.)
+    exploded = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    ).select("doc", F.xxhash64("shingle").alias("sh"))
+    sizes = exploded.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
     # Frequency prune: ultra-common shingles contribute pairs quadratically
     # but little similarity signal.
     rare = (
-        exploded.groupBy("shingle")
+        exploded.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df_count"))
         .filter(F.col("df_count") <= max_shingle_docs)
-        .select("shingle")
+        .select("sh")
     )
-    pruned = exploded.join(rare, "shingle", "left_semi")
-    a = pruned.select(F.col("doc").alias("id_a"), "shingle")
-    b = pruned.select(F.col("doc").alias("id_b"), "shingle")
+    pruned = exploded.join(rare, "sh", "left_semi")
+    a = pruned.select(F.col("doc").alias("id_a"), "sh")
+    b = pruned.select(F.col("doc").alias("id_b"), "sh")
     shared = (
-        a.join(b, "shingle")
+        a.join(b, "sh")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
@@ -108,21 +112,32 @@ def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 32
 ) -> DataFrame:
     """k-minhash signature per document: minhash_i = min over shingles of
-    xxhash64(shingle, seed=i). One projection, no shuffle."""
-    shingles = word_shingles(F.col(text_col), n)
+    xxhash64(shingle, seed=i).
 
-    def seeded_hash(seed: int):
-        # closure factory: a plain 2-arg lambda would make PySpark bind the
-        # second parameter to the array index, not the seed
-        return lambda s: F.xxhash64(s, F.lit(seed))
-
-    sig = F.array(
-        *[
-            F.array_min(F.transform(shingles, seeded_hash(i)))
-            for i in range(num_hashes)
-        ]
+    Shape: explode shingles → k seeded hashes per row → groupBy(doc) with k
+    min() aggregates → pack into an array. The aggregation exchange
+    MATERIALIZES the signature: downstream band expressions and self-join
+    sides read k longs instead of re-deriving the whole shingle pipeline
+    (the naive nested-array formulation re-inlines that tree into every
+    band × join-side, a >100× expression blowup measured at sf0.1)."""
+    exploded = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
     )
-    return df.select(F.col(id_col).alias("doc"), sig.alias("signature"))
+    hashed = exploded.select(
+        "doc",
+        *[
+            F.xxhash64(F.col("shingle"), F.lit(i)).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    sigs = hashed.groupBy("doc").agg(
+        *[F.min(f"h{i}").alias(f"mh{i}") for i in range(num_hashes)]
+    )
+    return sigs.select(
+        "doc",
+        F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("signature"),
+    )
 
 
 def minhash_lsh_pairs(
@@ -191,23 +206,30 @@ def simhash_signatures(
     """64-bit SimHash per document, fully native: token hashes → per-bit
     +1/-1 vote aggregation → sign bits packed into a long. Expression-only
     (codegen), no Python."""
-    tokens = F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
-
-    def bit_vote(j: int):
-        return lambda acc, h: acc + (
-            F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1
-        )
-
-    bit_votes = [
-        F.aggregate(hashes, F.lit(0).cast("long"), bit_vote(j)) for j in range(bits)
-    ]
+    exploded = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+        ).alias("token"),
+    ).select("doc", F.xxhash64("token").alias("h"))
+    # per-bit ±1 vote sums as aggregates — the exchange materializes the 64
+    # sums, so the packed signature is cheap to inline downstream
+    votes = exploded.groupBy("doc").agg(
+        *[
+            F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1).alias(
+                f"v{j}"
+            )
+            for j in range(bits)
+        ]
+    )
     packed = None
-    for j, vote in enumerate(bit_votes):
-        bit = F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+    for j in range(bits):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
         term = F.shiftleft(bit, j)
         packed = term if packed is None else packed.bitwiseXOR(term)
-    return df.select(F.col(id_col).alias("doc"), packed.alias("simhash"))
+    return votes.select("doc", packed.alias("simhash"))
 
 
 def simhash_near_pairs(
