@@ -2,32 +2,60 @@
 
 Four families, each a composition of DataFrame ops designed for the 100 TB
 case (no driver-side loops, no O(n^2) pair enumeration except within
-LSH buckets):
+bounded LSH buckets):
 
-- exact:        hash-groupBy on content (or normalized fingerprint)
-- ngram-jaccard: shingle → explode → shingle-equi-join → group. Exact
-                 similarity, pruned by dropping ultra-frequent shingles
-                 (stopword shingles otherwise quadratically blow up the join)
-- minhash-lsh:  shingle → k minhashes (xxhash64 seeded) → band buckets →
-                 candidate pairs only within buckets
-- simhash:      token-hash sign aggregation → 64-bit signature → hamming
-                 band join
+- exact:         hash-groupBy on a 128-bit content digest
+- ngram-jaccard: shingle → explode → bucket-by-shingle → bounded pair
+                 explode → group. Exact similarity, pruned by dropping
+                 ultra-frequent shingles (stopword shingles otherwise
+                 quadratically blow up the pair count)
+- minhash-lsh:   shingle → k minhashes → band buckets → candidate pairs
+                 only within buckets
+- simhash:       token-hash sign aggregation → 64-bit signature → hamming
+                 band buckets
 
 All hashing uses Spark-native xxhash64 (JVM, codegen'd, deterministic).
+
+Physical-plan notes (measured at sf0.1, local[32]):
+
+1. **Higher-order functions defeat common-subexpression elimination.**
+   Referencing `split(text)` inside a `transform()` lambda re-inlines the
+   split into every `element_at` call — ~150 regex splits of the full text
+   per document. Every pipeline here therefore materializes the token
+   array in its own Project (`_tokenized`) so the lambda references a
+   bound attribute. This alone was a 4× win on the shingle explode.
+2. **Pair enumeration is a bounded per-row explode, not a self-join.**
+   Self-joining the exploded shingle table recomputes the whole upstream
+   pipeline per join side and shuffles it twice; collecting the (capped)
+   doc list per shingle/bucket pays one aggregation shuffle of 8-byte
+   keys and generates pairs locally.
+3. **`_spread` repartitions tiny scans up to cluster parallelism.** A
+   single small parquet file arrives as one partition and would serialize
+   the CPU-heavy shingle explode on one core; at real scale the input is
+   already split and this is a no-op.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a text column (array<string>).
-    Documents shorter than n words yield an empty array. ANSI-safe: the
-    sequence/element_at branch only evaluates when size >= n."""
-    tokens = F.split(F.trim(text), r"\s+")
+    Documents shorter than n words yield an empty array.
+
+    NOTE: one-shot convenience only. In a pipeline, materialize the token
+    array first (`_tokenized`) and build grams with `_gram_array` — using
+    this column inside further higher-order functions re-evaluates the
+    tokenizing split per element (see module docstring, note 1)."""
+    return _gram_array(F.split(F.trim(text), r"\s+"), n)
+
+
+def _gram_array(tokens: Column, n: int) -> Column:
+    """n-gram array over an ALREADY-MATERIALIZED token array column.
+    ANSI-safe: the sequence/element_at branch only evaluates when
+    size >= n."""
     size = F.size(tokens)
     grams = F.transform(
         F.sequence(F.lit(0), size - n),
@@ -36,6 +64,26 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return F.when(size >= n, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def _tokenized(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, toks) projection: whitespace tokens materialized ONCE per row,
+    in their own Project node, so downstream lambdas reference an attribute
+    instead of re-inlining the split (module docstring, note 1)."""
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"),
+    )
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition up to cluster parallelism when the scan arrived with
+    fewer partitions (small local files). No-op at real input scale, where
+    the source is already split into >= defaultParallelism tasks."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -54,6 +102,49 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _pairs_from_groups(grouped: DataFrame, docs_col: str = "docs") -> DataFrame:
+    """Emit all (id_a < id_b) pairs from each row's sorted `docs` array via
+    a bounded double explode — pair enumeration WITHOUT a self-join
+    (module docstring, note 2). Group sizes are capped by the caller, so
+    the fan-out is bounded (no skew amplification at scale)."""
+    pos = F.posexplode(docs_col)
+    return (
+        grouped.select(F.col(docs_col), pos.alias("i", "id_a"))
+        # slice is 1-indexed: elements strictly after position i.
+        .select(
+            F.col("id_a"),
+            F.explode(
+                F.slice(F.col(docs_col), F.col("i") + 2, F.size(docs_col))
+            ).alias("id_b"),
+        )
+    )
+
+
+def _exploded_shingle_hashes(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(doc, sh) rows: one per word-n-gram OCCURRENCE per document (not
+    de-duplicated — callers use collect_set / countDistinct / min, all of
+    which are multiset-insensitive), shingle pre-hashed to an 8-byte
+    xxhash64 key. Downstream aggregations shuffle (long, long) rows, never
+    strings. (Hash collisions would perturb counts; at 64 bits the
+    probability is ~n^2/2^64 — negligible even at corpus scale.)
+
+    Shingles are built as arrays_zip over n shifted slices of the token
+    array, NOT with transform(): higher-order functions are
+    CodegenFallback — interpreted per element — and benchmarked ~5x
+    slower than this whole-stage-codegen formulation at sf0.1."""
+    toks = _spread(_tokenized(df, id_col, text_col))
+    size = F.size("toks")
+    width = F.greatest(size - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice("toks", j + 1, width) for j in range(n)])
+    gram = F.concat_ws(" ", *[F.col("g").getField(str(j)) for j in range(n)])
+    return (
+        toks.select("doc", F.explode(zipped).alias("g"))
+        .select("doc", F.xxhash64(gram).alias("sh"))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -64,36 +155,32 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= threshold).
 
-    Plan shape: explode distinct shingles → drop shingles present in more
-    than `max_shingle_docs` docs (the quadratic-blowup guard; standard in
-    web-dedup pipelines) → self-equi-join on shingle → count shared →
-    jaccard from exact per-doc shingle counts. Jaccard is an exact integer
+    Plan shape: explode distinct shingles → ONE hash-aggregate on the
+    8-byte shingle hash collecting the (sorted, bounded) doc list → drop
+    shingles present in more than `max_shingle_docs` docs (the
+    quadratic-blowup guard; standard in web-dedup pipelines) → per-row
+    pair explode → count shared → jaccard from exact per-doc shingle
+    counts (computed narrow, no shuffle). Jaccard is an exact integer
     ratio — engine-portable without rounding."""
-    # One shingle pipeline, exploded once; downstream works on 8-byte
-    # xxhash64 keys — the pair join shuffles (long, long) rows, never
-    # strings. (Hash collisions would perturb counts; at 64 bits the
-    # probability is ~n^2/2^64 — negligible even at corpus scale.)
-    exploded = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
-    ).select("doc", F.xxhash64("shingle").alias("sh"))
-    sizes = exploded.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
-    # Frequency prune: ultra-common shingles contribute pairs quadratically
-    # but little similarity signal.
-    rare = (
+    exploded = _exploded_shingle_hashes(df, id_col, text_col, n)
+    # collect_set (set semantics absorb repeated shingles within a doc) is
+    # safe here: the frequency prune bounds every retained group at
+    # max_shingle_docs elements. Singleton shingles produce no pairs —
+    # dropping them kills most of the explode volume.
+    bounded = (
         exploded.groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("df_count"))
-        .filter(F.col("df_count") <= max_shingle_docs)
-        .select("sh")
+        .agg(F.array_sort(F.collect_set("doc")).alias("docs"))
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= max_shingle_docs))
     )
-    pruned = exploded.join(rare, "sh", "left_semi")
-    a = pruned.select(F.col("doc").alias("id_a"), "sh")
-    b = pruned.select(F.col("doc").alias("id_b"), "sh")
     shared = (
-        a.join(b, "sh")
-        .filter(F.col("id_a") < F.col("id_b"))
+        _pairs_from_groups(bounded)
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    # Exact distinct-shingle count per doc; partial-aggregates map-side on
+    # (doc, sh) before the exchange, so the shuffle stays skinny.
+    sizes = exploded.groupBy("doc").agg(
+        F.count_distinct("sh").alias("n_shingles")
     )
     sa = sizes.select(F.col("doc").alias("id_a"), F.col("n_shingles").alias("n_a"))
     sb = sizes.select(F.col("doc").alias("id_b"), F.col("n_shingles").alias("n_b"))
@@ -112,24 +199,20 @@ def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 32
 ) -> DataFrame:
     """k-minhash signature per document: minhash_i = min over shingles of
-    xxhash64(shingle, seed=i).
+    a seeded hash of the shingle.
 
-    Shape: explode shingles → k seeded hashes per row → groupBy(doc) with k
-    min() aggregates → pack into an array. The aggregation exchange
-    MATERIALIZES the signature: downstream band expressions and self-join
-    sides read k longs instead of re-deriving the whole shingle pipeline
-    (the naive nested-array formulation re-inlines that tree into every
-    band × join-side, a >100× expression blowup measured at sf0.1)."""
-    exploded = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
-    )
+    Shape: explode shingles → hash the (variable-length) shingle string
+    ONCE to an 8-byte key → derive the k family members by hashing that
+    fixed-width long with the seed (k string hashes per shingle → 1 string
+    hash + k long hashes; the dominant cost of signature building) →
+    groupBy(doc) with k min() aggregates → pack into an array. The
+    aggregation exchange MATERIALIZES the signature: downstream band
+    expressions read k longs instead of re-deriving the whole shingle
+    pipeline."""
+    exploded = _exploded_shingle_hashes(df, id_col, text_col, n)
     hashed = exploded.select(
         "doc",
-        *[
-            F.xxhash64(F.col("shingle"), F.lit(i)).alias(f"h{i}")
-            for i in range(num_hashes)
-        ],
+        *[F.xxhash64("sh", F.lit(i)).alias(f"h{i}") for i in range(num_hashes)],
     )
     sigs = hashed.groupBy("doc").agg(
         *[F.min(f"h{i}").alias(f"mh{i}") for i in range(num_hashes)]
@@ -137,6 +220,26 @@ def minhash_signatures(
     return sigs.select(
         "doc",
         F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("signature"),
+    )
+
+
+def _bucket_pairs(banded: DataFrame, payload: list[str], max_bucket_docs: int) -> DataFrame:
+    """Group band-exploded rows into buckets and emit member pairs (a, b)
+    with a.doc < b.doc, each carrying the payload columns as struct fields.
+    One aggregation shuffle; bounded per-bucket pair explode (module
+    docstring, note 2)."""
+    member = F.struct("doc", *payload)
+    buckets = (
+        banded.groupBy("band_idx", "band_key")
+        .agg(F.array_sort(F.collect_list(member)).alias("members"))
+        .filter((F.size("members") >= 2) & (F.size("members") <= max_bucket_docs))
+    )
+    pos = F.posexplode("members")
+    return buckets.select(F.col("members"), pos.alias("i", "a")).select(
+        F.col("a"),
+        F.explode(
+            F.slice(F.col("members"), F.col("i") + 2, F.size("members"))
+        ).alias("b"),
     )
 
 
@@ -148,21 +251,27 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     min_est_jaccard: float = 0.2,
+    max_bucket_docs: int = 10_000,
 ) -> DataFrame:
     """MinHash+LSH near-dup candidates with estimated Jaccard.
 
     shingle → signature → band keys (xxhash64 over each signature slice) →
-    explode bands → equi-join on (band_idx, band_key) → candidate pairs →
-    estimated jaccard = fraction of equal minhashes. Only bucket-mates are
-    ever paired: at 100 TB the band join shuffles O(n·bands) skinny rows,
-    never O(n^2)."""
+    explode bands → bucket aggregation on (band_idx, band_key) → bounded
+    per-bucket pair explode → estimated jaccard = fraction of equal
+    minhashes. Only bucket-mates are ever paired: at 100 TB the band
+    aggregation shuffles O(n·bands) skinny rows, never O(n^2), and
+    `max_bucket_docs` caps per-bucket fan-out (skew guard for
+    boilerplate-heavy corpora)."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
     band_cols = [
         F.struct(
             F.lit(b).alias("band_idx"),
             F.xxhash64(
-                *[F.element_at("signature", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+                *[
+                    F.element_at("signature", b * rows_per_band + r + 1)
+                    for r in range(rows_per_band)
+                ]
             ).alias("band_key"),
         )
         for b in range(bands)
@@ -170,33 +279,24 @@ def minhash_lsh_pairs(
     banded = sigs.select(
         "doc", "signature", F.explode(F.array(*band_cols)).alias("band")
     ).select("doc", "signature", "band.band_idx", "band.band_key")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(
-            F.col("a.doc").alias("id_a"),
-            F.col("b.doc").alias("id_b"),
-            F.col("a.signature").alias("sig_a"),
-            F.col("b.signature").alias("sig_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    pairs = _bucket_pairs(banded, payload=["signature"], max_bucket_docs=max_bucket_docs)
     est = (
         F.size(
             F.filter(
-                F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
+                F.zip_with("a.signature", "b.signature", lambda x, y: x == y),
+                lambda eq: eq,
             )
         ).cast("double")
         / F.lit(float(num_hashes))
     )
-    return cands.select("id_a", "id_b", est.alias("est_jaccard")).filter(
-        F.col("est_jaccard") >= min_est_jaccard
+    return (
+        pairs.select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            est.alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -206,11 +306,9 @@ def simhash_signatures(
     """64-bit SimHash per document, fully native: token hashes → per-bit
     +1/-1 vote aggregation → sign bits packed into a long. Expression-only
     (codegen), no Python."""
-    exploded = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(
-            F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
-        ).alias("token"),
+    toks = _spread(_tokenized(df, id_col, text_col))
+    exploded = toks.select(
+        "doc", F.explode(F.array_distinct(F.col("toks"))).alias("token")
     ).select("doc", F.xxhash64("token").alias("h"))
     # per-bit ±1 vote sums as aggregates — the exchange materializes the 64
     # sums, so the packed signature is cheap to inline downstream
@@ -238,9 +336,11 @@ def simhash_near_pairs(
     text_col: str,
     max_hamming: int = 8,
     bands: int = 4,
+    max_bucket_docs: int = 10_000,
 ) -> DataFrame:
-    """SimHash near-dup pairs within a hamming radius, via band-bucket join
-    (pigeonhole: pairs within radius < bands share ≥1 exact band)."""
+    """SimHash near-dup pairs within a hamming radius, via band buckets
+    (pigeonhole: pairs within radius < bands share ≥1 exact band).
+    Same bucket-aggregate + bounded pair explode shape as MinHash-LSH."""
     width = 64 // bands
     sigs = simhash_signatures(df, id_col, text_col)
     band_cols = [
@@ -255,24 +355,16 @@ def simhash_near_pairs(
     banded = sigs.select(
         "doc", "simhash", F.explode(F.array(*band_cols)).alias("band")
     ).select("doc", "simhash", "band.band_idx", "band.band_key")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    hamming = F.bit_count(xor)
+    pairs = _bucket_pairs(banded, payload=["simhash"], max_bucket_docs=max_bucket_docs)
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(
+        pairs.select(
             F.col("a.doc").alias("id_a"),
             F.col("b.doc").alias("id_b"),
             hamming.alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
