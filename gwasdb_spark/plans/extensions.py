@@ -373,6 +373,96 @@ def st02_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "st03_stream_hourly_rollup",
+    "X-stream,§2.10",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           (CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0)
+             AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def st03_stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE Structured Streaming: watermarked hourly rollup executed over
+    the events parquet as a file-source stream (Trigger.AvailableNow),
+    returned as the final batch result. Must exactly equal the batch twin
+    st01 — the oracle is the same SQL."""
+    from gwasdb_spark.streaming.events import (
+        hourly_rollup_stream,
+        read_events_stream,
+        run_available_now,
+    )
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    return run_available_now(hourly_rollup_stream(stream), "complete")
+
+
+@query(
+    "st04_stream_sessionize_stateful",
+    "X-stream,§2.11",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY epoch_us(ts), event_id) AS prev_us
+      FROM events
+    ),
+    f AS (
+      SELECT user_id, event_id,
+             CASE WHEN prev_us IS NULL
+                       OR ts_us - prev_us > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM g
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(new_session) AS BIGINT) AS n_sessions
+    FROM f GROUP BY user_id
+    """,
+)
+def st04_stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE custom stateful streaming: applyInPandasWithState per-user
+    sessionizer over the events file stream. Cumulative (n_events,
+    n_sessions) rows are emitted per micro-batch; both are monotone
+    nondecreasing, so max() per user recovers the final state regardless
+    of how many micro-batches the file source produced. Oracle: the batch
+    lag-window sessionizer's SQL (st02)."""
+    from gwasdb_spark.streaming.events import read_events_stream, run_available_now
+    from gwasdb_spark.streaming.sessions import sessionize_stateful
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    out = run_available_now(sessionize_stateful(stream), "update")
+    return out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("n_sessions").alias("n_sessions"),
+    )
+
+
+@query(
+    "st05_stream_dedup",
+    "X-stream,X-dedup",
+    oracle="SELECT event_id, user_id, event_type FROM events",
+)
+def st05_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE streaming dedup with bounded state: the events file read as TWO
+    unioned streams (every event arrives twice) →
+    dropDuplicatesWithinWatermark(event_id) restores exactly-once rows.
+    State evicts past the watermark horizon — O(rate × lateness), the only
+    viable streaming-dedup shape at sustained ingest scale."""
+    from gwasdb_spark.streaming.events import (
+        dedup_stream,
+        read_events_stream,
+        run_available_now,
+    )
+
+    path = f"{sf_dir}/events.parquet"
+    doubled = read_events_stream(spark, path).union(read_events_stream(spark, path))
+    out = run_available_now(dedup_stream(doubled), "append")
+    return out.select("event_id", "user_id", "event_type")
+
+
 # ---------------------------------------------------------------------------
 # Multimodal binary plumbing
 # ---------------------------------------------------------------------------

@@ -1,0 +1,141 @@
+"""Structured Streaming over the events table.
+
+The reference has NO stream processing (SURVEY.md §2.10 — Shiny reactivity
+is interactive re-execution, not streaming); this module is the engine
+extension the north-star asks for: watermarked event-time aggregation,
+streaming dedup, and a custom stateful operator (sessions.py).
+
+Design for scale:
+- file source → the same partitioned parquet/Delta layout as batch; each
+  micro-batch is a normal distributed job, so everything said about
+  shuffles/pruning in the batch operators applies per batch.
+- watermarks bound state: the hourly rollup keeps only open windows within
+  the lateness horizon; dropDuplicatesWithinWatermark evicts seen-key state
+  past the horizon (unbounded-state streaming dedup is a memory leak at
+  100 TB/day).
+- memory-sink runners are TEST/VERIFY harness conveniences (driver-sized
+  results only); the production sink is `foreach_batch_append` →
+  partitioned parquet (Delta MERGE where available).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gwasdb_spark.plans.helpers import cents, hour_str, money
+
+# Physical schema: ts is TIMESTAMP(NANOS) which Spark's parquet reader
+# rejects — read as long nanos and convert exactly, matching
+# gwasdb_spark.catalog.table (same integer `div`, no float drift).
+EVENTS_PHYSICAL_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over an events parquet path (file or directory).
+
+    `maxFilesPerTrigger=1` keeps micro-batches bounded when pointed at a
+    directory that accumulates files — the backpressure knob for the file
+    source. The file source requires a DIRECTORY; a bare file path is
+    wrapped in a temp dir via symlink (test-data convenience — production
+    streams always watch an ingest directory)."""
+    if os.path.isfile(path):
+        d = tempfile.mkdtemp(prefix="events_stream_")
+        os.symlink(path, os.path.join(d, os.path.basename(path)))
+        path = d
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_PHYSICAL_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_rollup_stream(events: DataFrame, lateness: str = "10 minutes") -> DataFrame:
+    """Watermarked event-time hourly rollup — the streaming twin of
+    st01_hourly_rollup (same grouping, same exact-cents money sums).
+
+    The watermark bounds aggregation state to windows newer than
+    max(event time) - lateness; later events are dropped, earlier ones
+    merge into their still-open window."""
+    return (
+        events.withWatermark("ts", lateness)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money(F.sum(cents(F.col("value")))).alias("total_value"),
+        )
+        .select(
+            hour_str(F.col("w.start")).alias("hour"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_window_stream(events: DataFrame, gap: str = "30 minutes",
+                          lateness: str = "10 minutes") -> DataFrame:
+    """Gap-based session windows per user (Spark's native session_window) —
+    the declarative streaming twin of st02's lag-based batch sessionizer.
+    State per (user, open session) only; watermark closes sessions whose
+    gap has passed the lateness horizon."""
+    return (
+        events.withWatermark("ts", lateness)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def dedup_stream(events: DataFrame, lateness: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup on event_id with bounded state:
+    dropDuplicatesWithinWatermark evicts seen keys older than the
+    watermark horizon, so state is O(arrival rate × lateness), not O(total
+    stream) — the only viable form at sustained ingest scale."""
+    return events.withWatermark("ts", lateness).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_available_now(sdf: DataFrame, output_mode: str) -> DataFrame:
+    """Execute a streaming DataFrame over all currently-available input
+    (Trigger.AvailableNow) into a memory sink and return the final result
+    as a BATCH DataFrame.
+
+    Harness-only: memory sinks materialize on the driver. Production runs
+    use a continuous trigger + foreach_batch_append."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)
+
+
+def foreach_batch_append(sdf: DataFrame, out_dir: str, checkpoint_dir: str):
+    """Production-shaped sink: idempotent-by-checkpoint micro-batch append
+    to partitioned parquet. With Delta available this body becomes a MERGE
+    on the natural key; plain parquet gets at-least-once append semantics
+    (exactly-once requires the transactional commit log)."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    return (
+        sdf.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
