@@ -149,3 +149,75 @@ def hyperplane_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (id_a < id_b,
+    cosine >= threshold) — the brute-force baseline, O(n^2) scored but
+    never O(n^2) SHUFFLED: one side broadcasts per AQE/size hints.
+
+    At corpus scale this is the correctness oracle for
+    `embedding_neardup_pairs_lsh`, not the production path."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    return (
+        # Inequality join → nested loop; broadcast one side so the other
+        # streams once (instead of a numPartitions² cartesian fan-out).
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("vec_a"), F.col("vec_b")).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def embedding_neardup_pairs_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    dim: int = 64,
+    bands: int = 8,
+    bits_per_band: int = 8,
+    seed: int = 42,
+    max_bucket_docs: int = 10_000,
+) -> DataFrame:
+    """Embedding-cosine near-dup via random-hyperplane LSH — the scale
+    path: vectors sharing any band signature become candidates; exact
+    cosine re-scores candidates only.
+
+    Same physical shape as the MinHash dedup: band explode → ONE bucket
+    aggregation → bounded per-bucket pair explode (no self-join, no
+    re-derivation of signatures per join side). P(candidate) for a pair at
+    angle θ is 1-(1-(1-θ/π)^bits)^bands — at cosine 0.95, bits=8, bands=8
+    that is >0.99 recall."""
+    from gwasdb_spark.operators.dedup import _bucket_pairs
+
+    planes = _hyperplanes(dim, bands * bits_per_band, seed)
+    band_structs = []
+    for bnd in range(bands):
+        sub = planes[bnd * bits_per_band : (bnd + 1) * bits_per_band]
+        band_structs.append(
+            F.struct(
+                F.lit(bnd).alias("band_idx"),
+                hyperplane_signature(F.col(vec_col), sub).alias("band_key"),
+            )
+        )
+    banded = df.select(
+        F.col(id_col).alias("doc"),
+        F.col(vec_col).alias("vec"),
+        F.explode(F.array(*band_structs)).alias("band"),
+    ).select("doc", "vec", "band.band_idx", "band.band_key")
+    pairs = _bucket_pairs(banded, payload=["vec"], max_bucket_docs=max_bucket_docs)
+    return (
+        pairs.select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            cosine(F.col("a.vec"), F.col("b.vec")).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+    )

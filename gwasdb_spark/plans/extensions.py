@@ -168,6 +168,50 @@ def x05b_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x10_embedding_neardup",
+    "X-dedup,X-sim",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_COS_SQL.format(a='a.embedding', b='b.embedding')}
+                 / (sqrt({_COS_SQL.format(a='a.embedding', b='a.embedding')})
+                    * sqrt({_COS_SQL.format(a='b.embedding', b='b.embedding')})),
+                 6) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_COS_SQL.format(a='a.embedding', b='b.embedding')}
+          / (sqrt({_COS_SQL.format(a='a.embedding', b='a.embedding')})
+             * sqrt({_COS_SQL.format(a='b.embedding', b='b.embedding')})) >= 0.35
+    """,
+)
+def x10_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, exact brute-force baseline
+    (id_a < id_b, cosine >= 0.35 — the synthetic
+    corpus is random noise with max pair cosine ~0.5, so the threshold sits
+    at the top tail to exercise the pipeline on real rows). The LSH twin x10b is the scale path;
+    its recall vs this truth is asserted in tests."""
+    from gwasdb_spark.operators.similarity import embedding_neardup_pairs
+
+    e = table(spark, sf_dir, "embeddings")
+    res = embedding_neardup_pairs(e, "vec_id", "embedding", threshold=0.35)
+    return res.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+
+
+@query("x10b_embedding_neardup_lsh", "X-dedup,X-sim", oracle=None)
+def x10b_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via random-hyperplane LSH buckets + exact
+    re-score of bucket-mates only — never O(n^2) pairs at scale. Hash-
+    bucket dependent → no SQL oracle; recall vs x10 tested."""
+    from gwasdb_spark.operators.similarity import embedding_neardup_pairs_lsh
+
+    e = table(spark, sf_dir, "embeddings")
+    res = embedding_neardup_pairs_lsh(
+        e, "vec_id", "embedding", threshold=0.35, dim=64, bands=16, bits_per_band=4
+    )
+    return res.select("id_a", "id_b", F.round("cos", 6).alias("cos")).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@query(
     "x09_embedding_stats",
     "X-sim",
     oracle="""
