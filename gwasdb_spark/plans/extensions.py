@@ -544,3 +544,55 @@ def mm02_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return extract_fake_features(to_binary_table(d)).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured (JSON) and iterative graph extensions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "e01_json_props",
+    "X-text,§1.2",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS max_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k
+    FROM events GROUP BY event_type
+    """,
+)
+def e01_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access: parse the JSON `props` payload column
+    (get_json_object — JVM-side JSON path, no Python) and aggregate the
+    extracted field per event type. The engine's schema-on-read surface
+    for the reference's string-encoded nested values (§1.1 geno strings
+    are the same pattern)."""
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.sum("k").alias("sum_k"),
+    )
+
+
+@query("x11_dedup_clusters", "X-dedup", oracle=None)
+def x11_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact transitive near-dup clusters: connected components (iterative
+    min-label propagation, distributed per iteration) over the exact
+    3-gram Jaccard pair graph. Iterative → no single SQL oracle; verified
+    against a driver-side union-find on the same pairs in
+    tests/test_graph.py."""
+    from gwasdb_spark.operators.graph import connected_components
+
+    d = table(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.12, max_shingle_docs=100
+    )
+    return connected_components(pairs).orderBy("id")
