@@ -221,3 +221,64 @@ def embedding_neardup_pairs_lsh(
         .filter(F.col("cos") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def brute_force_topk_vectorized(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k via Arrow-batched numpy matmul — the 100 TB fast
+    path for the scoring kernel.
+
+    The expression-fold cosine (`functions.vectors.dot`) is a higher-order
+    function — CodegenFallback, interpreted per element. This variant
+    ships the (small, by ANN contract) query matrix to every task in the
+    closure and scores each Arrow batch as ONE `(batch × dim) @ (dim × nq)`
+    BLAS call, emitting only the per-batch top-k per query; a final
+    window pass reduces per-batch candidates to the global top-k. Shuffle
+    volume is O(#batches × nq × k), never O(|corpus| × nq).
+
+    Same contract as brute_force_topk: self-matches excluded,
+    deterministic neighbor-id tiebreak."""
+    import pandas as pd
+
+    qrows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf["__id"].to_numpy(dtype=np.int64)
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["__vec"]])
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            C = Vn @ Qn.T  # (batch, nq)
+            top = min(k, len(ids))
+            for qi, qid in enumerate(q_ids):
+                col = C[:, qi]
+                mask = ids != qid  # self-exclusion
+                cand_idx = np.nonzero(mask)[0]
+                if cand_idx.size == 0:
+                    continue
+                take = min(top, cand_idx.size)
+                part = cand_idx[np.argpartition(-col[cand_idx], take - 1)[:take]]
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "neighbor_id": ids[part],
+                        "cosine": col[part],
+                    }
+                )
+
+    scored = corpus.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
+    ).mapInPandas(score, "query_id long, neighbor_id long, cosine double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -154,6 +154,44 @@ def x05_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "x05c_ann_topk_vectorized",
+    "X-sim",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             {_COS_SQL.format(a='qv', b='cv')}
+               / (sqrt({_COS_SQL.format(a='qv', b='qv')})
+                  * sqrt({_COS_SQL.format(a='cv', b='cv')})) AS cos_raw
+      FROM q CROSS JOIN c WHERE query_id != neighbor_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+           ROUND(cos_raw, 6) AS cosine
+    FROM (
+      SELECT query_id, neighbor_id, cos_raw,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_raw DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def x05c_ann_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ANN top-k via the Arrow/numpy mapInPandas kernel — one BLAS
+    matmul per batch, per-batch top-k, global window reduce. Same oracle
+    as x05: the two implementations must agree to 6 dp."""
+    from gwasdb_spark.operators.similarity import brute_force_topk_vectorized
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    res = brute_force_topk_vectorized(q, e, "vec_id", "embedding", k=10)
+    return res.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
+    )
+
+
 @query("x05b_ann_lsh_topk", "X-sim", oracle=None)
 def x05b_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed ANN (the scale path): signatures bucket the

@@ -118,3 +118,16 @@ def test_hyperplane_lsh_subset_of_corpus(spark, neardup_corpus):
     ).collect()
     ids = {r[0] for r in neardup_corpus.select("vec_id").collect()}
     assert all(r.neighbor_id in ids for r in res)
+
+
+def test_vectorized_topk_equals_expression_topk(spark, neardup_corpus):
+    from gwasdb_spark.operators.similarity import brute_force_topk_vectorized
+
+    q = neardup_corpus.filter(F.col("vec_id") < 10)
+    a = brute_force_topk(q, neardup_corpus, "vec_id", "embedding", k=5).collect()
+    b = brute_force_topk_vectorized(
+        q, neardup_corpus, "vec_id", "embedding", k=5
+    ).collect()
+    ka = {(r.query_id, r.neighbor_id, r.rank, round(r.cosine, 6)) for r in a}
+    kb = {(r.query_id, r.neighbor_id, r.rank, round(r.cosine, 6)) for r in b}
+    assert ka == kb
