@@ -11,13 +11,18 @@ Two paths:
   (multi-probe = several bands). At 1000 executors the bucket join replaces
   the full cross product with a shuffle proportional to bucket occupancy.
 
-No MLlib dependency — signatures are plain column expressions, so the whole
-plan stays in Tungsten.
+No MLlib dependency. Scoring/signature kernels come in two forms: pure
+column expressions (`hyperplane_signature`, `functions.vectors.cosine` —
+portable, oracle-friendly) and Arrow-batched numpy kernels
+(`band_keys_udf`, `brute_force_topk_vectorized` — the hot path; one BLAS
+call per batch instead of interpreted per-element folds).
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -88,6 +93,48 @@ def hyperplane_signature(
     return packed
 
 
+def band_keys_udf(planes: np.ndarray, bands: int):
+    """Vectorized hyperplane band signatures: a pandas_udf mapping an
+    embedding column to array<bigint> of `bands` band keys.
+
+    The expression form (`hyperplane_signature`) builds bands×bits
+    interpreted F.aggregate folds over literal plane arrays — measured
+    ~10× slower at sf0.1 and a plan-size liability (dim×planes literals).
+    Here the whole batch is ONE `(n × dim) @ (dim × planes)` BLAS call and
+    a bit-pack matmul. Sign convention matches hyperplane_signature
+    (d >= 0 → 1); boundary-exact zeros could differ in the last ulp
+    between fold and BLAS summation — irrelevant for bucketing."""
+    P = planes.astype(np.float64)
+    bits = P.shape[0] // bands
+    weights = (1 << np.arange(bits, dtype=np.int64))
+
+    @F.pandas_udf("array<bigint>")
+    def keys(vecs: pd.Series) -> pd.Series:
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        B = (V @ P.T >= 0).astype(np.int64)  # (n, bands*bits)
+        K = B.reshape(len(V), bands, bits) @ weights  # (n, bands)
+        return pd.Series(list(K))
+
+    return keys
+
+
+def _banded_vectorized(
+    df: DataFrame, id_alias: str, vec_alias: str, planes: np.ndarray, bands: int
+) -> DataFrame:
+    """(id, vec, band_idx, band_key) rows via the vectorized signature UDF:
+    one posexplode over the per-row band-key array."""
+    keys = band_keys_udf(planes, bands)
+    pos = F.posexplode("__band_keys")
+    return (
+        df.select(
+            F.col(id_alias),
+            F.col(vec_alias),
+            keys(F.col(vec_alias)).alias("__band_keys"),
+        )
+        .select(id_alias, vec_alias, pos.alias("band_idx", "band_key"))
+    )
+
+
 def hyperplane_lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -106,32 +153,19 @@ def hyperplane_lsh_topk(
     at bands*bits_per_band total hyperplanes, a query and corpus vector
     collide if any band's bits match exactly."""
     planes = _hyperplanes(dim, bands * bits_per_band, seed)
-
-    def banded(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
-        band_structs = []
-        for b in range(bands):
-            sub = planes[b * bits_per_band : (b + 1) * bits_per_band]
-            band_structs.append(
-                F.struct(
-                    F.lit(b).alias("band_idx"),
-                    hyperplane_signature(F.col(vec_alias), sub).alias("band_key"),
-                )
-            )
-        return df.select(
-            F.col(id_alias),
-            F.col(vec_alias),
-            F.explode(F.array(*band_structs)).alias("band"),
-        ).select(id_alias, vec_alias, "band.band_idx", "band.band_key")
-
-    q = banded(
+    q = _banded_vectorized(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
         "query_id",
         "q_vec",
+        planes,
+        bands,
     )
-    c = banded(
+    c = _banded_vectorized(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
         "neighbor_id",
         "c_vec",
+        planes,
+        bands,
     )
     cands = (
         q.join(c, ["band_idx", "band_key"])
@@ -197,20 +231,13 @@ def embedding_neardup_pairs_lsh(
     from gwasdb_spark.operators.dedup import _bucket_pairs
 
     planes = _hyperplanes(dim, bands * bits_per_band, seed)
-    band_structs = []
-    for bnd in range(bands):
-        sub = planes[bnd * bits_per_band : (bnd + 1) * bits_per_band]
-        band_structs.append(
-            F.struct(
-                F.lit(bnd).alias("band_idx"),
-                hyperplane_signature(F.col(vec_col), sub).alias("band_key"),
-            )
-        )
-    banded = df.select(
-        F.col(id_col).alias("doc"),
-        F.col(vec_col).alias("vec"),
-        F.explode(F.array(*band_structs)).alias("band"),
-    ).select("doc", "vec", "band.band_idx", "band.band_key")
+    banded = _banded_vectorized(
+        df.select(F.col(id_col).alias("doc"), F.col(vec_col).alias("vec")),
+        "doc",
+        "vec",
+        planes,
+        bands,
+    )
     pairs = _bucket_pairs(banded, payload=["vec"], max_bucket_docs=max_bucket_docs)
     return (
         pairs.select(
@@ -243,8 +270,6 @@ def brute_force_topk_vectorized(
 
     Same contract as brute_force_topk: self-matches excluded,
     deterministic neighbor-id tiebreak."""
-    import pandas as pd
-
     qrows = queries.select(id_col, vec_col).collect()
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])

@@ -242,7 +242,7 @@ def x10b_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "embeddings")
     res = embedding_neardup_pairs_lsh(
-        e, "vec_id", "embedding", threshold=0.35, dim=64, bands=16, bits_per_band=4
+        e, "vec_id", "embedding", threshold=0.35, dim=64, bands=8, bits_per_band=8
     )
     return res.select("id_a", "id_b", F.round("cos", 6).alias("cos")).orderBy(
         "id_a", "id_b"
