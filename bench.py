@@ -29,12 +29,17 @@ HEADLINE = [
     "w01_topk_per_group",
     "st01_hourly_rollup",
     "st02_sessionize",
+    "st03_stream_hourly_rollup",
     "x01_dedup_exact",
     "x02_ngram_jaccard_pairs",
     "x03_minhash_lsh_pairs",
     "x05_ann_cosine_topk",
+    "x05c_ann_topk_vectorized",
     "x06_text_stats",
+    "x07_lang_id",
     "x08_fingerprint",
+    "x10b_embedding_neardup_lsh",
+    "e01_json_props",
 ]
 
 
