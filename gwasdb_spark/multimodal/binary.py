@@ -83,3 +83,71 @@ def extract_fake_features(binary_table: DataFrame) -> DataFrame:
             yield out
 
     return binary_table.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "doc_id long, media_type string, width int, height int, "
+    "payload binary, decode_status string"
+)
+
+FRAME_SCHEMA = "doc_id long, frame_idx long, frame_payload binary"
+
+
+def resize_images(binary_table: DataFrame, width: int = 8, height: int = 8) -> DataFrame:
+    """Image resize over Arrow batches — decode STUBBED (no PIL in this
+    container): emits a deterministic digest-derived thumbnail payload of
+    exactly width*height bytes, so schema, batch shape, and downstream
+    size accounting are real. A production build replaces `_thumb` with
+    decode→resize→re-encode; nothing else changes."""
+
+    def _thumb(payload: bytes) -> bytes:
+        need = width * height
+        out = b""
+        seed = hashlib.sha256(payload).digest()
+        while len(out) < need:
+            out += seed
+            seed = hashlib.sha256(seed).digest()
+        return out[:need]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "width": np.int32(width),
+                    "height": np.int32(height),
+                    "payload": pdf["payload"].map(_thumb),
+                    "decode_status": "ok_fake",
+                }
+            )
+
+    return binary_table.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(
+    binary_table: DataFrame, frame_bytes: int = 64, every_n: int = 4
+) -> DataFrame:
+    """Frame sampling over Arrow batches — the 1→many (UDTF-shaped)
+    mapInPandas stage: each payload is treated as a sequence of
+    `frame_bytes` chunks ("frames"; a real build decodes containers via
+    ffmpeg), and every `every_n`-th frame is emitted as its own row.
+
+    Output cardinality = Σ ceil(n_frames/every_n) — the explode happens
+    inside the Arrow batch, so no driver involvement and no row-at-a-time
+    Python."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = (len(payload) + frame_bytes - 1) // frame_bytes
+                for fi in range(0, n_frames, every_n):
+                    ids.append(doc_id)
+                    idxs.append(fi)
+                    frames.append(payload[fi * frame_bytes : (fi + 1) * frame_bytes])
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_payload": frames}
+            )
+
+    return binary_table.mapInPandas(run, schema=FRAME_SCHEMA)

@@ -634,3 +634,50 @@ def x11_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text", n=3, threshold=0.12, max_shingle_docs=100
     )
     return connected_components(pairs).orderBy("id")
+
+
+@query("mm03_resize_thumbs", "X-multimodal", oracle=None)
+def mm03_resize_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing (decode stubbed → deterministic 8x8 digest
+    thumbnail): real mapInPandas batch shape, real output schema and size
+    accounting. Rows-only; determinism + exact payload sizes asserted in
+    tests/test_multimodal.py."""
+    from gwasdb_spark.multimodal.binary import resize_images, to_binary_table
+
+    d = table(spark, sf_dir, "documents")
+    out = resize_images(to_binary_table(d), width=8, height=8)
+    return out.select(
+        "doc_id", "media_type", "width", "height",
+        F.octet_length("payload").alias("n_bytes"), "decode_status"
+    ).orderBy("doc_id")
+
+
+@query(
+    "mm04_frame_sample",
+    "X-multimodal",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+    ),
+    f AS (
+      SELECT doc_id, n,
+             unnest(range(0, CAST(ceil(n / 64.0) AS BIGINT), 4)) AS frame_idx
+      FROM b
+    )
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(LEAST(64, n - frame_idx * 64) AS BIGINT) AS n_frame_bytes
+    FROM f
+    """,
+)
+def mm04_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (every 4th 64-byte 'frame' of each payload) — the
+    1→many UDTF-shaped mapInPandas stage. The oracle checks the full frame
+    geometry (which frames get sampled, each frame's byte length) against
+    pure SQL arithmetic."""
+    from gwasdb_spark.multimodal.binary import sample_frames, to_binary_table
+
+    d = table(spark, sf_dir, "documents")
+    out = sample_frames(to_binary_table(d), frame_bytes=64, every_n=4)
+    return out.select(
+        "doc_id", "frame_idx", F.octet_length("frame_payload").alias("n_frame_bytes")
+    )
