@@ -307,3 +307,72 @@ def brute_force_topk_vectorized(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the second scale path next
+    to hyperplane LSH: partition the corpus into `n_cells` Voronoi cells,
+    probe only the `nprobe` cells nearest each query.
+
+    Centroids here are the first `n_cells` corpus vectors by id —
+    deterministic and test-friendly; a production build drops in k-means
+    (or sampled + refined) centroids without touching the plan shape.
+
+    Physical shape: one vectorized cell-assignment pass over the corpus
+    (numpy matmul per Arrow batch), a driver-side probe-list for the
+    (small) query set, then an equi-join on cell id — the scan of each
+    query touches |corpus|·nprobe/n_cells rows instead of |corpus|."""
+    cent_rows = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
+    )
+    C = np.stack([np.asarray(r[1], dtype=np.float64) for r in cent_rows])
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    @F.pandas_udf("int")
+    def cell_of(vecs: pd.Series) -> pd.Series:
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        return pd.Series(np.argmax(Vn @ Cn.T, axis=1).astype(np.int32))
+
+    assigned = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        cell_of(F.col(vec_col)).alias("cell"),
+    )
+
+    qrows = queries.select(id_col, vec_col).collect()
+    probe_rows = []
+    for r in qrows:
+        qv = np.asarray(r[1], dtype=np.float64)
+        qv = qv / np.linalg.norm(qv)
+        top_cells = np.argsort(-(Cn @ qv))[:nprobe]
+        for c in top_cells:
+            probe_rows.append((r[0], [float(x) for x in r[1]], int(c)))
+    probes = queries.sparkSession.createDataFrame(
+        probe_rows, f"query_id long, q_vec array<double>, cell int"
+    )
+
+    cands = (
+        F.broadcast(probes)
+        .join(assigned, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -681,3 +681,19 @@ def mm04_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "frame_idx", F.octet_length("frame_payload").alias("n_frame_bytes")
     )
+
+
+@query("x05d_ann_ivf_topk", "X-sim", oracle=None)
+def x05d_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (second scale path next to LSH): corpus assigned to
+    Voronoi cells once (vectorized matmul), queries probe nprobe nearest
+    cells only. Cell-assignment dependent → rows-only; recall vs exact
+    tested in tests/test_similarity.py."""
+    from gwasdb_spark.operators.similarity import ivf_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    res = ivf_topk(q, e, "vec_id", "embedding", k=10, n_cells=16, nprobe=4)
+    return res.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
+    ).orderBy("query_id", "rank")

