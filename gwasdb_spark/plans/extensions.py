@@ -697,3 +697,90 @@ def x05d_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
     ).orderBy("query_id", "rank")
+
+
+@query(
+    "c01_corpus_clean",
+    "X-text,X-dedup",
+    oracle=r"""
+    WITH q AS (
+      SELECT doc_id, text,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws,
+             CASE WHEN length(text) > 0
+                  THEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+                            AS DOUBLE) / length(text)
+                  ELSE 0.0 END AS pr,
+             CAST(len(regexp_extract_all(lower(text),
+                  '\b(the|and|of|to|a|in|is|that)\b')) AS BIGINT) AS n_sw
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, n_ws,
+             ROUND(
+               0.3 * (CASE WHEN length(text) BETWEEN 50 AND 20000
+                           THEN 1.0 ELSE 0.3 END)
+             + 0.4 * LEAST(
+                 (CASE WHEN n_ws > 0
+                       THEN CAST(n_sw AS DOUBLE) / n_ws ELSE 0.0 END) * 2.5,
+                 1.0)
+             + 0.3 * (1.0 - LEAST(pr * 4.0, 1.0)),
+             9) AS quality
+      FROM q
+    ),
+    keepers AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    )
+    SELECT s.doc_id, s.n_ws AS n_tokens, s.quality
+    FROM scored s JOIN keepers USING (doc_id)
+    WHERE s.quality >= 0.5 AND s.n_ws >= 10
+    """,
+)
+def c01_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-corpus cleaning pipeline — the operators composed
+    the way a real data pipeline runs them: heuristic quality gate
+    (length/stopword/punctuation score >= 0.5) + minimum token count +
+    exact-dedup survivor selection (min-id per content digest), in ONE
+    declarative plan: the quality expressions fold into the scan
+    projection, the dedup survivor check is a semi-join against the
+    digest aggregate."""
+    d = table(spark, sf_dir, "documents")
+    survivors = DD.exact_duplicates(d, "doc_id", "text").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    return (
+        d.select(
+            "doc_id",
+            TX.n_tokens_ws(F.col("text")).alias("n_tokens"),
+            TX.quality_score(F.col("text")).alias("quality"),
+        )
+        .join(survivors, "doc_id", "left_semi")
+        .filter((F.col("quality") >= 0.5) & (F.col("n_tokens") >= 10))
+    )
+
+
+@query(
+    "sk01_salted_join",
+    "§4,J-scale",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, o.o_orderdate, o.o_totalprice
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    """,
+)
+def sk01_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact⋈dim join (8 salts): the planned-ahead hot-key mitigation
+    when broadcast is off the table and AQE's runtime split is too late.
+    Must be result-identical to the plain join — the oracle IS the plain
+    join."""
+    from gwasdb_spark.operators.skew import salted_join
+
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+    )
+    return salted_join(l, o, "l_orderkey", how="inner", salts=8).select(
+        "l_orderkey", "l_linenumber", "o_orderdate", "o_totalprice"
+    )
