@@ -72,12 +72,17 @@ def extract_fake_features(binary_table: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            null_mask = pdf["payload"].isna()
             out = pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
-                    "feature": pdf["payload"].map(_fake_feature),
-                    "decode_status": "ok_fake",
+                    "feature": pdf["payload"].map(
+                        lambda p: None if p is None else _fake_feature(p)
+                    ),
+                    "decode_status": null_mask.map(
+                        lambda m: "null_payload" if m else "ok_fake"
+                    ),
                 }
             )
             yield out
@@ -111,14 +116,19 @@ def resize_images(binary_table: DataFrame, width: int = 8, height: int = 8) -> D
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            null_mask = pdf["payload"].isna()
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
                     "width": np.int32(width),
                     "height": np.int32(height),
-                    "payload": pdf["payload"].map(_thumb),
-                    "decode_status": "ok_fake",
+                    "payload": pdf["payload"].map(
+                        lambda p: None if p is None else _thumb(p)
+                    ),
+                    "decode_status": null_mask.map(
+                        lambda m: "null_payload" if m else "ok_fake"
+                    ),
                 }
             )
 
@@ -141,6 +151,8 @@ def sample_frames(
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue  # undecodable media yields no frames
                 n_frames = (len(payload) + frame_bytes - 1) // frame_bytes
                 for fi in range(0, n_frames, every_n):
                     ids.append(doc_id)

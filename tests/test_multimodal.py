@@ -54,3 +54,22 @@ def test_frame_sample_geometry(spark):
         expect = (n_frames + 3) // 4
         assert r.n_sampled == expect, (r.doc_id, r.n_sampled, expect)
         assert r.max_idx % 4 == 0
+
+
+def test_null_payload_hardening(spark):
+    deg = spark.createDataFrame(
+        [(1, None), (2, "real text payload"), (3, "")],
+        "doc_id long, text string",
+    )
+    bt = to_binary_table(deg)
+    feats = {r.doc_id: (r.feature, r.decode_status)
+             for r in extract_fake_features(bt).collect()}
+    assert feats[1] == (None, "null_payload")
+    assert feats[2][1] == "ok_fake" and len(feats[2][0]) == FEATURE_DIM
+    thumbs = {r.doc_id: (r.payload, r.decode_status)
+              for r in resize_images(bt).collect()}
+    assert thumbs[1] == (None, "null_payload")
+    assert len(bytes(thumbs[2][0])) == 64
+    # null payloads yield no frames; empty payloads yield no frames
+    assert sample_frames(bt).filter("doc_id != 2").count() == 0
+    assert sample_frames(bt).filter("doc_id = 2").count() == 1
