@@ -51,12 +51,18 @@ def chr_label(code: Column) -> Column:
 def maf_expr(geno: Column) -> Column:
     """Minor-allele frequency from a 'hom1/het/hom2' count string —
     native Catalyst form of maf_calc (R/wrangle_data.Rmd:196-201):
-    maf = (het + 2*hom1) / (2 * (hom1 + het + hom2))."""
+    maf = (het + 2*hom1) / (2 * (hom1 + het + hom2)).
+
+    All-zero counts → null: guarded because ANSI mode (Spark 4 default)
+    raises DIVIDE_BY_ZERO instead of returning NaN — one malformed
+    genotype row must not kill a 100 TB ingest job (found by
+    tests/test_properties.py)."""
     parts = F.split(geno, "/")
     hom1 = parts.getItem(0).cast("double")
     het = parts.getItem(1).cast("double")
     hom2 = parts.getItem(2).cast("double")
-    return (het + 2 * hom1) / (2 * (hom1 + het + hom2))
+    total = 2 * (hom1 + het + hom2)
+    return F.when(total > 0, (het + 2 * hom1) / total)
 
 
 @pandas_udf(DoubleType())
