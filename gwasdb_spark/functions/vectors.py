@@ -22,9 +22,15 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """cosine = dot/(sqrt(dot_aa)*sqrt(dot_bb)) — fixed association order."""
-    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+    """cosine = dot/(sqrt(dot_aa)*sqrt(dot_bb)) — fixed association order.
+    Zero-norm input → null: ANSI mode (Spark 4 default) raises
+    DIVIDE_BY_ZERO instead of returning NaN, and one degenerate vector must
+    not kill a corpus-scale scoring job."""
+    denom = F.sqrt(dot(a, a)) * F.sqrt(dot(b, b))
+    return F.when(denom > 0, dot(a, b) / denom)
 
 
 def vec_mean(a: Column) -> Column:
-    return dot(a, F.transform(a, lambda _: F.lit(1.0).cast("float"))) / F.size(a)
+    """Mean of elements; empty array → null (ANSI divide-by-zero guard)."""
+    s = dot(a, F.transform(a, lambda _: F.lit(1.0).cast("float")))
+    return F.when(F.size(a) > 0, s / F.size(a))

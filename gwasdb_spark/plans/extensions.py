@@ -293,8 +293,10 @@ def x09_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens_ws,
            CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
                 AS BIGINT) AS n_tokens_bpe,
-           CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
-             / CAST(length(text) AS DOUBLE) AS punct_ratio,
+           CASE WHEN length(text) > 0
+                THEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+                          AS DOUBLE) / CAST(length(text) AS DOUBLE)
+                END AS punct_ratio,
            CAST(len(regexp_extract_all(lower(text),
                 '\b(the|and|of|to|a|in|is|that)\b')) AS BIGINT) AS n_stopwords_en
     FROM documents
@@ -310,9 +312,10 @@ def x06_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("long").alias("n_chars_actual"),
         TX.n_tokens_ws(F.col("text")).alias("n_tokens_ws"),
         TX.n_tokens_bpe(F.col("text")).alias("n_tokens_bpe"),
-        (
+        F.when(
+            F.length("text") > 0,
             F.regexp_count(F.col("text"), F.lit(r"[^A-Za-z0-9\s]")).cast("double")
-            / F.length("text").cast("double")
+            / F.length("text").cast("double"),
         ).alias("punct_ratio"),
         TX.stopword_count(F.col("text"), "en").alias("n_stopwords_en"),
     )
