@@ -68,11 +68,13 @@ def maf_expr(geno: Column) -> Column:
 @pandas_udf(DoubleType())
 def maf_pandas_udf(geno: pd.Series) -> pd.Series:
     """Vectorized Arrow UDF twin of maf_expr (SURVEY.md §2.11). Batch-wise
-    pandas ops — never row-at-a-time Python."""
+    pandas ops — never row-at-a-time Python. All-zero counts → null, same
+    as the guarded native expression (nullable Float64 so Arrow ships a
+    real null, not NaN)."""
     counts = geno.str.split("/", expand=True).astype("float64")
     minor = counts[1] + 2 * counts[0]
     total = 2 * (counts[0] + counts[1] + counts[2])
-    return minor / total
+    return (minor / total).where(total > 0).astype("Float64")
 
 
 def neg_log10(p: Column) -> Column:

@@ -50,3 +50,63 @@ def test_foreach_batch_append_sink(spark, tmp_path):
     n_src = spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).count()
     assert written.count() == n_src
     assert written.select("event_id").distinct().count() == n_src
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Semantics contract of the watermarked rollup: once the watermark has
+    advanced past a window's close + lateness AND that advance has been
+    committed (watermark commits lag the batch whose data advanced it by
+    one micro-batch — verified via numRowsDroppedByWatermark), late events
+    for the window are DROPPED, not merged. Three micro-batches
+    (maxFilesPerTrigger=1, file-source order by mtime): batch 0 advances
+    event time 5h ahead; batch 1 commits that watermark; batch 2 replays
+    an hour-0 event now beyond the 10-minute horizon."""
+    import os
+    import time
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from gwasdb_spark.streaming.events import (
+        hourly_rollup_stream,
+        read_events_stream,
+        run_available_now,
+    )
+
+    d = str(tmp_path / "stream_in")
+    os.makedirs(d)
+
+    def write_events(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        # match the physical layout: ts as int64 nanos
+        pdf["ts"] = pdf["ts"].astype("int64")
+        pdf.to_parquet(os.path.join(d, name))
+
+    H = 3_600_000_000_000  # 1h in ns
+    base = 1_700_000_000 * 1_000_000_000
+    write_events(
+        "a.parquet",
+        [
+            (1, base + 0 * H, 1, "click", 1.0, "{}"),  # hour 0
+            (2, base + 5 * H, 1, "click", 1.0, "{}"),  # hour 5 → advances watermark
+        ],
+    )
+    time.sleep(1.1)  # file source orders batches by mtime
+    write_events("b.parquet", [(5, base + 5 * H + 30_000_000_000, 1, "click", 1.0, "{}")])
+    time.sleep(1.1)
+    write_events(
+        "c.parquet",
+        [
+            (3, base + 60_000_000_000, 1, "click", 100.0, "{}"),  # hour 0: LATE
+            (4, base + 5 * H + 60_000_000_000, 1, "click", 1.0, "{}"),  # on time
+        ],
+    )
+    stream = read_events_stream(spark, d)
+    out = run_available_now(hourly_rollup_stream(stream), "update")
+    rows = out.groupBy("hour", "event_type").agg(F.max("n_events").alias("n")).collect()
+    by_hour = {r.hour: r.n for r in rows}
+    hours = sorted(by_hour)
+    assert by_hour[hours[0]] == 1, by_hour  # late event 3 dropped, not merged
+    assert by_hour[hours[1]] == 3, by_hour  # on-time events merged
