@@ -1295,3 +1295,91 @@ def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"))
         .agg(rev.alias("revenue"))
     )
+
+
+@query(
+    "q06_forecast_revenue",
+    "P6,P7,A1",
+    oracle="""
+    SELECT (CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 100)
+                          AS BIGINT)) AS DOUBLE) / 100.0) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure range-predicate scan + global aggregate — the
+    predicate-pushdown showcase (all three filters land in PushedFilters,
+    scan reads 4 columns of 16). Revenue accumulates in exact integer
+    1e-4 space then truncates to cents, so both engines agree bitwise."""
+    l = table(spark, sf_dir, "lineitem")
+    rev_cents = F.round(
+        F.col("l_extendedprice") * F.col("l_discount") * 100
+    ).cast("long")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("date"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (F.sum(rev_cents).cast("double") / F.lit(100.0)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "q02s_min_cost_supplier",
+    "S17,J10,§3-EP3",
+    oracle="""
+    WITH partsupp_view AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             MIN(l_extendedprice) AS ps_supplycost
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT s.s_name, p.p_partkey, ps.ps_supplycost
+    FROM partsupp_view ps
+    JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+    JOIN part p ON ps.ps_partkey = p.p_partkey
+    WHERE p.p_size < 10
+      AND ps.ps_supplycost = (
+        SELECT MIN(ps2.ps_supplycost)
+        FROM partsupp_view ps2 WHERE ps2.ps_partkey = ps.ps_partkey
+      )
+    """,
+)
+def q02s_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the SQL-text entry point (TPC-H
+    Q2 core): Catalyst rewrites the correlated MIN into an aggregate +
+    join — the declarative plan the reference delegates to Postgres.
+    partsupp doesn't exist in the test data, so a deterministic view
+    derives (partkey, suppkey, supplycost) from lineitem."""
+    table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMP VIEW partsupp_view AS
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               MIN(l_extendedprice) AS ps_supplycost
+        FROM v_lineitem GROUP BY 1, 2
+        """
+    )
+    return spark.sql(
+        """
+        SELECT s.s_name, p.p_partkey, ps.ps_supplycost
+        FROM partsupp_view ps
+        JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+        JOIN part p ON ps.ps_partkey = p.p_partkey
+        WHERE p.p_size < 10
+          AND ps.ps_supplycost = (
+            SELECT MIN(ps2.ps_supplycost)
+            FROM partsupp_view ps2 WHERE ps2.ps_partkey = ps.ps_partkey
+          )
+        """
+    )
