@@ -1,0 +1,79 @@
+"""CSV/TSV source+sink surface (SURVEY §2.1 S3-S5, S8-S10, F17/F18):
+typed reads, 'NA' null normalization, header cleaning, glob union reads,
+and the write→read round-trip."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gwasdb_spark.sources.csv import clean_names, read_delim, snake_case, write_csv
+
+
+def test_snake_case_headers():
+    assert snake_case("Chr Pos") == "chr_pos"
+    assert snake_case("INFO.Score") == "info_score"
+    assert snake_case("alreadyGood") == "already_good"  # janitor splits camelCase
+
+
+def test_typed_read_with_na_and_clean_names(spark, tmp_path):
+    p = str(tmp_path / "raw.tsv")
+    with open(p, "w") as f:
+        f.write("Kgp ID\tPos\tInfo.Score\n")
+        f.write("1:100_A_G\t100\t0.9\n")
+        f.write("NA\t200\tNA\n")
+    schema = T.StructType(
+        [
+            T.StructField("Kgp ID", T.StringType()),
+            T.StructField("Pos", T.IntegerType()),
+            T.StructField("Info.Score", T.DoubleType()),
+        ]
+    )
+    df = read_delim(spark, p, schema=schema, sep="\t")
+    assert df.columns == ["kgp_id", "pos", "info_score"]
+    rows = {r.pos: (r.kgp_id, r.info_score) for r in df.collect()}
+    assert rows[100] == ("1:100_A_G", 0.9)
+    assert rows[200] == (None, None)  # 'NA' → null at read time, no sed pass
+
+
+def test_headerless_read_with_col_names(spark, tmp_path):
+    p = str(tmp_path / "nohdr.tsv")
+    with open(p, "w") as f:
+        f.write("1:100_A_G\trs1\n2:200_C_T\trs2\n")
+    df = read_delim(
+        spark, p, sep="\t", header=False, col_names=["kgp_id", "snp"]
+    )
+    assert df.columns == ["kgp_id", "snp"]
+    assert df.count() == 2
+
+
+def test_glob_union_read(spark, tmp_path):
+    for i in (1, 2, 3):
+        with open(str(tmp_path / f"chr{i}.csv"), "w") as f:
+            f.write("kgp_id,chr\n")
+            f.write(f"{i}:1_A_G,{i}\n")
+    df = read_delim(spark, str(tmp_path / "chr*.csv"), sep=",")
+    assert df.count() == 3  # implicit per-chr file union (S9/U1)
+
+
+def test_csv_roundtrip_single_file(spark, tmp_path):
+    src = spark.createDataFrame(
+        [(1, "a", None), (2, None, 0.5)], "id long, name string, score double"
+    )
+    out = str(tmp_path / "out_csv")
+    write_csv(src, out, single_file=True)
+    files = [f for f in os.listdir(out) if f.endswith(".csv")]
+    assert len(files) == 1  # vroom_write one-file contract (S10)
+    back = (
+        spark.read.option("header", True)
+        .schema("id long, name string, score double")
+        .csv(out)
+    )
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in src.collect()}
+
+
+def test_clean_names_passthrough(spark):
+    df = spark.createDataFrame([(1,)], "`Weird Col` long")
+    assert clean_names(df).columns == ["weird_col"]
