@@ -787,3 +787,53 @@ def sk01_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_join(l, o, "l_orderkey", how="inner", salts=8).select(
         "l_orderkey", "l_linenumber", "o_orderdate", "o_totalprice"
     )
+
+
+@query(
+    "x12_bm25_search",
+    "X-text,X-search",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id AS doc,
+             unnest(string_split_regex(lower(trim(text)), '[^a-z0-9]+')) AS term
+      FROM documents
+    ),
+    postings AS (
+      SELECT doc, term, COUNT(*) AS tf FROM toks WHERE term <> ''
+      GROUP BY 1, 2
+    ),
+    doclen AS (SELECT doc, SUM(tf) AS dl FROM postings GROUP BY 1),
+    consts AS (
+      SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+             (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) FROM doclen) AS avgdl
+    ),
+    q(term) AS (VALUES ('hash'), ('join'), ('vector')),
+    hit AS (SELECT p.doc, p.term, p.tf FROM postings p JOIN q USING (term)),
+    dfc AS (SELECT term, COUNT(DISTINCT doc) AS df_t FROM hit GROUP BY 1),
+    scored AS (
+      SELECT doc,
+             SUM(ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+                 * (tf * 2.2)
+                 / (tf + 1.2 * (1 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+             ) AS score
+      FROM hit JOIN dfc USING (term) JOIN doclen USING (doc) CROSS JOIN consts
+      GROUP BY doc
+    )
+    SELECT doc AS doc_id, ROUND(score, 6) AS score, CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT doc, score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def x12_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked search for a 3-term query over the documents table —
+    the inverted-index access path expressed declaratively: postings
+    pruned to the query's terms by a broadcast semi-join BEFORE any
+    scoring fan-out, tf/df as exact integer aggregates, fixed-order
+    floating arithmetic. Oracle replicates the arithmetic verbatim."""
+    from gwasdb_spark.operators.search import bm25_topk
+
+    d = table(spark, sf_dir, "documents")
+    return bm25_topk(d, ["hash", "join", "vector"], "doc_id", "text", k=10)
