@@ -39,6 +39,7 @@ HEADLINE = [
     "x07_lang_id",
     "x08_fingerprint",
     "x10b_embedding_neardup_lsh",
+    "x12_bm25_search",
     "e01_json_props",
 ]
 
