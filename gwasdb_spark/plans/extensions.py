@@ -837,3 +837,62 @@ def x12_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return bm25_topk(d, ["hash", "join", "vector"], "doc_id", "text", k=10)
+
+
+@query(
+    "st06_stream_stream_join",
+    "X-stream,J-interval",
+    oracle="""
+    SELECT c.user_id, c.event_id AS click_id, e.event_id AS error_id
+    FROM events c JOIN events e
+      ON c.user_id = e.user_id
+     AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 10 MINUTE
+    WHERE c.event_type = 'click' AND e.event_type = 'error'
+    """,
+)
+def st06_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE stream-stream interval join (click → error within 10 min per
+    user), both sides watermarked so join state stays bounded. Run to
+    completion over the events file stream; oracle is the equivalent batch
+    self-join."""
+    from gwasdb_spark.streaming.events import (
+        click_error_funnel_stream,
+        read_events_stream,
+        run_available_now,
+    )
+
+    path = f"{sf_dir}/events.parquet"
+    clicks = read_events_stream(spark, path).filter(F.col("event_type") == "click")
+    errors = read_events_stream(spark, path).filter(F.col("event_type") == "error")
+    out = run_available_now(
+        click_error_funnel_stream(clicks, errors), "append"
+    )
+    return out.select("user_id", "click_id", "error_id")
+
+
+@query("x13_sketch_aggregates", "A-approx", oracle=None)
+def x13_sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based aggregates per event type: HyperLogLog++ distinct
+    users (approx_count_distinct, rsd=0.01) and approximate value
+    percentiles — the sub-linear-memory path for 100 TB cardinality and
+    quantile questions. Sketch outputs are engine-specific → rows-only;
+    tests/test_sketches.py bounds the error vs exact answers."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+            F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000).alias(
+                "value_pcts"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "approx_users",
+            F.col("value_pcts")[0].alias("p50"),
+            F.col("value_pcts")[1].alias("p95"),
+            F.col("value_pcts")[2].alias("p99"),
+            "n_events",
+        )
+    )

@@ -139,3 +139,41 @@ def foreach_batch_append(sdf: DataFrame, out_dir: str, checkpoint_dir: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def click_error_funnel_stream(
+    clicks: DataFrame, errors: DataFrame, within: str = "10 minutes",
+    lateness: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: for each user, pair every click with
+    the errors that follow it within `within` — the funnel/attribution
+    shape. Both sides carry watermarks and the join condition bounds the
+    time range, so each side's buffered state is evicted once the other
+    side's watermark passes the interval (bounded state; an unbounded
+    stream-stream join is a memory leak by construction)."""
+    c = (
+        clicks.withWatermark("ts", lateness)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    e = (
+        errors.withWatermark("ts", lateness)
+        .select(
+            F.col("user_id").alias("e_user"),
+            F.col("event_id").alias("error_id"),
+            F.col("ts").alias("error_ts"),
+        )
+    )
+    return c.join(
+        e,
+        (F.col("c_user") == F.col("e_user"))
+        & (F.col("error_ts") >= F.col("click_ts"))
+        & (F.col("error_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}")),
+        "inner",
+    ).select(
+        F.col("c_user").alias("user_id"), "click_id", "error_id",
+        "click_ts", "error_ts",
+    )
