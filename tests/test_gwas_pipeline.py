@@ -173,3 +173,19 @@ def test_dml_ops(wh, spark):
     row["kgp_id"] = "9:131271296_C_T"  # the reference's manual fixup row
     grown = dml.insert_values(g, [row])
     assert grown.count() == n0 + 1
+
+
+def test_locus_window_prunes_partitions(wh):
+    """The flagship region query must show chr partition pruning in its
+    physical plan (the engine's replacement for the reference's PK b-tree,
+    SURVEY.md §4) — not just a partitioned directory layout."""
+    from gwasdb_spark.gwas.api import combined_region
+
+    df = combined_region(wh, chrom=1, start=0, end=10_000_000)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the chr predicate must appear inside the partition filters, and the
+    # pos range must be pushed to the parquet scan
+    pf_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("chr" in ln for ln in pf_lines), pf_lines
+    assert any("pos" in ln for ln in plan.splitlines() if "PushedFilters" in ln)
