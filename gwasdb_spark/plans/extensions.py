@@ -896,3 +896,31 @@ def x13_sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "x14_asof_join",
+    "X-stream,J-asof",
+    oracle="""
+    WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+         e AS (SELECT * FROM events WHERE event_type = 'error')
+    SELECT c.event_id, c.user_id, e.value AS asof_value
+    FROM c ASOF LEFT JOIN e
+      ON c.user_id = e.user_id AND c.ts >= e.ts
+    """,
+)
+def x14_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has none built in): each click gains the value of
+    the user's most recent prior-or-equal error. Composed as union +
+    last-ignorenulls window — ONE shuffle of |L|+|R| skinny rows, no
+    O(|L|·|R|) pair blow-up. Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from gwasdb_spark.operators.asof import asof_join_backward
+
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    errors = ev.filter(F.col("event_type") == "error")
+    out = asof_join_backward(
+        clicks, errors, ts_col="ts", by_cols=["user_id"],
+        value_cols=["value"], tiebreak_col="event_id",
+    )
+    return out.select("event_id", "user_id", F.col("asof_value"))
