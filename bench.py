@@ -40,6 +40,7 @@ HEADLINE = [
     "x08_fingerprint",
     "x10b_embedding_neardup_lsh",
     "x12_bm25_search",
+    "x14_asof_join",
     "e01_json_props",
 ]
 
