@@ -924,3 +924,58 @@ def x14_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_cols=["value"], tiebreak_col="event_id",
     )
     return out.select("event_id", "user_id", F.col("asof_value"))
+
+
+@query(
+    "x15_value_outliers",
+    "A-moments,X-quality",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS s1,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)
+                 * CAST(ROUND(value * 100) AS BIGINT)) AS s2
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           ROUND(
+             (CAST(ROUND(e.value * 100) AS BIGINT) - CAST(m.s1 AS DOUBLE) / m.n)
+             / sqrt(CAST(m.s2 AS DOUBLE) / m.n
+                    - (CAST(m.s1 AS DOUBLE) / m.n) * (CAST(m.s1 AS DOUBLE) / m.n)),
+             6) AS zscore
+    FROM events e JOIN m USING (event_type)
+    WHERE abs(
+            (CAST(ROUND(e.value * 100) AS BIGINT) - CAST(m.s1 AS DOUBLE) / m.n)
+            / sqrt(CAST(m.s2 AS DOUBLE) / m.n
+                   - (CAST(m.s1 AS DOUBLE) / m.n) * (CAST(m.s1 AS DOUBLE) / m.n))
+          ) >= 2.5
+    """,
+)
+def x15_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outliers (|z| >= 2.5) with EXACT integer
+    moments: count/sum/sum-of-squares accumulate in scaled-bigint cents
+    (order-independent), mean/variance derive from those three integers
+    with a fixed expression order — so both engines produce bit-identical
+    doubles, unlike naive avg/stddev whose partial-aggregation order
+    drifts. The moments join broadcasts (one row per event type)."""
+    e = table(spark, sf_dir, "events")
+    vc = F.round(F.col("value") * 100).cast("long")
+    m = (
+        e.select("event_type", vc.alias("vc"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("vc").alias("s1"),
+            F.sum(F.col("vc") * F.col("vc")).alias("s2"),
+        )
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = F.col("s2").cast("double") / F.col("n") - mean * mean
+    z = (vc - mean) / F.sqrt(var)
+    return (
+        e.join(F.broadcast(m), "event_type")
+        .select("event_id", "event_type", F.round(z, 6).alias("zscore"), z.alias("__z"))
+        .filter(F.abs(F.col("__z")) >= 2.5)
+        .drop("__z")
+    )
