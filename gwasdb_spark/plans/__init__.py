@@ -12,4 +12,70 @@ from gwasdb_spark.plans.base import QUERIES, Query, query, oracle_map, query_map
 from gwasdb_spark.plans import relational as _relational  # noqa: F401
 from gwasdb_spark.plans import extensions as _extensions  # noqa: F401
 
+# ---------------------------------------------------------------------------
+# Registration-order priority.
+#
+# The driver's correctness gate records the FIRST 50 registered queries per
+# round (CORRECTNESS_r01.json == registrations 1-50 exactly). Round 1 checked
+# the reference-surface block (s*/p*/j*/a*/w*/o*/u*/f*/g*/q01/q03/q05); this
+# list front-loads everything that round left unchecked — the full
+# LLM-pipeline extension suite plus q06/q02s — and the queries whose plans
+# changed this round, so every registered query ends up with a green driver
+# row in r01 or r02. File order within each module is unchanged; only the
+# registry's iteration order is rebuilt here.
+# ---------------------------------------------------------------------------
+_PRIORITY = [
+    # round-1 unchecked (registrations 51-84, original order)
+    "q06_forecast_revenue",
+    "q02s_min_cost_supplier",
+    "x01_dedup_exact",
+    "x02_ngram_jaccard_pairs",
+    "x03_minhash_lsh_pairs",
+    "x04_simhash_pairs",
+    "x05_ann_cosine_topk",
+    "x05c_ann_topk_vectorized",
+    "x05b_ann_lsh_topk",
+    "x10_embedding_neardup",
+    "x10b_embedding_neardup_lsh",
+    "x09_embedding_stats",
+    "x06_text_stats",
+    "x07_lang_id",
+    "x08_fingerprint",
+    "st01_hourly_rollup",
+    "st02_sessionize",
+    "st03_stream_hourly_rollup",
+    "st04_stream_sessionize_stateful",
+    "st05_stream_dedup",
+    "mm01_binary_meta",
+    "mm02_fake_features",
+    "e01_json_props",
+    "x11_dedup_clusters",
+    "mm03_resize_thumbs",
+    "mm04_frame_sample",
+    "x05d_ann_ivf_topk",
+    "c01_corpus_clean",
+    "sk01_salted_join",
+    "x12_bm25_search",
+    "st06_stream_stream_join",
+    "x13_sketch_aggregates",
+    "x14_asof_join",
+    "x15_value_outliers",
+    # new this round (registered in extensions.py / relational.py)
+    "st07_stream_stream_left_outer",
+    "x12b_bm25_search_and",
+    # plans changed this round → re-verify under the new shape
+    "a04_pivot_wide",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "p08_locus_window",
+    "j08_export_view",
+    "w01_topk_per_group",
+]
+
+_rest = [n for n in QUERIES if n not in _PRIORITY]
+_ordered = [n for n in _PRIORITY if n in QUERIES] + _rest
+_requeries = {n: QUERIES[n] for n in _ordered}
+QUERIES.clear()
+QUERIES.update(_requeries)
+
 __all__ = ["QUERIES", "Query", "query", "oracle_map", "query_map"]
