@@ -1219,8 +1219,10 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Headline join+agg+top-k (TPC-H Q3 shape): selective dimension filter,
-    two joins, grouped revenue, top-10. Customer side broadcasts; revenue in
-    exact cents so ordering is engine-identical."""
+    two joins, grouped revenue, top-10. No forced broadcast on customer — it
+    grows with scale factor, so the join strategy is left to AQE/threshold
+    (broadcast at small SF, sort-merge at 100 TB). Revenue in exact cents so
+    ordering is engine-identical."""
     c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-03-15")
@@ -1233,7 +1235,7 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("double") / F.lit(10000.0)
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(rev.alias("revenue"))
         .select(
@@ -1269,8 +1271,11 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Headline multi-join (TPC-H Q5 shape): 6-table star join; all dims
-    broadcast, the only shuffles are fact⋈fact and the final 25-group agg."""
+    """Headline multi-join (TPC-H Q5 shape): 6-table star join. Only the
+    genuinely fixed-size dims (nation: 25 rows, region: 5 rows) carry
+    broadcast hints; customer and supplier grow with scale factor, so their
+    join strategy is left to AQE — broadcast at small SF, shuffle join at
+    100 TB where a forced broadcast would OOM the driver."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01"))
@@ -1285,9 +1290,9 @@ def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("double") / F.lit(10000.0)
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)

@@ -45,6 +45,32 @@ def test_projection_prunes_scan_columns(spark):
     assert "c_acctbal" not in read[0] and "c_comment" not in read[0]
 
 
+def _optimized(spark, name: str) -> str:
+    df = QUERIES[name].fn(spark, SF_DIR)
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_q05_hints_only_fixed_size_dims(spark):
+    """Broadcast hints must appear ONLY on nation/region (genuinely fixed
+    size). customer/supplier grow with scale factor — a forced broadcast on
+    them is a driver OOM at 100x SF, so their strategy is left to AQE."""
+    plan = _optimized(spark, "q05_local_supplier_volume")
+    hints = [ln for ln in plan.splitlines() if "strategy=broadcast" in ln]
+    assert len(hints) == 2, hints  # nation, region — and nothing else
+    assert any("n_nationkey" in ln for ln in hints)
+    assert any("r_regionkey" in ln for ln in hints)
+    assert not any("c_custkey" in ln or "s_suppkey" in ln for ln in hints)
+
+
+def test_q03_no_forced_broadcast(spark):
+    """q03's customer side is SF-proportional: no broadcast hint anywhere;
+    at test scale AQE still picks broadcast on its own (plan quality), but
+    the *logical* plan must not force it."""
+    assert "strategy=broadcast" not in _optimized(spark, "q03_shipping_priority")
+    # AQE/threshold still arrives at a broadcast join at this SF
+    assert "BroadcastHashJoin" in _plan(spark, "q03_shipping_priority")
+
+
 def test_dedup_shuffles_hashes_not_text(spark):
     plan = _plan(spark, "x02_ngram_jaccard_pairs")
     # the pair-generation aggregate must key on the 8-byte xxhash64, and no
