@@ -45,9 +45,15 @@ HEADLINE = [
 ]
 
 
-def _consume(df) -> int:
-    """Execute the full plan without driver-side materialization."""
-    return df.count() if df.isStreaming is False else 0
+def _consume(df) -> None:
+    """Execute the full plan without driver-side materialization.
+
+    A `count()` would let Catalyst prune every unused projection — a
+    projection-only query (x06/x07/x08, the carry columns of x14) would
+    never compute its expressions. The noop sink consumes every output
+    column like a real write, with zero serialization to the driver."""
+    if df.isStreaming is False:
+        df.write.format("noop").mode("overwrite").save()
 
 
 def main() -> None:

@@ -151,7 +151,7 @@ def ingest_study(
     resolved = flagged.withColumn(
         "kgp_id",
         F.when(
-            F.col("chr_pos_alleles").rlike("^(rs)|(Aff)"),
+            F.col("chr_pos_alleles").rlike("^(rs|Aff)"),
             F.col("kgp_id_marker_table"),
         ).otherwise(F.regexp_replace(F.col("chr_pos_alleles"), ",[0-9]+$", "")),
     ).withColumn("kgp_id", F.coalesce(F.col("kgp_id"), F.col("snp")))

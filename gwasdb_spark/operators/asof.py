@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 from pyspark.sql.window import Window
 
 
@@ -36,13 +37,23 @@ def asof_join_backward(
     no prior right row exists.
 
     `tiebreak_col` orders right rows that share (by, ts) — pass the right
-    side's unique id to make the pick deterministic."""
+    side's unique id to make the pick deterministic.
+
+    The carried columns travel inside ONE struct payload that is non-null
+    for every right row (even when all its value fields are null), so
+    `last(ignorenulls=True)` distinguishes "no prior right row" (payload
+    null → all asof_* null) from "matched a right row whose value is null"
+    (payload non-null, field null → that null propagates) — matching
+    DuckDB/pandas ASOF semantics exactly."""
     lcols = [c for c in left.columns]
+    payload_type = StructType(
+        [StructField(c, right.schema[c].dataType, True) for c in value_cols]
+    )
     l_tagged = left.select(
         *lcols,
         F.lit(1).alias("__side"),
         F.lit(None).cast("long").alias("__tie"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+        F.lit(None).cast(payload_type).alias("__r_payload"),
     )
     r_tagged = right.select(
         *[
@@ -51,7 +62,7 @@ def asof_join_backward(
         ],
         F.lit(0).alias("__side"),
         (F.col(tiebreak_col).cast("long") if tiebreak_col else F.lit(0).cast("long")).alias("__tie"),
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("__r_payload"),
     )
     unioned = l_tagged.unionByName(r_tagged)
     w = (
@@ -59,12 +70,10 @@ def asof_join_backward(
         .orderBy(F.col(ts_col).asc(), F.col("__side").asc(), F.col("__tie").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    carry = F.last(F.col("__r_payload"), ignorenulls=True).over(w)
     carried = unioned.select(
         *lcols,
         "__side",
-        *[
-            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"asof_{c}")
-            for c in value_cols
-        ],
+        *[carry.getField(c).alias(f"asof_{c}") for c in value_cols],
     )
     return carried.filter(F.col("__side") == 1).drop("__side")

@@ -25,6 +25,35 @@ def _dir_bytes(path: str) -> int:
     return total
 
 
+def _partition_cols(path: str) -> list[str]:
+    """Hive partition columns at every nesting level (a=1/b=2/... -> [a, b])."""
+    cols: list[str] = []
+    cur = path
+    while True:
+        entries = [
+            e
+            for e in sorted(os.listdir(cur))
+            if "=" in e and os.path.isdir(os.path.join(cur, e))
+        ]
+        if not entries:
+            return cols
+        cols.append(entries[0].split("=")[0])
+        cur = os.path.join(cur, entries[0])
+
+
+def _max_leaf_partition_bytes(path: str) -> int:
+    """Largest per-directory parquet payload (leaf partition dirs)."""
+    best = 0
+    for root, _dirs, files in os.walk(path):
+        b = sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if f.endswith(".parquet")
+        )
+        best = max(best, b)
+    return best
+
+
 def compact_table(
     spark: SparkSession,
     path: str,
@@ -39,9 +68,7 @@ def compact_table(
     Atomicity caveat: plain-parquet swap is rename-based (same as
     build_combined); concurrent readers mid-swap see the old OR new
     listing. Delta/Iceberg make this a metadata commit."""
-    part_cols = sorted(
-        {e.split("=")[0] for e in os.listdir(path) if "=" in e and not e.startswith("_")}
-    )
+    part_cols = _partition_cols(path)
     df = spark.read.parquet(path)
     n_bytes = _dir_bytes(path)
     files_before = sum(
@@ -51,8 +78,24 @@ def compact_table(
 
     out = df
     if part_cols:
-        # spread rows of each partition dir across its own writers
-        out = out.repartition(max(n_files, len(part_cols)), *[F.col(c) for c in part_cols])
+        # Repartitioning on the partition columns alone would send every
+        # row of a partition value to ONE writer — a 10 GB partition dir
+        # becomes a single 10 GB file. Add a salt bounded by the per-dir
+        # file budget so each partition dir splits into
+        # ~ceil(dir_bytes/target) files while rows still co-locate by
+        # partition value (the writer's partitionBy does the dir routing).
+        files_per_part = max(
+            1, math.ceil(_max_leaf_partition_bytes(path) / target_file_bytes)
+        )
+        data_cols = [c for c in df.columns if c not in part_cols] or df.columns
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in data_cols]), F.lit(files_per_part)
+        )
+        out = out.repartition(
+            max(n_files, len(part_cols)),
+            *[F.col(c) for c in part_cols],
+            salt,
+        )
     else:
         out = out.repartition(n_files)
     if sort_within_by:

@@ -716,10 +716,13 @@ def a04_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
             money(F.coalesce(F.sum(cents(F.col("value"))), F.lit(0))).alias("sum"),
         )
     )
+    # pivot cells with zero source rows come back NULL; the oracle's
+    # COUNT FILTER / SUM CASE..ELSE 0 yields 0 — coalesce so sparse data
+    # (a bucket with no rows of some event_type) agrees too
     cols = [F.col("user_bucket")]
     for t in _EVENT_TYPES:
-        cols.append(F.col(f"{t}_cnt"))
-        cols.append(F.col(f"{t}_sum"))
+        cols.append(F.coalesce(F.col(f"{t}_cnt"), F.lit(0).cast("long")).alias(f"{t}_cnt"))
+        cols.append(F.coalesce(F.col(f"{t}_sum"), F.lit(0.0)).alias(f"{t}_sum"))
     return piv.select(*cols)
 
 

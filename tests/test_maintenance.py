@@ -21,6 +21,48 @@ def test_compact_unpartitioned(spark, tmp_path):
     assert after == before
 
 
+def test_compact_splits_oversized_partition(spark, tmp_path):
+    """A partition dir bigger than target_file_bytes must split into
+    multiple files (salted repartition), not collapse to one giant file."""
+    p = str(tmp_path / "big")
+    src = spark.range(200_000).select(
+        (F.col("id") % 2).alias("chr"),
+        F.col("id").alias("pos"),
+        F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+    )
+    src.repartition(30).write.partitionBy("chr").parquet(p)
+    before = {tuple(r) for r in spark.read.parquet(p).collect()}
+    stats = compact_table(spark, p, target_file_bytes=2 * 1024 * 1024)
+    for d in os.listdir(p):
+        if d.startswith("chr="):
+            n = sum(1 for f in os.listdir(os.path.join(p, d)) if f.endswith(".parquet"))
+            assert n >= 2, f"{d}: expected a multi-file split, got {n}"
+    assert stats["files_after"] < stats["files_before"]
+    after = {tuple(r) for r in spark.read.parquet(p).collect()}
+    assert after == before
+
+
+def test_compact_multilevel_partitioning(spark, tmp_path):
+    """Nested hive layout (chr=../qc=..) survives compaction; both levels
+    are rediscovered by the recursive partition walk."""
+    p = str(tmp_path / "nested")
+    src = spark.range(4000).select(
+        (F.col("id") % 3).alias("chr"),
+        (F.col("id") % 2).alias("qc"),
+        F.col("id").alias("pos"),
+    )
+    src.repartition(24).write.partitionBy("chr", "qc").parquet(p)
+    before = {tuple(r) for r in spark.read.parquet(p).collect()}
+    stats = compact_table(spark, p)
+    assert stats["files_after"] < stats["files_before"]
+    top = [e for e in os.listdir(p) if e.startswith("chr=")]
+    assert top and all(
+        any(s.startswith("qc=") for s in os.listdir(os.path.join(p, d))) for d in top
+    )
+    after = {tuple(r) for r in spark.read.parquet(p).collect()}
+    assert after == before
+
+
 def test_compact_partitioned_preserves_layout(spark, tmp_path):
     p = str(tmp_path / "tp")
     src = spark.range(5000).select(
