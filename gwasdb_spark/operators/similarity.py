@@ -309,6 +309,68 @@ def brute_force_topk_vectorized(
     )
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    seed: int = 42,
+    train_fraction: float = 1.0,
+    max_iter: int = 20,
+) -> np.ndarray:
+    """Spherical k-means centroids for IVF cell assignment.
+
+    Trains pyspark.ml KMeans (k-means|| init, fixed seed) on L2-normalized
+    vectors so Euclidean cluster distance ≡ cosine — the assignment metric
+    `ivf_topk` uses. Returns a row-normalized (n_cells × dim) matrix.
+
+    At 100 TB you do NOT train on the full corpus: pass `train_fraction`
+    (faiss-style sampled training — centroid quality saturates at a few
+    hundred points per cell) and the training scan becomes a bounded
+    sample while assignment still covers every vector."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    @F.pandas_udf("array<double>")
+    def l2norm(vecs: pd.Series) -> pd.Series:
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        n = np.linalg.norm(V, axis=1, keepdims=True)
+        return pd.Series(list(V / np.where(n == 0, 1.0, n)))
+
+    train = corpus.select(l2norm(F.col(vec_col)).alias("nvec"))
+    if train_fraction < 1.0:
+        train = train.sample(withReplacement=False, fraction=train_fraction, seed=seed)
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter, featuresCol="features").fit(
+        train.select(array_to_vector(F.col("nvec")).alias("features"))
+    )
+    C = np.stack([np.asarray(c, dtype=np.float64) for c in model.clusterCenters()])
+    n = np.linalg.norm(C, axis=1, keepdims=True)
+    return C / np.where(n == 0, 1.0, n)
+
+
+def assign_cells(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(neighbor_id, c_vec, cell): nearest-centroid-by-cosine assignment,
+    one numpy matmul per Arrow batch (centroids ship in the closure)."""
+    Cn = centroids
+
+    @F.pandas_udf("int")
+    def cell_of(vecs: pd.Series) -> pd.Series:
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        n = np.linalg.norm(V, axis=1, keepdims=True)
+        Vn = V / np.where(n == 0, 1.0, n)
+        return pd.Series(np.argmax(Vn @ Cn.T, axis=1).astype(np.int32))
+
+    return corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        cell_of(F.col(vec_col)).alias("cell"),
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -317,36 +379,23 @@ def ivf_topk(
     k: int = 10,
     n_cells: int = 16,
     nprobe: int = 4,
+    seed: int = 42,
+    train_fraction: float = 1.0,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the second scale path next
-    to hyperplane LSH: partition the corpus into `n_cells` Voronoi cells,
-    probe only the `nprobe` cells nearest each query.
+    to hyperplane LSH: partition the corpus into `n_cells` Voronoi cells
+    (spherical k-means centroids, `train_ivf_centroids`), probe only the
+    `nprobe` cells nearest each query.
 
-    Centroids here are the first `n_cells` corpus vectors by id —
-    deterministic and test-friendly; a production build drops in k-means
-    (or sampled + refined) centroids without touching the plan shape.
-
-    Physical shape: one vectorized cell-assignment pass over the corpus
-    (numpy matmul per Arrow batch), a driver-side probe-list for the
-    (small) query set, then an equi-join on cell id — the scan of each
-    query touches |corpus|·nprobe/n_cells rows instead of |corpus|."""
-    cent_rows = (
-        corpus.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
+    Physical shape: one distributed (optionally sampled) k-means training
+    pass, one vectorized cell-assignment pass over the corpus (numpy
+    matmul per Arrow batch), a driver-side probe-list for the (small)
+    query set, then an equi-join on cell id — the scan of each query
+    touches |corpus|·nprobe/n_cells rows instead of |corpus|."""
+    Cn = train_ivf_centroids(
+        corpus, vec_col, n_cells=n_cells, seed=seed, train_fraction=train_fraction
     )
-    C = np.stack([np.asarray(r[1], dtype=np.float64) for r in cent_rows])
-    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
-
-    @F.pandas_udf("int")
-    def cell_of(vecs: pd.Series) -> pd.Series:
-        V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-        return pd.Series(np.argmax(Vn @ Cn.T, axis=1).astype(np.int32))
-
-    assigned = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        cell_of(F.col(vec_col)).alias("cell"),
-    )
+    assigned = assign_cells(corpus, Cn, id_col, vec_col)
 
     qrows = queries.select(id_col, vec_col).collect()
     probe_rows = []

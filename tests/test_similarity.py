@@ -137,13 +137,36 @@ def test_vectorized_topk_equals_expression_topk(spark, neardup_corpus):
 
 def test_ivf_recall_on_neardups(spark, neardup_corpus):
     """IVF with nprobe=4/16 cells must find each perturbed copy's base
-    vector: a near-identical pair lands in the same (or a probed) cell."""
+    vector: a near-identical pair lands in the same (or a probed) cell.
+    With k-means centroids (vs the old first-n-by-id) a cosine-0.99 pair
+    practically never splits across unprobed cells — recall is exact."""
     from gwasdb_spark.operators.similarity import ivf_topk
 
     queries = neardup_corpus.filter(F.col("vec_id") >= 1000)
     res = ivf_topk(queries, neardup_corpus, k=5, n_cells=16, nprobe=4).collect()
     found = {(r.query_id, r.neighbor_id) for r in res}
     hits = sum(1 for j in range(20) if (1000 + j, j) in found)
-    assert hits >= 18
+    assert hits >= 19
     # candidate volume bound: every query scored at most ~nprobe/n_cells of corpus
     assert all(r.rank <= 5 for r in res)
+
+
+def test_ivf_kmeans_cell_occupancy(spark, neardup_corpus):
+    """k-means centroids must produce non-degenerate cells: most cells
+    populated and no single cell swallowing the corpus (the failure mode
+    of arbitrary first-n centroids on clustered data)."""
+    from gwasdb_spark.operators.similarity import assign_cells, train_ivf_centroids
+
+    n_cells = 16
+    C = train_ivf_centroids(neardup_corpus, n_cells=n_cells)
+    assert C.shape[0] == n_cells
+    assert np.allclose(np.linalg.norm(C, axis=1), 1.0)
+    occ = (
+        assign_cells(neardup_corpus, C)
+        .groupBy("cell")
+        .count()
+        .collect()
+    )
+    total = sum(r["count"] for r in occ)
+    assert len(occ) >= n_cells // 2, f"only {len(occ)} of {n_cells} cells populated"
+    assert max(r["count"] for r in occ) <= 0.5 * total, "one cell dominates"
