@@ -12,6 +12,17 @@ prune before the scoring join), so a k-term query touches k postings
 lists, not the corpus — the inverted-index access path without building
 an index structure.
 
+The whole computation is ONE logical plan / ONE job: the scalar scoring
+constants (corpus size, average doc length) are single-row aggregates
+cross-joined (auto-broadcast) into the scorer, never `.count()` /
+`.collect()`ed on the driver.
+
+Match modes: `or` (bag of words), `and` (every term required), `phrase`
+(terms adjacent in order — positional m-way join on pruned postings,
+ranked by constituent-term BM25, the standard filter-then-rank shape).
+`max_df_fraction` drops stopword-like terms whose document frequency
+exceeds that corpus fraction — in-plan, before the scoring fan-out.
+
 Determinism: scores are fixed-order arithmetic over exact integer tf/df
 counts; ties broken by doc id. BM25 constants k1=1.2, b=0.75 (the
 standard Robertson defaults).
@@ -27,15 +38,49 @@ K1 = 1.2
 B = 0.75
 
 
+def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, pos, term) positional tokens. Positions are split-array
+    indices: empty tokens (leading delimiter) keep their slot, so
+    adjacent words always differ by exactly 1."""
+    return (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.posexplode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"[^a-z0-9]+")
+            ).alias("pos", "term"),
+        )
+        .filter(F.col("term") != "")
+    )
+
+
 def _term_postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(doc, term, tf) postings + per-doc length, from one explode pass."""
-    toks = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(
-            F.split(F.lower(F.trim(F.col(text_col))), r"[^a-z0-9]+")
-        ).alias("term"),
-    ).filter(F.col("term") != "")
-    return toks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        _tokens(df, id_col, text_col)
+        .groupBy("doc", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def _phrase_docs(
+    df: DataFrame, phrase_terms: list[str], id_col: str, text_col: str
+) -> DataFrame:
+    """Docs containing `phrase_terms` adjacent and in order: each term's
+    (pruned) positional postings shift left by its offset, then an m-way
+    equi-join on (doc, start) — every surviving row is one occurrence.
+    Join inputs are single-term postings lists, so the fan-in is bounded
+    by phrase frequency, not corpus size."""
+    toks = _tokens(df, id_col, text_col)
+    sides = [
+        toks.filter(F.col("term") == t.lower()).select(
+            "doc", (F.col("pos") - i).alias("start")
+        )
+        for i, t in enumerate(phrase_terms)
+    ]
+    occ = sides[0]
+    for s in sides[1:]:
+        occ = occ.join(s, ["doc", "start"])
+    return occ.select("doc").distinct()
 
 
 def bm25_topk(
@@ -44,47 +89,72 @@ def bm25_topk(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 10,
+    mode: str = "or",
+    max_df_fraction: float | None = None,
 ) -> DataFrame:
-    """BM25 top-k documents for a bag-of-words query.
+    """BM25 top-k documents for a query.
 
     Returns (doc_id, score, rank). Postings are pruned to the query's
-    terms BEFORE any join fan-out; doc lengths and df come from the same
-    postings aggregate (no second scan of the text)."""
+    terms BEFORE any join fan-out; doc lengths, df, and the scalar
+    constants (n_docs, avgdl) all come from the same single plan — no
+    driver-side actions.
+
+    mode='and' keeps only docs matching every distinct query term;
+    mode='phrase' keeps only docs where the terms appear adjacent in
+    order (ranked by constituent-term BM25). `max_df_fraction` prunes
+    terms present in more than that fraction of the corpus."""
+    if mode not in ("or", "and", "phrase"):
+        raise ValueError(f"mode must be or|and|phrase, got {mode!r}")
     spark = df.sparkSession
+    terms_lc = [t.lower() for t in query_terms]
     postings = _term_postings(df, id_col, text_col)
     doclen = postings.groupBy("doc").agg(F.sum("tf").alias("dl"))
-    n_docs = df.count()  # scalar: drives idf constants
-    # explicit sum/count (not avg()): exact integer sum then one division,
-    # so the oracle engine computes the identical double
-    srow = doclen.agg(
-        F.sum("dl").alias("s"), F.count(F.lit(1)).alias("c")
-    ).collect()[0]
-    avgdl = (srow.s / srow.c) if srow.c else 1.0
-
-    terms = spark.createDataFrame([(t.lower(),) for t in query_terms], "term string")
-    hit = postings.join(F.broadcast(terms), "term")  # postings prune
-    df_counts = hit.groupBy("term").agg(F.count_distinct("doc").alias("df_t"))
-    idf = F.log(
-        (F.lit(float(n_docs)) - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5) + 1.0
+    # scalar constants in-plan: two 1-row aggregates, auto-broadcast by
+    # the cross join (explicit sum/count, not avg(), so the oracle engine
+    # computes the identical double)
+    consts = df.agg(F.count(F.lit(1)).cast("double").alias("n_docs")).crossJoin(
+        doclen.agg((F.sum("dl") / F.count(F.lit(1))).alias("avgdl"))
     )
-    scored = (
+
+    terms = spark.createDataFrame([(t,) for t in terms_lc], "term string")
+    hit = postings.join(F.broadcast(terms), "term")  # postings prune
+    if mode == "phrase":
+        hit = hit.join(_phrase_docs(df, terms_lc, id_col, text_col), "doc", "left_semi")
+    df_counts = hit.groupBy("term").agg(F.count_distinct("doc").alias("df_t"))
+
+    idf = F.log(
+        (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5) + 1.0
+    )
+    per_term = (
         hit.join(F.broadcast(df_counts), "term")
         .join(doclen, "doc")
-        .select(
+        .crossJoin(F.broadcast(consts))
+    )
+    if max_df_fraction is not None:
+        per_term = per_term.filter(
+            F.col("df_t") <= F.lit(float(max_df_fraction)) * F.col("n_docs")
+        )
+    scored = (
+        per_term.select(
             "doc",
             (
                 idf
                 * (F.col("tf") * (K1 + 1))
                 / (
                     F.col("tf")
-                    + K1
-                    * (1 - B + B * F.col("dl").cast("double") / F.lit(float(avgdl)))
+                    + K1 * (1 - B + B * F.col("dl").cast("double") / F.col("avgdl"))
                 )
             ).alias("term_score"),
         )
+        # one `hit` row per (doc, term) → count(*) is distinct terms matched
         .groupBy("doc")
-        .agg(F.sum("term_score").alias("score"))
+        .agg(
+            F.sum("term_score").alias("score"),
+            F.count(F.lit(1)).alias("__n_matched"),
+        )
     )
+    if mode == "and":
+        scored = scored.filter(F.col("__n_matched") == len(set(terms_lc)))
     w = Window.orderBy(F.desc("score"), F.asc("doc"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -847,6 +847,116 @@ def x12_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x12b_bm25_and",
+    "X-text,X-search",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id AS doc,
+             unnest(string_split_regex(lower(trim(text)), '[^a-z0-9]+')) AS term
+      FROM documents
+    ),
+    postings AS (
+      SELECT doc, term, COUNT(*) AS tf FROM toks WHERE term <> ''
+      GROUP BY 1, 2
+    ),
+    doclen AS (SELECT doc, SUM(tf) AS dl FROM postings GROUP BY 1),
+    consts AS (
+      SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+             (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) FROM doclen) AS avgdl
+    ),
+    q(term) AS (VALUES ('hash'), ('join'), ('vector')),
+    hit AS (SELECT p.doc, p.term, p.tf FROM postings p JOIN q USING (term)),
+    dfc AS (SELECT term, COUNT(DISTINCT doc) AS df_t FROM hit GROUP BY 1),
+    scored AS (
+      SELECT doc,
+             SUM(ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+                 * (tf * 2.2)
+                 / (tf + 1.2 * (1 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+             ) AS score
+      FROM hit JOIN dfc USING (term) JOIN doclen USING (doc) CROSS JOIN consts
+      GROUP BY doc
+      HAVING COUNT(*) = 3
+    )
+    SELECT doc AS doc_id, ROUND(score, 6) AS score, CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT doc, score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def x12b_bm25_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 with AND semantics: only docs matching EVERY query term rank.
+    Same single-plan scorer as x12 (constants in-plan, no driver
+    actions); the all-terms gate is a HAVING on matched-term count."""
+    from gwasdb_spark.operators.search import bm25_topk
+
+    d = table(spark, sf_dir, "documents")
+    return bm25_topk(
+        d, ["hash", "join", "vector"], "doc_id", "text", k=10, mode="and"
+    )
+
+
+@query(
+    "x12c_bm25_phrase",
+    "X-text,X-search",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id AS doc,
+             unnest(string_split_regex(lower(trim(text)), '[^a-z0-9]+')) AS term
+      FROM documents
+    ),
+    postings AS (
+      SELECT doc, term, COUNT(*) AS tf FROM toks WHERE term <> ''
+      GROUP BY 1, 2
+    ),
+    doclen AS (SELECT doc, SUM(tf) AS dl FROM postings GROUP BY 1),
+    consts AS (
+      SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+             (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) FROM doclen) AS avgdl
+    ),
+    phrase_docs AS (
+      SELECT doc_id AS doc FROM documents
+      WHERE regexp_matches(lower(text),
+                           '(^|[^a-z0-9])hash[^a-z0-9]+join([^a-z0-9]|$)')
+    ),
+    q(term) AS (VALUES ('hash'), ('join')),
+    hit AS (
+      SELECT p.doc, p.term, p.tf
+      FROM postings p JOIN q USING (term) JOIN phrase_docs USING (doc)
+    ),
+    dfc AS (SELECT term, COUNT(DISTINCT doc) AS df_t FROM hit GROUP BY 1),
+    scored AS (
+      SELECT doc,
+             SUM(ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+                 * (tf * 2.2)
+                 / (tf + 1.2 * (1 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+             ) AS score
+      FROM hit JOIN dfc USING (term) JOIN doclen USING (doc) CROSS JOIN consts
+      GROUP BY doc
+    )
+    SELECT doc AS doc_id, ROUND(score, 6) AS score, CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT doc, score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def x12c_bm25_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase search ("hash join" adjacent, in order) ranked by
+    constituent-term BM25 — the standard filter-then-rank shape. The
+    phrase filter is an m-way positional equi-join on single-term pruned
+    postings (occurrence = terms at consecutive split positions), never a
+    corpus scan per phrase; the oracle replicates adjacency with a
+    tokenizer-equivalent regex."""
+    from gwasdb_spark.operators.search import bm25_topk
+
+    d = table(spark, sf_dir, "documents")
+    return bm25_topk(d, ["hash", "join"], "doc_id", "text", k=10, mode="phrase")
+
+
+@query(
     "st06_stream_stream_join",
     "X-stream,J-interval",
     oracle="""

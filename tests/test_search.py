@@ -1,0 +1,70 @@
+"""BM25 search: match-mode semantics and the single-plan contract
+(no driver-side count()/collect() while building the query)."""
+
+from __future__ import annotations
+
+import pytest
+
+from gwasdb_spark.operators.search import bm25_topk
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "hash join hash join vector"),       # all terms, phrase twice
+        (2, "hash vector something else join"),  # all terms, no phrase
+        (3, "hash only here"),                   # one term
+        (4, "join, hash!"),                      # reversed order, no phrase
+        (5, "HASH-JOIN uppercase punctuated"),   # phrase across punctuation
+        (6, "the the the the the hash"),         # stopword-heavy
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_or_mode_matches_any_term(docs):
+    got = {r.doc_id for r in bm25_topk(docs, ["hash", "join", "vector"], k=10).collect()}
+    assert got == {1, 2, 3, 4, 5, 6}
+
+
+def test_and_mode_requires_every_term(docs):
+    got = {r.doc_id for r in
+           bm25_topk(docs, ["hash", "join", "vector"], k=10, mode="and").collect()}
+    assert got == {1, 2}
+
+
+def test_phrase_mode_requires_adjacency_in_order(docs):
+    got = {r.doc_id for r in
+           bm25_topk(docs, ["hash", "join"], k=10, mode="phrase").collect()}
+    # 1: adjacent; 5: adjacent across '-'; 4 is 'join hash' (wrong order);
+    # 2 has both terms but never adjacent
+    assert got == {1, 5}
+
+
+def test_max_df_fraction_prunes_stopwords(docs):
+    # 'hash' is in every doc (df=6/6); with a 0.9 cap it contributes
+    # nothing, so a hash-only doc scores no terms and drops out
+    got = {r.doc_id for r in
+           bm25_topk(docs, ["hash", "vector"], k=10, max_df_fraction=0.9).collect()}
+    assert got == {1, 2}  # vector-bearing docs only
+
+
+def test_bm25_builds_as_one_plan_no_driver_actions(docs, monkeypatch):
+    """The scoring constants (n_docs, avgdl) must be in-plan single-row
+    aggregates, not driver-side count()/collect() — building the query
+    may not trigger any action."""
+    from pyspark.sql import DataFrame
+
+    def boom(self, *a, **k):  # noqa: ANN001
+        raise AssertionError("driver-side action during BM25 plan build")
+
+    monkeypatch.setattr(DataFrame, "count", boom)
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    monkeypatch.setattr(DataFrame, "toPandas", boom)
+    bm25_topk(docs, ["hash", "join"], k=10)          # or
+    bm25_topk(docs, ["hash", "join"], k=10, mode="and")
+    bm25_topk(docs, ["hash", "join"], k=10, mode="phrase")
+
+
+def test_bad_mode_rejected(docs):
+    with pytest.raises(ValueError):
+        bm25_topk(docs, ["hash"], mode="not-a-mode")
