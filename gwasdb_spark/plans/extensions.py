@@ -987,6 +987,47 @@ def st06_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "click_id", "error_id")
 
 
+@query(
+    "st07_stream_left_outer_join",
+    "X-stream,J-interval",
+    oracle="""
+    SELECT c.user_id, c.event_id AS click_id, e.event_id AS error_id
+    FROM events c LEFT JOIN events e
+      ON c.user_id = e.user_id
+     AND e.event_type = 'error'
+     AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 10 MINUTE
+    WHERE c.event_type = 'click'
+    """,
+)
+def st07_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE stream-stream LEFT OUTER interval join: every click, paired
+    with following errors within 10 min or null error columns — the
+    "clicks with NO error" funnel users actually ask for (filter
+    error_id IS NULL). Null rows are watermark-eviction output, so the
+    bounded replay appends click+error sentinels (user_id -1) past the
+    tail to push BOTH filtered streams' watermarks over every pending
+    interval — a live stream advances naturally. Oracle is the
+    equivalent batch LEFT JOIN."""
+    from gwasdb_spark.streaming.events import (
+        click_error_left_outer_stream,
+        read_events_stream,
+        run_available_now,
+        stream_dir_with_flush,
+    )
+
+    d = stream_dir_with_flush(
+        f"{sf_dir}/events.parquet", sentinel_types=("click", "error")
+    )
+    clicks = read_events_stream(spark, d).filter(F.col("event_type") == "click")
+    errors = read_events_stream(spark, d).filter(F.col("event_type") == "error")
+    out = run_available_now(
+        click_error_left_outer_stream(clicks, errors), "append"
+    )
+    return out.filter(F.col("user_id") >= 0).select(
+        "user_id", "click_id", "error_id"
+    )
+
+
 @query("x13_sketch_aggregates", "A-approx", oracle=None)
 def x13_sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based aggregates per event type: HyperLogLog++ distinct

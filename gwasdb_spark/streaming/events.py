@@ -141,6 +141,58 @@ def foreach_batch_append(sdf: DataFrame, out_dir: str, checkpoint_dir: str):
     )
 
 
+def stream_dir_with_flush(
+    path: str,
+    margin: str = "30 minutes",
+    sentinel_types: tuple[str, ...] = ("__flush__",),
+) -> str:
+    """Harness: a temp directory holding the events file plus one
+    sentinel event PER TYPE in `sentinel_types`, stamped max(ts) + margin,
+    all with user_id = event_id = -1.
+
+    Outer-join null rows and final windows emit only once the watermark
+    PASSES their interval; a live production stream advances the
+    watermark naturally with new arrivals, but a bounded replay ends at
+    max(ts) and would hold tail state forever. The sentinel is the
+    replay's end-of-stream nudge.
+
+    The watermark operator sits AFTER any event_type filter, so a
+    sentinel only advances a filtered stream's watermark if it SURVIVES
+    that stream's filter (measured: a '__flush__'-typed sentinel never
+    reaches the click/error watermark nodes and the tail click's outer
+    row is held forever). Pass the exact types the query filters on
+    (e.g. ("click", "error")) and drop `user_id < 0` rows downstream.
+    Written with its own (later) mtime so the file source's mod-time
+    ordering puts it in the final micro-batch."""
+    import re
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    m = re.fullmatch(r"(\d+)\s*minutes?", margin.strip())
+    if not m:
+        raise ValueError(f"margin must look like 'N minutes', got {margin!r}")
+    margin_ns = int(m.group(1)) * 60 * 1_000_000_000
+
+    d = tempfile.mkdtemp(prefix="events_stream_flush_")
+    os.symlink(os.path.abspath(path), os.path.join(d, os.path.basename(path)))
+    t = pq.read_table(path, columns=["ts"])
+    max_ns = int(pa.compute.max(t.column("ts").cast(pa.int64())).as_py())
+    n = len(sentinel_types)
+    sentinel = pa.table(
+        {
+            "event_id": pa.array([-1] * n, pa.int64()),
+            "ts": pa.array([max_ns + margin_ns] * n, pa.int64()),
+            "user_id": pa.array([-1] * n, pa.int64()),
+            "event_type": pa.array(list(sentinel_types), pa.string()),
+            "value": pa.array([0.0] * n, pa.float64()),
+            "props": pa.array([None] * n, pa.string()),
+        }
+    )
+    pq.write_table(sentinel, os.path.join(d, "zz_flush_sentinel.parquet"))
+    return d
+
+
 def click_error_funnel_stream(
     clicks: DataFrame, errors: DataFrame, within: str = "10 minutes",
     lateness: str = "10 minutes",
@@ -173,6 +225,48 @@ def click_error_funnel_stream(
         & (F.col("error_ts") >= F.col("click_ts"))
         & (F.col("error_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}")),
         "inner",
+    ).select(
+        F.col("c_user").alias("user_id"), "click_id", "error_id",
+        "click_ts", "error_ts",
+    )
+
+
+def click_error_left_outer_stream(
+    clicks: DataFrame, errors: DataFrame, within: str = "10 minutes",
+    lateness: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: EVERY click emits — paired
+    with each error that follows within `within`, or with null error
+    columns once the error-side watermark has passed the click's interval
+    and no error arrived (the "clicks with NO error" funnel question,
+    answerable by filtering error_id IS NULL downstream).
+
+    Same bounded-state shape as the inner join; the null rows are
+    watermark-EVICTION output, so a bounded replay must push the
+    watermark past the last click's interval before the stream drains
+    (`stream_dir_with_flush`) — a live stream does this naturally."""
+    c = (
+        clicks.withWatermark("ts", lateness)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    e = (
+        errors.withWatermark("ts", lateness)
+        .select(
+            F.col("user_id").alias("e_user"),
+            F.col("event_id").alias("error_id"),
+            F.col("ts").alias("error_ts"),
+        )
+    )
+    return c.join(
+        e,
+        (F.col("c_user") == F.col("e_user"))
+        & (F.col("error_ts") >= F.col("click_ts"))
+        & (F.col("error_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}")),
+        "leftOuter",
     ).select(
         F.col("c_user").alias("user_id"), "click_id", "error_id",
         "click_ts", "error_ts",

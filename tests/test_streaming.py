@@ -110,3 +110,63 @@ def test_watermark_drops_late_events(spark, tmp_path):
     hours = sorted(by_hour)
     assert by_hour[hours[0]] == 1, by_hour  # late event 3 dropped, not merged
     assert by_hour[hours[1]] == 3, by_hour  # on-time events merged
+
+
+def test_left_outer_join_emits_nulls_on_watermark_eviction(spark, tmp_path):
+    """LEFT OUTER stream-stream interval join contract: an unmatched click
+    emits its null row ONLY via watermark eviction — once later arrivals
+    push BOTH filtered streams' watermarks past the click's interval (the
+    final no-data micro-batch commits the advance and flushes state). A
+    matched click emits its pair inline and never a null row."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from gwasdb_spark.streaming.events import (
+        click_error_left_outer_stream,
+        read_events_stream,
+        run_available_now,
+    )
+
+    d = str(tmp_path / "stream_in")
+    os.makedirs(d)
+
+    def write_events(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        pdf["ts"] = pdf["ts"].astype("int64")
+        pdf.to_parquet(os.path.join(d, name))
+
+    M = 60_000_000_000  # 1 min in ns
+    base = 1_700_000_000 * 1_000_000_000
+    # batch 0: user 1 clicks, no error within 10 min (user 2's error is
+    # another user's); user 2's error seeds the error-side watermark
+    write_events(
+        "a.parquet",
+        [
+            (1, base, 1, "click", 1.0, "{}"),
+            (2, base + 1 * M, 2, "error", 1.0, "{}"),
+        ],
+    )
+    time.sleep(1.1)
+    # batch 1: one hour later, user 9 click + error pair — matches inline
+    # AND advances both watermarks an hour past user 1's interval
+    write_events(
+        "b.parquet",
+        [
+            (3, base + 60 * M, 9, "click", 1.0, "{}"),
+            (4, base + 61 * M, 9, "error", 1.0, "{}"),
+        ],
+    )
+    clicks = read_events_stream(spark, d).filter(F.col("event_type") == "click")
+    errors = read_events_stream(spark, d).filter(F.col("event_type") == "error")
+    out = run_available_now(
+        click_error_left_outer_stream(clicks, errors), "append"
+    ).collect()
+    got = {(r.user_id, r.click_id, r.error_id) for r in out}
+    # user 1: null row via eviction; user 9: inline match, no null row;
+    # user 9's own eviction never fires (watermark ends before its
+    # interval closes) but the match already emitted
+    assert got == {(1, 1, None), (9, 3, 4)}, got
