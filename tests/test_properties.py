@@ -113,3 +113,130 @@ def test_ngram_jaccard_matches_python(spark, docs):
     assert set(got) == set(want), (sorted(got), sorted(want))
     for p in want:
         assert abs(got[p] - want[p]) < 1e-9
+
+
+# --- as-of join vs pandas.merge_asof ---------------------------------------
+
+asof_rows = st.tuples(
+    st.integers(1, 3),                      # by key
+    st.integers(0, 40),                    # ts
+    st.one_of(st.none(), st.floats(-100, 100, allow_nan=False)),  # value
+)
+
+
+@SETTINGS
+@given(
+    left=st.lists(st.tuples(st.integers(1, 3), st.integers(0, 40)),
+                  min_size=1, max_size=25),
+    right=st.lists(asof_rows, min_size=0, max_size=25),
+)
+def test_asof_backward_matches_pandas_merge_asof(spark, left, right):
+    """Random interleavings incl. duplicate timestamps, null values, and
+    keys with no right rows: the union+window composition must agree with
+    pandas.merge_asof(direction='backward', allow_exact_matches=True)
+    row for row — ties broken by max tiebreak id, matched-null values
+    propagating as null."""
+    import pandas as pd
+
+    from gwasdb_spark.operators.asof import asof_join_backward
+
+    lrows = [(i, u, ts) for i, (u, ts) in enumerate(left)]
+    rrows = [(100 + j, u, ts, v) for j, (u, ts, v) in enumerate(right)]
+    ldf = spark.createDataFrame(lrows, "event_id long, user_id long, ts long")
+    rdf = spark.createDataFrame(
+        rrows, "rid long, user_id long, ts long, value double"
+    )
+    got = {
+        r.event_id: r.asof_value
+        for r in asof_join_backward(
+            ldf, rdf, "ts", ["user_id"], ["value"], tiebreak_col="rid"
+        ).collect()
+    }
+
+    lpd = pd.DataFrame(lrows, columns=["event_id", "user_id", "ts"]).sort_values(
+        "ts", kind="stable"
+    )
+    rpd = (
+        pd.DataFrame(rrows, columns=["rid", "user_id", "ts", "value"])
+        .astype({"rid": "int64", "user_id": "int64", "ts": "int64",
+                 "value": "float64"})
+        .sort_values(["ts", "rid"], kind="stable")
+    )
+    ref = pd.merge_asof(
+        lpd, rpd[["user_id", "ts", "value"]], on="ts", by="user_id",
+        direction="backward", allow_exact_matches=True,
+    )
+    want = {int(r.event_id): (None if pd.isna(r.value) else r.value)
+            for r in ref.itertuples()}
+    assert set(got) == set(want)
+    for k in want:
+        if want[k] is None:
+            assert got[k] is None, (k, got[k])
+        else:
+            assert got[k] is not None and abs(got[k] - want[k]) < 1e-9, k
+
+
+# --- stateful sessionizer fold vs python reference -------------------------
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving _sessionize_group directly."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def _sessions_py(ts_us_sorted, gap_us):
+    n = 0
+    for i, t in enumerate(ts_us_sorted):
+        if i == 0 or t - ts_us_sorted[i - 1] > gap_us:
+            n += 1
+    return n
+
+
+@SETTINGS
+@given(
+    ts_and_splits=st.lists(st.integers(0, 4 * 3600), min_size=1, max_size=60).flatmap(
+        lambda ts: st.tuples(
+            st.just(ts),
+            st.lists(st.integers(0, len(ts)), min_size=0, max_size=4),
+        )
+    )
+)
+def test_stateful_sessionize_fold_matches_batch_reference(ts_and_splits):
+    """Random timestamp multisets (seconds, duplicates allowed) split into
+    random time-ordered micro-batches: folding batch-by-batch through the
+    applyInPandasWithState kernel must equal the one-shot gap count — the
+    cross-batch boundary (carried last_us) is exactly where the
+    watermark-lag class of bug lives. Pure pandas, no Spark session."""
+    import pandas as pd
+
+    from gwasdb_spark.streaming.sessions import GAP_US, _sessionize_group
+
+    ts_s, cuts = ts_and_splits
+    ts_us = sorted(t * 1_000_000 for t in ts_s)
+    bounds = sorted({0, len(ts_us), *cuts})
+    batches = [
+        ts_us[a:b] for a, b in zip(bounds, bounds[1:]) if b > a
+    ] or [ts_us]
+
+    state = _FakeState()
+    last = None
+    for chunk in batches:
+        # micro-batches arrive time-ordered but unsorted inside
+        ns = pd.Series([t * 1000 for t in reversed(chunk)], dtype="int64")
+        (out,) = _sessionize_group((7,), [pd.DataFrame({"ts": ns})], state)
+        last = out
+    assert int(last["n_events"].iloc[0]) == len(ts_us)
+    assert int(last["n_sessions"].iloc[0]) == _sessions_py(ts_us, GAP_US)
