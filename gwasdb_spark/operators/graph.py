@@ -1,18 +1,24 @@
 """Iterative graph operators: connected components over near-dup pairs.
 
 `keep_first_per_cluster` (operators/dedup.py) is the greedy one-hop
-survivor pick; exact cluster assignment needs transitive closure. This is
-the standard large-scale label-propagation formulation (alternating
-small-star/large-star style min-label exchange):
+survivor pick; exact cluster assignment needs transitive closure. Two
+formulations, both DataFrame-native with skinny (long, long) shuffles:
 
-    label(v) <- min(label(v), min over neighbors(label(n)))   until fixpoint
+- `connected_components_labelprop`: min-label exchange to fixpoint —
+  O(max cluster diameter) rounds. Fine for real near-dup graphs (small,
+  dense clusters), pathological on long chains.
+- `connected_components_star` (default): the alternating large-star /
+  small-star algorithm (Kiveris et al., "Connected Components in
+  MapReduce and Beyond") — each round rewires every node toward its
+  neighborhood minimum, so label information hops exponentially and
+  convergence is O(log n) rounds even on chains.
 
-Each iteration is two shuffles (edge join + min aggregate) over skinny
-(long, long) rows; convergence in O(max cluster diameter) iterations —
-small for real near-dup graphs (clusters are small and dense). DataFrames are persisted per
-iteration and lineage is cut via localCheckpoint — without it the plan
-doubles per iteration and the job dies on planning long before data size
-matters.
+Each round is a couple of shuffles over edge rows; DataFrames are
+persisted per iteration and lineage is cut via localCheckpoint — without
+it the plan doubles per iteration and the job dies on planning long
+before data size matters. Convergence is detected with a distributed
+(count, xxhash-sum) checksum of the edge set — one tiny aggregate, no
+driver-side edge materialization.
 """
 
 from __future__ import annotations
@@ -21,17 +27,104 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def connected_components(
+def _edge_checksum(edges: DataFrame) -> tuple[int, int]:
+    # pmod bounds each term so the ANSI-mode long sum can't overflow
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(1_000_000_007))), F.lit(0)
+        ).alias("h"),
+    ).collect()[0]
+    return int(row.n), int(row.h)
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Resolve (id, component) for every id in `pairs`; component = min id
+    reachable. Alternating large-star/small-star rounds until the edge
+    set's checksum stabilizes — O(log n) rounds on any topology.
+
+    large-star: every node's strictly-larger neighbors re-attach to the
+    minimum of its closed neighborhood; small-star: every node's
+    smaller-or-equal side collapses onto that minimum. At fixpoint the
+    edges are direct (member → component-min) stars."""
+    e = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("u").alias("id"))
+        .union(e.select(F.col("v").alias("id")))
+        .distinct()
+        .persist()
+    )
+    nodes.count()  # materialize while e is cached
+
+    edges = e.localCheckpoint(eager=True)
+    prev = _edge_checksum(edges)
+    iters = 0
+    for _ in range(max_iter):
+        iters += 1
+        # large-star: m(u) = min over Γ(u) ∪ {u}; (v, m) for v > u
+        bidir = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = (
+            bidir.groupBy("u")
+            .agg(F.min("v").alias("minv"))
+            .select("u", F.least(F.col("minv"), F.col("u")).alias("m"))
+        )
+        large = (
+            bidir.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star: collapse each node's smaller side onto its minimum
+        mn = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(mn, "u")
+            .select(F.col("v").alias("n"), F.col("m"))
+            .union(mn.select(F.col("u").alias("n"), F.col("m")))
+            .filter(F.col("n") != F.col("m"))
+            .select(F.col("n").alias("u"), F.col("m").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)  # cut lineage growth per round
+        )
+        cur = _edge_checksum(small)
+        edges = small
+        if cur == prev:
+            break
+        prev = cur
+    if stats is not None:
+        stats["iterations"] = iters
+
+    lab = edges.groupBy("u").agg(F.min("v").alias("c"))
+    labels = (
+        nodes.join(lab, nodes.id == lab.u, "left")
+        .select("id", F.coalesce(F.col("c"), F.col("id")).alias("component"))
+    )
+    out = labels.localCheckpoint(eager=True)
+    e.unpersist()
+    nodes.unpersist()
+    return out
+
+
+def connected_components_labelprop(
     pairs: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
-    """Resolve (id, component) for every id appearing in `pairs`, where
-    component = min id reachable through the pair graph.
-
-    Driver-side loop with a per-iteration convergence count — the loop runs
-    O(max cluster diameter) times — short in practice; all data movement stays distributed."""
+    """Min-label propagation to fixpoint — O(max cluster diameter) rounds.
+    Kept as the independent cross-check for the star algorithm (and the
+    simpler plan when clusters are known-small)."""
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -45,7 +138,9 @@ def connected_components(
         .persist()
     )
     labels.count()  # materialize before the loop
+    iters = 0
     for _ in range(max_iter):
+        iters += 1
         # candidate label per node: min over neighbors' current labels
         neighbor_min = (
             edges.join(labels, edges.v == labels.id)
@@ -74,7 +169,20 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
+    if stats is not None:
+        stats["iterations"] = iters
     return labels
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Default CC entry point: the O(log n)-round star algorithm."""
+    return connected_components_star(pairs, src, dst, max_iter, stats)
 
 
 def dedup_keep_representative(

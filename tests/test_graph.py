@@ -54,3 +54,35 @@ def test_dedup_keep_representative_transitive(spark):
     pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
     kept = sorted(r.id for r in dedup_keep_representative(df, pairs, "id").collect())
     assert kept == [1, 9]
+
+
+def test_star_matches_labelprop_and_union_find_on_chain(spark):
+    """The alternating star algorithm must reach the same fixpoint as both
+    the label-prop formulation and the union-find oracle on a 40-node
+    chain — the worst topology for label-prop — in strictly fewer rounds
+    (O(log n) vs O(n))."""
+    from gwasdb_spark.operators.graph import (
+        connected_components_labelprop,
+        connected_components_star,
+    )
+
+    chain = [(i, i + 1) for i in range(100, 140)] + [(500, 501)]
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+
+    star_stats, lp_stats = {}, {}
+    star = {
+        r.id: r.component
+        for r in connected_components_star(pairs, stats=star_stats).collect()
+    }
+    lp = {
+        r.id: r.component
+        for r in connected_components_labelprop(
+            pairs, max_iter=60, stats=lp_stats
+        ).collect()
+    }
+    want = _union_find(chain)
+    assert star == want
+    assert lp == want
+    assert star_stats["iterations"] < lp_stats["iterations"], (star_stats, lp_stats)
+    # 41-long chain: label-prop needs ~diameter rounds, star ~log
+    assert star_stats["iterations"] <= 8, star_stats
