@@ -25,16 +25,56 @@ def markers_by_region(wh: Warehouse, chrom: int, start: int, end: int) -> DataFr
     )
 
 
+_REGEX_META = set(r".*+?[](){}|\^$")
+
+
+def _literal_prefix(pattern: str) -> str:
+    """Longest literal prefix of an ^-anchored regex ('' if unanchored).
+    'rs123\\d+' probes get a sargable prefix; '.*foo' gets none."""
+    if not pattern.startswith("^"):
+        return ""
+    out = []
+    for ch in pattern[1:]:
+        if ch in _REGEX_META:
+            break
+        out.append(ch)
+    return "".join(out)
+
+
+def _marker_source(wh: Warehouse) -> DataFrame:
+    """Name-lookup source: the sorted marker_index when built (name-range
+    row-group skipping), else b37 (full scan, flagged below)."""
+    if wh.has_table("marker_index"):
+        return wh.read("marker_index")
+    return wh.read("b37")
+
+
 def markers_by_probe(wh: Warehouse, probe_regex: str) -> DataFrame:
     """Probe-mode marker search (gwasDB/app.R:97-101): regex over kgp_id,
-    sorted by (chr, pos). At 93M rows this is the one access path with no
-    pruning — served from the cached/compacted b37 (SURVEY.md §7 'what's
-    hard'); a marker-name bloom/inverted table is the round-2 extension."""
+    sorted by (chr, pos).
+
+    Served from the name-sorted `marker_index` when built: an ^-anchored
+    probe contributes a literal-prefix `startswith` predicate that pushes
+    to the parquet scan (StringStartsWith), so min/max name stats skip
+    every non-overlapping row group — the b-tree-probe replacement
+    (R/gwas_ddl.sql:5). Unanchored regexes still scan, but only the
+    skinny 3-column index, not wide b37."""
+    src = _marker_source(wh)
+    cond = F.col("kgp_id").rlike(probe_regex)
+    prefix = _literal_prefix(probe_regex)
+    if prefix:
+        cond = F.col("kgp_id").startswith(prefix) & cond
+    return src.filter(cond).select("chr", "pos", "kgp_id").orderBy("chr", "pos")
+
+
+def marker_exact(wh: Warehouse, kgp_id: str) -> DataFrame:
+    """Exact marker-name point lookup — the interactive single-id path.
+    Equality on the sorted index's kgp_id pushes to the scan and skips
+    all but the one matching name range."""
     return (
-        wh.read("b37")
-        .filter(F.col("kgp_id").rlike(probe_regex))
+        _marker_source(wh)
+        .filter(F.col("kgp_id") == kgp_id)
         .select("chr", "pos", "kgp_id")
-        .orderBy("chr", "pos")
     )
 
 
@@ -55,7 +95,10 @@ def locus_window(
     The app's post-collect `filter(name %in% studies)` (app.R:176) is
     folded into the plan (SURVEY.md §3 note)."""
     anchor = (
-        wh.read("b37").filter(F.col("kgp_id") == kgp_id).select("chr", "pos").first()
+        _marker_source(wh)
+        .filter(F.col("kgp_id") == kgp_id)
+        .select("chr", "pos")
+        .first()
     )
     if anchor is None:
         return wh.read("combined").limit(0)

@@ -68,6 +68,34 @@ class Warehouse:
             if os.path.exists(p):
                 self.read(name).createOrReplaceTempView(name)
 
+    def has_table(self, name: str) -> bool:
+        return os.path.exists(self.path(name))
+
+    # -- marker name index ------------------------------------------------
+
+    def build_marker_index(self, n_files: int = 64) -> DataFrame:
+        """Skinny (kgp_id, chr, pos) lookup index, range-partitioned and
+        sorted BY NAME — the engine's stand-in for the reference's
+        `kgp_id` PK b-tree (R/gwas_ddl.sql:5) on the interactive probe
+        path (gwasDB/app.R:97-101).
+
+        b37's chr/pos layout serves region queries but a name probe scans
+        everything. Here `repartitionByRange(kgp_id)` gives each file a
+        disjoint name range and the in-file sort tightens parquet
+        row-group min/max stats, so an equality or prefix probe pushed to
+        the scan skips every non-overlapping row group: at 93M rows a
+        lookup touches ~one file's worth of footer reads plus one row
+        group. Delta/Iceberg z-order+bloom is the transactional upgrade;
+        no Delta jar ships in this container (documented ROADMAP.md)."""
+        idx = self.read("b37").select("kgp_id", "chr", "pos")
+        (
+            idx.repartitionByRange(n_files, "kgp_id")
+            .sortWithinPartitions("kgp_id")
+            .write.mode("overwrite")
+            .parquet(self.path("marker_index"))
+        )
+        return self.read("marker_index")
+
     # -- gold -------------------------------------------------------------
 
     def build_combined(self) -> DataFrame:

@@ -189,3 +189,45 @@ def test_locus_window_prunes_partitions(wh):
     pf_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert any("chr" in ln for ln in pf_lines), pf_lines
     assert any("pos" in ln for ln in plan.splitlines() if "PushedFilters" in ln)
+
+
+def test_marker_index_point_lookup(wh):
+    """The name-sorted marker index must (a) answer exact and anchored-
+    prefix probes identically to the b37 scan path, and (b) push the
+    sargable name predicate into the parquet scan so sorted min/max
+    stats can skip row groups — the PK-b-tree replacement for the
+    interactive probe (gwasDB/app.R:97-101, R/gwas_ddl.sql:5)."""
+    from gwasdb_spark.gwas.api import marker_exact, markers_by_probe
+
+    # baseline answers from the b37 path (index not built yet)
+    assert not wh.has_table("marker_index")
+    some_id = wh.read("b37").select("kgp_id").first()["kgp_id"]
+    before_exact = marker_exact(wh, some_id).collect()
+    before_probe = {r.kgp_id for r in markers_by_probe(wh, "^rs").collect()}
+
+    wh.build_marker_index(n_files=4)
+
+    after_exact = marker_exact(wh, some_id).collect()
+    assert after_exact == before_exact and len(after_exact) == 1
+
+    probe = markers_by_probe(wh, "^rs")
+    assert {r.kgp_id for r in probe.collect()} == before_probe
+
+    # sargable predicates reach the scan: equality for the point lookup,
+    # StartsWith for the anchored regex
+    exact_plan = marker_exact(wh, some_id)._jdf.queryExecution().executedPlan().toString()
+    pushed = [ln for ln in exact_plan.splitlines() if "PushedFilters" in ln]
+    assert any("EqualTo(kgp_id" in ln for ln in pushed), pushed
+    probe_plan = probe._jdf.queryExecution().executedPlan().toString()
+    pushed = [ln for ln in probe_plan.splitlines() if "PushedFilters" in ln]
+    assert any("StringStartsWith(kgp_id,rs" in ln for ln in pushed), pushed
+
+
+def test_literal_prefix_extraction():
+    from gwasdb_spark.gwas.api import _literal_prefix
+
+    assert _literal_prefix("^rs123") == "rs123"
+    assert _literal_prefix(r"^rs12\d+") == "rs12"
+    assert _literal_prefix("^Affx[-_]") == "Affx"
+    assert _literal_prefix("rs123") == ""      # unanchored: full regex scan
+    assert _literal_prefix("^(rs|Aff)") == ""  # alternation: no literal prefix
