@@ -8,6 +8,8 @@ from pyspark.sql import functions as F
 
 from gwasdb_spark.operators.maintenance import compact_table
 
+from tests.conftest import SF_DIR
+
 
 def test_compact_unpartitioned(spark, tmp_path):
     p = str(tmp_path / "t")
@@ -75,3 +77,60 @@ def test_compact_partitioned_preserves_layout(spark, tmp_path):
     assert any(e.startswith("chr=") for e in os.listdir(p))  # layout kept
     after = {tuple(r) for r in spark.read.parquet(p).collect()}
     assert after == before
+
+
+def test_streaming_append_then_compact_preserves_pruning(spark, tmp_path):
+    """The lifecycle compact_table exists for: a foreachBatch streaming
+    append accumulates small files into a hive-partitioned table;
+    compaction must shrink the file count WITHOUT breaking the partition
+    pruning + pushed range filter the flagship window query relies on,
+    and without changing a single row."""
+    from gwasdb_spark.streaming.events import (
+        foreach_batch_append,
+        read_events_stream,
+    )
+
+    out_dir = str(tmp_path / "events_tbl")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_events_stream(spark, f"{SF_DIR}/events.parquet").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+
+    def _write(batch_df, batch_id):
+        batch_df.write.mode("append").partitionBy("event_type").parquet(out_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # amplify small files with two more appends (replayed micro-batches)
+    src = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    for _ in range(2):
+        src.selectExpr(
+            "event_id + 1000000 as event_id", "user_id", "event_type",
+            "timestamp_micros(ts div 1000) as ts", "value",
+        ).repartition(8).write.mode("append").partitionBy("event_type").parquet(out_dir)
+
+    before = {tuple(r) for r in spark.read.parquet(out_dir).collect()}
+    stats = compact_table(spark, out_dir)
+    assert stats["files_after"] < stats["files_before"]
+    after = {tuple(r) for r in spark.read.parquet(out_dir).collect()}
+    assert after == before
+
+    window = (
+        spark.read.parquet(out_dir)
+        .filter(
+            (F.col("event_type") == "click")
+            & (F.col("value") > 10.0)
+        )
+        .select("event_id", "value")
+    )
+    plan = window._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("event_type" in ln for ln in pf), pf
+    assert any(
+        "GreaterThan(value" in ln for ln in plan.splitlines() if "PushedFilters" in ln
+    ), plan
