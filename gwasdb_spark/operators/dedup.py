@@ -37,6 +37,8 @@ Physical-plan notes (measured at sf0.1, local[32]):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -77,11 +79,26 @@ def _tokenized(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Repartition up to cluster parallelism when the scan arrived with
-    fewer partitions (small local files). No-op at real input scale, where
-    the source is already split into >= defaultParallelism tasks."""
+    """Repartition up to cluster parallelism when the scan reads only a
+    few SMALL files (local test data). Decided from file metadata only —
+    `df.rdd.getNumPartitions()` would force an RDD conversion of the
+    analyzed plan on every pipeline build. No-op at real input scale
+    (many files, or few-but-large files that the reader already splits
+    by spark.sql.files.maxPartitionBytes) and for non-file frames."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df
+    if not files or len(files) >= target:
+        return df
+    from urllib.parse import urlparse
+
+    try:
+        total = sum(os.path.getsize(urlparse(f).path) for f in files)
+    except OSError:
+        return df
+    if total < 128 * 1024 * 1024:  # under one default maxPartitionBytes
         return df.repartition(target)
     return df
 
@@ -374,3 +391,36 @@ def keep_first_per_cluster(df: DataFrame, pairs: DataFrame, id_col: str) -> Data
     iterative extension)."""
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
+
+
+def contaminated_docs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark-contamination scan: corpus documents sharing at least one
+    word n-gram with any benchmark document, with the count of distinct
+    shared shingles — the train/eval leakage check every training-data
+    pipeline runs before a model ships.
+
+    Scale shape: both sides reduce to (doc, 8-byte shingle hash) rows
+    before any join; the benchmark side collapses to a DISTINCT hash set
+    and broadcasts (benchmark suites are fixed-size by nature — this is a
+    dim-table broadcast, not an sf-proportional one). The corpus is
+    touched once; shuffle volume is the hit set, not the corpus."""
+    c = _exploded_shingle_hashes(corpus, id_col, text_col, n).dropDuplicates(
+        ["doc", "sh"]
+    )
+    b = (
+        _exploded_shingle_hashes(benchmark, id_col, text_col, n)
+        .select("sh")
+        .distinct()
+    )
+    return (
+        c.join(F.broadcast(b), "sh")
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+        .select(F.col("doc").alias(id_col), "n_shared_shingles")
+    )

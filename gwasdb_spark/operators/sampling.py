@@ -1,0 +1,114 @@
+"""Dataset-assembly operators for training-data pipelines: deterministic
+splits, sequence packing, per-group quotas.
+
+These are the operations between "corpus is clean" (c01) and "tokens hit
+the trainer": carve a reproducible train/val/test split, pack documents
+into fixed-token-budget rows, cap any one domain/language's share. All
+three are pure DataFrame plans — no UDFs, no driver data.
+
+Scale notes:
+- `hash_split` is a projection — embarrassingly parallel, stable under
+  repartitioning and re-runs (content-addressed, not rand()-seeded, so
+  adding new documents never reshuffles old ones across splits).
+- `packed_sequences` needs a GLOBAL running token count — the classic
+  single-task window trap. A bare `Window.orderBy(id)` serializes 100 TB
+  through one task; here the scan is two-level: per-bucket cumsums run
+  in parallel (window partitioned by a fixed-width id bucket) and only
+  the per-bucket TOTALS — thousands of rows, not documents — pass
+  through the one global window, then broadcast-join back.
+- `quota_per_group` partitions by the group key — parallel per group;
+  skewed groups are bounded by the quota itself (top-k per partition
+  can pre-prune under AQE).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def split_label(id_col: Column) -> Column:
+    """Deterministic 12/2/2-sixteenths train/val/test label from the
+    first hex nibble of md5(id-as-string). Content-addressed: the same
+    id lands in the same split in every run, on every engine (md5 hex is
+    engine-portable, unlike hash()/xxhash64 seeds)."""
+    nibble = F.substring(F.md5(id_col.cast("string").cast("binary")), 1, 1)
+    return (
+        F.when(nibble.isin("c", "d"), F.lit("val"))
+        .when(nibble.isin("e", "f"), F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+
+
+def hash_split(df: DataFrame, id_col: str) -> DataFrame:
+    """df + a `split` column (train ~75%, val ~12.5%, test ~12.5%)."""
+    return df.withColumn("split", split_label(F.col(id_col)))
+
+
+def packed_sequences(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: Column,
+    budget: int,
+    bucket_width: int = 4096,
+) -> DataFrame:
+    """Concat-and-chunk packing (GPT-style): documents concatenated in
+    id order, the token stream chunked every `budget` tokens; each doc is
+    assigned the pack where it STARTS plus its offset inside that pack.
+
+    Returns (id, n_tokens, start_offset, pack_id). The global cumsum is
+    computed two-level (see module docstring) so no single task ever
+    sees more than one id-bucket of rows."""
+    base = df.select(
+        F.col(id_col).alias("id"), tokens_col.cast("long").alias("n_tokens")
+    ).withColumn("bucket", (F.col("id") / bucket_width).cast("long"))
+
+    in_bucket = Window.partitionBy("bucket").orderBy("id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    local = base.withColumn("local_cum", F.sum("n_tokens").over(in_bucket))
+
+    totals = base.groupBy("bucket").agg(F.sum("n_tokens").alias("bucket_total"))
+    prior = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow - 1
+    )
+    # one global window over BUCKET TOTALS only (rows = #buckets)
+    offsets = totals.select(
+        "bucket",
+        F.coalesce(F.sum("bucket_total").over(prior), F.lit(0)).alias("bucket_offset"),
+    )
+
+    return (
+        local.join(F.broadcast(offsets), "bucket")
+        .select(
+            "id",
+            "n_tokens",
+            (F.col("bucket_offset") + F.col("local_cum") - F.col("n_tokens")).alias(
+                "start"
+            ),
+        )
+        .select(
+            "id",
+            "n_tokens",
+            F.pmod(F.col("start"), F.lit(budget)).alias("start_offset"),
+            (F.col("start") / budget).cast("long").alias("pack_id"),
+        )
+    )
+
+
+def quota_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_by: list[Column],
+    k: int,
+) -> DataFrame:
+    """Keep at most `k` rows per group, best-first by `order_by` (pass a
+    deterministic tiebreak as the last key). The domain/language-balance
+    primitive: no group exceeds its quota regardless of corpus skew."""
+    w = Window.partitionBy(group_col).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

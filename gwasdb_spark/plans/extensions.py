@@ -1137,3 +1137,189 @@ def x15_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("__z")) >= 2.5)
         .drop("__z")
     )
+
+
+# ---------------------------------------------------------------------------
+# dataset assembly: splits, packing, quotas, contamination
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x16_hash_split",
+    "X-sample",
+    oracle="""
+    SELECT doc_id,
+           CASE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                WHEN 'c' THEN 'val' WHEN 'd' THEN 'val'
+                WHEN 'e' THEN 'test' WHEN 'f' THEN 'test'
+                ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def x16_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-addressed train/val/test split (12/2/2
+    sixteenths of the md5 nibble space). Pure projection — parallel,
+    reproducible across runs/engines, and stable under corpus growth
+    (new ids never move old ids between splits, unlike rand(seed) with
+    a changed row order)."""
+    from gwasdb_spark.operators.sampling import hash_split
+
+    d = table(spark, sf_dir, "documents")
+    return hash_split(d, "doc_id").select("doc_id", "split")
+
+
+@query(
+    "x17_pack_chunks",
+    "X-sample",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) AS start
+      FROM t
+    )
+    SELECT doc_id AS id, n_tokens,
+           CAST(start % 512 AS BIGINT) AS start_offset,
+           CAST(start // 512 AS BIGINT) AS pack_id
+    FROM c
+    """,
+)
+def x17_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (512-token budget): every doc
+    assigned the pack where it starts in the concatenated id-ordered
+    token stream. The global running count is computed two-level —
+    parallel per-id-bucket cumsums, one tiny window over bucket totals —
+    never a single-task global Window (operators/sampling.py)."""
+    from gwasdb_spark.functions import text as TX
+    from gwasdb_spark.operators.sampling import packed_sequences
+
+    d = table(spark, sf_dir, "documents")
+    return packed_sequences(
+        d, "doc_id", TX.n_tokens_ws(F.col("text")), budget=512
+    )
+
+
+@query(
+    "x18_quota_per_lang",
+    "X-sample,X-text",
+    oracle=r"""
+    WITH s AS (
+      SELECT doc_id, text,
+        CAST(len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|ein|nicht|mit)\b')) AS BIGINT) AS score_de,
+        CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is|that)\b')) AS BIGINT) AS score_en,
+        CAST(len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|un|es)\b')) AS BIGINT) AS score_es,
+        CAST(len(regexp_extract_all(lower(text), '\b(le|la|de|et|un|est|que|pour)\b')) AS BIGINT) AS score_fr
+      FROM documents
+    ),
+    lang AS (
+      SELECT doc_id, text,
+           CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+                WHEN score_de >= score_en AND score_de >= score_es
+                     AND score_de >= score_fr THEN 'de'
+                WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
+                WHEN score_es >= score_fr THEN 'es'
+                ELSE 'fr' END AS lang_pred
+      FROM s
+    ),
+    q AS (
+      SELECT doc_id, lang_pred,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws,
+             CASE WHEN length(text) > 0
+                  THEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+                            AS DOUBLE) / length(text)
+                  ELSE 0.0 END AS pr,
+             CAST(len(regexp_extract_all(lower(text),
+                  '\b(the|and|of|to|a|in|is|that)\b')) AS BIGINT) AS n_sw,
+             length(text) AS n_chars
+      FROM lang
+    ),
+    scored AS (
+      SELECT doc_id, lang_pred,
+             ROUND(
+               0.3 * (CASE WHEN n_chars BETWEEN 50 AND 20000
+                           THEN 1.0 ELSE 0.3 END)
+             + 0.4 * LEAST(
+                 (CASE WHEN n_ws > 0
+                       THEN CAST(n_sw AS DOUBLE) / n_ws ELSE 0.0 END) * 2.5,
+                 1.0)
+             + 0.3 * (1.0 - LEAST(pr * 4.0, 1.0)),
+             9) AS quality
+      FROM q
+    ),
+    ranked AS (
+      SELECT doc_id, lang_pred, quality,
+             ROW_NUMBER() OVER (PARTITION BY lang_pred
+                                ORDER BY quality DESC, doc_id) AS rn
+      FROM scored
+    )
+    SELECT doc_id, lang_pred, quality
+    FROM ranked WHERE rn <= 20
+    """,
+)
+def x18_quota_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balance quota: at most 20 docs per predicted language,
+    best-quality first (deterministic doc_id tiebreak) — lang-id +
+    quality scoring + windowed quota composed in one plan, the
+    domain-mix primitive of corpus assembly."""
+    from gwasdb_spark.functions import text as TX
+    from gwasdb_spark.operators.sampling import quota_per_group
+
+    d = table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        TX.lang_id(F.col("text")).alias("lang_pred"),
+        F.round(TX.quality_score(F.col("text")), 9).alias("quality"),
+    )
+    return quota_per_group(
+        scored, "lang_pred", [F.desc("quality"), F.asc("doc_id")], k=20
+    )
+
+
+@query(
+    "x19_contamination",
+    "X-dedup,X-sample",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(
+               list_transform(
+                 range(1, greatest(len(w) - 7, 0) + 1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                   || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6]
+                   || ' ' || w[i+7])) AS shingles
+      FROM w
+    ),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    bench AS (SELECT DISTINCT s FROM ex WHERE doc_id < 20),
+    hits AS (
+      SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_shingles
+      FROM ex e JOIN bench USING (s)
+      WHERE e.doc_id >= 20
+      GROUP BY 1
+    )
+    SELECT doc_id, n_shared_shingles FROM hits
+    """,
+)
+def x19_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: corpus docs (id >= 20) sharing any
+    8-gram word shingle with the benchmark set (id < 20), with distinct
+    shared-shingle counts. Both sides reduce to 8-byte shingle hashes;
+    the benchmark hash set broadcasts (fixed-size dim by nature). The
+    oracle joins shingle STRINGS — hash-collision-free ground truth, the
+    same discipline as x02."""
+    from gwasdb_spark.operators.dedup import contaminated_docs
+
+    d = table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") < 20)
+    corpus = d.filter(F.col("doc_id") >= 20)
+    return contaminated_docs(corpus, bench, "doc_id", "text", n=8)

@@ -1,0 +1,98 @@
+"""Dataset-assembly operators: split determinism, packing correctness
+(two-level cumsum vs naive single-window), quotas, contamination."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from gwasdb_spark.operators.sampling import (
+    hash_split,
+    packed_sequences,
+    quota_per_group,
+)
+
+
+def test_hash_split_deterministic_and_proportioned(spark):
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    a = {r.doc_id: r.split for r in hash_split(df, "doc_id").collect()}
+    b = {r.doc_id: r.split for r in hash_split(df, "doc_id").collect()}
+    assert a == b  # content-addressed: no run-to-run drift
+    from collections import Counter
+
+    frac = {k: v / 2000 for k, v in Counter(a.values()).items()}
+    assert abs(frac["train"] - 0.75) < 0.05
+    assert abs(frac["val"] - 0.125) < 0.04
+    assert abs(frac["test"] - 0.125) < 0.04
+
+
+def test_packed_sequences_matches_naive_global_window(spark):
+    """The two-level (bucketed) cumsum must equal the naive single-task
+    global window formulation exactly — including across bucket
+    boundaries (bucket_width=8 forces many boundaries)."""
+    rows = [(i, (i * 37) % 90 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+
+    got = {
+        r.id: (r.start_offset, r.pack_id)
+        for r in packed_sequences(
+            df, "doc_id", F.col("n"), budget=100, bucket_width=8
+        ).collect()
+    }
+
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    naive = {
+        r.doc_id: (r.start % 100, r.start // 100)
+        for r in df.select(
+            "doc_id", F.coalesce(F.sum("n").over(w), F.lit(0)).alias("start")
+        ).collect()
+    }
+    assert got == naive
+
+
+def test_packed_sequences_plan_has_no_global_data_window(spark):
+    """The window ordered over raw rows must be PARTITIONED (by bucket);
+    only the bucket-totals window — #buckets rows — may be global."""
+    df = spark.createDataFrame([(i, 5) for i in range(100)], "doc_id long, n long")
+    plan = (
+        packed_sequences(df, "doc_id", F.col("n"), budget=64, bucket_width=16)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    windows = [ln for ln in plan.splitlines() if "Window [" in ln or "windowspecdefinition" in ln]
+    data_windows = [ln for ln in windows if "local_cum" in ln]
+    assert data_windows and all("bucket" in ln for ln in data_windows), windows
+
+
+def test_quota_per_group_caps_and_orders(spark):
+    rows = [(i, "a" if i < 50 else "b", float(i % 10)) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, g string, q double")
+    out = quota_per_group(df, "g", [F.desc("q"), F.asc("id")], k=5).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r.g, []).append(r)
+    assert len(by_g["a"]) == 5 and len(by_g["b"]) == 5
+    # best-first: group a's survivors are all q=9 rows (ids 9,19,29,39,49)
+    assert sorted(r.id for r in by_g["a"]) == [9, 19, 29, 39, 49]
+
+
+def test_contamination_planted_overlap(spark):
+    from gwasdb_spark.operators.dedup import contaminated_docs
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, bench_text),                                  # benchmark
+        (100, "prefix " + bench_text + " suffix"),        # contains 8-grams
+        (101, "totally different words with no overlap at all here"),
+        (102, bench_text.replace("delta", "DELTA")),      # 8-gram broken
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = df.filter(F.col("doc_id") < 100)
+    corpus = df.filter(F.col("doc_id") >= 100)
+    got = {
+        r.doc_id: r.n_shared_shingles
+        for r in contaminated_docs(corpus, bench, n=8).collect()
+    }
+    assert set(got) == {100}
+    assert got[100] == 3  # benchmark doc has 3 distinct 8-grams, all shared
