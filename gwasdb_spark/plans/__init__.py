@@ -60,9 +60,14 @@ _PRIORITY = [
     "x13_sketch_aggregates",
     "x14_asof_join",
     "x15_value_outliers",
-    # new this round (registered in extensions.py / relational.py)
-    "st07_stream_stream_left_outer",
-    "x12b_bm25_search_and",
+    # new this round (registered in extensions.py)
+    "x12b_bm25_and",
+    "x12c_bm25_phrase",
+    "st07_stream_left_outer_join",
+    "x16_hash_split",
+    "x17_pack_chunks",
+    "x18_quota_per_lang",
+    "x19_contamination",
     # plans changed this round → re-verify under the new shape
     "a04_pivot_wide",
     "q03_shipping_priority",
