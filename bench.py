@@ -40,8 +40,15 @@ HEADLINE = [
     "x08_fingerprint",
     "x10b_embedding_neardup_lsh",
     "x12_bm25_search",
+    "x12c_bm25_phrase",
     "x14_asof_join",
     "e01_json_props",
+    # st07 (stream-stream LEFT OUTER) is correctness-gated, not benched:
+    # its bounded-replay wall time is dominated by per-micro-batch state
+    # store commits (3 batches x 32 partitions), which measures harness
+    # replay overhead, not steady-state join throughput.
+    "x17_pack_chunks",
+    "x19_contamination",
 ]
 
 
