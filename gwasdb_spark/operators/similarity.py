@@ -145,13 +145,21 @@ def hyperplane_lsh_topk(
     bands: int = 4,
     bits_per_band: int = 8,
     seed: int = 42,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Approximate cosine top-k: random-hyperplane LSH bucketing, exact
     cosine re-scoring within buckets.
 
     Recall is tunable via bands (more bands = more probes = higher recall);
     at bands*bits_per_band total hyperplanes, a query and corpus vector
-    collide if any band's bits match exactly."""
+    collide if any band's bits match exactly.
+
+    `multiprobe=True` additionally probes, per band, every bucket whose
+    key differs from the query's in ONE bit — the hyperplanes most likely
+    to have mis-bucketed a true neighbor. Amplification is QUERY-side
+    only (queries × (1+bits) band rows; the corpus index is untouched),
+    lifting mid-similarity recall at bounded candidate cost — the
+    classic multi-probe LSH trade."""
     planes = _hyperplanes(dim, bands * bits_per_band, seed)
     q = _banded_vectorized(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
@@ -160,6 +168,20 @@ def hyperplane_lsh_topk(
         planes,
         bands,
     )
+    if multiprobe:
+        probes = F.array(
+            F.col("band_key"),
+            *[
+                F.col("band_key").bitwiseXOR(F.lit(1 << j))
+                for j in range(bits_per_band)
+            ],
+        )
+        q = q.select(
+            "query_id",
+            "q_vec",
+            "band_idx",
+            F.explode(probes).alias("band_key"),
+        )
     c = _banded_vectorized(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
         "neighbor_id",

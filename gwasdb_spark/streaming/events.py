@@ -141,6 +141,40 @@ def foreach_batch_append(sdf: DataFrame, out_dir: str, checkpoint_dir: str):
     )
 
 
+def foreach_batch_enrich_append(
+    sdf: DataFrame,
+    dim_path: str,
+    join_key: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Stream⋈slowly-changing-dimension enrichment — the foreachBatch
+    broadcast-refresh pattern. A plain stream-static join binds the
+    dimension ONCE at query start; re-reading it inside foreachBatch
+    re-resolves files every micro-batch, so dimension updates (new
+    parquet snapshot dropped at `dim_path`) take effect at the next
+    batch boundary without restarting the stream.
+
+    The dimension is broadcast per batch (dims are fixed-size by nature);
+    left join keeps stream rows whose key has no dim row yet."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        dim = spark.read.parquet(dim_path)
+        (
+            batch_df.join(F.broadcast(dim), join_key, "left")
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    return (
+        sdf.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_dir_with_flush(
     path: str,
     margin: str = "30 minutes",

@@ -170,3 +170,41 @@ def test_ivf_kmeans_cell_occupancy(spark, neardup_corpus):
     total = sum(r["count"] for r in occ)
     assert len(occ) >= n_cells // 2, f"only {len(occ)} of {n_cells} cells populated"
     assert max(r["count"] for r in occ) <= 0.5 * total, "one cell dominates"
+
+
+@pytest.fixture(scope="module")
+def midsim_corpus(spark):
+    """100 random unit vectors + 20 moderately-perturbed copies
+    (cosine ≈ 0.78) — the regime where single-probe LSH recall sags and
+    multi-probe is supposed to recover it."""
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((100, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    for j in range(20):
+        # noise norm ≈ 0.1·√64 = 0.8 → cosine ≈ 1/√(1+0.64) ≈ 0.78
+        v = base[j] + 0.1 * rng.standard_normal(64)
+        v /= np.linalg.norm(v)
+        rows.append((1000 + j, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_multiprobe_lifts_midsim_recall(spark, midsim_corpus):
+    """Probing the 1-bit-flip neighbor buckets must retrieve at least as
+    many true nearest neighbors as single-probe at the same band
+    parameters, and must meet a recall bar single-probe is not held to."""
+    queries = midsim_corpus.filter(F.col("vec_id") >= 1000)
+
+    def recall(multiprobe):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in hyperplane_lsh_topk(
+                queries, midsim_corpus, k=5,
+                dim=64, bands=4, bits_per_band=8, multiprobe=multiprobe,
+            ).collect()
+        }
+        return sum(1 for j in range(20) if (1000 + j, j) in got) / 20
+
+    single, multi = recall(False), recall(True)
+    assert multi >= single, (single, multi)
+    assert multi >= 0.8, (single, multi)

@@ -170,3 +170,51 @@ def test_left_outer_join_emits_nulls_on_watermark_eviction(spark, tmp_path):
     # user 9's own eviction never fires (watermark ends before its
     # interval closes) but the match already emitted
     assert got == {(1, 1, None), (9, 3, 4)}, got
+
+
+def test_foreach_batch_dim_refresh(spark, tmp_path):
+    """The broadcast-refresh enrichment must pick up a changed dimension
+    at the next micro-batch: two availableNow runs share one checkpoint
+    (so batch 1 is not replayed); the dimension snapshot is swapped
+    between them; rows from each run carry the dimension AS OF their
+    batch."""
+    import os
+    import pandas as pd
+
+    from gwasdb_spark.streaming.events import foreach_batch_enrich_append
+
+    d = str(tmp_path / "in"); os.makedirs(d)
+    dim_path = str(tmp_path / "dim")
+    out = str(tmp_path / "out"); ckpt = str(tmp_path / "ckpt")
+
+    def write_events(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        pdf["ts"] = pdf["ts"].astype("int64")
+        pdf.to_parquet(os.path.join(d, name))
+
+    def write_dim(tier):
+        spark.createDataFrame(
+            [(1, tier)], "user_id long, tier string"
+        ).write.mode("overwrite").parquet(dim_path)
+
+    base = 1_700_000_000 * 1_000_000_000
+    write_dim("bronze")
+    write_events("a.parquet", [(1, base, 1, "click", 1.0, "{}")])
+    q = foreach_batch_enrich_append(
+        read_events_stream(spark, d).select("event_id", "user_id"),
+        dim_path, "user_id", out, ckpt,
+    )
+    q.awaitTermination()
+
+    write_dim("gold")  # dimension changes between batches
+    write_events("b.parquet", [(2, base + 10**9, 1, "click", 1.0, "{}")])
+    q = foreach_batch_enrich_append(
+        read_events_stream(spark, d).select("event_id", "user_id"),
+        dim_path, "user_id", out, ckpt,
+    )
+    q.awaitTermination()
+
+    got = {r.event_id: r.tier for r in spark.read.parquet(out).collect()}
+    assert got == {1: "bronze", 2: "gold"}, got
