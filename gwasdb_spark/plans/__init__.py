@@ -68,6 +68,7 @@ _PRIORITY = [
     "x17_pack_chunks",
     "x18_quota_per_lang",
     "x19_contamination",
+    "x20_range_join",
     # plans changed this round → re-verify under the new shape
     "a04_pivot_wide",
     "q03_shipping_priority",

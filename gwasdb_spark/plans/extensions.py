@@ -1323,3 +1323,35 @@ def x19_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = d.filter(F.col("doc_id") < 20)
     corpus = d.filter(F.col("doc_id") >= 20)
     return contaminated_docs(corpus, bench, "doc_id", "text", n=8)
+
+
+@query(
+    "x20_range_join",
+    "X-sample,J-interval",
+    oracle="""
+    SELECT c.event_id AS click_id, e.event_id AS error_id
+    FROM events c JOIN events e
+      ON e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 5 MINUTE
+    WHERE c.event_type = 'click' AND e.event_type = 'error'
+    """,
+)
+def x20_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join (NO equi-key): every click paired with every error
+    in the following 5 minutes, across ALL users. Spark's native plan for
+    this is BroadcastNestedLoopJoin — O(|L|*|R|) and broadcast-bound; the
+    bucketed operator manufactures a gap-width time-bucket equi-key
+    (left probes 2 buckets) so it runs as a plain shuffled equi-join,
+    O(2|L|+|R|) shuffle (operators/range_join.py; plan-asserted no
+    nested loop in tests/test_range_join.py)."""
+    from gwasdb_spark.operators.range_join import range_join_bucketed
+
+    e = table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), F.col("ts").alias("e_ts")
+    )
+    return range_join_bucketed(
+        clicks, errors, "c_ts", "e_ts", max_gap_seconds=300
+    ).select("click_id", "error_id")
