@@ -141,6 +141,46 @@ def foreach_batch_append(sdf: DataFrame, out_dir: str, checkpoint_dir: str):
     )
 
 
+def foreach_batch_upsert_rollup(
+    rollup_updates: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    partition_cols: tuple[str, ...] = ("hour", "event_type"),
+):
+    """Continuous-aggregate maintenance: an UPDATE-mode streaming
+    aggregation emits the new cumulative row for every (hour, event_type)
+    key a micro-batch touched; dynamic partition overwrite replaces
+    exactly those keys' directories in the serving table — a key-grain
+    upsert on plain parquet (Delta MERGE is the transactional twin).
+
+    The serving table is always directly queryable (no final merge step)
+    and the write cost per batch is proportional to TOUCHED keys, not
+    table size — the timescale-style hypertable rollup shape."""
+
+    def _up(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                batch_df.write.mode("overwrite")
+                .partitionBy(*partition_cols)
+                .parquet(out_dir)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    return (
+        rollup_updates.writeStream.foreachBatch(_up)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def foreach_batch_enrich_append(
     sdf: DataFrame,
     dim_path: str,
