@@ -1355,3 +1355,146 @@ def x20_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return range_join_bucketed(
         clicks, errors, "c_ts", "e_ts", max_gap_seconds=300
     ).select("click_id", "error_id")
+
+
+# ---------------------------------------------------------------------------
+# corpus vocabulary & scrubbing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x21_top_terms",
+    "X-text",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok WHERE token <> '' GROUP BY 1, 2
+    ),
+    dfq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    r AS (
+      SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf DESC, dfq.df ASC,
+                                         tf.token ASC) AS term_rank
+      FROM tf JOIN dfq USING (token)
+    )
+    SELECT doc_id, token, tf, df, CAST(term_rank AS BIGINT) AS term_rank
+    FROM r WHERE term_rank <= 5
+    """,
+)
+def x21_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document salient terms: top-5 by (tf desc, df asc, token) —
+    the tf-idf ordering expressed integer-only, so ranks are
+    bit-identical across engines (no log() floats). tf and df are two
+    partial-aggregated shuffles; the tf⋈df token join leaves stop-word
+    skew to AQE skew-splitting (operators/vocab.py scale notes)."""
+    from gwasdb_spark.operators.vocab import top_terms_per_doc
+
+    d = table(spark, sf_dir, "documents")
+    return top_terms_per_doc(d, "doc_id", "text", k=5).withColumn(
+        "term_rank", F.col("term_rank").cast("long")
+    )
+
+
+@query(
+    "x22_vocabulary",
+    "X-text",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+      FROM documents
+    ),
+    stats AS (
+      SELECT token,
+             CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM tok WHERE token <> '' GROUP BY 1
+    )
+    SELECT token, n_occurrences, n_docs,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token)
+                AS BIGINT) AS vocab_rank
+    FROM stats
+    ORDER BY vocab_rank LIMIT 40
+    """,
+)
+def x22_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-40 tokens by occurrence count with
+    document frequency. The head is taken with TakeOrdered (parallel
+    per-partition top-n) BEFORE the rank window, so the un-partitioned
+    row_number only ever sees 40 rows — never the full vocabulary
+    (operators/vocab.py)."""
+    from gwasdb_spark.operators.vocab import vocabulary
+
+    d = table(spark, sf_dir, "documents")
+    return vocabulary(d, "doc_id", "text", top_n=40).withColumn(
+        "vocab_rank", F.col("vocab_rank").cast("long")
+    )
+
+
+@query(
+    "x23_scrub_boilerplate",
+    "X-text,F-regex",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\b(the|a|value|table|row)\b'))
+                AS BIGINT) AS n_scrubbed,
+           md5(trim(regexp_replace(
+                 regexp_replace(text, '\b(the|a|value|table|row)\b', '', 'g'),
+                 '\s+', ' ', 'g'))) AS clean_hash,
+           CAST(length(trim(regexp_replace(
+                 regexp_replace(text, '\b(the|a|value|table|row)\b', '', 'g'),
+                 '\s+', ' ', 'g'))) AS BIGINT) AS clean_len
+    FROM documents
+    """,
+)
+def x23_scrub_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern scrub / redaction audit: strip a stop-phrase pattern set,
+    emit per-doc match count, md5 of the scrubbed text, and its length.
+    Pure codegen projection in the scan stage. The same operator does
+    PII-style tagging (\\b\\d{3}[-.]... -> '<PHONE>') — exercised with
+    real email/phone fixtures in tests/test_vocab.py; patterns stay in
+    the RE2-compatible subset for Java/DuckDB parity
+    (operators/vocab.py scrub_patterns)."""
+    from gwasdb_spark.operators.vocab import scrub_patterns
+
+    d = table(spark, sf_dir, "documents")
+    return scrub_patterns(
+        d, "text", [(r"\b(the|a|value|table|row)\b", "")]
+    ).select(
+        "doc_id",
+        "n_scrubbed",
+        F.md5(F.col("clean_text").cast("binary")).alias("clean_hash"),
+        F.length("clean_text").cast("long").alias("clean_len"),
+    )
+
+
+@query(
+    "x24_reservoir_per_lang",
+    "X-sample",
+    oracle=r"""
+    SELECT doc_id, lang, CAST(sample_rank AS BIGINT) AS sample_rank
+    FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                         doc_id) AS sample_rank
+      FROM documents
+    ) WHERE sample_rank <= 15
+    """,
+)
+def x24_reservoir_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 15-doc sample per language: rows ranked inside each
+    group by md5(id) — an engine-portable pseudo-random order, so the
+    draw is reproducible across runs, engines, and partitionings (no
+    rand() seed drift). One per-group window scan, no global sort
+    (operators/vocab.py reservoir_per_group)."""
+    from gwasdb_spark.operators.vocab import reservoir_per_group
+
+    d = table(spark, sf_dir, "documents")
+    return reservoir_per_group(d, "lang", "doc_id", k=15).select(
+        "doc_id", "lang", F.col("sample_rank").cast("long").alias("sample_rank")
+    )

@@ -1391,3 +1391,45 @@ def q02s_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
           )
         """
     )
+
+
+@query(
+    "q04_order_priority",
+    "J-semi,A-group",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 adapted to the test schema (lineitem has no
+    commit/receipt dates — 'late line' is shipdate > orderdate + 60d):
+    order-priority counts for one quarter of orders having at least one
+    late line. The EXISTS is a LEFT SEMI join whose condition references
+    both sides; the quarter filter prunes orders at the scan BEFORE the
+    shuffle, and the semi join deduplicates lineitem matches without
+    materializing them — no DISTINCT pass. At 100x, AQE picks sort-merge
+    on the (orderkey) shuffle; no broadcast hint (both sides are
+    SF-proportional)."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    l = table(spark, sf_dir, "lineitem")
+    late = o.join(
+        l,
+        (l["l_orderkey"] == o["o_orderkey"])
+        & (l["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 60 DAY")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
