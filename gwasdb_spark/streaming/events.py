@@ -141,6 +141,50 @@ def foreach_batch_append(sdf: DataFrame, out_dir: str, checkpoint_dir: str):
     )
 
 
+def foreach_batch_exactly_once(sdf: DataFrame, out_dir: str, checkpoint_dir: str):
+    """Exactly-once micro-batch append WITHOUT a transactional table
+    format: stage-then-rename keyed by the deterministic batch_id.
+
+    Structured Streaming replays a micro-batch with the SAME batch_id
+    after failure, so exactly-once = make the write idempotent per
+    batch_id:
+    1. a replayed, already-committed batch_id is a no-op (the `_SUCCESS`
+       marker in its final directory is the commit record);
+    2. otherwise write to `out_dir/_staging/batch_id=N` (underscore-
+       prefixed → invisible to Spark's file listing) and atomically
+       rename into `out_dir/batch_id=N`.
+
+    A crash before the rename leaves only staging garbage (overwritten on
+    replay); after the rename, the replay hits the no-op branch. Readers
+    (`spark.read.parquet(out_dir)`) only ever see fully-committed batch
+    directories. This is the upgrade of foreach_batch_append's
+    at-least-once contract, with the same caveat flipped: rename is the
+    commit primitive, so the target must be a filesystem with atomic
+    rename (HDFS/local; on S3 the rename becomes a manifest commit —
+    which is what Delta/Iceberg provide natively).
+    """
+    import shutil
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        final = os.path.join(out_dir, f"batch_id={batch_id}")
+        if os.path.exists(os.path.join(final, "_SUCCESS")):
+            return  # replayed batch already committed
+        staging = os.path.join(out_dir, "_staging", f"batch_id={batch_id}")
+        if os.path.exists(staging):
+            shutil.rmtree(staging)  # partial write from a crashed attempt
+        batch_df.write.mode("overwrite").parquet(staging)
+        if os.path.exists(final):
+            shutil.rmtree(final)  # committed-but-unmarked partial: replace
+        os.rename(staging, final)
+
+    return (
+        sdf.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def foreach_batch_upsert_rollup(
     rollup_updates: DataFrame,
     out_dir: str,
