@@ -179,11 +179,31 @@ def ngram_jaccard_pairs(
     pair explode → count shared → jaccard from exact per-doc shingle
     counts (computed narrow, no shuffle). Jaccard is an exact integer
     ratio — engine-portable without rounding."""
-    exploded = _exploded_shingle_hashes(df, id_col, text_col, n)
-    # collect_set (set semantics absorb repeated shingles within a doc) is
-    # safe here: the frequency prune bounds every retained group at
-    # max_shingle_docs elements. Singleton shingles produce no pairs —
-    # dropping them kills most of the explode volume.
+    # Explicit repartition by shingle hash: BOTH consumers (pair buckets,
+    # per-doc sizes) sit directly above this one exchange, whose subtree —
+    # scan + tokenize + shingle-hash explode — is fully deterministic, so
+    # the physical planner dedupes it (ReusedExchange): the document
+    # pipeline runs ONCE and its shuffle is written once, read twice.
+    # (Letting each groupBy plant its own exchange instead computes the
+    # whole pipeline per consumer: collect_set is flagged nondeterministic,
+    # which disqualifies any exchange containing it from reuse, and
+    # RemoveRedundantAggregates strips a pre-distinct under collect_set —
+    # both reuse-via-aggregate routes are dead ends. Plan-asserted in
+    # tests/test_plan_shape.py.)
+    #
+    # The explicit isNotNull matters for the same reason: the sizes⋈shared
+    # inner join infers IsNotNull(id) and pushes it into ONE branch's scan;
+    # stating it up front keeps both subtrees byte-identical so the
+    # exchange canonicalizes equal.
+    exploded = _exploded_shingle_hashes(
+        df.filter(F.col(id_col).isNotNull()), id_col, text_col, n
+    ).repartition("sh")
+    # collect_set absorbs repeated shingles within a doc (set semantics);
+    # the input is already sh-partitioned so this aggregates without a
+    # further exchange. The frequency prune bounds every retained group at
+    # max_shingle_docs elements (quadratic-blowup guard); singleton
+    # shingles produce no pairs — dropping them kills most of the explode
+    # volume.
     bounded = (
         exploded.groupBy("sh")
         .agg(F.array_sort(F.collect_set("doc")).alias("docs"))
@@ -194,8 +214,9 @@ def ngram_jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
-    # Exact distinct-shingle count per doc; partial-aggregates map-side on
-    # (doc, sh) before the exchange, so the shuffle stays skinny.
+    # Exact distinct-shingle count per doc; the partial distinct-aggregate
+    # dedupes (doc, sh) map-side on the reused shuffle before the skinny
+    # (long, long) exchange by doc.
     sizes = exploded.groupBy("doc").agg(
         F.count_distinct("sh").alias("n_shingles")
     )

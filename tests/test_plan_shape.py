@@ -77,3 +77,20 @@ def test_dedup_shuffles_hashes_not_text(spark):
     # self-join of the exploded shingle table may appear
     assert "xxhash64" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ngram_jaccard_reuses_shingle_exchange(spark):
+    """The shingle pipeline (scan + tokenize + hash explode) must be
+    computed ONCE: both consumers (pair buckets, per-doc sizes) read the
+    same repartition("sh") exchange, so the final AQE plan shows a
+    ReusedExchange of the REPARTITION_BY_COL shuffle. Regression guard for
+    the two reuse blockers: collect_set's nondeterminism and the inferred
+    IsNotNull pushdown diverging one branch's scan."""
+    df = QUERIES["x02_ngram_jaccard_pairs"].fn(spark, SF_DIR)
+    # collect() (small at test SF) executes THIS df's QueryExecution; a
+    # noop write would execute a copy and leave df's own AQE plan unfinalized
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final
+    reused = [ln for ln in final.splitlines() if "ReusedExchange" in ln]
+    assert any("REPARTITION_BY_COL" in ln for ln in reused), reused
