@@ -91,6 +91,8 @@ def bm25_topk(
     k: int = 10,
     mode: str = "or",
     max_df_fraction: float | None = None,
+    boosts: dict[str, float] | None = None,
+    phrases: list[list[str]] | None = None,
 ) -> DataFrame:
     """BM25 top-k documents for a query.
 
@@ -102,7 +104,17 @@ def bm25_topk(
     mode='and' keeps only docs matching every distinct query term;
     mode='phrase' keeps only docs where the terms appear adjacent in
     order (ranked by constituent-term BM25). `max_df_fraction` prunes
-    terms present in more than that fraction of the corpus."""
+    terms present in more than that fraction of the corpus.
+
+    `boosts` maps terms to query-side weights (default 1.0): each term's
+    BM25 contribution is multiplied by its boost — the weight travels in
+    the broadcast terms relation, so boosting changes only a literal in
+    the plan, not its shape.
+
+    `phrases` (list of term lists) requires ALL the given phrases to
+    occur adjacently in a doc, each enforced by its own positional-join
+    semi-filter, while ranking stays BM25 over `query_terms` — the
+    multi-phrase AND filter-then-rank shape. Composable with any mode."""
     if mode not in ("or", "and", "phrase"):
         raise ValueError(f"mode must be or|and|phrase, got {mode!r}")
     spark = df.sparkSession
@@ -116,10 +128,19 @@ def bm25_topk(
         doclen.agg((F.sum("dl") / F.count(F.lit(1))).alias("avgdl"))
     )
 
-    terms = spark.createDataFrame([(t,) for t in terms_lc], "term string")
+    boosts_lc = {t.lower(): float(w) for t, w in (boosts or {}).items()}
+    terms = spark.createDataFrame(
+        [(t, boosts_lc.get(t, 1.0)) for t in terms_lc], "term string, boost double"
+    )
     hit = postings.join(F.broadcast(terms), "term")  # postings prune
     if mode == "phrase":
         hit = hit.join(_phrase_docs(df, terms_lc, id_col, text_col), "doc", "left_semi")
+    for phrase in phrases or []:
+        hit = hit.join(
+            _phrase_docs(df, [t.lower() for t in phrase], id_col, text_col),
+            "doc",
+            "left_semi",
+        )
     df_counts = hit.groupBy("term").agg(F.count_distinct("doc").alias("df_t"))
 
     idf = F.log(
@@ -138,7 +159,8 @@ def bm25_topk(
         per_term.select(
             "doc",
             (
-                idf
+                F.col("boost")
+                * idf
                 * (F.col("tf") * (K1 + 1))
                 / (
                     F.col("tf")

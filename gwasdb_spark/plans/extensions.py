@@ -1498,3 +1498,129 @@ def x24_reservoir_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reservoir_per_group(d, "lang", "doc_id", k=15).select(
         "doc_id", "lang", F.col("sample_rank").cast("long").alias("sample_rank")
     )
+
+
+@query(
+    "x12d_bm25_boosted",
+    "X-text,X-search",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id AS doc,
+             unnest(string_split_regex(lower(trim(text)), '[^a-z0-9]+')) AS term
+      FROM documents
+    ),
+    postings AS (
+      SELECT doc, term, COUNT(*) AS tf FROM toks WHERE term <> ''
+      GROUP BY 1, 2
+    ),
+    doclen AS (SELECT doc, SUM(tf) AS dl FROM postings GROUP BY 1),
+    consts AS (
+      SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+             (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) FROM doclen) AS avgdl
+    ),
+    q(term, boost) AS (VALUES ('hash', 2.0), ('join', 1.0), ('vector', 0.5)),
+    hit AS (SELECT p.doc, p.term, p.tf, q.boost FROM postings p JOIN q USING (term)),
+    dfc AS (SELECT term, COUNT(DISTINCT doc) AS df_t FROM hit GROUP BY 1),
+    scored AS (
+      SELECT doc,
+             SUM(boost * ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+                 * (tf * 2.2)
+                 / (tf + 1.2 * (1 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+             ) AS score
+      FROM hit JOIN dfc USING (term) JOIN doclen USING (doc) CROSS JOIN consts
+      GROUP BY doc
+    )
+    SELECT doc AS doc_id, ROUND(score, 6) AS score, CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT doc, score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def x12d_bm25_boosted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-side term weighting: per-term boosts (hash x2, vector x0.5)
+    multiply each term's BM25 contribution. The boost travels inside the
+    broadcast terms relation — identical plan shape to x12, different
+    literals — so relevance tuning never re-plans the query."""
+    from gwasdb_spark.operators.search import bm25_topk
+
+    d = table(spark, sf_dir, "documents")
+    return bm25_topk(
+        d,
+        ["hash", "join", "vector"],
+        "doc_id",
+        "text",
+        k=10,
+        boosts={"hash": 2.0, "vector": 0.5},
+    )
+
+
+@query(
+    "x12e_bm25_multiphrase",
+    "X-text,X-search",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id AS doc,
+             unnest(string_split_regex(lower(trim(text)), '[^a-z0-9]+')) AS term
+      FROM documents
+    ),
+    postings AS (
+      SELECT doc, term, COUNT(*) AS tf FROM toks WHERE term <> ''
+      GROUP BY 1, 2
+    ),
+    doclen AS (SELECT doc, SUM(tf) AS dl FROM postings GROUP BY 1),
+    consts AS (
+      SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+             (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) FROM doclen) AS avgdl
+    ),
+    p1 AS (
+      SELECT doc_id AS doc FROM documents
+      WHERE regexp_matches(lower(text),
+                           '(^|[^a-z0-9])sort[^a-z0-9]+merge([^a-z0-9]|$)')
+    ),
+    p2 AS (
+      SELECT doc_id AS doc FROM documents
+      WHERE regexp_matches(lower(text),
+                           '(^|[^a-z0-9])table[^a-z0-9]+scan([^a-z0-9]|$)')
+    ),
+    q(term) AS (VALUES ('sort'), ('merge'), ('table'), ('scan')),
+    hit AS (
+      SELECT p.doc, p.term, p.tf
+      FROM postings p JOIN q USING (term)
+           JOIN p1 USING (doc) JOIN p2 USING (doc)
+    ),
+    dfc AS (SELECT term, COUNT(DISTINCT doc) AS df_t FROM hit GROUP BY 1),
+    scored AS (
+      SELECT doc,
+             SUM(ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+                 * (tf * 2.2)
+                 / (tf + 1.2 * (1 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+             ) AS score
+      FROM hit JOIN dfc USING (term) JOIN doclen USING (doc) CROSS JOIN consts
+      GROUP BY doc
+    )
+    SELECT doc AS doc_id, ROUND(score, 6) AS score, CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT doc, score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def x12e_bm25_multiphrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-phrase AND: docs must contain BOTH "sort merge" and
+    "table scan" adjacently (each phrase its own positional-join
+    semi-filter on pruned single-term postings), ranked by BM25 over the
+    constituent terms. The filter-then-rank shape for compound queries."""
+    from gwasdb_spark.operators.search import bm25_topk
+
+    d = table(spark, sf_dir, "documents")
+    return bm25_topk(
+        d,
+        ["sort", "merge", "table", "scan"],
+        "doc_id",
+        "text",
+        k=10,
+        phrases=[["sort", "merge"], ["table", "scan"]],
+    )
