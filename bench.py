@@ -49,6 +49,10 @@ HEADLINE = [
     # replay overhead, not steady-state join throughput.
     "x17_pack_chunks",
     "x19_contamination",
+    "q04_order_priority",
+    "x21_top_terms",
+    "x23_scrub_boilerplate",
+    "x24_reservoir_per_lang",
 ]
 
 

@@ -74,16 +74,16 @@ _PRIORITY = [
     "x23_scrub_boilerplate",
     "x24_reservoir_per_lang",
     "q04_order_priority",
-    # plans changed this round → re-verify under the new shape. p08 /
-    # j08 / w01 yield the window seats to the five new queries above:
-    # their round-2 edits were plan-shape-only (hint removal, assertion
-    # tightening — results unchanged), they hold green r01 driver rows,
-    # and the in-repo oracle gate re-checks them every run. a04 keeps a
-    # seat because its RESULT semantics changed (sparse-pivot cells now
-    # coalesce to 0).
+    "x12d_bm25_boosted",
+    "x12e_bm25_multiphrase",
+    # a04 re-verifies under its CHANGED result semantics (sparse-pivot
+    # cells now coalesce to 0). The other round-2 plan edits (q03 / q05
+    # hint removal, p08 / j08 / w01 assertion tightening) left results
+    # unchanged, hold green r01 driver rows, and are re-checked by the
+    # in-repo oracle gate every run — they yield their window seats so
+    # that every query ever registered has a hard driver row in r01 or
+    # r02.
     "a04_pivot_wide",
-    "q03_shipping_priority",
-    "q05_local_supplier_volume",
 ]
 
 _rest = [n for n in QUERIES if n not in _PRIORITY]
