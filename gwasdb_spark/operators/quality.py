@@ -1,0 +1,160 @@
+"""Corpus-quality operators: repetition signals, vocabulary capping,
+length histograms.
+
+The repetition family implements the classic pre-training corpus gates
+(duplicate-token / duplicate-bigram / top-token fractions — the signals
+behind "Gopher rules"-style repetition filters) as pure DataFrame plans;
+`cap_vocabulary` rewrites the long tail of the token distribution to an
+`<unk>` sentinel — the corpus-side half of a fixed-vocabulary tokenizer
+prep. Complements functions/text.py (per-doc scalar stats) and
+operators/vocab.py (corpus vocabulary); reference analogue: the QC
+flag/filter columns of the marker pipeline (R/wrangle_data.Rmd:96-118)
+applied to text.
+
+Scale notes (the 100 TB contract):
+- All statistics shuffle (doc, token) pairs or per-doc rows — never full
+  document text. Fractions divide exact integer counts once at the end,
+  so oracle hash parity holds regardless of partitioning.
+- Bigram stats come from a `lead()` window PARTITIONED BY doc — parallel
+  per document, no cross-doc state; duplicate-token stats are two
+  partial-aggregated shuffles (by (doc, token), then by doc).
+- `cap_vocabulary`'s kept-set is a TakeOrderedAndProject head (parallel
+  per-partition top-n, bounded by `max_vocab`) broadcast to the token
+  stream — the full vocabulary (unbounded at scale: the rare-token tail
+  grows with the corpus) is never collected, sorted globally, or
+  window-ranked. Document reassembly groups by doc with an array_sort
+  over (pos, token) structs — per-doc memory is one document's tokens,
+  the same bound any reader of the row already pays.
+- ANSI mode: every fraction is `when(denominator > 0)`-guarded; docs
+  with no tokens produce no explode rows and drop out of all outputs
+  (same as the SQL oracle's unnest).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["positional_tokens", "repetition_signals", "cap_vocabulary"]
+
+UNK = "<unk>"
+
+
+def positional_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, pos, token) whitespace tokens with split-array positions —
+    the positional twin of vocab.explode_tokens (same word boundaries)."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias(
+            "pos", "token"
+        ),
+    ).filter(F.col("token") != "")
+
+
+def repetition_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dup_token_frac: float = 0.6,
+    max_top_token_frac: float = 0.2,
+    max_dup_bigram_frac: float = 0.4,
+) -> DataFrame:
+    """Per-document repetition diagnostics + a pass/fail gate.
+
+    Columns: n_tokens, n_distinct_tokens, max_tf, dup_token_frac
+    (1 − distinct/total), top_token_frac (max tf / total), n_bigrams,
+    n_distinct_bigrams, dup_bigram_frac, is_repetitive (true when any
+    signal exceeds its threshold). Documents with no tokens are absent
+    (nothing to measure).
+    """
+    toks = positional_tokens(df, id_col, text_col)
+
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    token_stats = tf.groupBy(id_col).agg(
+        F.sum("tf").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct_tokens"),
+        F.max("tf").alias("max_tf"),
+    )
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    bigrams = toks.withColumn("next_token", F.lead("token").over(w))
+    bigram_stats = bigrams.filter(F.col("next_token").isNotNull()).groupBy(
+        id_col
+    ).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.countDistinct(
+            F.concat_ws(" ", F.col("token"), F.col("next_token"))
+        ).alias("n_distinct_bigrams"),
+    )
+
+    joined = token_stats.join(bigram_stats, id_col, "left")
+    n_tok_d = F.col("n_tokens").cast("double")
+    dup_tok = F.when(
+        F.col("n_tokens") > 0,
+        (F.col("n_tokens") - F.col("n_distinct_tokens")).cast("double") / n_tok_d,
+    )
+    top_tok = F.when(
+        F.col("n_tokens") > 0, F.col("max_tf").cast("double") / n_tok_d
+    )
+    dup_big = F.when(
+        F.col("n_bigrams") > 0,
+        (F.col("n_bigrams") - F.col("n_distinct_bigrams")).cast("double")
+        / F.col("n_bigrams").cast("double"),
+    )
+    return joined.select(
+        id_col,
+        "n_tokens",
+        "n_distinct_tokens",
+        "max_tf",
+        dup_tok.alias("dup_token_frac"),
+        top_tok.alias("top_token_frac"),
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+        F.coalesce(F.col("n_distinct_bigrams"), F.lit(0)).alias(
+            "n_distinct_bigrams"
+        ),
+        dup_big.alias("dup_bigram_frac"),
+        (
+            (dup_tok > F.lit(max_dup_token_frac))
+            | (top_tok > F.lit(max_top_token_frac))
+            | F.coalesce(dup_big > F.lit(max_dup_bigram_frac), F.lit(False))
+        ).alias("is_repetitive"),
+    )
+
+
+def cap_vocabulary(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_vocab: int = 40,
+) -> DataFrame:
+    """Rewrite each document keeping only the `max_vocab` most frequent
+    corpus tokens (ties: lexicographic); every other token becomes
+    ``<unk>``.
+
+    Returns (id, n_tokens, n_unk, capped_text). The kept-set is a
+    bounded TakeOrdered head (count desc, token asc) broadcast onto the
+    token stream; reassembly array_sorts (pos, token) structs per doc —
+    field extraction from the sorted struct array stays JVM-side (no
+    Python, no per-element lambda)."""
+    toks = positional_tokens(df, id_col, text_col)
+
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_occ"))
+    kept = (
+        counts.orderBy(F.col("n_occ").desc(), F.col("token"))
+        .limit(max_vocab)
+        .select("token", F.lit(True).alias("__kept"))
+    )
+    tagged = toks.join(F.broadcast(kept), "token", "left").select(
+        F.col(id_col),
+        "pos",
+        F.when(F.col("__kept").isNotNull(), F.col("token"))
+        .otherwise(F.lit(UNK))
+        .alias("out_token"),
+    )
+    sorted_arr = F.array_sort(F.collect_list(F.struct("pos", "out_token")))
+    return tagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("out_token") == UNK, 1).otherwise(0)).alias("n_unk"),
+        F.array_join(sorted_arr.getField("out_token"), " ").alias("capped_text"),
+    )

@@ -93,6 +93,7 @@ def bm25_topk(
     max_df_fraction: float | None = None,
     boosts: dict[str, float] | None = None,
     phrases: list[list[str]] | None = None,
+    proximity: bool = False,
 ) -> DataFrame:
     """BM25 top-k documents for a query.
 
@@ -114,7 +115,17 @@ def bm25_topk(
     `phrases` (list of term lists) requires ALL the given phrases to
     occur adjacently in a doc, each enforced by its own positional-join
     semi-filter, while ranking stays BM25 over `query_terms` — the
-    multi-phrase AND filter-then-rank shape. Composable with any mode."""
+    multi-phrase AND filter-then-rank shape. Composable with any mode.
+
+    `proximity=True` multiplies each doc's score by
+    ``1 + 1/(1 + min_dist)`` where min_dist is the smallest positional
+    gap between occurrences of two DISTINCT query terms in the doc —
+    term-distance decay that rewards co-located matches. Docs matching
+    fewer than two distinct terms keep multiplier 1. The pair
+    enumeration self-joins only the PRUNED positional postings per doc
+    (bounded by the query terms' in-doc occurrence counts, not doc
+    length), and the decay is fixed-order double arithmetic applied
+    before rounding, so the oracle reproduces it bit-for-bit."""
     if mode not in ("or", "and", "phrase"):
         raise ValueError(f"mode must be or|and|phrase, got {mode!r}")
     spark = df.sparkSession
@@ -177,6 +188,30 @@ def bm25_topk(
     )
     if mode == "and":
         scored = scored.filter(F.col("__n_matched") == len(set(terms_lc)))
+    if proximity:
+        qtoks = _tokens(df, id_col, text_col).join(
+            F.broadcast(terms.select("term")), "term"
+        )
+        a = qtoks.select("doc", F.col("term").alias("t1"), F.col("pos").alias("p1"))
+        b = qtoks.select("doc", F.col("term").alias("t2"), F.col("pos").alias("p2"))
+        prox = (
+            a.join(b, "doc")
+            .filter(F.col("t1") < F.col("t2"))
+            .groupBy("doc")
+            .agg(F.min(F.abs(F.col("p1") - F.col("p2"))).alias("min_dist"))
+        )
+        scored = scored.join(prox, "doc", "left").select(
+            "doc",
+            (
+                F.col("score")
+                * F.coalesce(
+                    F.lit(1.0)
+                    + F.lit(1.0) / (F.lit(1.0) + F.col("min_dist").cast("double")),
+                    F.lit(1.0),
+                )
+            ).alias("score"),
+            "__n_matched",
+        )
     w = Window.orderBy(F.desc("score"), F.asc("doc"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -12,6 +12,7 @@ from gwasdb_spark.plans.base import QUERIES, Query, query, oracle_map, query_map
 from gwasdb_spark.plans import relational as _relational  # noqa: F401
 from gwasdb_spark.plans import extensions as _extensions  # noqa: F401
 from gwasdb_spark.plans import tpch_extra as _tpch_extra  # noqa: F401
+from gwasdb_spark.plans import corpus_quality as _corpus_quality  # noqa: F401
 
 # ---------------------------------------------------------------------------
 # Registration-order priority.

@@ -1,0 +1,159 @@
+"""Corpus-quality queries: repetition gates, vocabulary capping, length
+histograms (operators/quality.py behind oracle-checked registrations).
+
+The pre-training data-prep counterpart of the reference's marker-QC
+flag/filter stage (R/wrangle_data.Rmd:96-118): measure each document,
+gate on thresholds, rewrite the corpus — all as single declarative plans
+over the `documents` table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gwasdb_spark.catalog import table
+from gwasdb_spark.operators.quality import cap_vocabulary, repetition_signals
+from gwasdb_spark.plans.base import query
+
+_SQL_TOK = r"""
+    tok AS (
+      SELECT doc_id, token, pos FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(text), '\s+')) AS token,
+               generate_subscripts(string_split_regex(trim(text), '\s+'), 1)
+                 AS pos
+        FROM documents
+      ) raw WHERE token <> ''
+    )
+"""
+
+
+@query(
+    "x25_repetition_signals",
+    "X-text,X-quality",
+    oracle=rf"""
+    WITH {_SQL_TOK},
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+    ),
+    tstats AS (
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
+             CAST(MAX(tf) AS BIGINT) AS max_tf
+      FROM tf GROUP BY 1
+    ),
+    bg AS (
+      SELECT doc_id, token,
+             LEAD(token) OVER (PARTITION BY doc_id ORDER BY pos) AS next_token
+      FROM tok
+    ),
+    bstats AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(COUNT(DISTINCT token || ' ' || next_token) AS BIGINT)
+               AS n_distinct_bigrams
+      FROM bg WHERE next_token IS NOT NULL GROUP BY 1
+    )
+    SELECT t.doc_id, t.n_tokens, t.n_distinct_tokens, t.max_tf,
+      CASE WHEN t.n_tokens > 0 THEN
+        CAST(t.n_tokens - t.n_distinct_tokens AS DOUBLE)
+          / CAST(t.n_tokens AS DOUBLE) END AS dup_token_frac,
+      CASE WHEN t.n_tokens > 0 THEN
+        CAST(t.max_tf AS DOUBLE) / CAST(t.n_tokens AS DOUBLE) END
+        AS top_token_frac,
+      COALESCE(b.n_bigrams, 0) AS n_bigrams,
+      COALESCE(b.n_distinct_bigrams, 0) AS n_distinct_bigrams,
+      CASE WHEN b.n_bigrams > 0 THEN
+        CAST(b.n_bigrams - b.n_distinct_bigrams AS DOUBLE)
+          / CAST(b.n_bigrams AS DOUBLE) END AS dup_bigram_frac,
+      ((CASE WHEN t.n_tokens > 0 THEN
+          CAST(t.n_tokens - t.n_distinct_tokens AS DOUBLE)
+            / CAST(t.n_tokens AS DOUBLE) END > 0.6)
+       OR (CASE WHEN t.n_tokens > 0 THEN
+             CAST(t.max_tf AS DOUBLE) / CAST(t.n_tokens AS DOUBLE) END > 0.2)
+       OR COALESCE(CASE WHEN b.n_bigrams > 0 THEN
+            CAST(b.n_bigrams - b.n_distinct_bigrams AS DOUBLE)
+              / CAST(b.n_bigrams AS DOUBLE) END > 0.4, FALSE))
+        AS is_repetitive
+    FROM tstats t LEFT JOIN bstats b USING (doc_id)
+    """,
+)
+def x25_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gate: duplicate-token, top-token, and
+    duplicate-bigram fractions per document plus the combined pass/fail
+    flag. Two partial-aggregated (doc, token) shuffles + one per-doc
+    lead() window — all counts exact integers, fractions divided once
+    (operators/quality.py scale notes)."""
+    d = table(spark, sf_dir, "documents")
+    return repetition_signals(d, "doc_id", "text")
+
+
+@query(
+    "x26_cap_vocabulary",
+    "X-text,X-quality",
+    oracle=rf"""
+    WITH {_SQL_TOK},
+    counts AS (SELECT token, COUNT(*) AS n_occ FROM tok GROUP BY 1),
+    kept AS (SELECT token FROM counts ORDER BY n_occ DESC, token LIMIT 40),
+    tagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN token IN (SELECT token FROM kept) THEN token
+                  ELSE '<unk>' END AS out_token
+      FROM tok
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN out_token = '<unk>' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unk,
+           string_agg(out_token, ' ' ORDER BY pos) AS capped_text
+    FROM tagged GROUP BY doc_id
+    """,
+)
+def x26_cap_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-vocabulary rewrite: keep the corpus' 40 most frequent tokens
+    (exact counts, lexicographic tiebreak), replace the tail with
+    ``<unk>``, reassemble each document in token order. The kept-set is
+    a bounded TakeOrdered head broadcast onto the token stream — the
+    unbounded rare-token tail never concentrates anywhere
+    (operators/quality.py cap_vocabulary)."""
+    d = table(spark, sf_dir, "documents")
+    return cap_vocabulary(d, "doc_id", "text", max_vocab=40)
+
+
+@query(
+    "x27_length_histogram",
+    "X-text,A-group",
+    oracle=r"""
+    WITH t AS (
+      SELECT lang,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT lang, CAST(length(bin(n_tokens)) AS BIGINT) AS log2_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+    FROM t WHERE n_tokens > 0 GROUP BY 1, 2
+    """,
+)
+def x27_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count histogram in power-of-two buckets per language — the
+    sequence-length profile that sizes packing (x17) and batching.
+    Bucket = bit-length of the token count (floor(log2)+1), computed on
+    exact integers in both engines — no float log() drift. Pure scan
+    projection + one small group-by."""
+    from gwasdb_spark.functions import text as TX
+
+    d = table(spark, sf_dir, "documents")
+    n_tok = TX.n_tokens_ws(F.col("text"))
+    return (
+        d.select("lang", n_tok.alias("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
+        .groupBy(
+            "lang", F.length(F.bin(F.col("n_tokens"))).cast("long").alias("log2_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tokens").cast("long").alias("min_tokens"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+        )
+    )

@@ -1624,3 +1624,79 @@ def x12e_bm25_multiphrase(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         phrases=[["sort", "merge"], ["table", "scan"]],
     )
+
+
+@query(
+    "x12f_bm25_proximity",
+    "X-text,X-search",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id AS doc,
+             unnest(string_split_regex(lower(trim(text)), '[^a-z0-9]+')) AS term
+      FROM documents
+    ),
+    postings AS (
+      SELECT doc, term, COUNT(*) AS tf FROM toks WHERE term <> ''
+      GROUP BY 1, 2
+    ),
+    doclen AS (SELECT doc, SUM(tf) AS dl FROM postings GROUP BY 1),
+    consts AS (
+      SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+             (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) FROM doclen) AS avgdl
+    ),
+    q(term) AS (VALUES ('hash'), ('join'), ('vector')),
+    hit AS (SELECT p.doc, p.term, p.tf FROM postings p JOIN q USING (term)),
+    dfc AS (SELECT term, COUNT(DISTINCT doc) AS df_t FROM hit GROUP BY 1),
+    scored AS (
+      SELECT doc,
+             SUM(ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+                 * (tf * 2.2)
+                 / (tf + 1.2 * (1 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+             ) AS score
+      FROM hit JOIN dfc USING (term) JOIN doclen USING (doc) CROSS JOIN consts
+      GROUP BY doc
+    ),
+    ptoks AS (
+      SELECT doc, term, pos FROM (
+        SELECT doc_id AS doc,
+               unnest(string_split_regex(lower(trim(text)), '[^a-z0-9]+'))
+                 AS term,
+               generate_subscripts(
+                 string_split_regex(lower(trim(text)), '[^a-z0-9]+'), 1) AS pos
+        FROM documents
+      ) r WHERE term <> ''
+    ),
+    qtok AS (SELECT doc, term, pos FROM ptoks JOIN q USING (term)),
+    prox AS (
+      SELECT a.doc, MIN(ABS(a.pos - b.pos)) AS min_dist
+      FROM qtok a JOIN qtok b ON a.doc = b.doc AND a.term < b.term
+      GROUP BY a.doc
+    ),
+    adj AS (
+      SELECT s.doc,
+             s.score * COALESCE(1.0 + 1.0 / (1.0 + CAST(p.min_dist AS DOUBLE)),
+                                1.0) AS score
+      FROM scored s LEFT JOIN prox p USING (doc)
+    )
+    SELECT doc AS doc_id, ROUND(score, 6) AS score, CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT doc, score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc) AS rank
+      FROM adj
+    ) WHERE rank <= 10
+    """,
+)
+def x12f_bm25_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity-decayed BM25: same 3-term query as x12, but each doc's
+    score is multiplied by 1 + 1/(1 + min positional gap between two
+    distinct query terms) — co-located matches outrank scattered ones.
+    The gap enumeration self-joins only the query-pruned positional
+    postings (bounded by in-doc query-term occurrences), and the decay
+    is fixed-order double arithmetic applied before rounding
+    (operators/search.py bm25_topk proximity notes)."""
+    from gwasdb_spark.operators.search import bm25_topk
+
+    d = table(spark, sf_dir, "documents")
+    return bm25_topk(
+        d, ["hash", "join", "vector"], "doc_id", "text", k=10, proximity=True
+    )

@@ -1,0 +1,109 @@
+"""Unit tests for operators/quality.py (repetition gate, vocabulary cap)
+and the BM25 proximity decay (operators/search.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from gwasdb_spark.operators.quality import cap_vocabulary, repetition_signals
+from gwasdb_spark.operators.search import bm25_topk
+
+
+def test_repetition_signals_known_fractions(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),  # 4 tokens, 1 distinct; bigrams: "a a" x3
+            (2, "u v w x y z"),  # all distinct, long enough to pass the gate
+            (3, "solo"),  # one token, no bigrams
+            (4, "   "),  # no tokens -> absent
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_signals(df, "doc_id", "text").collect()}
+    assert set(rows) == {1, 2, 3}
+
+    r1 = rows[1]
+    assert r1["n_tokens"] == 4 and r1["n_distinct_tokens"] == 1 and r1["max_tf"] == 4
+    assert r1["dup_token_frac"] == pytest.approx(0.75)
+    assert r1["top_token_frac"] == pytest.approx(1.0)
+    assert r1["n_bigrams"] == 3 and r1["n_distinct_bigrams"] == 1
+    assert r1["dup_bigram_frac"] == pytest.approx(2 / 3)
+    assert r1["is_repetitive"] is True
+
+    r2 = rows[2]
+    assert r2["dup_token_frac"] == 0.0
+    assert r2["top_token_frac"] == pytest.approx(1 / 6)
+    assert r2["dup_bigram_frac"] == 0.0
+    assert r2["is_repetitive"] is False
+
+    r3 = rows[3]
+    assert r3["n_bigrams"] == 0 and r3["n_distinct_bigrams"] == 0
+    assert r3["dup_bigram_frac"] is None
+    # single token = 100% top-token mass -> gated
+    assert r3["top_token_frac"] == pytest.approx(1.0)
+    assert r3["is_repetitive"] is True
+
+
+def test_cap_vocabulary_rewrite_and_counts(spark):
+    # corpus counts: a=4, b=3, c=2, d=1 -> max_vocab=2 keeps {a, b}
+    df = spark.createDataFrame(
+        [(1, "a b c a"), (2, "a d b"), (3, "b c a")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r for r in cap_vocabulary(df, "doc_id", "text", max_vocab=2).collect()
+    }
+    assert rows[1]["capped_text"] == "a b <unk> a"
+    assert rows[1]["n_unk"] == 1 and rows[1]["n_tokens"] == 4
+    assert rows[2]["capped_text"] == "a <unk> b"
+    assert rows[3]["capped_text"] == "b <unk> a"
+
+
+def test_cap_vocabulary_tie_is_lexicographic(spark):
+    # x and y both occur twice; max_vocab=1 must keep 'x' (lexicographic)
+    df = spark.createDataFrame([(1, "x y y x")], "doc_id long, text string")
+    out = cap_vocabulary(df, "doc_id", "text", max_vocab=1).collect()[0]
+    assert out["capped_text"] == "x <unk> <unk> x"
+
+
+def test_bm25_proximity_rewards_colocated_terms(spark):
+    # Both docs contain "hash" and "join" once -> identical base BM25.
+    # Doc 1 has them adjacent (gap 1), doc 2 separated (gap 5):
+    # proximity must rank doc 1 first.
+    df = spark.createDataFrame(
+        [
+            (1, "hash join pad pad pad pad pad"),
+            (2, "hash pad pad pad pad join pad"),
+        ],
+        "doc_id long, text string",
+    )
+    base = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk(df, ["hash", "join"], k=10).collect()
+    }
+    assert base[1] == pytest.approx(base[2])
+
+    prox = bm25_topk(df, ["hash", "join"], k=10, proximity=True).collect()
+    by_id = {r["doc_id"]: r for r in prox}
+    assert by_id[1]["rank"] == 1 and by_id[2]["rank"] == 2
+    # gap 1 -> x1.5, gap 5 -> x(1 + 1/6)
+    assert by_id[1]["score"] == pytest.approx(base[1] * 1.5, abs=1e-6)
+    assert by_id[2]["score"] == pytest.approx(base[2] * (1 + 1 / 6), abs=1e-6)
+
+
+def test_bm25_proximity_single_term_doc_unchanged(spark):
+    df = spark.createDataFrame(
+        [(1, "hash pad pad"), (2, "hash join pad")],
+        "doc_id long, text string",
+    )
+    base = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk(df, ["hash", "join"], k=10).collect()
+    }
+    prox = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk(df, ["hash", "join"], k=10, proximity=True).collect()
+    }
+    # doc 1 matches one distinct term -> multiplier 1.0
+    assert prox[1] == pytest.approx(base[1], abs=1e-6)
+    assert prox[2] == pytest.approx(base[2] * 1.5, abs=1e-6)
