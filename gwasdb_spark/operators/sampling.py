@@ -112,3 +112,38 @@ def quota_per_group(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    scale: float = 8.0,
+) -> DataFrame:
+    """Square-root temperature resampling: keep up to ⌈scale·√n_g⌉ rows
+    per group of size n_g, in deterministic md5(id) pseudo-random order.
+
+    Sub-linear per-group quotas flatten the group-size distribution —
+    rare languages/domains keep (nearly) everything, dominant ones are
+    downsampled toward the √ law, the standard mixture-rebalancing move
+    for multilingual pre-training corpora (temperature τ=0.5 on group
+    mass). The quota uses only per-group scalars: √ is a correctly
+    rounded IEEE op and `scale` should stay a power of two, so the
+    cut-off is bit-identical in any engine — no cross-group float sums
+    whose order could drift.
+
+    Scale: one count per group (partial-agg'd), one per-group window
+    rank over md5(id) (same portable pseudo-random order as
+    split_label / reservoir_per_group), one broadcast-sized join on the
+    group key (group cardinality ≪ rows). Returns the kept rows plus
+    (sample_rank, group_size, group_quota)."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("group_size"))
+    quota = F.ceil(F.lit(float(scale)) * F.sqrt(F.col("group_size").cast("double")))
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string").cast("binary")), F.col(id_col)
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .join(F.broadcast(counts.withColumn("group_quota", quota)), group_col)
+        .filter(F.col("sample_rank") <= F.col("group_quota"))
+    )

@@ -157,3 +157,41 @@ def x27_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_tokens").cast("long").alias("max_tokens"),
         )
     )
+
+
+@query(
+    "x28_temperature_sample",
+    "X-sample",
+    oracle=r"""
+    WITH c AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS group_size FROM documents
+      GROUP BY 1
+    ),
+    r AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                         doc_id) AS sample_rank
+      FROM documents
+    )
+    SELECT r.doc_id, r.lang, CAST(r.sample_rank AS BIGINT) AS sample_rank,
+           c.group_size,
+           CAST(CEIL(8.0 * SQRT(CAST(c.group_size AS DOUBLE))) AS BIGINT)
+             AS group_quota
+    FROM r JOIN c USING (lang)
+    WHERE r.sample_rank <= CEIL(8.0 * SQRT(CAST(c.group_size AS DOUBLE)))
+    """,
+)
+def x28_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """√-temperature language rebalancing: per-lang quota ⌈8·√n⌉ drawn in
+    deterministic md5(doc_id) order — dominant languages downsampled
+    toward the square-root law, rare ones kept nearly whole. Quota math
+    uses only per-group scalars (√ is correctly rounded IEEE, 8 a power
+    of two), so the cut is bit-identical across engines
+    (operators/sampling.py temperature_sample)."""
+    from gwasdb_spark.operators.sampling import temperature_sample
+
+    d = table(spark, sf_dir, "documents")
+    return temperature_sample(d, "lang", "doc_id", scale=8.0).select(
+        "doc_id", "lang", "sample_rank", "group_size", "group_quota"
+    )

@@ -1433,3 +1433,104 @@ def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return late.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("order_count")
     )
+
+
+@query(
+    "j09_full_outer",
+    "J1,A2,F-null",
+    oracle="""
+    WITH cu AS (
+      SELECT c_nationkey AS nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers
+      FROM customer GROUP BY 1
+    ),
+    su AS (
+      SELECT s_nationkey AS nationkey, CAST(COUNT(*) AS BIGINT) AS n_suppliers
+      FROM supplier GROUP BY 1
+    )
+    SELECT COALESCE(cu.nationkey, su.nationkey) AS nationkey,
+           COALESCE(cu.n_customers, 0) AS n_customers,
+           COALESCE(su.n_suppliers, 0) AS n_suppliers
+    FROM cu FULL OUTER JOIN su ON cu.nationkey = su.nationkey
+    """,
+)
+def j09_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join — the one join type the §2.3 inventory's reference
+    pipelines never needed (dplyr full_join exists but is unused); included
+    for drop-in completeness. Per-nation customer counts ⋈ supplier counts,
+    keeping nations present on either side only (at small SF the 10-row
+    supplier table misses most nations — real null-side rows). Both inputs
+    are pre-aggregated to ≤25 rows, so the outer join cost is nil at any
+    SF; COALESCE canonicalizes the null sides."""
+    cu = (
+        table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("cu_key"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    su = (
+        table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("su_key"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return cu.join(su, cu["cu_key"] == su["su_key"], "full_outer").select(
+        F.coalesce(cu["cu_key"], su["su_key"]).alias("nationkey"),
+        F.coalesce(F.col("n_customers"), F.lit(0)).alias("n_customers"),
+        F.coalesce(F.col("n_suppliers"), F.lit(0)).alias("n_suppliers"),
+    )
+
+
+@query(
+    "u02_intersect",
+    "U1,A3",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    INTERSECT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    """,
+)
+def u02_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct set semantics): customers active in both 1996
+    and 1997. Catalyst rewrites intersect as a left-semi join over
+    distincts — one shuffle per side on the key, no row blow-up."""
+    o = table(spark, sf_dir, "orders")
+    y96 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select(F.col("o_custkey").alias("custkey"))
+    y97 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select(F.col("o_custkey").alias("custkey"))
+    return y96.intersect(y97)
+
+
+@query(
+    "u03_except",
+    "U1,A3,J8",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    EXCEPT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    """,
+)
+def u03_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct set semantics): customers active in 1996 who
+    churned in 1997 — the set-op spelling of the j06 anti-join shape
+    (Catalyst plans both as left-anti over distinct)."""
+    o = table(spark, sf_dir, "orders")
+    y96 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select(F.col("o_custkey").alias("custkey"))
+    y97 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select(F.col("o_custkey").alias("custkey"))
+    return y96.subtract(y97)

@@ -96,3 +96,22 @@ def test_contamination_planted_overlap(spark):
     }
     assert set(got) == {100}
     assert got[100] == 3  # benchmark doc has 3 distinct 8-grams, all shared
+
+
+def test_temperature_sample_quota_law(spark):
+    # 100 'big' rows vs 9 'small' rows: quota(big)=ceil(8*10)=80,
+    # quota(small)=ceil(8*3)=24 -> small kept whole, big downsampled.
+    from gwasdb_spark.operators.sampling import temperature_sample
+
+    rows = [(i, "big") for i in range(100)] + [(1000 + i, "small") for i in range(9)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_sample(df, "lang", "doc_id", scale=8.0)
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"big": 80, "small": 9}
+
+    # deterministic: same draw on re-run
+    ids1 = sorted(r["doc_id"] for r in out.collect())
+    ids2 = sorted(r["doc_id"] for r in temperature_sample(
+        df, "lang", "doc_id", scale=8.0).collect())
+    assert ids1 == ids2
