@@ -447,3 +447,169 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    nbits: int = 4,
+    seed: int = 42,
+    sample_rows: int = 4096,
+    iters: int = 20,
+) -> np.ndarray:
+    """Product-quantization codebooks: split the (L2-normalized) vector
+    into `m` subspaces and Lloyd-train `2**nbits` codes per subspace.
+
+    Training happens driver-side in numpy on a bounded head sample
+    (`limit(sample_rows)` — the faiss practice: codebook quality
+    saturates at a few hundred points per code, so at 100 TB the sample
+    is a constant-size scan, never the corpus). Deterministic: seeded
+    init, fixed iteration count, ties to the lowest code index. Returns
+    (m, 2**nbits, dim/m)."""
+    ncodes = 1 << nbits
+    rows = corpus.select(vec_col).limit(sample_rows).collect()
+    X = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    n = np.linalg.norm(X, axis=1, keepdims=True)
+    X = X / np.where(n == 0, 1.0, n)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, ncodes, dsub))
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        C = S[rng.choice(len(S), size=ncodes, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            a = d2.argmin(1)
+            for c in range(ncodes):
+                mask = a == c
+                if mask.any():
+                    C[c] = S[mask].mean(0)
+        books[j] = C
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(neighbor_id, codes): each corpus vector compressed to m code ids
+    (m bytes of payload instead of dim floats — the representation that
+    actually shuffles at scale). One numpy pass per Arrow batch."""
+    m, ncodes, dsub = books.shape
+
+    @F.pandas_udf("array<int>")
+    def enc(vecs: pd.Series) -> pd.Series:
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        n = np.linalg.norm(V, axis=1, keepdims=True)
+        V = V / np.where(n == 0, 1.0, n)
+        out = np.empty((len(V), m), dtype=np.int32)
+        for j in range(m):
+            S = V[:, j * dsub : (j + 1) * dsub]
+            d2 = ((S[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
+            out[:, j] = d2.argmin(1)
+        return pd.Series(list(out))
+
+    return corpus.select(
+        F.col(id_col).alias("neighbor_id"), enc(F.col(vec_col)).alias("codes")
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    m: int = 8,
+    nbits: int = 4,
+    refine: int = 50,
+    seed: int = 42,
+    sample_rows: int = 4096,
+) -> DataFrame:
+    """PQ-compressed ANN with exact re-ranking (the roadmapped "PQ
+    re-rank" path): score every corpus row from its m-byte PQ code via
+    asymmetric distance (per-query lookup tables, one numpy gather-sum
+    per Arrow batch), keep the `refine` best candidates per query, then
+    re-rank ONLY those with exact cosine on the raw vectors.
+
+    Physical shape at scale: the full-corpus pass touches (id, codes) —
+    m bytes/row, not dim floats — and the expensive exact cosine runs on
+    refine·|queries| rows fetched by an equi-join on id. Lookup tables
+    for all queries ship in the scoring kernel's closure (|queries| is
+    the small side, same contract as brute_force_topk/ivf_topk).
+
+    Returns (query_id, neighbor_id, cosine, rank) with exact cosine
+    values — approximation affects WHICH candidates reach the re-rank,
+    never the reported scores."""
+    books = train_pq_codebooks(
+        corpus, vec_col, m=m, nbits=nbits, seed=seed, sample_rows=sample_rows
+    )
+    mm, ncodes, dsub = books.shape
+    encoded = pq_encode(corpus, books, id_col, vec_col)
+
+    qrows = queries.select(id_col, vec_col).collect()
+    tables = {}
+    for r in qrows:
+        qv = np.asarray(r[1], dtype=np.float64)
+        nq = np.linalg.norm(qv)
+        qv = qv / (nq if nq else 1.0)
+        # table[j, c] = <q_sub_j, code_jc>; ADC dot = sum_j table[j, code_j]
+        tables[int(r[0])] = np.stack(
+            [books[j] @ qv[j * dsub : (j + 1) * dsub] for j in range(mm)]
+        )
+
+    @F.pandas_udf("double")
+    def adc(query_ids: pd.Series, codes: pd.Series) -> pd.Series:
+        C = np.stack([np.asarray(c, dtype=np.int64) for c in codes])
+        out = np.empty(len(C))
+        cols = np.arange(mm)
+        for qid in np.unique(query_ids.to_numpy()):
+            mask = (query_ids == qid).to_numpy()
+            out[mask] = tables[int(qid)][cols, C[mask]].sum(1)
+        return pd.Series(out)
+
+    qids = queries.sparkSession.createDataFrame(
+        [(int(r[0]),) for r in qrows], "query_id long"
+    )
+    cand = (
+        F.broadcast(qids)
+        .crossJoin(encoded)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            adc(F.col("query_id"), F.col("codes")).alias("adc"),
+        )
+    )
+    w_ref = Window.partitionBy("query_id").orderBy(
+        F.desc("adc"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        cand.withColumn("__r", F.row_number().over(w_ref))
+        .filter(F.col("__r") <= refine)
+        .select("query_id", "neighbor_id")
+    )
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    exact = (
+        shortlist.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

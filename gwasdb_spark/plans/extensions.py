@@ -1700,3 +1700,88 @@ def x12f_bm25_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(
         d, ["hash", "join", "vector"], "doc_id", "text", k=10, proximity=True
     )
+
+
+@query("x05e_ann_pq_topk", "X-sim", oracle=None)
+def x05e_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed ANN with exact re-rank (third scale path next to LSH
+    and IVF): the corpus pass reads m-byte PQ codes (8 bytes/vector here
+    vs 256 bytes raw), asymmetric-distance shortlists `refine`
+    candidates per query, exact cosine re-ranks only the shortlist.
+    Codebook-dependent → rows-only; recall vs exact is tested in
+    tests/test_similarity.py (shortlist recall is near-exact because the
+    re-rank repairs ADC ordering noise)."""
+    from gwasdb_spark.operators.similarity import pq_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    res = pq_topk(q, e, "vec_id", "embedding", k=10, m=8, nbits=4, refine=50)
+    return res.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
+    ).orderBy("query_id", "rank")
+
+
+@query(
+    "x14b_asof_forward",
+    "X-stream,J-asof",
+    oracle="""
+    WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+         e AS (SELECT * FROM events WHERE event_type = 'error')
+    SELECT c.event_id, c.user_id, r.asof_value
+    FROM c LEFT JOIN LATERAL (
+      SELECT e.value AS asof_value FROM e
+      WHERE e.user_id = c.user_id AND e.ts >= c.ts
+      ORDER BY e.ts, e.event_id LIMIT 1
+    ) r ON TRUE
+    """,
+)
+def x14b_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each click gains the value of the user's NEXT
+    error at-or-after it — same single-shuffle union+window composition
+    as x14, with the carry frame flipped to first-following. Oracle:
+    correlated LATERAL top-1 (DuckDB's ASOF is backward-only)."""
+    from gwasdb_spark.operators.asof import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    errors = ev.filter(F.col("event_type") == "error")
+    out = asof_join(
+        clicks, errors, ts_col="ts", by_cols=["user_id"],
+        value_cols=["value"], tiebreak_col="event_id", direction="forward",
+    )
+    return out.select("event_id", "user_id", F.col("asof_value"))
+
+
+@query(
+    "x14c_asof_nearest",
+    "X-stream,J-asof",
+    oracle="""
+    WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+         e AS (SELECT * FROM events WHERE event_type = 'error')
+    SELECT c.event_id, c.user_id, r.asof_value
+    FROM c LEFT JOIN LATERAL (
+      SELECT e.value AS asof_value FROM e
+      WHERE e.user_id = c.user_id
+      ORDER BY abs(epoch(c.ts) - epoch(e.ts)),
+               CASE WHEN e.ts <= c.ts THEN 0 ELSE 1 END,
+               CASE WHEN e.ts <= c.ts THEN -e.event_id ELSE e.event_id END
+      LIMIT 1
+    ) r ON TRUE
+    """,
+)
+def x14c_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join: each click gains the value of the user's
+    temporally CLOSEST error, equidistant resolving backward (pandas
+    merge_asof semantics). Both window frames (preceding + following)
+    evaluate over ONE exchange. Oracle: correlated LATERAL ranked by
+    absolute gap with the backward/tiebreak preference spelled out."""
+    from gwasdb_spark.operators.asof import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    errors = ev.filter(F.col("event_type") == "error")
+    out = asof_join(
+        clicks, errors, ts_col="ts", by_cols=["user_id"],
+        value_cols=["value"], tiebreak_col="event_id", direction="nearest",
+    )
+    return out.select("event_id", "user_id", F.col("asof_value"))

@@ -240,3 +240,58 @@ def test_stateful_sessionize_fold_matches_batch_reference(ts_and_splits):
         last = out
     assert int(last["n_events"].iloc[0]) == len(ts_us)
     assert int(last["n_sessions"].iloc[0]) == _sessions_py(ts_us, GAP_US)
+
+
+@SETTINGS
+@given(
+    left=st.lists(st.tuples(st.integers(1, 3), st.integers(0, 40)),
+                  min_size=1, max_size=25),
+    right=st.lists(asof_rows, min_size=0, max_size=25),
+    direction=st.sampled_from(["forward", "nearest"]),
+)
+def test_asof_directions_match_pandas_merge_asof(spark, left, right, direction):
+    """forward and nearest directions against pandas.merge_asof on random
+    interleavings: same duplicate-ts / null-value / missing-key coverage
+    as the backward property test, plus the equidistant tie (nearest must
+    resolve backward, like pandas)."""
+    import pandas as pd
+
+    from gwasdb_spark.operators.asof import asof_join
+
+    lrows = [(i, u, ts) for i, (u, ts) in enumerate(left)]
+    rrows = [(100 + j, u, ts, v) for j, (u, ts, v) in enumerate(right)]
+    ldf = spark.createDataFrame(lrows, "event_id long, user_id long, ts long")
+    rdf = spark.createDataFrame(
+        rrows, "rid long, user_id long, ts long, value double"
+    )
+    got = {
+        r.event_id: r.asof_value
+        for r in asof_join(
+            ldf, rdf, "ts", ["user_id"], ["value"],
+            tiebreak_col="rid", direction=direction,
+        ).collect()
+    }
+
+    lpd = pd.DataFrame(lrows, columns=["event_id", "user_id", "ts"]).sort_values(
+        "ts", kind="stable"
+    )
+    rpd = (
+        pd.DataFrame(rrows, columns=["rid", "user_id", "ts", "value"])
+        .astype({"rid": "int64", "user_id": "int64", "ts": "int64",
+                 "value": "float64"})
+        .sort_values(["ts", "rid"], kind="stable")
+    )
+    ref = pd.merge_asof(
+        lpd, rpd[["user_id", "ts", "value"]], on="ts", by="user_id",
+        direction=direction, allow_exact_matches=True,
+    )
+    want = {int(r.event_id): (None if pd.isna(r.value) else r.value)
+            for r in ref.itertuples()}
+    assert set(got) == set(want)
+    for k in want:
+        if want[k] is None:
+            assert got[k] is None, (k, got[k], direction)
+        else:
+            assert got[k] is not None and abs(got[k] - want[k]) < 1e-9, (
+                k, direction
+            )

@@ -208,3 +208,46 @@ def test_multiprobe_lifts_midsim_recall(spark, midsim_corpus):
     single, multi = recall(False), recall(True)
     assert multi >= single, (single, multi)
     assert multi >= 0.8, (single, multi)
+
+
+def test_pq_rerank_recall_vs_exact(spark, neardup_corpus):
+    """PQ shortlist + exact re-rank must recover (nearly) the exact
+    top-5: ADC only has to land true neighbors inside the refine=30
+    shortlist; the re-rank then orders them exactly."""
+    from gwasdb_spark.operators.similarity import brute_force_topk, pq_topk
+
+    queries = neardup_corpus.filter(F.col("vec_id") < 4)
+    exact = brute_force_topk(queries, neardup_corpus, k=5).collect()
+    approx = pq_topk(
+        queries, neardup_corpus, k=5, m=8, nbits=4, refine=30
+    ).collect()
+
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    hits = sum(
+        len(exact_sets[q] & approx_sets.get(q, set())) for q in exact_sets
+    )
+    total = sum(len(v) for v in exact_sets.values())
+    assert hits / total >= 0.9
+
+    # reported cosines are EXACT (re-rank contract): spot-check one pair
+    by_pair = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in approx}
+    exact_pair = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact}
+    common = set(by_pair) & set(exact_pair)
+    assert common
+    for p in common:
+        assert by_pair[p] == pytest.approx(exact_pair[p], abs=1e-9)
+
+
+def test_pq_deterministic(spark, neardup_corpus):
+    from gwasdb_spark.operators.similarity import pq_topk
+
+    queries = neardup_corpus.filter(F.col("vec_id") < 2)
+    a = [tuple(r) for r in pq_topk(queries, neardup_corpus, k=5, refine=30).collect()]
+    b = [tuple(r) for r in pq_topk(queries, neardup_corpus, k=5, refine=30).collect()]
+    assert a == b
