@@ -53,6 +53,13 @@ HEADLINE = [
     "x21_top_terms",
     "x23_scrub_boilerplate",
     "x24_reservoir_per_lang",
+    "q07_nation_volume",
+    "q09_product_profit",
+    "q18_large_orders",
+    "x25_repetition_signals",
+    "x26_cap_vocabulary",
+    "x12f_bm25_proximity",
+    "x28_temperature_sample",
 ]
 
 
