@@ -13,6 +13,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TESTDATA_TABLES = (
     "region",
@@ -30,22 +31,58 @@ TESTDATA_TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def parquet_data_file(path: str) -> str:
+    """Resolve `path` to one concrete parquet data file (for footer
+    inspection): a file path passes through; a directory yields its first
+    `*.parquet` member (Spark-written datasets are directories)."""
+    if os.path.isdir(path):
+        for root, _dirs, files in sorted(os.walk(path)):
+            for f in sorted(files):
+                if f.endswith(".parquet"):
+                    return os.path.join(root, f)
+    return path
+
+
+def events_ts_is_nanos(path: str) -> bool:
+    """True when the parquet footer stores `ts` as TIMESTAMP(NANOS) or raw
+    int64 — the physical shapes Spark's native reader can't map to a
+    timestamp column and that need the legacy long-nanos shim. Footer-only
+    check (pyarrow metadata read, no data IO); the driver has regenerated
+    testdata with a different physical unit between rounds, so the read
+    path must branch on what's actually on disk, never assume."""
+    import pyarrow.parquet as pq
+
+    t = pq.ParquetFile(parquet_data_file(path)).schema_arrow.field("ts").type
+    # raw int64 (no `unit`) is the nanosAsLong rendering of TIMESTAMP(NANOS)
+    return getattr(t, "unit", "ns") == "ns"
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy scan of one parquet table (SURVEY.md S2: lazy table ref).
 
-    `events.ts` is physically TIMESTAMP(NANOS), which Spark's parquet reader
-    rejects; we read it as long nanos (legacy conf, runtime-settable) and
-    convert with exact integer division — `div`, not `/`: epoch-nanos exceed
-    double's 2^53 integer range, so float division could drift by 1 µs.
-    DuckDB truncates nanos→micros identically, keeping oracles comparable.
-    """
+    `events.ts` is type-adaptive: when the footer says TIMESTAMP(NANOS)
+    (which Spark's parquet reader rejects) we read long nanos (legacy conf)
+    and convert with exact integer division — `div`, not `/`: epoch-nanos
+    exceed double's 2^53 integer range, so float division could drift by
+    1 µs. When the footer is already micros/millis, Spark reads the column
+    natively; an NTZ read is cast to instant TIMESTAMP (session tz is UTC,
+    so the cast is wall-clock-exact) — the engine contract is that `ts` is
+    always an instant timestamp, which watermarks, `unix_micros`, and every
+    event-time operator require. DuckDB oracles read the same naive values,
+    so formatted/collected results compare exactly."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if events_ts_is_nanos(path):
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(path)
+            return df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        df = spark.read.parquet(path)
+        if isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
+    return spark.read.parquet(path)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

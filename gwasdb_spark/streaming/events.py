@@ -26,13 +26,16 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from gwasdb_spark.plans.helpers import cents, hour_str, money
 
-# Physical schema: ts is TIMESTAMP(NANOS) which Spark's parquet reader
-# rejects — read as long nanos and convert exactly, matching
-# gwasdb_spark.catalog.table (same integer `div`, no float drift).
-EVENTS_PHYSICAL_SCHEMA = (
+# Legacy physical schema for TIMESTAMP(NANOS) files only (Spark's parquet
+# reader rejects nanos) — read as long nanos and convert exactly, matching
+# gwasdb_spark.catalog.table (same integer `div`, no float drift). Used
+# only when the footer actually says nanos; micros/millis files stream
+# with their natively-inferred schema.
+EVENTS_NANOS_SCHEMA = (
     "event_id bigint, ts bigint, user_id bigint, "
     "event_type string, value double, props string"
 )
@@ -45,18 +48,40 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     directory that accumulates files — the backpressure knob for the file
     source. The file source requires a DIRECTORY; a bare file path is
     wrapped in a temp dir via symlink (test-data convenience — production
-    streams always watch an ingest directory)."""
+    streams always watch an ingest directory).
+
+    The `ts` physical unit is detected from the parquet footer (shared
+    helper with catalog.table): TIMESTAMP(NANOS) takes the legacy
+    long+convert path; anything Spark reads natively streams with the
+    batch-inferred schema — readStream requires an explicit schema, and
+    deriving it from a one-off batch read keeps the two paths identical."""
+    from gwasdb_spark.catalog import events_ts_is_nanos, parquet_data_file
+
     if os.path.isfile(path):
         d = tempfile.mkdtemp(prefix="events_stream_")
         os.symlink(path, os.path.join(d, os.path.basename(path)))
         path = d
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    data_file = parquet_data_file(path)
+    if events_ts_is_nanos(data_file):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = (
+            spark.readStream.schema(EVENTS_NANOS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    schema = spark.read.parquet(data_file).schema
     raw = (
-        spark.readStream.schema(EVENTS_PHYSICAL_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(path)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Watermarks demand instant TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP_
+    # TYPE on NTZ); session tz is UTC so NTZ→instant→formatted round-trips
+    # to the same wall-clock values the batch oracles see.
+    if isinstance(raw.schema["ts"].dataType, T.TimestampNTZType):
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def hourly_rollup_stream(events: DataFrame, lateness: str = "10 minutes") -> DataFrame:
@@ -290,17 +315,23 @@ def stream_dir_with_flush(
     m = re.fullmatch(r"(\d+)\s*minutes?", margin.strip())
     if not m:
         raise ValueError(f"margin must look like 'N minutes', got {margin!r}")
-    margin_ns = int(m.group(1)) * 60 * 1_000_000_000
 
     d = tempfile.mkdtemp(prefix="events_stream_flush_")
     os.symlink(os.path.abspath(path), os.path.join(d, os.path.basename(path)))
     t = pq.read_table(path, columns=["ts"])
-    max_ns = int(pa.compute.max(t.column("ts").cast(pa.int64())).as_py())
+    # The sentinel's ts column must match the source file's PHYSICAL type —
+    # margin arithmetic happens in that type's own unit (raw int64 = nanos).
+    ts_type = t.schema.field("ts").type
+    unit = getattr(ts_type, "unit", "ns")
+    per_sec = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[unit]
+    margin_units = int(m.group(1)) * 60 * per_sec
+    max_units = int(pa.compute.max(t.column("ts").cast(pa.int64())).as_py())
     n = len(sentinel_types)
+    sentinel_ts = pa.array([max_units + margin_units] * n, pa.int64()).cast(ts_type)
     sentinel = pa.table(
         {
             "event_id": pa.array([-1] * n, pa.int64()),
-            "ts": pa.array([max_ns + margin_ns] * n, pa.int64()),
+            "ts": sentinel_ts,
             "user_id": pa.array([-1] * n, pa.int64()),
             "event_type": pa.array(list(sentinel_types), pa.string()),
             "value": pa.array([0.0] * n, pa.float64()),

@@ -106,12 +106,15 @@ def test_streaming_append_then_compact_preserves_pruning(spark, tmp_path):
         .start()
     )
     q.awaitTermination()
-    # amplify small files with two more appends (replayed micro-batches)
-    src = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    # amplify small files with two more appends (replayed micro-batches);
+    # catalog.table handles the ts physical-unit branch
+    from gwasdb_spark.catalog import table as cat_table
+
+    src = cat_table(spark, SF_DIR, "events")
     for _ in range(2):
         src.selectExpr(
             "event_id + 1000000 as event_id", "user_id", "event_type",
-            "timestamp_micros(ts div 1000) as ts", "value",
+            "ts", "value",
         ).repartition(8).write.mode("append").partitionBy("event_type").parquet(out_dir)
 
     before = {tuple(r) for r in spark.read.parquet(out_dir).collect()}
