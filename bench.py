@@ -94,33 +94,40 @@ def main() -> None:
             except Exception:
                 pass
 
-    timings: dict[str, float] = {}
+    timings: dict[str, float | None] = {}
+    errors: dict[str, str] = {}
     total = 0.0
     for name in HEADLINE:
         if name not in QUERIES:
             continue
-        # min of 2 runs: halves scheduler/GC noise in the recorded number
-        best = None
-        for _ in range(2):
-            t0 = time.perf_counter()
-            _consume(QUERIES[name].fn(spark, sf_dir))
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
-        total += timings[name]
+        # Per-query isolation: one broken query costs its row (null timing),
+        # never the whole file (the r02 bench died on the first query and
+        # recorded nothing).
+        try:
+            # min of 2 runs: halves scheduler/GC noise in the recorded number
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                _consume(QUERIES[name].fn(spark, sf_dir))
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 3)
+            total += timings[name]
+        except Exception as exc:  # noqa: BLE001 — record and keep benching
+            timings[name] = None
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline-suite wall time (local[%s])"
-                % os.environ.get("SPARK_GRAFT_CPUS", "*"),
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload: dict = {
+        "metric": "headline-suite wall time (local[%s])"
+        % os.environ.get("SPARK_GRAFT_CPUS", "*"),
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

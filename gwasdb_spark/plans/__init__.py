@@ -18,74 +18,55 @@ from gwasdb_spark.plans import corpus_quality as _corpus_quality  # noqa: F401
 # Registration-order priority.
 #
 # The driver's correctness gate records the FIRST 50 registered queries per
-# round (CORRECTNESS_r01.json == registrations 1-50 exactly). Round 1 checked
-# the reference-surface block (s*/p*/j*/a*/w*/o*/u*/f*/g*/q01/q03/q05); this
-# list front-loads everything that round left unchecked — the full
-# LLM-pipeline extension suite plus q06/q02s — and the queries whose plans
-# changed this round, so every registered query ends up with a green driver
-# row in r01 or r02. File order within each module is unchanged; only the
-# registry's iteration order is rebuilt here.
+# round. Round 1 checked the reference-surface block (green 50/50); round 2
+# checked the LLM-extension block (30 green; the rest fell to the events-ts
+# regression, fixed this round). This round's window seats (a) the 13
+# formerly err/wrong-answer rows — all now green against the in-repo oracle
+# gate — then (b) the 22 registrations that have never had a driver row
+# (TPC-H extras, set ops, as-of directions, corpus-quality family), then
+# (c) queries added this round. File order within modules is unchanged;
+# only the registry's iteration order is rebuilt here.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    # round-1 unchecked (registrations 51-84, original order)
-    "q06_forecast_revenue",
-    "q02s_min_cost_supplier",
-    "x01_dedup_exact",
-    "x02_ngram_jaccard_pairs",
-    "x03_minhash_lsh_pairs",
-    "x04_simhash_pairs",
-    "x05_ann_cosine_topk",
-    "x05c_ann_topk_vectorized",
-    "x05b_ann_lsh_topk",
-    "x10_embedding_neardup",
-    "x10b_embedding_neardup_lsh",
-    "x09_embedding_stats",
-    "x06_text_stats",
-    "x07_lang_id",
-    "x08_fingerprint",
+    # (a) broken in r02 by the events-ts regression / mm02 canonicalizer —
+    # re-seat for hard green rows
+    "a04_pivot_wide",
     "st01_hourly_rollup",
     "st02_sessionize",
     "st03_stream_hourly_rollup",
     "st04_stream_sessionize_stateful",
-    "st05_stream_dedup",
-    "mm01_binary_meta",
-    "mm02_fake_features",
-    "e01_json_props",
-    "x11_dedup_clusters",
-    "mm03_resize_thumbs",
-    "mm04_frame_sample",
-    "x05d_ann_ivf_topk",
-    "c01_corpus_clean",
-    "sk01_salted_join",
-    "x12_bm25_search",
     "st06_stream_stream_join",
+    "st07_stream_left_outer_join",
+    "e01_json_props",
     "x13_sketch_aggregates",
     "x14_asof_join",
     "x15_value_outliers",
-    # new this round (registered in extensions.py)
-    "x12b_bm25_and",
-    "x12c_bm25_phrase",
-    "st07_stream_left_outer_join",
-    "x16_hash_split",
-    "x17_pack_chunks",
-    "x18_quota_per_lang",
-    "x19_contamination",
     "x20_range_join",
-    "x21_top_terms",
-    "x22_vocabulary",
-    "x23_scrub_boilerplate",
-    "x24_reservoir_per_lang",
-    "q04_order_priority",
-    "x12d_bm25_boosted",
-    "x12e_bm25_multiphrase",
-    # a04 re-verifies under its CHANGED result semantics (sparse-pivot
-    # cells now coalesce to 0). The other round-2 plan edits (q03 / q05
-    # hint removal, p08 / j08 / w01 assertion tightening) left results
-    # unchanged, hold green r01 driver rows, and are re-checked by the
-    # in-repo oracle gate every run — they yield their window seats so
-    # that every query ever registered has a hard driver row in r01 or
-    # r02.
-    "a04_pivot_wide",
+    "mm02_fake_features",
+    # (b) registered but never in a driver window (in-repo oracle only)
+    "j09_full_outer",
+    "u02_intersect",
+    "u03_except",
+    "x12f_bm25_proximity",
+    "x05e_ann_pq_topk",
+    "x14b_asof_forward",
+    "x14c_asof_nearest",
+    "q07_nation_volume",
+    "q08_market_share",
+    "q09_product_profit",
+    "q10_returned_items",
+    "q12_late_priority",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_bracket_revenue",
+    "q22_idle_customers",
+    "x25_repetition_signals",
+    "x26_cap_vocabulary",
+    "x27_length_histogram",
+    "x28_temperature_sample",
+    # (c) new this round — appended below as they land
 ]
 
 _rest = [n for n in QUERIES if n not in _PRIORITY]

@@ -576,15 +576,46 @@ def mm01_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("mm02_fake_features", "X-multimodal", oracle=None)
+@query(
+    "mm02_fake_features",
+    "X-multimodal",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, sha256(text) AS hx FROM documents WHERE text IS NOT NULL
+    )
+    SELECT h.doc_id,
+           'text/plain' AS media_type,
+           CAST(t.dim AS INT) AS dim,
+           ((instr('0123456789abcdef', substr(hx, CAST(2*t.dim+1 AS INT), 1)) - 1) * 16
+            + (instr('0123456789abcdef', substr(hx, CAST(2*t.dim+2 AS INT), 1)) - 1))
+             / 255.0 AS value,
+           'ok_fake' AS decode_status
+    FROM h, range(8) t(dim)
+    """,
+)
 def mm02_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas feature-extraction plumbing over binary payloads with a
     deterministic fake decoder (real schema/batching, stubbed media decode).
-    Rows-only check; determinism asserted in tests/test_multimodal.py."""
+
+    The registered query posexplodes the feature vector to (doc_id, dim,
+    value) — the harness canonicalizer can't hash raw array cells, and the
+    flat shape gives the fake feature a REAL SQL oracle (sha256 hex bytes
+    / 255, byte-exact in double). Library callers use
+    multimodal.binary.extract_fake_features directly for the array form;
+    determinism is additionally asserted in tests/test_multimodal.py."""
     from gwasdb_spark.multimodal.binary import extract_fake_features, to_binary_table
 
-    d = table(spark, sf_dir, "documents")
-    return extract_fake_features(to_binary_table(d)).orderBy("doc_id")
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    feats = extract_fake_features(to_binary_table(d))
+    return feats.select(
+        "doc_id",
+        "media_type",
+        F.posexplode("feature").alias("dim", "value"),
+        "decode_status",
+    ).select(
+        "doc_id", "media_type", F.col("dim").cast("int").alias("dim"),
+        "value", "decode_status",
+    )
 
 
 # ---------------------------------------------------------------------------
