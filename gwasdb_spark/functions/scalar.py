@@ -81,3 +81,26 @@ def neg_log10(p: Column) -> Column:
     """-log10(p) Manhattan transform (R/wrangle_data.Rmd:265). p=0 → +Infinity,
     matching R's behavior (SURVEY.md §7 'semantics edges')."""
     return -F.log10(p)
+
+
+def unicode_pattern(pattern: str) -> str:
+    """Promote a regex to ICU-equivalent Unicode class semantics.
+
+    DECISION (ROADMAP round-2 item): the reference's `str_detect` is ICU
+    (stringr — gwasDB/app.R:99, R/wrangle_data.Rmd:82), where \\w/\\b/\\s/\\d
+    are Unicode-classed. Java regex defaults them to ASCII; the embedded
+    `(?U)` flag (UNICODE_CHARACTER_CLASS) switches Java to the Unicode
+    definitions, so a probe like '\\w+' matches 'rsΔ42' the way a stringr
+    user expects. ASCII-literal patterns are unaffected — every existing
+    oracle result is byte-identical. Parity with a Unicode-classed engine
+    is property-tested over non-ASCII marker names in
+    tests/test_properties.py."""
+    return f"(?U){pattern}"
+
+
+def str_detect(col: Column, pattern: str, negate: bool = False) -> Column:
+    """`stringr::str_detect(col, pattern[, negate])` — the reference's
+    marker-probe filter (gwasDB/app.R:99) with ICU-equivalent Unicode
+    classes (see unicode_pattern)."""
+    hit = col.rlike(unicode_pattern(pattern))
+    return ~hit if negate else hit

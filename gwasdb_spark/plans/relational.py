@@ -286,9 +286,13 @@ def p08_locus_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def p09_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`filter(str_detect(kgp_id, !!input$probe_id))` marker search
-    (gwasDB/app.R:99). Pattern kept in the RE2 ∩ Java-regex common dialect."""
+    (gwasDB/app.R:99) via the ICU-parity str_detect helper ((?U) Unicode
+    classes — functions/scalar.py). Pattern kept in the RE2 ∩ Java-regex
+    common dialect so the DuckDB oracle matches byte-for-byte."""
+    from gwasdb_spark.functions.scalar import str_detect
+
     p = table(spark, sf_dir, "part")
-    return p.filter(F.col("p_name").rlike("^(red|blue) (bolt|gear)$")).select(
+    return p.filter(str_detect(F.col("p_name"), "^(red|blue) (bolt|gear)$")).select(
         "p_partkey", "p_name"
     )
 
@@ -304,8 +308,12 @@ def p09_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def p10_regex_negate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Negated regex filter — `str_detect(..., negate=TRUE)` drops
     chr:pos-style names (R/wrangle_data.Rmd:82)."""
+    from gwasdb_spark.functions.scalar import str_detect
+
     d = table(spark, sf_dir, "documents")
-    return d.filter(~F.col("text").rlike("spark|stream")).select("doc_id", "lang")
+    return d.filter(str_detect(F.col("text"), "spark|stream", negate=True)).select(
+        "doc_id", "lang"
+    )
 
 
 @query(

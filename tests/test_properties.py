@@ -295,3 +295,50 @@ def test_asof_directions_match_pandas_merge_asof(spark, left, right, direction):
             assert got[k] is not None and abs(got[k] - want[k]) < 1e-9, (
                 k, direction
             )
+
+
+# ---------------------------------------------------------------------------
+# ICU/Unicode regex parity (ROADMAP decision, round 3): str_detect applies
+# (?U) so Java's \w/\b/\s/\d use Unicode definitions — the reference's
+# stringr/ICU semantics (gwasDB/app.R:99). Python's re is Unicode-classed
+# by default, so it serves as the independent Unicode-semantics reference.
+# ---------------------------------------------------------------------------
+
+# Marker-name-ish text across scripts: Latin, Greek, Cyrillic, CJK, accented
+# letters, non-ASCII digits (٣ Arabic-Indic), NBSP, punctuation.
+unicode_marker_chars = st.characters(
+    whitelist_categories=("Lu", "Ll", "Nd", "Pd", "Zs"),
+    whitelist_characters="rsΔλЖ中.:_٣ ",
+    max_codepoint=0x4FF,
+)
+unicode_markers = st.text(alphabet=unicode_marker_chars, max_size=40)
+
+# Patterns that exercise the Unicode-sensitive classes. Kept inside the
+# Java-(?U) ∩ Python-re common dialect (no \b-adjacent combining-mark edge
+# cases, which the two engines tie-break differently).
+_CLASS_PATTERNS = [
+    r"^rs\d+",
+    r"\w+:\w+",
+    r"\d",
+    r"\s",
+    r"^\w+$",
+    r"[^\W\d]+",
+]
+
+
+@SETTINGS
+@given(st.lists(unicode_markers, min_size=1, max_size=40))
+def test_str_detect_unicode_parity(spark, samples):
+    from gwasdb_spark.functions.scalar import str_detect
+
+    rows = [(i, t) for i, t in enumerate(samples)]
+    df = spark.createDataFrame(rows, "i long, name string")
+    sel = [
+        str_detect(F.col("name"), pat).alias(f"m{j}")
+        for j, pat in enumerate(_CLASS_PATTERNS)
+    ]
+    got = {r.i: r for r in df.select("i", *sel).collect()}
+    for i, t in enumerate(samples):
+        for j, pat in enumerate(_CLASS_PATTERNS):
+            want = re.search(pat, t) is not None
+            assert got[i][f"m{j}"] == want, (repr(t), pat)
