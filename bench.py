@@ -60,6 +60,10 @@ HEADLINE = [
     "x26_cap_vocabulary",
     "x12f_bm25_proximity",
     "x28_temperature_sample",
+    "w04_lag_delta",
+    "x29_dedup_keep_best",
+    "x30_unigram_logprob",
+    "x31_pii_scrub",
 ]
 
 

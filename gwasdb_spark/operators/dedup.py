@@ -41,6 +41,7 @@ import os
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
@@ -445,3 +446,32 @@ def contaminated_docs(
         .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
         .select(F.col("doc").alias(id_col), "n_shared_shingles")
     )
+
+
+def keep_best_per_content(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """Canonical-document selection: one survivor per distinct content,
+    ranked by quality (desc) with id as the deterministic tiebreak —
+    dedup as CURATION (pick the best copy, keep its metadata) rather
+    than exact_duplicates' min-id bookkeeping.
+
+    Scale: the rank runs over (digest, quality, id) — a window
+    partitioned by the 128-bit content hash, so partitions are duplicate
+    groups (tiny; bounded by copy count, not corpus size) and the raw
+    text never shuffles. Returns the surviving rows plus each group's
+    copy count."""
+    digest = F.md5(F.col(text_col)).alias("digest")
+    w = Window.partitionBy("digest").orderBy(
+        F.desc(quality_col), F.asc(id_col)
+    )
+    wg = Window.partitionBy("digest")
+    ranked = df.select(F.col(id_col), F.col(quality_col), digest).select(
+        "*",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wg).cast("long").alias("n_copies"),
+    )
+    return ranked.filter(F.col("rk") == 1).drop("rk")

@@ -36,7 +36,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["positional_tokens", "repetition_signals", "cap_vocabulary"]
+__all__ = [
+    "positional_tokens",
+    "repetition_signals",
+    "cap_vocabulary",
+    "unigram_logprob",
+    "pii_scrub",
+]
 
 UNK = "<unk>"
 
@@ -157,4 +163,69 @@ def cap_vocabulary(
         F.count(F.lit(1)).alias("n_tokens"),
         F.sum(F.when(F.col("out_token") == UNK, 1).otherwise(0)).alias("n_unk"),
         F.array_join(sorted_arr.getField("out_token"), " ").alias("capped_text"),
+    )
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-unigram language-model scoring: each document's mean token
+    log-probability under the corpus' own unigram distribution — the
+    cheap perplexity proxy used to rank/filter pre-training text (a doc
+    of globally-rare tokens scores low; boilerplate scores high).
+
+    Two-pass but ONE job: the token stream is aggregated to corpus
+    counts, the corpus total rides along as a 1-row cross join (in-plan
+    constant — no `.count()` action on the driver), and the token stream
+    joins back to the counts on the token key. Every shuffle carries
+    (token) or (doc, token) pairs — never document text. No smoothing
+    term: every scored token exists in the corpus by construction."""
+    tok = positional_tokens(df, id_col, text_col).select(id_col, "token")
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n_occ"))
+    total = counts.agg(F.sum("n_occ").cast("double").alias("n_total"))
+    scored = tok.join(counts, "token").crossJoin(total)
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.avg(F.log(F.col("n_occ") / F.col("n_total"))).alias(
+                "avg_logprob"
+            ),
+            F.min(F.log(F.col("n_occ") / F.col("n_total"))).alias(
+                "min_logprob"
+            ),
+        )
+    )
+
+
+# PII patterns, kept in the Java-regex ∩ RE2 common dialect (ASCII \b, no
+# lookaround) so the DuckDB oracle matches byte-for-byte.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE = r"\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b"
+
+
+def pii_scrub(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII redaction pass: replace emails / IPv4s / phone-shaped numbers
+    with typed sentinels and count what was removed — the
+    release-hygiene rewrite every published corpus runs. Pure codegen
+    expressions (regexp_extract_all + chained regexp_replace), zero
+    Python in the row path; the three counts make the scrub auditable
+    (sum them corpus-wide to report redaction rates)."""
+    t = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL, "[EMAIL]"), PII_IPV4, "[IP]"
+        ),
+        PII_PHONE,
+        "[PHONE]",
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), F.lit(0))).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_IPV4), F.lit(0))).cast("long").alias("n_ips"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_PHONE), F.lit(0))).cast("long").alias("n_phones"),
+        scrubbed.alias("scrubbed_text"),
     )

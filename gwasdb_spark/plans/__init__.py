@@ -67,6 +67,11 @@ _PRIORITY = [
     "x27_length_histogram",
     "x28_temperature_sample",
     # (c) new this round — appended below as they land
+    "w04_lag_delta",
+    "w05_ntile_rank",
+    "x29_dedup_keep_best",
+    "x30_unigram_logprob",
+    "x31_pii_scrub",
 ]
 
 _rest = [n for n in QUERIES if n not in _PRIORITY]

@@ -195,3 +195,88 @@ def x28_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_sample(d, "lang", "doc_id", scale=8.0).select(
         "doc_id", "lang", "sample_rank", "group_size", "group_quota"
     )
+
+
+@query(
+    "x29_dedup_keep_best",
+    "X-dedup,X-quality",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, n_chars, md5(text) AS digest,
+             ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                ORDER BY n_chars DESC, doc_id) AS rk,
+             CAST(COUNT(*) OVER (PARTITION BY md5(text)) AS BIGINT)
+               AS n_copies
+      FROM documents
+    )
+    SELECT doc_id, n_chars, digest, n_copies FROM g WHERE rk = 1
+    """,
+)
+def x29_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-doc selection: one survivor per distinct content, best
+    quality (n_chars) first, id tiebreak — dedup as curation
+    (operators/dedup.py keep_best_per_content; window partitions are
+    duplicate groups, so no skew and no text shuffle)."""
+    from gwasdb_spark.operators.dedup import keep_best_per_content
+
+    d = table(spark, sf_dir, "documents")
+    return keep_best_per_content(d, "doc_id", "text", "n_chars")
+
+
+@query(
+    "x30_unigram_logprob",
+    "X-text,X-quality",
+    oracle=rf"""
+    WITH {_SQL_TOK},
+    counts AS (SELECT token, COUNT(*) AS n_occ FROM tok GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_occ) AS DOUBLE) AS n_total FROM counts)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           AVG(LN(CAST(n_occ AS DOUBLE) / n_total)) AS avg_logprob,
+           MIN(LN(CAST(n_occ AS DOUBLE) / n_total)) AS min_logprob
+    FROM tok JOIN counts USING (token) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def x30_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: mean/min token log-probability
+    under the corpus' own unigram distribution. Corpus total rides as a
+    1-row cross join (in-plan constant, no driver action); shuffles carry
+    token pairs only (operators/quality.py unigram_logprob)."""
+    from gwasdb_spark.operators.quality import unigram_logprob
+
+    d = table(spark, sf_dir, "documents")
+    return unigram_logprob(d, "doc_id", "text")
+
+
+@query(
+    "x31_pii_scrub",
+    "X-text,X-quality",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text,
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT)
+             AS n_ips,
+           CAST(len(regexp_extract_all(text,
+             '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b')) AS BIGINT)
+             AS n_phones,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g'),
+             '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b', '[PHONE]', 'g')
+             AS scrubbed_text
+    FROM documents
+    """,
+)
+def x31_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-hygiene PII redaction with audit counts — emails, IPv4s,
+    phone-shaped numbers → typed sentinels. Pure codegen regex path;
+    patterns held in the Java ∩ RE2 common dialect so the oracle matches
+    byte-for-byte (operators/quality.py pii_scrub; behavior on real PII
+    exercised in tests/test_quality.py)."""
+    from gwasdb_spark.operators.quality import pii_scrub
+
+    d = table(spark, sf_dir, "documents")
+    return pii_scrub(d, "doc_id", "text")

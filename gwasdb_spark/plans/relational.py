@@ -855,6 +855,73 @@ def w03_auto_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seg.withColumn("id", F.row_number().over(w).cast("long")).select("id", "segment")
 
 
+@query(
+    "w04_lag_delta",
+    "W-ext",
+    oracle="""
+    SELECT user_id, event_id, value,
+           value - LAG(value) OVER w AS value_delta,
+           CAST(date_diff('second',
+                          LAG(ts) OVER w, ts) AS BIGINT) AS gap_sec
+    FROM events
+    WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def w04_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lag deltas over event time — the session-derivative shape
+    (value change + inter-event gap). One window shuffle partitioned by
+    user_id; the event_type filter is pushed to the scan so only the
+    purchase stream shuffles. Gap computed on exact epoch seconds (no
+    float timestamp arithmetic)."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        "value",
+        (F.col("value") - F.lag("value").over(w)).alias("value_delta"),
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        ).alias("gap_sec"),
+    )
+
+
+@query(
+    "w05_ntile_rank",
+    "W-ext",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           CAST(NTILE(4) OVER w AS INT) AS bal_quartile,
+           PERCENT_RANK() OVER w AS bal_pct_rank,
+           CAST(COUNT(*) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal
+                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_at_or_below
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def w05_ntile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank window family: quartile bucket, percent rank, and
+    a peers-inclusive at-or-below count (RANGE frame — exact integers, no
+    cume_dist float round-trip) per customer within nation. The two specs
+    share the same partitioning+sort, so Catalyst plans one shuffle."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    wr = (
+        Window.partitionBy("c_nationkey")
+        .orderBy("c_acctbal")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).alias("bal_quartile"),
+        F.percent_rank().over(w).alias("bal_pct_rank"),
+        F.count(F.lit(1)).over(wr).cast("long").alias("n_at_or_below"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sorts / limits / top-k (SURVEY.md §2.6)
 # ---------------------------------------------------------------------------

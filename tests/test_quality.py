@@ -107,3 +107,60 @@ def test_bm25_proximity_single_term_doc_unchanged(spark):
     # doc 1 matches one distinct term -> multiplier 1.0
     assert prox[1] == pytest.approx(base[1], abs=1e-6)
     assert prox[2] == pytest.approx(base[2] * 1.5, abs=1e-6)
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from gwasdb_spark.operators.quality import pii_scrub
+
+    rows = [
+        (1, "mail alice.smith+x@example.co.uk now or ping 10.0.255.3 twice"),
+        (2, "call 555-867-5309 or 555.867.5309; version 1.2 stays"),
+        (3, "no pii here, just 1234 and a.b"),
+        (4, "a@b.io b@c.org 192.168.1.1 and 800 555 1234"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in pii_scrub(df).collect()}
+    assert got[1].n_emails == 1 and got[1].n_ips == 1 and got[1].n_phones == 0
+    assert "[EMAIL]" in got[1].scrubbed_text and "[IP]" in got[1].scrubbed_text
+    assert "alice" not in got[1].scrubbed_text
+    assert got[2].n_phones == 2 and "version 1.2 stays" in got[2].scrubbed_text
+    assert got[3].n_emails == got[3].n_ips == got[3].n_phones == 0
+    assert got[3].scrubbed_text == rows[2][1]
+    assert got[4].n_emails == 2 and got[4].n_ips == 1 and got[4].n_phones == 1
+
+
+def test_keep_best_per_content_picks_highest_quality(spark):
+    from gwasdb_spark.operators.dedup import keep_best_per_content
+
+    rows = [
+        (1, "same text", 9),
+        (2, "same text", 9),   # tie on quality -> min id (1) wins
+        (3, "same text", 9),
+        (4, "other", 5),
+        (5, "third", 7),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    kept = {r.doc_id: r for r in keep_best_per_content(df).collect()}
+    assert set(kept) == {1, 4, 5}
+    assert kept[1].n_copies == 3
+    assert kept[4].n_copies == 1
+
+
+def test_unigram_logprob_orders_rare_below_common(spark):
+    import math
+
+    from gwasdb_spark.operators.quality import unigram_logprob
+
+    rows = [
+        (1, "the the the the"),      # all common tokens
+        (2, "zyzzyva qwerty"),       # all singletons
+        (3, "the zyxwv"),            # mixed
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in unigram_logprob(df).collect()}
+    # corpus: the x5, others x1 each; total 8 tokens
+    assert got[1].n_tokens == 4
+    assert abs(got[1].avg_logprob - math.log(5 / 8)) < 1e-12
+    assert abs(got[2].avg_logprob - math.log(1 / 8)) < 1e-12
+    assert got[1].avg_logprob > got[3].avg_logprob > got[2].avg_logprob
+    assert abs(got[3].min_logprob - math.log(1 / 8)) < 1e-12
