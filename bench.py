@@ -64,6 +64,8 @@ HEADLINE = [
     "x29_dedup_keep_best",
     "x30_unigram_logprob",
     "x31_pii_scrub",
+    "x05g_filtered_topk",
+    "x32_hybrid_rrf",
 ]
 
 

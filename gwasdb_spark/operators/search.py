@@ -218,3 +218,38 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select(F.col("doc").alias(id_col), F.round("score", 6).alias("score"), "rank")
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    k: int = 10,
+    c: float = 60.0,
+) -> DataFrame:
+    """Reciprocal-rank fusion over N retrieval systems' (id, rank) lists —
+    the standard hybrid-search combiner (score = Σ 1/(c + rank_i); docs
+    absent from a list contribute nothing). Inputs are already top-k'ed
+    candidate lists (bounded), so the union + one hash aggregate is tiny
+    regardless of corpus size; the heavy lifting stayed in the upstream
+    retrievers. Deterministic id tiebreak."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    parts = [
+        r.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(float(c)) + F.col("rank").cast("double"))).alias(
+                "contrib"
+            ),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy(id_col).agg(F.sum("contrib").alias("rrf_score"))
+    w = Window.orderBy(F.desc("rrf_score"), F.asc(id_col))
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, F.round("rrf_score", 6).alias("rrf_score"), "rank")
+    )

@@ -613,3 +613,52 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def filtered_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    filter_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Metadata-filtered exact top-k ("hybrid filter" retrieval): each
+    query retrieves only among corpus rows sharing its `filter_col`
+    value — the tenant/category/language-constrained vector search every
+    production vector store exposes.
+
+    Scale shape: the metadata predicate IS the join key — the broadcast
+    cross join of the unfiltered path collapses to an equi-join on
+    filter_col, so each query scores only its segment (corpus_segment ×
+    queries_in_segment work, not corpus × queries). Skewed segments are
+    AQE's problem, same as any join key."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col(filter_col).alias("fkey"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col(filter_col).alias("fkey"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "fkey")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("fkey"),
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "fkey", "cosine", "rank")
+    )

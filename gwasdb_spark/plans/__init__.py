@@ -72,6 +72,9 @@ _PRIORITY = [
     "x29_dedup_keep_best",
     "x30_unigram_logprob",
     "x31_pii_scrub",
+    "s20_jsonl_roundtrip",
+    "x05g_filtered_topk",
+    "x32_hybrid_rrf",
 ]
 
 _rest = [n for n in QUERIES if n not in _PRIORITY]

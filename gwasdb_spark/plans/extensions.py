@@ -1816,3 +1816,130 @@ def x14c_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_cols=["value"], tiebreak_col="event_id", direction="nearest",
     )
     return out.select("event_id", "user_id", F.col("asof_value"))
+
+
+@query(
+    "x05g_filtered_topk",
+    "X-sim",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label
+          FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id, q.label AS fkey,
+             {_COS_SQL.format(a='qv', b='cv')}
+               / (sqrt({_COS_SQL.format(a='qv', b='qv')})
+                  * sqrt({_COS_SQL.format(a='cv', b='cv')})) AS cos_raw
+      FROM q JOIN c ON q.label = c.label
+      WHERE query_id != neighbor_id
+    )
+    SELECT query_id, neighbor_id, CAST(fkey AS INT) AS fkey,
+           CAST(rank AS BIGINT) AS rank, ROUND(cos_raw, 6) AS cosine
+    FROM (
+      SELECT query_id, neighbor_id, fkey, cos_raw,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_raw DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def x05g_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered vector search: top-5 cosine neighbors per query
+    AMONG ROWS SHARING THE QUERY'S LABEL. The filter predicate becomes
+    the join key (equi-join, not cross join) so each query scores only
+    its segment — the tenant-scoped retrieval shape
+    (operators/similarity.py filtered_topk)."""
+    from gwasdb_spark.operators.similarity import filtered_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    res = filtered_topk(q, e, "label", "vec_id", "embedding", k=5)
+    return res.select(
+        "query_id", "neighbor_id", "fkey", "rank",
+        F.round("cosine", 6).alias("cosine"),
+    )
+
+
+@query(
+    "x32_hybrid_rrf",
+    "X-search,X-sim",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id AS doc,
+             unnest(string_split_regex(lower(trim(text)), '[^a-z0-9]+')) AS term
+      FROM documents
+    ),
+    postings AS (
+      SELECT doc, term, COUNT(*) AS tf FROM toks WHERE term <> ''
+      GROUP BY 1, 2
+    ),
+    doclen AS (SELECT doc, SUM(tf) AS dl FROM postings GROUP BY 1),
+    consts AS (
+      SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+             (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) FROM doclen) AS avgdl
+    ),
+    qt(term) AS (VALUES ('hash'), ('join'), ('vector')),
+    hit AS (SELECT p.doc, p.term, p.tf FROM postings p JOIN qt USING (term)),
+    dfc AS (SELECT term, COUNT(DISTINCT doc) AS df_t FROM hit GROUP BY 1),
+    bm25s AS (
+      SELECT doc,
+             SUM(ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+                 * (tf * 2.2)
+                 / (tf + 1.2 * (1 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+             ) AS score
+      FROM hit JOIN dfc USING (term) JOIN doclen USING (doc) CROSS JOIN consts
+      GROUP BY doc
+    ),
+    bm25r AS (
+      SELECT doc AS doc_id,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc) AS rank
+      FROM bm25s QUALIFY rank <= 20
+    ),
+    qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    cosr AS (
+      SELECT neighbor_id AS doc_id,
+             ROW_NUMBER() OVER (ORDER BY cos_raw DESC, neighbor_id) AS rank
+      FROM (
+        SELECT vec_id AS neighbor_id,
+               {_COS_SQL.format(a='qv', b='embedding')}
+                 / (sqrt({_COS_SQL.format(a='qv', b='qv')})
+                    * sqrt({_COS_SQL.format(a='embedding', b='embedding')}))
+                 AS cos_raw
+        FROM embeddings CROSS JOIN qv WHERE vec_id != 0
+      ) QUALIFY rank <= 20
+    ),
+    contrib AS (
+      SELECT doc_id, 1.0 / (60.0 + rank) AS c FROM bm25r
+      UNION ALL
+      SELECT doc_id, 1.0 / (60.0 + rank) AS c FROM cosr
+    ),
+    fused AS (SELECT doc_id, SUM(c) AS rrf_score FROM contrib GROUP BY 1)
+    SELECT doc_id, ROUND(rrf_score, 6) AS rrf_score, CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT doc_id, rrf_score,
+             ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS rank
+      FROM fused
+    ) WHERE rank <= 10
+    """,
+)
+def x32_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 keyword candidates (top-20 for a 3-term
+    query) fused with dense cosine candidates (top-20 around doc 0's
+    embedding; doc_id ≡ vec_id) by reciprocal-rank fusion, final top-10.
+    Each retriever keeps its own optimal plan (pruned postings / one
+    corpus scan); fusion itself touches only the bounded candidate
+    lists (operators/search.py rrf_fuse)."""
+    from gwasdb_spark.operators.search import bm25_topk, rrf_fuse
+    from gwasdb_spark.operators.similarity import brute_force_topk
+
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+    kw = bm25_topk(d, ["hash", "join", "vector"], "doc_id", "text", k=20).select(
+        "doc_id", "rank"
+    )
+    qv = e.filter(F.col("vec_id") == 0)
+    dense = brute_force_topk(qv, e, "vec_id", "embedding", k=20).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse([kw, dense], "doc_id", k=10)

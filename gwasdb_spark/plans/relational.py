@@ -87,6 +87,40 @@ def s03_csv_stage_glob_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s20_jsonl_roundtrip",
+    "S-ext,X-text",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts
+    FROM documents GROUP BY lang
+    """,
+)
+def s20_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL sink→source round-trip (sources/jsonl.py): documents staged
+    as newline-delimited JSON, read back with an explicit schema (no
+    inference pass), then digest-aggregated per language — the distinct
+    md5(text) count proves byte fidelity through JSON string escaping.
+    The read is the scale path: splittable files, JVM-side Jackson parse,
+    corrupt-line quarantine instead of job failure."""
+    from gwasdb_spark.sources.jsonl import read_jsonl, write_jsonl
+
+    d = table(spark, sf_dir, "documents")
+    out = os.path.join(tempfile.gettempdir(), "gwasdb_spark_stage", "docs_jsonl")
+    write_jsonl(d.repartition(4), out)
+    back = read_jsonl(
+        spark,
+        out,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.count_distinct(F.md5("text")).alias("n_distinct_texts"),
+    )
+
+
+@query(
     "s05_sql_text_entry",
     "S17,S18,J7",
     oracle="""

@@ -68,3 +68,18 @@ def test_bm25_builds_as_one_plan_no_driver_actions(docs, monkeypatch):
 def test_bad_mode_rejected(docs):
     with pytest.raises(ValueError):
         bm25_topk(docs, ["hash"], mode="not-a-mode")
+
+
+def test_rrf_fuse_rewards_agreement(spark):
+    from gwasdb_spark.operators.search import rrf_fuse
+
+    r1 = spark.createDataFrame([(10, 1), (20, 2), (30, 3)], "doc_id long, rank long")
+    r2 = spark.createDataFrame([(20, 1), (40, 2), (10, 3)], "doc_id long, rank long")
+    got = rrf_fuse([r1, r2], k=4).collect()
+    order = [r.doc_id for r in got]
+    # doc 20 (ranks 2+1) and doc 10 (ranks 1+3) beat single-list docs
+    assert order[0] == 20 and order[1] == 10
+    assert set(order) == {10, 20, 30, 40}
+    by_id = {r.doc_id: r.rrf_score for r in got}
+    assert abs(by_id[20] - round(1 / 62 + 1 / 61, 6)) < 1e-9
+    assert got[0].rank == 1 and got[3].rank == 4

@@ -251,3 +251,20 @@ def test_pq_deterministic(spark, neardup_corpus):
     a = [tuple(r) for r in pq_topk(queries, neardup_corpus, k=5, refine=30).collect()]
     b = [tuple(r) for r in pq_topk(queries, neardup_corpus, k=5, refine=30).collect()]
     assert a == b
+
+
+def test_filtered_topk_respects_segment(spark):
+    from gwasdb_spark.operators.similarity import filtered_topk
+
+    rows = [
+        (0, [1.0, 0.0], "a"),
+        (1, [0.9, 0.1], "a"),
+        (2, [1.0, 0.01], "b"),   # closest overall but wrong segment
+        (3, [0.0, 1.0], "a"),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, seg string")
+    q = df.filter("vec_id = 0")
+    got = filtered_topk(q, df, "seg", "vec_id", "embedding", k=2).collect()
+    ids = [r.neighbor_id for r in got]
+    assert ids == [1, 3]          # 2 excluded despite higher cosine
+    assert all(r.fkey == "a" for r in got)

@@ -77,3 +77,41 @@ def test_csv_roundtrip_single_file(spark, tmp_path):
 def test_clean_names_passthrough(spark):
     df = spark.createDataFrame([(1,)], "`Weird Col` long")
     assert clean_names(df).columns == ["weird_col"]
+
+
+def test_jsonl_roundtrip_preserves_tricky_strings(spark, tmp_path):
+    from gwasdb_spark.sources.jsonl import read_jsonl, write_jsonl
+
+    rows = [
+        (1, 'quote " backslash \\ newline \n tab \t done', "en"),
+        (2, "unicode: Δλ中 ٣ nbsp end", "el"),
+        (3, "", "en"),
+        (4, None, "fr"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = str(tmp_path / "jl")
+    write_jsonl(df, out)
+    back = read_jsonl(spark, out, "doc_id bigint, text string, lang string")
+    got = {r.doc_id: (r.text, r.lang) for r in back.collect()}
+    assert got == {i: (t, l) for i, t, l in rows}
+
+
+def test_jsonl_corrupt_lines_quarantined(spark, tmp_path):
+    import os
+
+    from gwasdb_spark.sources.jsonl import corrupt_lines, read_jsonl
+
+    d = tmp_path / "mixed"
+    os.makedirs(d)
+    (d / "part-0.json").write_text(
+        '{"doc_id": 1, "text": "ok"}\n'
+        "this is not json\n"
+        '{"doc_id": 2, "text": "also ok"}\n'
+        '{"doc_id": "NaNopeNotANumber", "text": "bad type"}\n'
+    )
+    schema = "doc_id bigint, text string"
+    clean = read_jsonl(spark, str(d), schema)
+    assert {r.doc_id for r in clean.collect()} == {1, 2}
+    bad = [r.raw_line for r in corrupt_lines(spark, str(d), schema).collect()]
+    assert len(bad) == 2
+    assert "this is not json" in bad
