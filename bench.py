@@ -66,6 +66,8 @@ HEADLINE = [
     "x31_pii_scrub",
     "x05g_filtered_topk",
     "x32_hybrid_rrf",
+    "st08_stream_sliding_rate",
+    "c02_training_mix",
 ]
 
 

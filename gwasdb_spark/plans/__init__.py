@@ -75,6 +75,8 @@ _PRIORITY = [
     "s20_jsonl_roundtrip",
     "x05g_filtered_topk",
     "x32_hybrid_rrf",
+    "st08_stream_sliding_rate",
+    "c02_training_mix",
 ]
 
 _rest = [n for n in QUERIES if n not in _PRIORITY]

@@ -231,8 +231,8 @@ def x29_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts AS (SELECT token, COUNT(*) AS n_occ FROM tok GROUP BY 1),
     tot AS (SELECT CAST(SUM(n_occ) AS DOUBLE) AS n_total FROM counts)
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           AVG(LN(CAST(n_occ AS DOUBLE) / n_total)) AS avg_logprob,
-           MIN(LN(CAST(n_occ AS DOUBLE) / n_total)) AS min_logprob
+           ROUND(AVG(LN(CAST(n_occ AS DOUBLE) / n_total)), 9) AS avg_logprob,
+           ROUND(MIN(LN(CAST(n_occ AS DOUBLE) / n_total)), 9) AS min_logprob
     FROM tok JOIN counts USING (token) CROSS JOIN tot
     GROUP BY doc_id
     """,
@@ -245,7 +245,16 @@ def x30_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gwasdb_spark.operators.quality import unigram_logprob
 
     d = table(spark, sf_dir, "documents")
-    return unigram_logprob(d, "doc_id", "text")
+    res = unigram_logprob(d, "doc_id", "text")
+    # 9-dp round: avg-of-logs associates differently across engines at
+    # ~1e-15; the rounded value is what both the driver and in-repo gates
+    # compare.
+    return res.select(
+        "doc_id",
+        "n_tokens",
+        F.round("avg_logprob", 9).alias("avg_logprob"),
+        F.round("min_logprob", 9).alias("min_logprob"),
+    )
 
 
 @query(

@@ -1943,3 +1943,134 @@ def x32_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("neighbor_id").alias("doc_id"), "rank"
     )
     return rrf_fuse([kw, dense], "doc_id", k=10)
+
+
+@query(
+    "st08_stream_sliding_rate",
+    "X-stream,§2.10",
+    oracle="""
+    WITH w AS (
+      SELECT strftime(time_bucket(INTERVAL '15 minutes', ts)
+                        - k.k * INTERVAL '15 minutes',
+                      '%Y-%m-%d %H:%M:%S') AS window_start,
+             event_type, value
+      FROM events CROSS JOIN range(4) k(k)
+    )
+    SELECT window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           (CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0)
+             AS total_value
+    FROM w GROUP BY 1, 2
+    """,
+)
+def st08_stream_sliding_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE streaming sliding windows: 1-hour windows every 15 minutes per
+    event type (each event belongs to exactly 4 overlapping windows) —
+    the rate/SLA monitor. Oracle expands the same 4-window membership
+    with a bounded cross join on the 15-minute grid; money sums in exact
+    cents both sides."""
+    from gwasdb_spark.streaming.events import (
+        read_events_stream,
+        run_available_now,
+        sliding_rate_stream,
+    )
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    return run_available_now(sliding_rate_stream(stream), "complete")
+
+
+@query(
+    "c02_training_mix",
+    "X-pipeline",
+    oracle=r"""
+    WITH surv AS (
+      SELECT doc_id, text, lang FROM (
+        SELECT doc_id, text, lang,
+               ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                  ORDER BY n_chars DESC, doc_id) AS rk
+        FROM documents
+      ) WHERE rk = 1
+    ),
+    scrub AS (
+      SELECT doc_id, lang,
+             regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g'),
+               '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b', '[PHONE]', 'g') AS stext,
+             len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             + len(regexp_extract_all(text,
+               '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+             + len(regexp_extract_all(text,
+               '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b')) AS n_pii
+      FROM surv
+    ),
+    gated AS (
+      SELECT doc_id, lang, CAST(n_pii AS BIGINT) AS n_pii,
+             CAST(len(regexp_extract_all(stext, '\S+')) AS BIGINT) AS n_tokens
+      FROM scrub
+      WHERE len(regexp_extract_all(stext, '\S+')) >= 10
+    ),
+    splitd AS (
+      SELECT *,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d')
+                    THEN 'val'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e','f')
+                    THEN 'test'
+                  ELSE 'train' END AS split
+      FROM gated
+    ),
+    packed AS (
+      SELECT doc_id,
+             COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+      FROM splitd WHERE split = 'train'
+    )
+    SELECT s.doc_id, s.lang, s.split, s.n_tokens, s.n_pii,
+           CAST(p.start // 2048 AS BIGINT) AS pack_id,
+           CAST(p.start % 2048 AS BIGINT) AS start_offset
+    FROM splitd s LEFT JOIN packed p USING (doc_id)
+    """,
+)
+def c02_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data assembly in ONE declarative plan — the
+    engine's flagship composite: canonical-doc dedup (keep best copy per
+    content) → PII scrub → minimum-length gate on the SCRUBBED text →
+    content-addressed train/val/test split → GPT-style concat-and-chunk
+    packing of the train split (2048-token budget, two-level distributed
+    cumsum — no global single-task window over documents).
+
+    Every stage is the already-tested operator (dedup.keep_best_per_content,
+    quality.pii_scrub, sampling.split_label/packed_sequences); the
+    composition shuffles digests, token counts, and bucket totals — never
+    raw text after the scrub projection."""
+    from gwasdb_spark.functions import text as TX
+    from gwasdb_spark.operators.dedup import keep_best_per_content
+    from gwasdb_spark.operators.quality import pii_scrub
+    from gwasdb_spark.operators.sampling import packed_sequences, split_label
+
+    d = table(spark, sf_dir, "documents")
+    kept = keep_best_per_content(d, "doc_id", "text", "n_chars").select("doc_id")
+    base = d.join(kept, "doc_id", "left_semi")
+    scrub = pii_scrub(base, "doc_id", "text")
+    gated = (
+        base.select("doc_id", "lang")
+        .join(scrub, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            (F.col("n_emails") + F.col("n_ips") + F.col("n_phones"))
+            .cast("long")
+            .alias("n_pii"),
+            TX.n_tokens_ws(F.col("scrubbed_text")).cast("long").alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") >= 10)
+    )
+    splitd = gated.withColumn("split", split_label(F.col("doc_id")))
+    train = splitd.filter(F.col("split") == "train")
+    packed = packed_sequences(train, "doc_id", F.col("n_tokens"), budget=2048).select(
+        F.col("id").alias("doc_id"), "pack_id", "start_offset"
+    )
+    return splitd.join(packed, "doc_id", "left").select(
+        "doc_id", "lang", "split", "n_tokens", "n_pii", "pack_id", "start_offset"
+    )

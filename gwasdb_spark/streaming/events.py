@@ -420,3 +420,32 @@ def click_error_left_outer_stream(
         F.col("c_user").alias("user_id"), "click_id", "error_id",
         "click_ts", "error_ts",
     )
+
+
+def sliding_rate_stream(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    lateness: str = "10 minutes",
+) -> DataFrame:
+    """Sliding-window event rates: overlapping windows (each event lands
+    in window/slide of them) per event type — the rate/SLA monitor shape.
+    Spark expands the window memberships at evaluation (no row
+    duplication upstream); watermark bounds open-window state to the
+    lateness horizon × overlap factor."""
+    return (
+        events.withWatermark("ts", lateness)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money(F.sum(cents(F.col("value")))).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
