@@ -68,6 +68,7 @@ HEADLINE = [
     "x32_hybrid_rrf",
     "st08_stream_sliding_rate",
     "c02_training_mix",
+    "x33_bpe_pair_counts",
 ]
 
 

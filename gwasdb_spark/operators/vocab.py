@@ -162,3 +162,36 @@ def reservoir_per_group(
         df.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= k)
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame, text_col: str = "text", top_n: int = 20
+) -> DataFrame:
+    """First BPE merge round: corpus-wide adjacent character-pair counts,
+    top-N by frequency — the inner loop of byte-pair-encoding tokenizer
+    training, expressed as the classic trainer optimization: aggregate
+    the corpus to (DISTINCT word, freq) FIRST, then enumerate each
+    distinct word's pairs once and weight by freq. Pair enumeration cost
+    scales with vocabulary (sub-linear in corpus), not token count; the
+    pair aggregate shuffles 2-char keys. A full trainer iterates this
+    with a merge-apply step per round."""
+    tok = df.select(
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    words = (
+        tok.filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = words.select(
+        F.explode(F.expr("sequence(1, length(word) - 1)")).alias("i"),
+        F.col("word"),
+        F.col("freq"),
+    ).select(F.expr("substring(word, i, 2)").alias("pair"), "freq")
+    agg = pairs.groupBy("pair").agg(F.sum("freq").cast("long").alias("n_occ"))
+    w = Window.orderBy(F.desc("n_occ"), F.asc("pair"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_n)
+        .select("pair", "n_occ", "rank")
+    )

@@ -77,6 +77,8 @@ _PRIORITY = [
     "x32_hybrid_rrf",
     "st08_stream_sliding_rate",
     "c02_training_mix",
+    "st09_incremental_rollup_serve",
+    "x33_bpe_pair_counts",
 ]
 
 _rest = [n for n in QUERIES if n not in _PRIORITY]

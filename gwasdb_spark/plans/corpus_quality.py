@@ -289,3 +289,39 @@ def x31_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return pii_scrub(d, "doc_id", "text")
+
+
+@query(
+    "x33_bpe_pair_counts",
+    "X-text,X-vocab",
+    oracle=r"""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+      FROM documents
+    ),
+    words AS (
+      SELECT word, COUNT(*) AS freq FROM tok
+      WHERE word <> '' AND len(word) >= 2 GROUP BY 1
+    ),
+    pairs AS (
+      SELECT substr(word, CAST(i AS INT), 2) AS pair, freq FROM (
+        SELECT word, freq, unnest(range(1, len(word))) AS i FROM words
+      )
+    ),
+    agg AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS n_occ FROM pairs GROUP BY 1)
+    SELECT pair, n_occ, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT pair, n_occ,
+             ROW_NUMBER() OVER (ORDER BY n_occ DESC, pair) AS rank
+      FROM agg
+    ) WHERE rank <= 20
+    """,
+)
+def x33_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-training inner loop: top-20 adjacent character pairs
+    corpus-wide, counted over the DISTINCT-word vocabulary weighted by
+    word frequency — pair enumeration scales with vocabulary size, not
+    corpus size (operators/vocab.py bpe_pair_counts)."""
+    from gwasdb_spark.operators.vocab import bpe_pair_counts
+
+    d = table(spark, sf_dir, "documents")
+    return bpe_pair_counts(d, "text", top_n=20)

@@ -9,6 +9,8 @@ and are instead cross-validated against their exact twins in tests/.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -2074,3 +2076,55 @@ def c02_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return splitd.join(packed, "doc_id", "left").select(
         "doc_id", "lang", "split", "n_tokens", "n_pii", "pack_id", "start_offset"
     )
+
+
+@query(
+    "st09_incremental_rollup_serve",
+    "X-stream,§2.10",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           (CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0)
+             AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def st09_incremental_rollup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE continuous-aggregate maintenance, end to end: the UPDATE-mode
+    hourly rollup stream drives foreach_batch_upsert_rollup — dynamic
+    partition overwrite rewrites exactly the (hour, event_type) keys each
+    micro-batch touched — and the SERVING TABLE (plain partitioned
+    parquet, directly queryable at any moment) is what this query
+    returns. Write cost per batch is proportional to touched keys, not
+    table size (the timescale hypertable-rollup shape). Oracle: the batch
+    rollup SQL (st01's)."""
+    import tempfile as _tf
+
+    from gwasdb_spark.streaming.events import (
+        foreach_batch_upsert_rollup,
+        hourly_rollup_stream,
+        read_events_stream,
+    )
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    updates = hourly_rollup_stream(stream)
+    base = _tf.mkdtemp(prefix="rollup_serve_")
+    out = os.path.join(base, "serving")
+    q = foreach_batch_upsert_rollup(
+        updates, out, os.path.join(base, "ckpt")
+    )
+    q.awaitTermination()
+    prev = spark.conf.get(
+        "spark.sql.sources.partitionColumnTypeInference.enabled", "true"
+    )
+    spark.conf.set(
+        "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
+    )
+    try:
+        serving = spark.read.parquet(out)
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionColumnTypeInference.enabled", prev
+        )
+    return serving.select("hour", "event_type", "n_events", "total_value")
