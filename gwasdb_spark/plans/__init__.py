@@ -79,6 +79,9 @@ _PRIORITY = [
     "c02_training_mix",
     "st09_incremental_rollup_serve",
     "x33_bpe_pair_counts",
+    # plans changed this round (str_detect ICU-parity wiring) — re-verify
+    "p09_regex_filter",
+    "p10_regex_negate",
 ]
 
 _rest = [n for n in QUERIES if n not in _PRIORITY]
