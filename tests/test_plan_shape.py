@@ -94,3 +94,45 @@ def test_ngram_jaccard_reuses_shingle_exchange(spark):
     assert "isFinalPlan=true" in final
     reused = [ln for ln in final.splitlines() if "ReusedExchange" in ln]
     assert any("REPARTITION_BY_COL" in ln for ln in reused), reused
+
+
+def test_filtered_topk_is_equi_join_not_cross(spark):
+    """x05g's metadata filter must surface as a hash-join KEY — the whole
+    point of the operator is collapsing the broadcast cross join to a
+    per-segment equi-join."""
+    plan = _plan(spark, "x05g_filtered_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pii_scrub_stays_codegen(spark):
+    """x31 is a pure expression rewrite: no exchange, no Python worker —
+    one whole-stage-codegen span over the scan (the `*(1)` prefix)."""
+    plan = _plan(spark, "x31_pii_scrub")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.lstrip().startswith("*(1)"), plan.splitlines()[0]
+
+
+def test_unigram_logprob_total_rides_in_plan(spark):
+    """x30's corpus total must ride the plan as a 1-row broadcast cross
+    join. If it were computed driver-side (a .count()), it would appear
+    as a folded literal and the cross join would vanish."""
+    plan = _plan(spark, "x30_unigram_logprob")
+    assert "BroadcastNestedLoopJoin" in plan and "Cross" in plan
+    assert "n_total" in plan  # the 1-row aggregate column, not a literal
+
+
+def test_scrubbed_text_never_shuffles_in_c02(spark):
+    """c02's packing/split stages must shuffle token counts and digests
+    only — document text appearing in an Exchange doubles shuffle IO for
+    nothing."""
+    plan = _optimized(spark, "c02_training_mix")
+    import re as _re
+
+    # optimizedPlan shows column lineage; text may feed scan-side
+    # projections (scrub, token count) but no aggregate/join KEY carries it
+    for ln in plan.splitlines():
+        if _re.search(r"^(Join|Aggregate|Window|Sort)\b", ln.strip()):
+            assert "scrubbed_text" not in ln and ", text" not in ln, ln
