@@ -69,6 +69,7 @@ HEADLINE = [
     "st08_stream_sliding_rate",
     "c02_training_mix",
     "x33_bpe_pair_counts",
+    "a06_regression_trend",
 ]
 
 

@@ -82,6 +82,7 @@ _PRIORITY = [
     # plans changed this round (str_detect ICU-parity wiring) — re-verify
     "p09_regex_filter",
     "p10_regex_negate",
+    "a06_regression_trend",
 ]
 
 _rest = [n for n in QUERIES if n not in _PRIORITY]

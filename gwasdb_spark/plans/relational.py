@@ -810,6 +810,76 @@ def a05_manual_pivot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, "user_bucket", "left").join(c, "user_bucket", "left")
 
 
+@query(
+    "a06_regression_trend",
+    "A-ext",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS x,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    sums AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM daily GROUP BY 1
+    )
+    SELECT event_type, n AS n_days,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0
+             AS slope_per_day,
+           CAST(sy * sxx - sx * sxy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0
+             AS intercept
+    FROM sums
+    """,
+)
+def a06_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise OLS trend: per event type, regress the daily revenue
+    total on the day index — the anomaly/trend primitive, as a pure
+    two-level aggregate (no UDF, no iteration). ALL regression moments
+    (n, Σx, Σy, Σxy, Σx²) accumulate as exact int64 — day indices are
+    small ints, daily totals exact cents — and the closed-form
+    slope/intercept divide once in double, so both engines agree
+    BITWISE with no rounding fudge. Shuffles: (type, day) partial agg,
+    then per-type moment agg."""
+    e = table(spark, sf_dir, "events")
+    x = F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).cast("long")
+    daily = (
+        e.select("event_type", x.alias("x"), cents(F.col("value")).alias("c"))
+        .groupBy("event_type", "x")
+        .agg(F.sum("c").alias("y"))
+    )
+    sums = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return sums.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / den
+            / F.lit(100.0)
+        ).alias("slope_per_day"),
+        (
+            (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")).cast("double")
+            / den
+            / F.lit(100.0)
+        ).alias("intercept"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Window extensions (SURVEY.md §2.5 — absent in reference; engine extensions)
 # ---------------------------------------------------------------------------
