@@ -70,6 +70,7 @@ HEADLINE = [
     "c02_training_mix",
     "x33_bpe_pair_counts",
     "a06_regression_trend",
+    "x12g_bm25_indexed",
 ]
 
 

@@ -253,3 +253,81 @@ def rrf_fuse(
         .filter(F.col("rank") <= k)
         .select(id_col, F.round("rrf_score", 6).alias("rrf_score"), "rank")
     )
+
+
+def build_text_index(
+    df: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Materialize the inverted index: postings (doc, term, tf) written
+    term-sorted, per-doc lengths, and the two scoring constants — the
+    one-time build that makes per-query cost independent of corpus size.
+
+    bm25_topk re-tokenizes the corpus on every call (fine for one-shot
+    analytics, wrong for a serving workload: at 100 TB that is multiple
+    full scans per query). The index is the standard fix. Postings are
+    range-partitioned and sorted by term, so each parquet file covers a
+    narrow term range and a term-IN filter prunes to a few row groups
+    (min/max stats do the skipping; with Delta, Z-order/bloom would
+    sharpen it). Build cost: the same two shuffles bm25_topk pays ONCE."""
+    postings = _term_postings(df, id_col, text_col)
+    doclen = postings.groupBy("doc").agg(F.sum("tf").alias("dl"))
+    consts = df.agg(F.count(F.lit(1)).cast("double").alias("n_docs")).crossJoin(
+        doclen.agg((F.sum("dl") / F.count(F.lit(1))).alias("avgdl"))
+    )
+    (
+        postings.repartitionByRange(8, "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/postings")
+    )
+    doclen.write.mode("overwrite").parquet(f"{index_dir}/doclen")
+    consts.write.mode("overwrite").parquet(f"{index_dir}/consts")
+
+
+def bm25_topk_indexed(
+    spark,
+    index_dir: str,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 over the materialized index: the term-IN predicate lands in
+    the postings scan's PushedFilters (term-sorted files → row-group
+    skipping), df(t) aggregates over just the pruned postings, doclen
+    joins only the hit docs. Per-query work scales with the query terms'
+    posting lists — the serving-path twin of bm25_topk, result-identical
+    (same exact-integer tf/dl, same fixed-order float scoring)."""
+    terms_lc = sorted({t.lower() for t in query_terms})
+    hit = spark.read.parquet(f"{index_dir}/postings").filter(
+        F.col("term").isin(terms_lc)
+    )
+    doclen = spark.read.parquet(f"{index_dir}/doclen")
+    consts = spark.read.parquet(f"{index_dir}/consts")
+    dfc = hit.groupBy("term").agg(F.count_distinct("doc").alias("df_t"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5) + 1.0
+    )
+    # operation order mirrors bm25_topk exactly — (idf * tf_num) / den —
+    # so the two paths (and the shared oracle) agree bitwise pre-rounding
+    term_score = (idf * (F.col("tf") * (k1 + 1.0))) / (
+        F.col("tf")
+        + k1 * (1.0 - b + b * F.col("dl").cast("double") / F.col("avgdl"))
+    )
+    scored = (
+        hit.join(F.broadcast(dfc), "term")
+        .join(doclen, "doc")
+        .crossJoin(F.broadcast(consts))
+        .groupBy("doc")
+        .agg(F.sum(term_score).alias("score"))
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("doc").alias(id_col), F.round("score", 6).alias("score"), "rank")
+    )

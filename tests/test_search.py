@@ -83,3 +83,25 @@ def test_rrf_fuse_rewards_agreement(spark):
     by_id = {r.doc_id: r.rrf_score for r in got}
     assert abs(by_id[20] - round(1 / 62 + 1 / 61, 6)) < 1e-9
     assert got[0].rank == 1 and got[3].rank == 4
+
+
+def test_bm25_indexed_matches_adhoc(spark, tmp_path):
+    from gwasdb_spark.operators.search import (
+        bm25_topk,
+        bm25_topk_indexed,
+        build_text_index,
+    )
+
+    rows = [
+        (1, "spark joins hash tables fast"),
+        (2, "hash hash hash collision"),
+        (3, "vector search with hash buckets and joins"),
+        (4, "nothing relevant here at all"),
+        (5, "join join join"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = str(tmp_path / "idx")
+    build_text_index(df, idx, "doc_id", "text")
+    adhoc = bm25_topk(df, ["hash", "join", "vector"], k=5).collect()
+    indexed = bm25_topk_indexed(spark, idx, ["hash", "join", "vector"], k=5).collect()
+    assert [tuple(r) for r in adhoc] == [tuple(r) for r in indexed]
