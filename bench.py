@@ -71,6 +71,9 @@ HEADLINE = [
     "x33_bpe_pair_counts",
     "a06_regression_trend",
     "x12g_bm25_indexed",
+    "x35_conversion_funnel",
+    "q13_customer_distribution",
+    "q21_waiting_supplier",
 ]
 
 

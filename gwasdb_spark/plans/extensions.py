@@ -2193,3 +2193,135 @@ def x12g_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_text_index(d, idx, "doc_id", "text")
         _TEXT_INDEX_CACHE[sf_dir] = idx
     return bm25_topk_indexed(spark, idx, ["hash", "join", "vector"], "doc_id", k=10)
+
+
+@query(
+    "x35_conversion_funnel",
+    "X-events,A-group",
+    oracle="""
+    WITH fc AS (
+      SELECT user_id, MIN(ts) AS first_click
+      FROM events WHERE event_type = 'click' GROUP BY user_id
+    ),
+    conv AS (
+      SELECT DISTINCT fc.user_id
+      FROM fc JOIN events p
+        ON p.user_id = fc.user_id
+       AND p.event_type = 'purchase'
+       AND p.ts >= fc.first_click
+       AND p.ts <= fc.first_click + INTERVAL 7 DAY
+    )
+    SELECT strftime(CAST(fc.first_click AS DATE), '%Y-%m-%d') AS cohort_day,
+           CAST(COUNT(*) AS BIGINT) AS n_clicked,
+           CAST(SUM(CASE WHEN conv.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_converted
+    FROM fc LEFT JOIN conv ON conv.user_id = fc.user_id
+    GROUP BY 1
+    """,
+)
+def x35_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohorted conversion funnel: users grouped by first-click day,
+    counting who purchased within 7 days of that first click — the
+    product-analytics sequence-match shape as two skinny aggregates and
+    one time-bounded join (no per-user Python, no window over the full
+    event stream; the purchase probe joins only (user, first_click)
+    pairs)."""
+    e = table(spark, sf_dir, "events")
+    fc = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"), F.col("ts").alias("p_ts")
+    )
+    conv = (
+        fc.join(p, "user_id")
+        .filter(
+            (F.col("p_ts") >= F.col("first_click"))
+            & (F.col("p_ts") <= F.col("first_click") + F.expr("INTERVAL 7 DAY"))
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    return (
+        fc.join(conv, "user_id", "left")
+        .groupBy(F.date_format(F.to_date("first_click"), "yyyy-MM-dd").alias("cohort_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clicked"),
+            F.sum(F.coalesce(F.col("converted"), F.lit(0)))
+            .cast("long")
+            .alias("n_converted"),
+        )
+    )
+
+
+@query(
+    "x36_split_drift",
+    "X-sample,X-quality",
+    oracle="""
+    WITH s AS (
+      SELECT lang,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                       IN ('c','d','e','f')
+                  THEN 'holdout' ELSE 'train' END AS split
+      FROM documents
+    ),
+    counts AS (
+      SELECT lang,
+             CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_train,
+             CAST(SUM(CASE WHEN split = 'holdout' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_holdout
+      FROM s GROUP BY lang
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_train) AS DOUBLE) AS t_train,
+             CAST(SUM(n_holdout) AS DOUBLE) AS t_holdout
+      FROM counts
+    )
+    SELECT lang, n_train, n_holdout,
+           ROUND((CAST(n_train AS DOUBLE) / t_train
+                  - CAST(n_holdout AS DOUBLE) / t_holdout)
+                 * LN((CAST(n_train AS DOUBLE) / t_train)
+                      / (CAST(n_holdout AS DOUBLE) / t_holdout)), 9)
+             AS psi_term
+    FROM counts CROSS JOIN tot
+    """,
+)
+def x36_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-drift monitor: per-language population-stability-index terms
+    between the content-addressed train split and the holdout
+    (val+test) — the data-QA check that a hash split didn't skew a
+    stratum (sum the terms corpus-wide; PSI > 0.1 flags drift). Totals
+    ride as a 1-row cross join; one (lang) shuffle total."""
+    from gwasdb_spark.operators.sampling import split_label
+
+    d = table(spark, sf_dir, "documents")
+    s = d.select(
+        "lang",
+        F.when(split_label(F.col("doc_id")) == "train", "train")
+        .otherwise("holdout")
+        .alias("split"),
+    )
+    counts = s.groupBy("lang").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+        .cast("long")
+        .alias("n_train"),
+        F.sum(F.when(F.col("split") == "holdout", 1).otherwise(0))
+        .cast("long")
+        .alias("n_holdout"),
+    )
+    tot = counts.agg(
+        F.sum("n_train").cast("double").alias("t_train"),
+        F.sum("n_holdout").cast("double").alias("t_holdout"),
+    )
+    p = F.col("n_train").cast("double") / F.col("t_train")
+    q = F.col("n_holdout").cast("double") / F.col("t_holdout")
+    return counts.crossJoin(tot).select(
+        "lang",
+        "n_train",
+        "n_holdout",
+        F.round((p - q) * F.log(p / q), 9).alias("psi_term"),
+    )

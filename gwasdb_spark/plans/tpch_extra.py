@@ -579,3 +579,159 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("numcust"),
         (F.sum(bal_c).cast("double") / F.lit(100.0)).alias("totacctbal"),
     )
+
+
+@query(
+    "q13_customer_distribution",
+    "Q13,J-outer,A-group",
+    oracle="""
+    WITH c_orders AS (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey
+       AND o.o_orderpriority <> '5-LOW'
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    join with a join-condition filter (the filter must ride the join, NOT
+    the WHERE — a WHERE would drop zero-order customers), then a
+    histogram of the grouped counts. The double aggregation is two skinny
+    shuffles: (custkey) then (c_count). Priority filter adapts the
+    spec's comment NOT LIKE (no comment column in the slim schema)."""
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    joined = c.join(
+        o,
+        (c["c_custkey"] == o["o_custkey"])
+        & (o["o_orderpriority"] != "5-LOW"),
+        "left",
+    )
+    counts = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return counts.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+@query(
+    "q16_supplier_relation",
+    "Q16,J-anti,A-distinct",
+    oracle="""
+    SELECT p.p_brand, p.p_type,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_size IN (1, 2, 3, 4)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type
+    """,
+)
+def q16_supplier_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier-relationship count): distinct-supplier
+    counts per part group with a NOT IN exclusion subquery — planned as
+    a broadcast ANTI join (the excluded set is tiny by construction;
+    NOT IN's null-trap is avoided because s_suppkey is a key). The
+    lineitem⋈part join stands in for partsupp in the slim schema."""
+    l = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_size").isin(1, 2, 3, 4))
+        .select("p_partkey", "p_brand", "p_type")
+    )
+    bad = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        l.join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .join(p, l["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q21_waiting_supplier",
+    "Q21,J-semi,J-anti",
+    oracle="""
+    WITH late AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    ),
+    all_sup AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM late) l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM all_sup l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM late) l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+      )
+    GROUP BY s.s_name
+    """,
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the classic
+    EXISTS / NOT EXISTS double correlated subquery, planned as a semi
+    join (another supplier exists on the order) plus an anti join (no
+    OTHER supplier was late) over the deduplicated (order, supplier)
+    relation. 'Late' adapts to shipdate > orderdate + 90 days (the slim
+    schema has no commit/receipt dates). Both probes are skinny
+    two-column shuffles."""
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    late = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    all_sup = l.select("l_orderkey", "l_suppkey").distinct()
+    # EXISTS: another supplier on the same order
+    other = all_sup.select(
+        F.col("l_orderkey"), F.col("l_suppkey").alias("o_suppkey")
+    )
+    has_other = (
+        late.join(other, "l_orderkey")
+        .filter(F.col("o_suppkey") != F.col("l_suppkey"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    # NOT EXISTS: no OTHER late supplier on the same order
+    other_late = late.select(
+        F.col("l_orderkey"), F.col("l_suppkey").alias("o_suppkey")
+    )
+    lonely_late = (
+        has_other.join(
+            other_late,
+            (has_other["l_orderkey"] == other_late["l_orderkey"])
+            & (has_other["l_suppkey"] != other_late["o_suppkey"]),
+            "left_anti",
+        )
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        lonely_late.join(s, lonely_late["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
