@@ -74,6 +74,8 @@ HEADLINE = [
     "x35_conversion_funnel",
     "q13_customer_distribution",
     "q21_waiting_supplier",
+    "x37_unicode_normalize",
+    "x38_length_bucketing",
 ]
 
 

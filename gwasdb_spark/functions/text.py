@@ -102,3 +102,27 @@ def quality_score(text: Column) -> Column:
     sw = F.least(stopword_ratio(text) * 2.5, F.lit(1.0))
     punct_ok = F.lit(1.0) - F.least(punct_ratio(text) * 4.0, F.lit(1.0))
     return F.round((length_ok * 0.3 + sw * 0.4 + punct_ok * 0.3), 9)
+
+
+def nfc_normalize_udf():
+    """Arrow-batched NFC Unicode normalizer — corpus canonicalization
+    before dedup/fingerprinting (é as U+00E9 vs e+combining-acute must
+    hash equal). Spark has no built-in normalizer, so this is a genuine
+    pandas-UDF case: one Python round trip, vectorized per Arrow batch,
+    never per row. Returns a fresh udf object (pandas_udf registration is
+    session-bound)."""
+    import unicodedata
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _nfc(s):
+        return s.map(
+            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+        )
+
+    # real-object annotations: the module-wide `from __future__ import
+    # annotations` would stringify inline hints, which pandas_udf's
+    # signature inspection rejects
+    _nfc.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_nfc, "string")

@@ -147,3 +147,52 @@ def temperature_sample(
         .join(F.broadcast(counts.withColumn("group_quota", quota)), group_col)
         .filter(F.col("sample_rank") <= F.col("group_quota"))
     )
+
+
+def length_bucketed_batches(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    batch_size: int = 32,
+) -> DataFrame:
+    """Length-bucketed batching: documents ordered by (n_tokens, id) and
+    cut into fixed-count batches, so each batch holds similar-length
+    sequences and padding waste (batch_size × max_len − Σlen) is
+    minimized — the dynamic-batching prep every training loader wants.
+
+    Returns (id, n_tokens, batch_id, batch_max_tokens, batch_padding).
+    The global (n_tokens, id) rank is computed TWO-LEVEL — per-length
+    local rank plus a cumulative offset over the (small, bounded) set of
+    distinct lengths — because an unpartitioned row_number window would
+    pull every row into one task. Same discipline as packed_sequences;
+    batch stats are one skinny (batch_id) aggregate."""
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(n_tokens_col).cast("long").alias("n_tokens")
+    )
+    in_len = Window.partitionBy("n_tokens").orderBy("id")
+    local = base.withColumn("local_rk", F.row_number().over(in_len))
+    counts = base.groupBy("n_tokens").agg(F.count(F.lit(1)).alias("n_at_len"))
+    prior = Window.orderBy("n_tokens").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow - 1
+    )
+    # window over DISTINCT LENGTHS only (bounded: sequence lengths, not docs)
+    offsets = counts.select(
+        "n_tokens",
+        F.coalesce(F.sum("n_at_len").over(prior), F.lit(0)).alias("len_offset"),
+    )
+    ranked = (
+        local.join(F.broadcast(offsets), "n_tokens")
+        .withColumn(
+            "batch_id",
+            ((F.col("len_offset") + F.col("local_rk") - 1) / batch_size).cast("long"),
+        )
+    )
+    stats = ranked.groupBy("batch_id").agg(
+        F.max("n_tokens").alias("batch_max_tokens"),
+        (
+            F.count(F.lit(1)) * F.max("n_tokens") - F.sum("n_tokens")
+        ).cast("long").alias("batch_padding"),
+    )
+    return ranked.join(stats, "batch_id").select(
+        "id", "n_tokens", "batch_id", "batch_max_tokens", "batch_padding"
+    )

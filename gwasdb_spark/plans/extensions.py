@@ -2325,3 +2325,101 @@ def x36_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_holdout",
         F.round((p - q) * F.log(p / q), 9).alias("psi_term"),
     )
+
+
+@query(
+    "s21_orc_roundtrip",
+    "S-ext",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts
+    FROM documents GROUP BY lang
+    """,
+)
+def s21_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink→source round-trip: the second columnar interchange format
+    (native Spark datasource — splittable stripes, predicate pushdown,
+    column pruning, same scale contract as parquet). Digest aggregate
+    proves byte fidelity, mirroring s20's JSONL check."""
+    import tempfile as _tf
+
+    d = table(spark, sf_dir, "documents")
+    out = os.path.join(_tf.gettempdir(), "gwasdb_spark_stage", "docs_orc")
+    d.repartition(4).write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.count_distinct(F.md5("text")).alias("n_distinct_texts"),
+    )
+
+
+@query(
+    "x37_unicode_normalize",
+    "X-text,§2.11",
+    oracle="""
+    SELECT doc_id,
+           md5(nfc_normalize(text)) AS nfc_digest,
+           CAST(length(nfc_normalize(text)) AS BIGINT) AS nfc_len,
+           (nfc_normalize(text) = text) AS already_nfc
+    FROM documents
+    """,
+)
+def x37_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NFC Unicode canonicalization via an Arrow-batched pandas UDF (no
+    Spark built-in exists) — the normalize-before-dedup step that makes
+    composed and decomposed accents hash equal. Oracle: DuckDB's native
+    nfc_normalize; behavior on genuinely decomposed input is asserted in
+    tests (the corpus itself is ASCII → already_nfc all true, which the
+    hash check still proves)."""
+    from gwasdb_spark.functions.text import nfc_normalize_udf
+
+    d = table(spark, sf_dir, "documents")
+    nfc = nfc_normalize_udf()(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.md5(nfc).alias("nfc_digest"),
+        F.length(nfc).cast("long").alias("nfc_len"),
+        (nfc == F.col("text")).alias("already_nfc"),
+    )
+
+
+@query(
+    "x38_length_bucketing",
+    "X-sample,X-assembly",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id AS id,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    ranked AS (
+      SELECT id, n_tokens,
+             CAST((ROW_NUMBER() OVER (ORDER BY n_tokens, id) - 1) // 32
+                  AS BIGINT) AS batch_id
+      FROM t
+    ),
+    stats AS (
+      SELECT batch_id,
+             CAST(MAX(n_tokens) AS BIGINT) AS batch_max_tokens,
+             CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT)
+               AS batch_padding
+      FROM ranked GROUP BY batch_id
+    )
+    SELECT id, n_tokens, batch_id, batch_max_tokens, batch_padding
+    FROM ranked JOIN stats USING (batch_id)
+    """,
+)
+def x38_length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch assignment: docs sorted by token count into
+    fixed-count batches so padding waste is minimal — training-loader
+    prep. The global rank is two-level (per-length local rank + offsets
+    over distinct lengths), never a single-task window
+    (operators/sampling.py length_bucketed_batches)."""
+    from gwasdb_spark.functions import text as TX2
+    from gwasdb_spark.operators.sampling import length_bucketed_batches
+
+    d = table(spark, sf_dir, "documents")
+    t = d.select("doc_id", TX2.n_tokens_ws(F.col("text")).alias("n_tokens"))
+    return length_bucketed_batches(t, "doc_id", "n_tokens", batch_size=32)

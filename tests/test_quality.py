@@ -164,3 +164,38 @@ def test_unigram_logprob_orders_rare_below_common(spark):
     assert abs(got[2].avg_logprob - math.log(1 / 8)) < 1e-12
     assert got[1].avg_logprob > got[3].avg_logprob > got[2].avg_logprob
     assert abs(got[3].min_logprob - math.log(1 / 8)) < 1e-12
+
+
+def test_nfc_normalize_composes_accents(spark):
+    import unicodedata
+
+    from pyspark.sql import functions as F
+
+    from gwasdb_spark.functions.text import nfc_normalize_udf
+
+    decomposed = "résumé"       # e + combining acute
+    composed = "résumé"           # precomposed é
+    rows = [(1, decomposed), (2, composed), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    nfc = nfc_normalize_udf()
+    got = {r.doc_id: r.out for r in df.select("doc_id", nfc(F.col("text")).alias("out")).collect()}
+    assert got[1] == got[2] == composed
+    assert got[3] is None
+    assert unicodedata.normalize("NFC", decomposed) == composed
+
+
+def test_length_bucketing_minimizes_padding(spark):
+    from gwasdb_spark.operators.sampling import length_bucketed_batches
+
+    # 4 short docs + 4 long docs, batch_size 4: sorted bucketing must put
+    # shorts together (zero padding) instead of mixing lengths
+    rows = [(i, 10) for i in range(4)] + [(i + 4, 100) for i in range(4)]
+    df = spark.createDataFrame(rows, "id long, n_tokens long")
+    got = length_bucketed_batches(df, "id", "n_tokens", batch_size=4).collect()
+    by_batch = {}
+    for r in got:
+        by_batch.setdefault(r.batch_id, []).append(r)
+    assert len(by_batch) == 2
+    for rows_in in by_batch.values():
+        assert len({r.n_tokens for r in rows_in}) == 1   # homogeneous
+        assert all(r.batch_padding == 0 for r in rows_in)
