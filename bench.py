@@ -76,6 +76,7 @@ HEADLINE = [
     "q21_waiting_supplier",
     "x37_unicode_normalize",
     "x38_length_bucketing",
+    "st10_stream_enrich",
 ]
 
 

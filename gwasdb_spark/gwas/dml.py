@@ -28,13 +28,23 @@ def delete_where(df: DataFrame, predicate: Column) -> DataFrame:
 def update_set(df: DataFrame, predicate: Column, assignments: dict[str, Column]) -> DataFrame:
     """UPDATE t SET c=expr WHERE p — e.g. the comma-truncation fixup
     `UPDATE load_gwas SET kgp_id = SUBSTR(kgp_id,1,POSITION(',' IN kgp_id)-1)
-    WHERE kgp_id LIKE '%,%'` (R/postgres_process.Rmd:119)."""
-    out = df
-    for col_name, expr in assignments.items():
-        out = out.withColumn(
-            col_name, F.when(predicate, expr).otherwise(F.col(col_name))
-        )
-    return out
+    WHERE kgp_id LIKE '%,%'` (R/postgres_process.Rmd:119).
+
+    SQL UPDATE semantics: the predicate AND every RHS evaluate against
+    the PRE-update row, so all assignments go into ONE select (chained
+    withColumn would let an earlier assignment change the column a later
+    predicate/RHS reads — found by m01's status+price update, where
+    rewriting the status first stopped the price uplift from ever
+    firing). Null predicate = not matched, as in SQL."""
+    cond = F.coalesce(predicate, F.lit(False))
+    return df.select(
+        *[
+            F.when(cond, assignments[c]).otherwise(F.col(c)).alias(c)
+            if c in assignments
+            else F.col(c)
+            for c in df.columns
+        ]
+    )
 
 
 def insert_values(df: DataFrame, rows: list[dict]) -> DataFrame:

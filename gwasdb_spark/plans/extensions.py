@@ -2423,3 +2423,150 @@ def x38_length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     t = d.select("doc_id", TX2.n_tokens_ws(F.col("text")).alias("n_tokens"))
     return length_bucketed_batches(t, "doc_id", "n_tokens", batch_size=32)
+
+
+@query(
+    "m01_dml_roundtrip",
+    "M1,M2,M3,§2.9",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+      FROM orders
+      WHERE NOT (o_orderpriority = '5-LOW' AND o_totalprice < 50000)
+    ),
+    updated AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderstatus = 'P' THEN 'F' ELSE o_orderstatus END
+               AS o_orderstatus,
+             CASE WHEN o_orderstatus = 'P'
+                  THEN CAST((CAST(ROUND(o_totalprice * 100) AS BIGINT) * 11
+                             + 5) // 10 AS DOUBLE) / 100.0
+                  ELSE o_totalprice END
+               AS o_totalprice,
+             o_orderpriority
+      FROM base
+    ),
+    inserted AS (
+      SELECT * FROM updated
+      UNION ALL
+      SELECT -1, 'O', 123.45, '1-URGENT'
+      UNION ALL
+      SELECT -2, 'O', 67.89, '2-HIGH'
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           (CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+            / 100.0) AS total_value
+    FROM inserted GROUP BY o_orderstatus
+    """,
+)
+def m01_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DML surface (M1/M2/M3) as a driver-checked round-trip through the
+    parquet warehouse: stage orders → DELETE WHERE (low-priority cheap
+    orders) → UPDATE SET (pending→final with a 10% uplift in exact integer cents)
+    → INSERT VALUES (two synthetic rows) — each step a
+    read-transform-REWRITE with rename-swap (gwas/dml.py; Delta MERGE is
+    the transactional twin) — then aggregate the final table state.
+    The oracle expresses the same final state declaratively."""
+    import tempfile as _tf
+
+    from gwasdb_spark.gwas.dml import delete_where, insert_values, update_set
+    from gwasdb_spark.gwas.warehouse import Warehouse
+
+    wh = Warehouse(spark, _tf.mkdtemp(prefix="dml_wh_"))
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    # each step rewrites to a NEW versioned table then reads it back —
+    # the rename-swap discipline: a lazy plan must never overwrite the
+    # files it is still reading (Delta's transaction log is the
+    # in-place-safe twin)
+    wh.write("orders_v0", o)
+
+    t = delete_where(
+        wh.read("orders_v0"),
+        (F.col("o_orderpriority") == "5-LOW") & (F.col("o_totalprice") < 50000),
+    )
+    wh.write("orders_v1", t)
+
+    t = update_set(
+        wh.read("orders_v1"),
+        F.col("o_orderstatus") == "P",
+        {
+            "o_orderstatus": F.lit("F"),
+            # 10% uplift in EXACT integer cents ((c*11+5) div 10 = 2-dp
+            # HALF_UP) — ROUND(double, 2) tie-breaks differently across
+            # engines; integer arithmetic cannot
+            "o_totalprice": F.expr(
+                "CAST((CAST(ROUND(o_totalprice * 100) AS BIGINT) * 11 + 5)"
+                " DIV 10 AS DOUBLE) / 100.0"
+            ),
+        },
+    )
+    wh.write("orders_v2", t)
+
+    t = insert_values(
+        wh.read("orders_v2"),
+        [
+            {"o_orderkey": -1, "o_orderstatus": "O", "o_totalprice": 123.45,
+             "o_orderpriority": "1-URGENT"},
+            {"o_orderkey": -2, "o_orderstatus": "O", "o_totalprice": 67.89,
+             "o_orderpriority": "2-HIGH"},
+        ],
+    )
+    wh.write("orders_v3", t)
+
+    final = wh.read("orders_v3")
+    return final.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money(F.sum(cents(F.col("o_totalprice")))).alias("total_value"),
+    )
+
+
+@query(
+    "st10_stream_enrich",
+    "X-stream,J5",
+    oracle="""
+    SELECT e.event_id, e.event_type, e.user_id,
+           c.c_mktsegment AS segment
+    FROM events e
+    LEFT JOIN customer c ON c.c_custkey = e.user_id
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def st10_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE stream⋈dimension enrichment via the foreachBatch
+    broadcast-refresh pattern: the dimension parquet is RE-READ inside
+    each micro-batch (so a dropped-in snapshot takes effect at the next
+    batch boundary without restarting the stream) and broadcast per
+    batch. Output lands in a parquet sink; the query returns the sink.
+    Oracle: the equivalent batch left join."""
+    import tempfile as _tf
+
+    from gwasdb_spark.streaming.events import (
+        foreach_batch_enrich_append,
+        read_events_stream,
+    )
+
+    base = _tf.mkdtemp(prefix="enrich_")
+    dim_path = os.path.join(base, "dim")
+    out = os.path.join(base, "out")
+    (
+        table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"),
+                F.col("c_mktsegment").alias("segment"))
+        .write.mode("overwrite")
+        .parquet(dim_path)
+    )
+    stream = (
+        read_events_stream(spark, f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "event_type", "user_id")
+    )
+    q = foreach_batch_enrich_append(
+        stream, dim_path, "user_id", out, os.path.join(base, "ckpt")
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).select(
+        "event_id", "event_type", "user_id", "segment"
+    )

@@ -231,3 +231,26 @@ def test_literal_prefix_extraction():
     assert _literal_prefix("^Affx[-_]") == "Affx"
     assert _literal_prefix("rs123") == ""      # unanchored: full regex scan
     assert _literal_prefix("^(rs|Aff)") == ""  # alternation: no literal prefix
+
+
+def test_update_set_evaluates_against_pre_update_row(spark):
+    """Regression: when one assignment rewrites the column the predicate
+    reads, the OTHER assignments must still fire (SQL UPDATE sees the
+    pre-update row throughout)."""
+    from pyspark.sql import functions as F
+
+    from gwasdb_spark.gwas.dml import update_set
+
+    df = spark.createDataFrame(
+        [(1, "P", 100.0), (2, "O", 100.0)], "id long, status string, price double"
+    )
+    out = {
+        r.id: (r.status, r.price)
+        for r in update_set(
+            df,
+            F.col("status") == "P",
+            {"status": F.lit("F"), "price": F.col("price") * 2},
+        ).collect()
+    }
+    assert out[1] == ("F", 200.0)   # both assignments applied
+    assert out[2] == ("O", 100.0)   # untouched
