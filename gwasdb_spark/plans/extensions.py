@@ -2570,3 +2570,94 @@ def st10_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).select(
         "event_id", "event_type", "user_id", "segment"
     )
+
+
+@query(
+    "u04_geomean_udaf",
+    "§2.11,A-ext",
+    oracle="""
+    SELECT event_type,
+           ROUND(EXP(AVG(LN(value))), 9) AS geomean_value,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def u04_geomean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDAF (Arrow GROUPED_AGG): geometric mean
+    of event value per type — the engine's UDAF surface (the reference
+    has none; SURVEY §2.11). The UDF receives each group's values as ONE
+    pandas Series (vectorized numpy log/mean, no per-row Python); at
+    scale this is a full shuffle of the value column — the native
+    `exp(avg(ln(x)))` twin (the oracle) stays map-side-combinable, which
+    is why UDAFs are the fallback, not the default. Rounded to 9 dp
+    (log-sum association)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _geomean(v):
+        return float(np.exp(np.log(v.to_numpy()).mean()))
+
+    _geomean.__annotations__ = {"v": pd.Series, "return": float}
+    geomean = pandas_udf(_geomean, "double")
+
+    e = table(spark, sf_dir, "events")
+    # a GROUPED_AGG pandas UDF cannot share an Aggregate with JVM
+    # aggregates (INVALID_PANDAS_UDF_PLACEMENT) — two aggs, one join
+    g = e.groupBy("event_type").agg(
+        F.round(geomean(F.col("value")), 9).alias("geomean_value")
+    )
+    n = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    return g.join(n, "event_type")
+
+
+@query(
+    "u05_sentence_udtf",
+    "§2.11,X-text",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(idx - 1 AS INT) AS sentence_idx,
+           trim(s) AS sentence,
+           CAST(len(regexp_extract_all(trim(s), '\S+')) AS BIGINT)
+             AS n_sent_tokens
+    FROM (
+      SELECT doc_id,
+             unnest(string_split_regex(text, '[.!?]+')) AS s,
+             generate_subscripts(string_split_regex(text, '[.!?]+'), 1) AS idx
+      FROM documents WHERE doc_id < 50
+    )
+    WHERE trim(s) <> ''
+    """,
+)
+def u05_sentence_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function) sentence splitter applied as a SQL
+    LATERAL join — the engine's UDTF surface (SURVEY §2.11; none in the
+    reference). One input row → N (sentence_idx, sentence, token_count)
+    rows. Arrow-batched; demo-scoped to 50 docs because a UDTF is a
+    Python-side expansion — the production splitter is the codegen
+    split+posexplode twin (oracle expresses exactly that)."""
+    import re as _re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sentence_idx int, sentence string, n_sent_tokens long")
+    class SplitSentences:
+        def eval(self, text: str):
+            if text is None:
+                return
+            idx = 0
+            for raw in _re.split(r"[.!?]+", text):
+                s = raw.strip()
+                if s:
+                    yield idx, s, len(_re.findall(r"\S+", s))
+                idx += 1
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    d.createOrReplaceTempView("docs_head_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sentence_idx, s.sentence, s.n_sent_tokens
+        FROM docs_head_udtf d, LATERAL split_sentences(d.text) s
+        """
+    )
