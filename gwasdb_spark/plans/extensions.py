@@ -1932,14 +1932,16 @@ def x32_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each retriever keeps its own optimal plan (pruned postings / one
     corpus scan); fusion itself touches only the bounded candidate
     lists (operators/search.py rrf_fuse)."""
-    from gwasdb_spark.operators.search import bm25_topk, rrf_fuse
+    from gwasdb_spark.operators.search import bm25_topk_indexed, rrf_fuse
     from gwasdb_spark.operators.similarity import brute_force_topk
 
-    d = table(spark, sf_dir, "documents")
     e = table(spark, sf_dir, "embeddings")
-    kw = bm25_topk(d, ["hash", "join", "vector"], "doc_id", "text", k=20).select(
-        "doc_id", "rank"
-    )
+    # keyword arm reads the materialized index (result-identical to the
+    # ad-hoc bm25_topk; drops four corpus scans from this query's plan)
+    kw = bm25_topk_indexed(
+        spark, _text_index(spark, sf_dir), ["hash", "join", "vector"],
+        "doc_id", k=20,
+    ).select("doc_id", "rank")
     qv = e.filter(F.col("vec_id") == 0)
     dense = brute_force_topk(qv, e, "vec_id", "embedding", k=20).select(
         F.col("neighbor_id").alias("doc_id"), "rank"
@@ -2136,6 +2138,20 @@ def st09_incremental_rollup_serve(spark: SparkSession, sf_dir: str) -> DataFrame
 _TEXT_INDEX_CACHE: dict[str, str] = {}
 
 
+def _text_index(spark: SparkSession, sf_dir: str) -> str:
+    """Materialized inverted index for sf_dir, built on first use."""
+    import tempfile as _tf
+
+    from gwasdb_spark.operators.search import build_text_index
+
+    idx = _TEXT_INDEX_CACHE.get(sf_dir)
+    if idx is None or not os.path.isdir(os.path.join(idx, "postings")):
+        idx = _tf.mkdtemp(prefix="text_index_")
+        build_text_index(table(spark, sf_dir, "documents"), idx, "doc_id", "text")
+        _TEXT_INDEX_CACHE[sf_dir] = idx
+    return idx
+
+
 @query(
     "x12g_bm25_indexed",
     "X-text,X-search",
@@ -2182,16 +2198,9 @@ def x12g_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     amortizes after one query. The index is built once per process per
     sf_dir; the term-IN predicate prunes row groups via the sort order's
     min/max stats. Result-identical to x12 (same oracle)."""
-    import tempfile as _tf
+    from gwasdb_spark.operators.search import bm25_topk_indexed
 
-    from gwasdb_spark.operators.search import bm25_topk_indexed, build_text_index
-
-    idx = _TEXT_INDEX_CACHE.get(sf_dir)
-    if idx is None or not os.path.isdir(os.path.join(idx, "postings")):
-        idx = _tf.mkdtemp(prefix="text_index_")
-        d = table(spark, sf_dir, "documents")
-        build_text_index(d, idx, "doc_id", "text")
-        _TEXT_INDEX_CACHE[sf_dir] = idx
+    idx = _text_index(spark, sf_dir)
     return bm25_topk_indexed(spark, idx, ["hash", "join", "vector"], "doc_id", k=10)
 
 
@@ -2660,4 +2669,28 @@ def u05_sentence_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT d.doc_id, s.sentence_idx, s.sentence, s.n_sent_tokens
         FROM docs_head_udtf d, LATERAL split_sentences(d.text) s
         """
+    )
+
+
+@query("x39_pagerank_neardup", "X-graph", oracle=None)
+def x39_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the exact 3-gram Jaccard near-dup graph
+    (undirected → both edge directions): ranks the most-connected
+    duplicate hubs — the doc to inspect first when a dup cluster is
+    large. Iterative power iteration with dangling-mass correction; no
+    single SQL oracle (rows-only check), verified against a dense numpy
+    power iteration in tests/test_graph.py."""
+    from gwasdb_spark.operators.graph import pagerank
+
+    d = table(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.12, max_shingle_docs=100
+    )
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    return (
+        pagerank(edges, max_iter=20)
+        .select("id", F.round("rank", 9).alias("rank"))
+        .orderBy("id")
     )

@@ -86,3 +86,44 @@ def test_star_matches_labelprop_and_union_find_on_chain(spark):
     assert star_stats["iterations"] < lp_stats["iterations"], (star_stats, lp_stats)
     # 41-long chain: label-prop needs ~diameter rounds, star ~log
     assert star_stats["iterations"] <= 8, star_stats
+
+
+def test_pagerank_matches_dense_power_iteration(spark):
+    """PageRank vs a numpy dense power iteration on a small digraph with
+    a dangling node (3 has no out-edges) — the distributed version must
+    reproduce the full matrix computation including dangling-mass
+    redistribution."""
+    import numpy as np
+
+    from gwasdb_spark.operators.graph import pagerank
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (2, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: r.rank for r in pagerank(df, max_iter=60, tol=1e-12).collect()}
+
+    n, d = 4, 0.85
+    M = np.zeros((n, n))
+    for u, v in edges:
+        M[v, u] += 1
+    out = M.sum(axis=0)
+    for u in range(n):
+        if out[u] > 0:
+            M[:, u] /= out[u]
+    r = np.full(n, 1.0 / n)
+    for _ in range(200):
+        dangling = r[out == 0].sum()
+        r = (1 - d) / n + d * (M @ r + dangling / n)
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+    for i in range(n):
+        assert abs(got[i] - r[i]) < 1e-6, (i, got[i], r[i])
+
+
+def test_pagerank_symmetric_graph_uniform(spark):
+    from gwasdb_spark.operators.graph import pagerank
+
+    # 3-cycle: symmetry forces uniform ranks
+    df = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0)], "src long, dst long"
+    )
+    got = [r.rank for r in pagerank(df, max_iter=40).collect()]
+    assert all(abs(x - 1 / 3) < 1e-6 for x in got)
