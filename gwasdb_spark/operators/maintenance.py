@@ -115,3 +115,41 @@ def compact_table(
         1 for root, _d, fs in os.walk(path) for f in fs if f.endswith(".parquet")
     )
     return {"files_before": files_before, "files_after": files_after, "bytes": n_bytes}
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+) -> None:
+    """Persist a table Hive-bucketed (+ sorted) on its join key — the
+    co-located-join layout: two tables bucketed the same way on the same
+    key sort-merge join with NO exchange on either side, because every
+    bucket i of the left matches only bucket i of the right. At 100 TB
+    this converts the biggest fact⋈fact shuffle in the workload into a
+    per-bucket local merge; the price is paid ONCE at write time.
+    (`bucketBy` requires `saveAsTable` — bucket metadata lives in the
+    catalog, not the parquet footer.)"""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
+def bucketed_join(
+    spark,
+    left_table: str,
+    right_table: str,
+    left_key: str,
+    right_key: str,
+) -> DataFrame:
+    """Join two same-bucketed catalog tables on their bucket keys — the
+    plan must show SortMergeJoin with zero Exchange (asserted in
+    tests/test_plan_shape.py)."""
+    l = spark.table(left_table)
+    r = spark.table(right_table)
+    return l.join(r, l[left_key] == r[right_key])

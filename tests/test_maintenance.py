@@ -137,3 +137,36 @@ def test_streaming_append_then_compact_preserves_pruning(spark, tmp_path):
     assert any(
         "GreaterThan(value" in ln for ln in plan.splitlines() if "PushedFilters" in ln
     ), plan
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    """Same-bucketed tables on the join key must sort-merge join with NO
+    exchange on either side — the co-located fact⋈fact layout. Broadcast
+    is disabled for the assertion so the SMJ path is actually planned."""
+    from gwasdb_spark.operators.maintenance import bucketed_join, write_bucketed
+
+    o = spark.range(0, 10_000).select(
+        F.col("id").alias("o_orderkey"),
+        (F.col("id") % 7).alias("o_flag"),
+    )
+    l = spark.range(0, 30_000).select(
+        (F.col("id") % 10_000).alias("l_orderkey"),
+        (F.col("id") % 100).alias("l_qty"),
+    )
+    write_bucketed(o, "bkt_orders_t", "o_orderkey", n_buckets=8)
+    write_bucketed(l, "bkt_lineitem_t", "l_orderkey", n_buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bucketed_join(
+            spark, "bkt_orders_t", "bkt_lineitem_t", "o_orderkey", "l_orderkey"
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # and the result is the plain join's result
+        assert j.count() == 30_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_orders_t")
+        spark.sql("DROP TABLE IF EXISTS bkt_lineitem_t")
