@@ -77,6 +77,7 @@ HEADLINE = [
     "x37_unicode_normalize",
     "x38_length_bucketing",
     "st10_stream_enrich",
+    "x40_dup_ngram_coverage",
 ]
 
 

@@ -229,3 +229,73 @@ def pii_scrub(
         F.size(F.regexp_extract_all(t, F.lit(PII_PHONE), F.lit(0))).cast("long").alias("n_phones"),
         scrubbed.alias("scrubbed_text"),
     )
+
+
+def dup_ngram_coverage(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 5
+) -> DataFrame:
+    """Within-document duplicate n-gram coverage: the fraction of token
+    positions lying inside an n-gram that occurs MORE THAN ONCE in the
+    same document — the FineWeb/Gopher "dup n-gram char fraction" gate
+    that catches templated/boilerplate text plain token-duplication
+    misses.
+
+    Shape: positional n-grams per doc (arrays_zip of shifted slices, one
+    explode), per-(doc, gram) counts, positions of repeated grams
+    exploded to their n covered token indices, distinct-position count
+    over exact integers. Every shuffle carries (doc, 8-byte gram hash)
+    or (doc, int position) — never text."""
+    tok = positional_tokens(df, id_col, text_col).groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct("pos", "token"))
+        ).alias("toks")
+    ).select(
+        F.col(id_col),
+        F.transform("toks", lambda s: s.getField("token")).alias("toks"),
+    )
+    size = F.size("toks")
+    width = F.greatest(size - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice("toks", j + 1, width) for j in range(n)])
+    gram = F.xxhash64(
+        F.concat_ws(" ", *[F.col("g").getField(str(j)) for j in range(n)])
+    )
+    grams = (
+        tok.select(F.col(id_col), size.alias("n_tokens"), F.posexplode(zipped).alias("gpos", "g"))
+        .select(F.col(id_col), "n_tokens", "gpos", gram.alias("gh"))
+    )
+    dup_positions = (
+        grams.withColumn(
+            "n_occ", F.count(F.lit(1)).over(Window.partitionBy(id_col, "gh"))
+        )
+        .filter(F.col("n_occ") > 1)
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            F.explode(F.sequence(F.col("gpos"), F.col("gpos") + (n - 1))).alias(
+                "tpos"
+            ),
+        )
+        .groupBy(id_col, "n_tokens")
+        .agg(F.count_distinct("tpos").alias("n_dup_positions"))
+    )
+    base = tok.select(F.col(id_col), F.size("toks").cast("long").alias("n_tokens"))
+    return (
+        base.join(
+            dup_positions.select(id_col, "n_dup_positions"), id_col, "left"
+        )
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            F.coalesce(F.col("n_dup_positions"), F.lit(0))
+            .cast("long")
+            .alias("n_dup_positions"),
+        )
+        .withColumn(
+            "dup_ngram_frac",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.col("n_dup_positions").cast("double")
+                / F.col("n_tokens").cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )

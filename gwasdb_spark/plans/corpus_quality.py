@@ -325,3 +325,63 @@ def x33_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return bpe_pair_counts(d, "text", top_n=20)
+
+
+@query(
+    "x40_dup_ngram_coverage",
+    "X-text,X-quality",
+    oracle=rf"""
+    WITH {_SQL_TOK},
+    seq AS (
+      SELECT doc_id, token,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS idx
+      FROM tok
+    ),
+    led AS (
+      SELECT doc_id, idx, token,
+             LEAD(token, 1) OVER w AS t1, LEAD(token, 2) OVER w AS t2,
+             LEAD(token, 3) OVER w AS t3, LEAD(token, 4) OVER w AS t4
+      FROM seq WINDOW w AS (PARTITION BY doc_id ORDER BY idx)
+    ),
+    grams AS (
+      SELECT doc_id, idx AS gpos,
+             token || ' ' || t1 || ' ' || t2 || ' ' || t3 || ' ' || t4 AS gram
+      FROM led WHERE t4 IS NOT NULL
+    ),
+    dup AS (
+      SELECT doc_id, gpos FROM (
+        SELECT doc_id, gpos,
+               COUNT(*) OVER (PARTITION BY doc_id, gram) AS n_occ
+        FROM grams
+      ) WHERE n_occ > 1
+    ),
+    covered AS (
+      SELECT DISTINCT doc_id, CAST(u.tpos AS BIGINT) AS tpos
+      FROM (SELECT doc_id, unnest(range(gpos, gpos + 5)) AS tpos FROM dup) u
+    ),
+    cov_counts AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_positions
+      FROM covered GROUP BY doc_id
+    ),
+    nt AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM seq GROUP BY 1
+    )
+    SELECT nt.doc_id, nt.n_tokens,
+           COALESCE(c.n_dup_positions, 0) AS n_dup_positions,
+           CASE WHEN nt.n_tokens > 0
+                THEN CAST(COALESCE(c.n_dup_positions, 0) AS DOUBLE)
+                     / CAST(nt.n_tokens AS DOUBLE)
+                ELSE 0.0 END AS dup_ngram_frac
+    FROM nt LEFT JOIN cov_counts c USING (doc_id)
+    """,
+)
+def x40_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb/Gopher duplicate-5-gram coverage: fraction of token
+    positions inside an n-gram repeated within the SAME document —
+    catches templated boilerplate that per-token duplication misses.
+    Exact integer position counting both sides
+    (operators/quality.py dup_ngram_coverage)."""
+    from gwasdb_spark.operators.quality import dup_ngram_coverage
+
+    d = table(spark, sf_dir, "documents")
+    return dup_ngram_coverage(d, "doc_id", "text", n=5)

@@ -199,3 +199,23 @@ def test_length_bucketing_minimizes_padding(spark):
     for rows_in in by_batch.values():
         assert len({r.n_tokens for r in rows_in}) == 1   # homogeneous
         assert all(r.batch_padding == 0 for r in rows_in)
+
+
+def test_dup_ngram_coverage_flags_repeated_blocks(spark):
+    from gwasdb_spark.operators.quality import dup_ngram_coverage
+
+    rows = [
+        # 'a b c d e' repeated: every 5-gram window dupes with its twin
+        (1, "a b c d e a b c d e"),
+        # all-distinct tokens: no repeated 5-gram
+        (2, "q w e r t y u i o p"),
+        # short doc (< n tokens): no grams at all
+        (3, "x y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in dup_ngram_coverage(df, n=5).collect()}
+    assert got[1].n_tokens == 10
+    # windows 0 and 5 are 'a b c d e' (dup) -> cover positions 0-4, 5-9
+    assert got[1].n_dup_positions == 10 and got[1].dup_ngram_frac == 1.0
+    assert got[2].n_dup_positions == 0 and got[2].dup_ngram_frac == 0.0
+    assert got[3].n_dup_positions == 0
