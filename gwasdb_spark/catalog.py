@@ -44,15 +44,22 @@ def parquet_data_file(path: str) -> str:
 
 
 def events_ts_is_nanos(path: str) -> bool:
-    """True when the parquet footer stores `ts` as TIMESTAMP(NANOS) or raw
-    int64 — the physical shapes Spark's native reader can't map to a
-    timestamp column and that need the legacy long-nanos shim. Footer-only
-    check (pyarrow metadata read, no data IO); the driver has regenerated
-    testdata with a different physical unit between rounds, so the read
-    path must branch on what's actually on disk, never assume."""
+    """True when the parquet footer stores `ts` as INT64 TIMESTAMP(NANOS)
+    or raw int64 — the physical shapes Spark's native reader can't map to
+    a timestamp column and that need the legacy long-nanos shim.
+    INT96 (Spark's legacy timestamp physical type) also surfaces as
+    timestamp[ns] in pyarrow but Spark reads it natively — it must NOT
+    take the shim. Footer-only check (pyarrow metadata read, no data IO);
+    the driver has regenerated testdata with a different physical unit
+    between rounds, so the read path must branch on what's actually on
+    disk, never assume."""
     import pyarrow.parquet as pq
 
-    t = pq.ParquetFile(parquet_data_file(path)).schema_arrow.field("ts").type
+    f = pq.ParquetFile(parquet_data_file(path))
+    idx = f.schema_arrow.get_field_index("ts")
+    if f.schema.column(idx).physical_type == "INT96":
+        return False
+    t = f.schema_arrow.field("ts").type
     # raw int64 (no `unit`) is the nanosAsLong rendering of TIMESTAMP(NANOS)
     return getattr(t, "unit", "ns") == "ns"
 

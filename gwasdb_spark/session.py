@@ -27,6 +27,9 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     # Engine-portable semantics: naive parquet timestamps == wall-clock.
     "spark.sql.session.timeZone": "UTC",
+    # Write timestamps as INT64 micros, not deprecated INT96 — readable by
+    # every engine (and by our own footer-driven ts-unit branch).
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
 }

@@ -304,3 +304,49 @@ def test_foreach_batch_exactly_once_survives_replay(spark, tmp_path):
     written = spark.read.parquet(out_dir)
     assert written.count() == n_src
     assert written.select("event_id").distinct().count() == n_src
+
+
+def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
+    """Exactly-once across RESTARTS: an AvailableNow run drains the
+    directory, a second run with the SAME checkpoint after new files
+    arrive processes only the delta — the file-source offset log is the
+    recovery contract a 100 TB ingest depends on."""
+    import os
+
+    from gwasdb_spark.catalog import table as cat_table
+    from gwasdb_spark.streaming.events import (
+        foreach_batch_append,
+        read_events_stream,
+    )
+
+    src_dir = str(tmp_path / "incoming")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src_dir)
+
+    ev = cat_table(spark, SF_DIR, "events").select("event_id", "ts", "user_id")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "half_a"))
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "half_b"))
+
+    def _files(d):
+        return [
+            os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+        ]
+
+    os.link(_files(str(tmp_path / "half_a"))[0], os.path.join(src_dir, "a.parquet"))
+    q = foreach_batch_append(read_events_stream(spark, src_dir), out_dir, ckpt)
+    q.awaitTermination()
+    n_even = spark.read.parquet(out_dir).count()
+    assert n_even == ev.filter(F.col("event_id") % 2 == 0).count()
+
+    # new file arrives; resume from the same checkpoint
+    os.link(_files(str(tmp_path / "half_b"))[0], os.path.join(src_dir, "b.parquet"))
+    q2 = foreach_batch_append(read_events_stream(spark, src_dir), out_dir, ckpt)
+    q2.awaitTermination()
+    out = spark.read.parquet(out_dir)
+    assert out.count() == ev.count()                      # a processed once
+    assert out.select("event_id").distinct().count() == ev.count()
