@@ -706,28 +706,24 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_suppkey")
         .distinct()
     )
-    all_sup = l.select("l_orderkey", "l_suppkey").distinct()
-    # EXISTS: another supplier on the same order
-    other = all_sup.select(
-        F.col("l_orderkey"), F.col("l_suppkey").alias("o_suppkey")
-    )
-    has_other = (
-        late.join(other, "l_orderkey")
-        .filter(F.col("o_suppkey") != F.col("l_suppkey"))
-        .select("l_orderkey", "l_suppkey")
+    # Set-algebra rewrite of the EXISTS / NOT EXISTS pair: a late
+    # supplier qualifies iff its order has ≥2 distinct suppliers
+    # (EXISTS another) and exactly 1 distinct LATE supplier (NOT EXISTS
+    # another late one — that supplier is itself). Two skinny per-order
+    # aggregates replace two wide self-joins; results are identical.
+    order_sups = (
+        l.select("l_orderkey", "l_suppkey")
         .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_sups"))
     )
-    # NOT EXISTS: no OTHER late supplier on the same order
-    other_late = late.select(
-        F.col("l_orderkey"), F.col("l_suppkey").alias("o_suppkey")
+    late_sups = late.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_late")
     )
     lonely_late = (
-        has_other.join(
-            other_late,
-            (has_other["l_orderkey"] == other_late["l_orderkey"])
-            & (has_other["l_suppkey"] != other_late["o_suppkey"]),
-            "left_anti",
-        )
+        late.join(late_sups.filter(F.col("n_late") == 1), "l_orderkey")
+        .join(order_sups.filter(F.col("n_sups") >= 2), "l_orderkey")
+        .select("l_orderkey", "l_suppkey")
     )
     s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
