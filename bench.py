@@ -78,6 +78,8 @@ HEADLINE = [
     "x38_length_bucketing",
     "st10_stream_enrich",
     "x40_dup_ngram_coverage",
+    "w06_trailing_ewma",
+    "x41_curriculum_order",
 ]
 
 

@@ -385,3 +385,66 @@ def x40_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return dup_ngram_coverage(d, "doc_id", "text", n=5)
+
+
+@query(
+    "x41_curriculum_order",
+    "X-sample,X-assembly",
+    oracle=r"""
+    WITH q AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    banded AS (
+      SELECT doc_id, n_tokens,
+             CAST(NTILE(4) OVER (ORDER BY n_tokens DESC, doc_id) AS INT)
+               AS band
+      FROM q
+    )
+    SELECT doc_id, n_tokens, band,
+           CAST(ROW_NUMBER() OVER (ORDER BY band,
+                                   md5(CAST(doc_id AS VARCHAR)), doc_id)
+                AS BIGINT) AS curriculum_rank
+    FROM banded
+    """,
+)
+def x41_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: quality-band the corpus (4 bands by token
+    count as the quality proxy, best first) and emit a deterministic
+    training order — banded curriculum with content-addressed shuffling
+    inside each band (md5 order, so the 'random' order is reproducible
+    on any engine). Two-level global rank: per-band row_number + offsets
+    over the 4 band sizes (no single-task window over documents; the
+    ntile banding itself is over (n_tokens, id) — at true scale replace
+    with percentile cuts to avoid its global sort)."""
+    from gwasdb_spark.functions import text as TX
+    from pyspark.sql.window import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    q = d.select("doc_id", TX.n_tokens_ws(F.col("text")).cast("long").alias("n_tokens"))
+    banded = q.withColumn(
+        "band",
+        F.ntile(4).over(W.orderBy(F.desc("n_tokens"), F.asc("doc_id"))),
+    )
+    in_band = W.partitionBy("band").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), F.asc("doc_id")
+    )
+    local = banded.withColumn("local_rk", F.row_number().over(in_band))
+    sizes = banded.groupBy("band").agg(F.count(F.lit(1)).alias("n_in_band"))
+    prior = W.orderBy("band").rowsBetween(W.unboundedPreceding, W.currentRow - 1)
+    offsets = sizes.select(
+        "band",
+        F.coalesce(F.sum("n_in_band").over(prior), F.lit(0)).alias("band_offset"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "band")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "band",
+            (F.col("band_offset") + F.col("local_rk")).cast("long").alias(
+                "curriculum_rank"
+            ),
+        )
+    )

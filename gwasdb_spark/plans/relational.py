@@ -1713,3 +1713,52 @@ def u03_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     ).select(F.col("o_custkey").alias("custkey"))
     return y96.subtract(y97)
+
+
+@query(
+    "w06_trailing_ewma",
+    "W-ext",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id, value,
+             LAG(value, 1) OVER w AS v1, LAG(value, 2) OVER w AS v2,
+             LAG(value, 3) OVER w AS v3
+      FROM events WHERE event_type = 'purchase'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id, value,
+           (value + 0.5 * COALESCE(v1, 0) + 0.25 * COALESCE(v2, 0)
+                  + 0.125 * COALESCE(v3, 0))
+           / (1.0 + 0.5 * (CASE WHEN v1 IS NULL THEN 0 ELSE 1 END)
+                  + 0.25 * (CASE WHEN v2 IS NULL THEN 0 ELSE 1 END)
+                  + 0.125 * (CASE WHEN v3 IS NULL THEN 0 ELSE 1 END))
+             AS ewma_value
+    FROM g
+    """,
+)
+def w06_trailing_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing exponentially-weighted mean over each user's purchase
+    stream (half-life weights 1, ½, ¼, ⅛ over the last 4 events) — the
+    online-feature shape for anomaly/recommendation pipelines. Weights
+    are exact powers of two and the sum order is fixed, so both engines
+    produce the identical double with NO rounding tolerance; one window
+    shuffle, LAG-chain frame (bounded state — a full-history EWMA prefix
+    trick overflows a^(−j) at scale)."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v1, v2, v3 = (F.lag("value", k).over(w) for k in (1, 2, 3))
+    num = (
+        F.col("value")
+        + 0.5 * F.coalesce(v1, F.lit(0.0))
+        + 0.25 * F.coalesce(v2, F.lit(0.0))
+        + 0.125 * F.coalesce(v3, F.lit(0.0))
+    )
+    den = (
+        F.lit(1.0)
+        + 0.5 * F.when(v1.isNull(), 0.0).otherwise(1.0)
+        + 0.25 * F.when(v2.isNull(), 0.0).otherwise(1.0)
+        + 0.125 * F.when(v3.isNull(), 0.0).otherwise(1.0)
+    )
+    return e.select(
+        "user_id", "event_id", "value", (num / den).alias("ewma_value")
+    )

@@ -115,3 +115,31 @@ def test_jsonl_corrupt_lines_quarantined(spark, tmp_path):
     bad = [r.raw_line for r in corrupt_lines(spark, str(d), schema).collect()]
     assert len(bad) == 2
     assert "this is not json" in bad
+
+
+def test_ignore_corrupt_files_skips_truncated_parquet(spark, tmp_path):
+    """Ingest robustness: with spark.sql.files.ignoreCorruptFiles a
+    truncated parquet (half a file, as a died writer leaves behind)
+    costs its rows, not the job — the 100 TB backfill contract."""
+    import os
+
+    d = tmp_path / "mixed"
+    os.makedirs(d)
+    spark.range(100).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "ok"))
+    src = [
+        f for f in os.listdir(tmp_path / "ok") if f.endswith(".parquet")
+    ][0]
+    good = (tmp_path / "ok" / src).read_bytes()
+    (d / "good.parquet").write_bytes(good)
+    (d / "bad.parquet").write_bytes(good[: len(good) // 2])  # truncated
+
+    prev = spark.conf.get("spark.sql.files.ignoreCorruptFiles", "false")
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try:
+        # explicit schema (the repo's typed-read discipline): corrupt
+        # skipping then applies at SCAN time; schema inference over a
+        # directory with corrupt members is itself unreliable
+        got = spark.read.schema("id bigint").parquet(str(d)).count()
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
+    assert got == 100
