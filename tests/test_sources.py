@@ -143,3 +143,21 @@ def test_ignore_corrupt_files_skips_truncated_parquet(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
     assert got == 100
+
+
+def test_merge_schema_reads_evolved_table(spark, tmp_path):
+    """Schema evolution: a column added mid-stream (v2 files carry
+    `lang`, v1 files don't) reads as the union schema with nulls for the
+    missing column — the additive-evolution contract a long-lived corpus
+    table needs."""
+    p = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a")], "doc_id long, text string").write.mode(
+        "append"
+    ).parquet(p)
+    spark.createDataFrame(
+        [(2, "b", "en")], "doc_id long, text string, lang string"
+    ).write.mode("append").parquet(p)
+    df = spark.read.option("mergeSchema", True).parquet(p)
+    assert set(df.columns) == {"doc_id", "text", "lang"}
+    got = {r.doc_id: r.lang for r in df.collect()}
+    assert got == {1: None, 2: "en"}
