@@ -136,3 +136,26 @@ def test_scrubbed_text_never_shuffles_in_c02(spark):
     for ln in plan.splitlines():
         if _re.search(r"^(Join|Aggregate|Window|Sort)\b", ln.strip()):
             assert "scrubbed_text" not in ln and ", text" not in ln, ln
+
+
+def test_bm25_indexed_pushes_term_filter_to_postings_scan(spark):
+    """x12g's whole point: the term-IN predicate must reach the postings
+    parquet scan (PushedFilters), so term-sorted row groups skip."""
+    plan = _plan(spark, "x12g_bm25_indexed")
+    pushed = [
+        ln
+        for ln in plan.splitlines()
+        if "PushedFilters" in ln and "term" in ln and "In(" in ln
+    ]
+    assert pushed, plan
+
+
+def test_q21_probes_are_aggregates_not_self_joins(spark):
+    """Q21's EXISTS/NOT-EXISTS rewrite: per-order counts, never a
+    lineitem-to-lineitem self-join (which explodes with suppliers per
+    order)."""
+    plan = _plan(spark, "q21_waiting_supplier")
+    # exactly the late⋈orders join plus the two count-filter joins and
+    # the supplier dim join are allowed; no BroadcastNestedLoop/cartesian
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
