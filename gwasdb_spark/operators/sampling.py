@@ -183,8 +183,11 @@ def length_bucketed_batches(
     ranked = (
         local.join(F.broadcast(offsets), "n_tokens")
         .withColumn(
+            # Integer floor-division (`div`), never double `/`-then-cast:
+            # at very large global ranks a double quotient can round
+            # across an integer boundary for non-power-of-two batch sizes.
             "batch_id",
-            ((F.col("len_offset") + F.col("local_rk") - 1) / batch_size).cast("long"),
+            F.expr(f"(len_offset + local_rk - 1) div {int(batch_size)}"),
         )
     )
     stats = ranked.groupBy("batch_id").agg(

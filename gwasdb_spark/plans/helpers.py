@@ -10,8 +10,22 @@ TIMESTAMP) to sidestep tz-awareness drift between engines.
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+
+def stage_dir(name: str) -> str:
+    """Per-process staging directory for sink→source round-trip queries.
+    PID-scoped so two concurrent harness runs on one machine can never
+    interleave an overwrite with a read-back; within one process the path
+    is stable, so repeated runs reuse (mode=overwrite) instead of
+    littering tmp."""
+    return os.path.join(
+        tempfile.gettempdir(), f"gwasdb_spark_stage_{os.getpid()}", name
+    )
 
 
 def cents(col: Column) -> Column:

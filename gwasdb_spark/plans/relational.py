@@ -21,7 +21,7 @@ from pyspark.sql.window import Window
 
 from gwasdb_spark.catalog import table
 from gwasdb_spark.plans.base import query
-from gwasdb_spark.plans.helpers import cents, day_str, money, sql_cents, sql_money
+from gwasdb_spark.plans.helpers import cents, day_str, money, sql_cents, sql_money, stage_dir
 
 # ---------------------------------------------------------------------------
 # Scans / sources / sinks (SURVEY.md §2.1)
@@ -68,7 +68,7 @@ def s03_csv_stage_glob_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
     )
-    out = os.path.join(tempfile.gettempdir(), "gwasdb_spark_stage", "supplier_csv")
+    out = stage_dir("supplier_csv")
     (
         sup.repartition(4, "s_nationkey")
         .write.mode("overwrite")
@@ -106,7 +106,7 @@ def s20_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gwasdb_spark.sources.jsonl import read_jsonl, write_jsonl
 
     d = table(spark, sf_dir, "documents")
-    out = os.path.join(tempfile.gettempdir(), "gwasdb_spark_stage", "docs_jsonl")
+    out = stage_dir("docs_jsonl")
     write_jsonl(d.repartition(4), out)
     back = read_jsonl(
         spark,

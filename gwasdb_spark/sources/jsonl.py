@@ -40,7 +40,9 @@ def read_jsonl(
     otherwise clean rows only are returned."""
     if isinstance(schema, str):
         schema = T.StructType.fromDDL(schema)
-    full = schema.add(T.StructField(CORRUPT_COL, T.StringType()))
+    # Copy, never StructType.add — that mutates the caller's schema object
+    # in place (repeated calls would accumulate _corrupt_record fields).
+    full = T.StructType(list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())])
     df = (
         spark.read.schema(full)
         .option("mode", "PERMISSIVE")
@@ -75,7 +77,7 @@ def corrupt_lines(
     semantics."""
     if isinstance(schema, str):
         schema = T.StructType.fromDDL(schema)
-    full = schema.add(T.StructField(CORRUPT_COL, T.StringType()))
+    full = T.StructType(list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())])
     parsed = F.from_json(
         F.col("value"),
         full,

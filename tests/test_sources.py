@@ -117,6 +117,29 @@ def test_jsonl_corrupt_lines_quarantined(spark, tmp_path):
     assert "this is not json" in bad
 
 
+def test_jsonl_read_does_not_mutate_caller_schema(spark, tmp_path):
+    """A StructType passed in must come back untouched: StructType.add
+    mutates in place, so reusing one schema object across reads would
+    accumulate _corrupt_record fields and break the second read."""
+    import pyspark.sql.types as T
+
+    from gwasdb_spark.sources.jsonl import corrupt_lines, read_jsonl, write_jsonl
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    out = str(tmp_path / "docs")
+    write_jsonl(spark.createDataFrame([(1, "a")], schema), out)
+    for _ in range(2):  # second pass fails if the first mutated `schema`
+        back = read_jsonl(spark, out, schema)
+        assert back.columns == ["doc_id", "text"]
+        corrupt_lines(spark, out, schema)
+        assert len(schema.fields) == 2
+
+
 def test_ignore_corrupt_files_skips_truncated_parquet(spark, tmp_path):
     """Ingest robustness: with spark.sql.files.ignoreCorruptFiles a
     truncated parquet (half a file, as a died writer leaves behind)
