@@ -80,6 +80,11 @@ HEADLINE = [
     "x40_dup_ngram_coverage",
     "w06_trailing_ewma",
     "x41_curriculum_order",
+    # marker-name probe: indexed serving path vs full-scan baseline — the
+    # pair quantifies the name-sorted index's row-group-skipping win
+    "g04_marker_probe_indexed",
+    "g05_marker_probe_scan",
+    "x39_pagerank_neardup",
 ]
 
 

@@ -80,8 +80,24 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         if events_ts_is_nanos(path):
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-            df = spark.read.parquet(path)
+            # Scope the legacy conf to THIS read: it is consulted during
+            # schema inference (the eager part of spark.read), and the
+            # resolved relation keeps its own conf snapshot, so restoring
+            # immediately after does not break later execution of the
+            # returned lazy frame (verified on genuine TIMESTAMP(NANOS)
+            # files). Without the restore a genuine nanos column in some
+            # OTHER table read later in the session would silently arrive
+            # as raw longs.
+            conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+            prior = spark.conf.get(conf_key, None)
+            spark.conf.set(conf_key, "true")
+            try:
+                df = spark.read.parquet(path)
+            finally:
+                if prior is None:
+                    spark.conf.unset(conf_key)
+                else:
+                    spark.conf.set(conf_key, prior)
             return df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )

@@ -217,7 +217,11 @@ def pagerank(
     rows only, per-iteration localCheckpoint to cut lineage (the plan
     would double per round), convergence via a distributed L1-delta
     aggregate (one scalar to the driver per round, never the rank
-    vector). Returns (id, rank) summing to ~1."""
+    vector). ONE job per iteration: the dangling-mass scalar rides
+    in-plan as a broadcast 1-row aggregate (never collected), and the
+    delta action doubles as the lazy checkpoint's materializer — so the
+    contribution shuffle runs exactly once per round. Returns (id, rank)
+    summing to ~1."""
     ed = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
@@ -245,26 +249,31 @@ def pagerank(
             .join(outdeg, "u")
             .select(F.col("v").alias("id"), (F.col("rank") / F.col("deg")).alias("m"))
         )
-        # dangling mass: rank held by nodes with no out-edges
-        dangling = (
-            ranks.join(outdeg, ranks["id"] == outdeg["u"], "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
+        # dangling mass (rank held by nodes with no out-edges): a 1-row
+        # aggregate cross-joined into the update — stays in-plan, no
+        # separate driver round-trip
+        dangling = ranks.join(
+            outdeg, ranks["id"] == outdeg["u"], "left_anti"
+        ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dangling"))
+        share = (
+            F.lit(damping) * F.col("__dangling") / F.lit(float(n_nodes))
         )
-        share = damping * dangling / n_nodes
         new_ranks = (
             nodes.join(
                 contrib.groupBy("id").agg(F.sum("m").alias("m")), "id", "left"
             )
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "id",
                 (
                     F.lit(base)
-                    + F.lit(share)
+                    + share
                     + F.lit(damping) * F.coalesce(F.col("m"), F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint()
+            # lazy: materialized by the delta action below — the one job
+            # this iteration runs
+            .localCheckpoint(eager=False)
         )
         delta = (
             new_ranks.join(ranks.withColumnRenamed("rank", "old"), "id")

@@ -18,71 +18,73 @@ from gwasdb_spark.plans import corpus_quality as _corpus_quality  # noqa: F401
 # Registration-order priority.
 #
 # The driver's correctness gate records the FIRST 50 registered queries per
-# round. Round 1 checked the reference-surface block (green 50/50); round 2
-# checked the LLM-extension block (30 green; the rest fell to the events-ts
-# regression, fixed this round). This round's window seats (a) the 13
-# formerly err/wrong-answer rows — all now green against the in-repo oracle
-# gate — then (b) the 22 registrations that have never had a driver row
-# (TPC-H extras, set ops, as-of directions, corpus-quality family), then
-# (c) queries added this round. File order within modules is unchanged;
-# only the registry's iteration order is rebuilt here.
+# round. Round 1 adjudicated the reference-surface block (50/50 green);
+# round 3 re-proved the r02-regressed subset plus the never-checked
+# TPC-H/set-op/corpus-quality block (50/50 green). This round's window
+# seats (a) the 17 round-3 registrations that have never held a driver row,
+# (b) the four formerly-no_oracle queries flipped to hash-checkable this
+# round (ANN trio in flat-regime recall-1 configuration + x11's
+# recursive-CTE oracle) — hash-green rows upgrade their r03 rows-only
+# evidence, then (c) a backfill rotation of the SURVEY §2 reference-surface
+# core so it is re-attested on current testdata (green twice: r01 + r04).
+# With this window every one of the registered queries has a driver row in
+# r01∪r03∪r04. File order within modules is unchanged; only the registry's
+# iteration order is rebuilt here.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    # (a) broken in r02 by the events-ts regression / mm02 canonicalizer —
-    # re-seat for hard green rows
-    "a04_pivot_wide",
-    "st01_hourly_rollup",
-    "st02_sessionize",
-    "st03_stream_hourly_rollup",
-    "st04_stream_sessionize_stateful",
-    "st06_stream_stream_join",
-    "st07_stream_left_outer_join",
-    "e01_json_props",
-    "x13_sketch_aggregates",
-    "x14_asof_join",
-    "x15_value_outliers",
-    "x20_range_join",
-    "mm02_fake_features",
-    # (b) registered but never in a driver window (in-repo oracle only)
-    "j09_full_outer",
-    "u02_intersect",
-    "u03_except",
-    "x12f_bm25_proximity",
+    # (a) registered in round 3 after the window filled — never checked
+    "m01_dml_roundtrip",
+    "q13_customer_distribution",
+    "q16_supplier_relation",
+    "q21_waiting_supplier",
+    "w06_trailing_ewma",
+    "x12g_bm25_indexed",
+    "x35_conversion_funnel",
+    "x36_split_drift",
+    "x37_unicode_normalize",
+    "x38_length_bucketing",
+    "x39_pagerank_neardup",
+    "x40_dup_ngram_coverage",
+    "x41_curriculum_order",
+    "s21_orc_roundtrip",
+    "st10_stream_enrich",
+    "u04_geomean_udaf",
+    "u05_sentence_udtf",
+    # (b) flipped from no_oracle to hash-checkable this round
+    "x05b_ann_lsh_topk",
+    "x05d_ann_ivf_topk",
     "x05e_ann_pq_topk",
-    "x14b_asof_forward",
-    "x14c_asof_nearest",
-    "q07_nation_volume",
-    "q08_market_share",
-    "q09_product_profit",
-    "q10_returned_items",
-    "q12_late_priority",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_bracket_revenue",
-    "q22_idle_customers",
-    "x25_repetition_signals",
-    "x26_cap_vocabulary",
-    "x27_length_histogram",
-    "x28_temperature_sample",
-    # (c) new this round — appended below as they land
-    "w04_lag_delta",
-    "w05_ntile_rank",
-    "x29_dedup_keep_best",
-    "x30_unigram_logprob",
-    "x31_pii_scrub",
-    "s20_jsonl_roundtrip",
-    "x05g_filtered_topk",
-    "x32_hybrid_rrf",
-    "st08_stream_sliding_rate",
-    "c02_training_mix",
-    "st09_incremental_rollup_serve",
-    "x33_bpe_pair_counts",
-    # plans changed this round (str_detect ICU-parity wiring) — re-verify
-    "p09_regex_filter",
-    "p10_regex_negate",
-    "a06_regression_trend",
+    "x11_dedup_clusters",
+    # (c) §2 reference-surface backfill rotation (all green in r01)
+    "s01_full_scan",
+    "s03_csv_stage_glob_read",
+    "s05_sql_text_entry",
+    "p01_projection",
+    "p04_derived_neglog10",
+    "p06_filter_between",
+    "p08_locus_window",
+    "p11_in_list",
+    "p13_null_filter",
+    "p14_threshold_qc_split",
+    "p15_conditional_expr",
+    "p16_pull_distinct",
+    "j01_left_join_multikey",
+    "j02_right_join",
+    "j03_join_renamed_keys",
+    "j04_broadcast_dims",
+    "j05_cross_join",
+    "j06_anti_join",
+    "j07_semi_join",
+    "j08_export_view",
+    "a01_count_global",
+    "a02_groupby_count",
+    "a03_distinct",
+    "a05_manual_pivot_join",
+    "w01_topk_per_group",
+    "w02_running_total",
+    "w03_auto_increment",
+    "o01_topk_orders",
+    "f01_id_parse_regex",
 ]
 
 _rest = [n for n in QUERIES if n not in _PRIORITY]

@@ -1317,6 +1317,83 @@ def g03_fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Marker-name probe serving path (gwasDB/app.R:97-101) on a synthetic
+# warehouse: both engines generate the identical marker set from one
+# integer formula, so the indexed path is oracle-checkable and benchable
+# against the full-scan baseline at any SF.
+# ---------------------------------------------------------------------------
+
+_MARKER_PROBE_ORACLE = """
+    WITH ids AS (
+      -- dense 0..4n-1: DuckDB's range() takes constants only, but
+      -- ROW_NUMBER over lineitem x 4 yields the same id SET and every
+      -- output field is a pure function of id (order-insensitive compare)
+      SELECT (ROW_NUMBER() OVER ()) - 1 AS id
+      FROM lineitem, (VALUES (0), (1), (2), (3)) v(k)
+    ),
+    m AS (
+      SELECT 'rs' || lpad(CAST(id AS VARCHAR), 9, '0') AS kgp_id,
+             CAST(id % 22 + 1 AS INT) AS chr,
+             CAST(1 + (id * 997) % 50000000 AS BIGINT) AS pos
+      FROM ids
+    )
+    SELECT chr, pos, kgp_id FROM m
+    WHERE regexp_matches(kgp_id, '^rs001234[0-9]$')
+    """
+
+
+def _marker_warehouse(spark: SparkSession, sf_dir: str):
+    """Synthetic name-probe warehouse, built once per (process, scale):
+    4×|lineitem| markers with deterministic (kgp_id, chr, pos) — enough
+    rows at sf0.1 (~2.4M) for row-group skipping to be measurable. b37 is
+    chr-partitioned/pos-sorted (the region layout); build_marker_index
+    adds the name-sorted probe index. Returns the Warehouse."""
+    from gwasdb_spark.gwas.warehouse import Warehouse
+    from gwasdb_spark.plans.helpers import stage_dir
+
+    n = 4 * spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    wh = Warehouse(spark, stage_dir(f"marker_wh_{n}"))
+    if not wh.has_table("marker_index"):
+        m = spark.range(n).select(
+            F.format_string("rs%09d", F.col("id")).alias("kgp_id"),
+            (F.col("id") % 22 + 1).cast("int").alias("chr"),
+            (1 + (F.col("id") * 997) % 50_000_000).cast("long").alias("pos"),
+        )
+        wh.write("b37", m)
+        wh.build_marker_index()
+    return wh
+
+
+@query("g04_marker_probe_indexed", "§3,§4", oracle=_MARKER_PROBE_ORACLE)
+def g04_marker_probe_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interactive probe-mode marker search SERVED FROM THE NAME-SORTED
+    INDEX (gwas/api.py markers_by_probe): the ^-anchored regex contributes
+    a literal-prefix StringStartsWith pushed to the parquet scan, so
+    min/max kgp_id stats skip every non-overlapping row group — the
+    b-tree-probe replacement (R/gwas_ddl.sql:5). Compare g05 (full-scan
+    twin) in BENCH for the serving-path win."""
+    from gwasdb_spark.gwas.api import markers_by_probe
+
+    wh = _marker_warehouse(spark, sf_dir)
+    return markers_by_probe(wh, r"^rs001234[0-9]$")
+
+
+@query("g05_marker_probe_scan", "§3,§4", oracle=_MARKER_PROBE_ORACLE)
+def g05_marker_probe_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same probe WITHOUT the index — regex over chr-partitioned b37
+    (what the reference does when the planner skips the PK b-tree). The
+    baseline g04 is measured against; identical result set, so both share
+    one oracle."""
+    wh = _marker_warehouse(spark, sf_dir)
+    return (
+        wh.read("b37")
+        .filter(F.col("kgp_id").rlike(r"^rs001234[0-9]$"))
+        .select("chr", "pos", "kgp_id")
+        .orderBy("chr", "pos")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Headline analytical queries (scale benchmarks; bench.py drives these)
 # ---------------------------------------------------------------------------
 

@@ -63,6 +63,10 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
         path = d
     data_file = parquet_data_file(path)
     if events_ts_is_nanos(data_file):
+        # Deliberately session-scoped (unlike catalog.table's read-scoped
+        # set): a streaming query clones the session conf at .start(), so
+        # the conf must still be set when the caller starts the stream —
+        # there is no post-read point to restore it at.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = (
             spark.readStream.schema(EVENTS_NANOS_SCHEMA)
