@@ -85,6 +85,12 @@ HEADLINE = [
     "g04_marker_probe_indexed",
     "g05_marker_probe_scan",
     "x39_pagerank_neardup",
+    # round-4 surface
+    "q11_important_stock",
+    "q20_excess_stock_suppliers",
+    "x12h_bm25_fielded",
+    "a07_rollup_revenue",
+    "sk02_bucketed_join",
 ]
 
 

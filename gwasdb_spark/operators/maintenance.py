@@ -122,6 +122,7 @@ def write_bucketed(
     table_name: str,
     bucket_col: str,
     n_buckets: int = 8,
+    path: str | None = None,
 ) -> None:
     """Persist a table Hive-bucketed (+ sorted) on its join key — the
     co-located-join layout: two tables bucketed the same way on the same
@@ -130,14 +131,17 @@ def write_bucketed(
     this converts the biggest fact⋈fact shuffle in the workload into a
     per-bucket local merge; the price is paid ONCE at write time.
     (`bucketBy` requires `saveAsTable` — bucket metadata lives in the
-    catalog, not the parquet footer.)"""
-    (
+    catalog, not the parquet footer.) `path` makes it an external table
+    (data outside the session warehouse dir)."""
+    w = (
         df.write.mode("overwrite")
         .bucketBy(n_buckets, bucket_col)
         .sortBy(bucket_col)
         .format("parquet")
-        .saveAsTable(table_name)
     )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table_name)
 
 
 def bucketed_join(

@@ -220,6 +220,74 @@ def bm25_topk(
     )
 
 
+def bm25f_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    fields: list[tuple[str, float]],
+    id_col: str = "doc_id",
+    k: int = 10,
+) -> DataFrame:
+    """BM25F — multi-field BM25 with per-field weights (the ROADMAP'd
+    "per-field weights" search item; Robertson's *simple BM25F*): each
+    field's term frequencies and token length are scaled by the field's
+    weight BEFORE the saturation curve, so a hit in a 3×-weighted field
+    counts like three body hits but still saturates jointly:
+
+      wtf(t,d)  = Σ_f w_f · tf_f(t,d)
+      wdl(d)    = Σ_f w_f · dl_f(d)
+      score(d)  = Σ_t idf(t) · wtf·(k1+1) / (wtf + k1·(1−b+b·wdl/avgwdl))
+
+    idf counts documents matching the term in ANY field. Physical shape:
+    one postings pass per field (same explode→aggregate as bm25_topk),
+    a union + (doc, term) re-aggregate — all skinny rows — then the
+    standard pruned scoring join; constants stay in-plan. Determinism:
+    use integral/dyadic weights (1.0, 3.0, 0.5, …) so every weighted tf
+    sum is exact in double regardless of union order."""
+    spark = df.sparkSession
+    terms_lc = [t.lower() for t in query_terms]
+    parts = [
+        _term_postings(df, id_col, col).select(
+            "doc", "term", (F.col("tf") * F.lit(float(w))).alias("wtf")
+        )
+        for col, w in fields
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    postings = u.groupBy("doc", "term").agg(F.sum("wtf").alias("wtf"))
+    doclen = postings.groupBy("doc").agg(F.sum("wtf").alias("wdl"))
+    consts = df.agg(F.count(F.lit(1)).cast("double").alias("n_docs")).crossJoin(
+        doclen.agg((F.sum("wdl") / F.count(F.lit(1))).alias("avgwdl"))
+    )
+    terms = spark.createDataFrame([(t,) for t in terms_lc], "term string")
+    hit = postings.join(F.broadcast(terms), "term")
+    df_counts = hit.groupBy("term").agg(F.count_distinct("doc").alias("df_t"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5) + 1.0
+    )
+    scored = (
+        hit.join(F.broadcast(df_counts), "term")
+        .join(doclen, "doc")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "doc",
+            (
+                idf
+                * (F.col("wtf") * (K1 + 1))
+                / (F.col("wtf") + K1 * (1 - B + B * F.col("wdl") / F.col("avgwdl")))
+            ).alias("term_score"),
+        )
+        .groupBy("doc")
+        .agg(F.sum("term_score").alias("score"))
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("doc").alias(id_col), F.round("score", 6).alias("score"), "rank")
+    )
+
+
 def rrf_fuse(
     rankings: list[DataFrame],
     id_col: str = "doc_id",

@@ -55,6 +55,7 @@ _PRIORITY = [
     "x05d_ann_ivf_topk",
     "x05e_ann_pq_topk",
     "x11_dedup_clusters",
+    "x10b_embedding_neardup_lsh",
     # (c) §2 reference-surface backfill rotation (all green in r01)
     "s01_full_scan",
     "s03_csv_stage_glob_read",
@@ -84,7 +85,6 @@ _PRIORITY = [
     "w02_running_total",
     "w03_auto_increment",
     "o01_topk_orders",
-    "f01_id_parse_regex",
 ]
 
 _rest = [n for n in QUERIES if n not in _PRIORITY]

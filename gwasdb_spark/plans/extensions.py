@@ -242,17 +242,44 @@ def x10_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
 
 
-@query("x10b_embedding_neardup_lsh", "X-dedup,X-sim", oracle=None)
+@query(
+    "x10b_embedding_neardup_lsh",
+    "X-dedup,X-sim",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_COS_SQL.format(a='a.embedding', b='b.embedding')}
+                 / (sqrt({_COS_SQL.format(a='a.embedding', b='a.embedding')})
+                    * sqrt({_COS_SQL.format(a='b.embedding', b='b.embedding')})),
+                 6) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_COS_SQL.format(a='a.embedding', b='b.embedding')}
+          / (sqrt({_COS_SQL.format(a='a.embedding', b='a.embedding')})
+             * sqrt({_COS_SQL.format(a='b.embedding', b='b.embedding')})) >= 0.35
+    """,
+)
 def x10b_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup via random-hyperplane LSH buckets + exact
-    re-score of bucket-mates only — never O(n^2) pairs at scale. Hash-
-    bucket dependent → no SQL oracle; recall vs x10 tested."""
+    re-score of bucket-mates only — never O(n^2) pairs at scale.
+
+    Adaptive index selection (same rule as the x05 ANN family): in the
+    flat regime (corpus ≤ 1000, the correctness SFs) a single zero-bit
+    band puts the whole corpus in one bucket — candidate coverage is
+    exactly 1 and the result hash-matches x10's exact-pairs oracle. At
+    scale, real 8×8-bit banding; recall vs x10 is tested in
+    tests/test_similarity.py."""
     from gwasdb_spark.operators.similarity import embedding_neardup_pairs_lsh
 
     e = table(spark, sf_dir, "embeddings")
-    res = embedding_neardup_pairs_lsh(
-        e, "vec_id", "embedding", threshold=0.35, dim=64, bands=8, bits_per_band=8
-    )
+    if _ann_flat_regime(e):
+        res = embedding_neardup_pairs_lsh(
+            e, "vec_id", "embedding", threshold=0.35, dim=64, bands=1,
+            bits_per_band=0,
+        )
+    else:
+        res = embedding_neardup_pairs_lsh(
+            e, "vec_id", "embedding", threshold=0.35, dim=64, bands=8,
+            bits_per_band=8,
+        )
     return res.select("id_a", "id_b", F.round("cos", 6).alias("cos")).orderBy(
         "id_a", "id_b"
     )
@@ -882,6 +909,66 @@ def sk01_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return salted_join(l, o, "l_orderkey", how="inner", salts=8).select(
         "l_orderkey", "l_linenumber", "o_orderdate", "o_totalprice"
+    )
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Stage lineitem and orders as BUCKETED tables (8 buckets on the join
+    key, sorted within buckets), built once per (process, sf_dir). External
+    tables: data lands under the per-process stage dir, only the metastore
+    entry lives in the session catalog. Returns the two table names."""
+    from gwasdb_spark.operators.maintenance import write_bucketed
+    from gwasdb_spark.plans.helpers import stage_dir
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    li_name, o_name = f"li_bkt_{tag}", f"o_bkt_{tag}"
+    if not spark.catalog.tableExists(li_name):
+        write_bucketed(
+            table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_linenumber", "l_quantity"
+            ),
+            li_name,
+            "l_orderkey",
+            path=stage_dir(f"bkt_{tag}/lineitem"),
+        )
+    if not spark.catalog.tableExists(o_name):
+        write_bucketed(
+            table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_totalprice", "o_orderpriority"
+            ),
+            o_name,
+            "o_orderkey",
+            path=stage_dir(f"bkt_{tag}/orders"),
+        )
+    return li_name, o_name
+
+
+@query(
+    "sk02_bucketed_join",
+    "§4,J-scale",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, o.o_totalprice
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    """,
+)
+def sk02_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact⋈fact join via BUCKETING — the pre-shuffle answer to
+    a join both of whose sides are too big to broadcast: both tables are
+    bucketed 8-ways on the join key and sorted within buckets, so the
+    sort-merge join consumes matching buckets directly — ZERO Exchange on
+    either side (plan-guarded in tests/test_plan_shape.py). At 100 TB this
+    converts every recurring join on the bucketed key from a full shuffle
+    of both relations into a file-local merge; the bucketing cost is paid
+    once at write time. The merge hint pins SMJ so the demo measures the
+    bucketed path, not a small-SF broadcast."""
+    li_name, o_name = _bucketed_tables(spark, sf_dir)
+    li = spark.table(li_name)
+    o = spark.table(o_name).filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        li.hint("merge")
+        .join(o.hint("merge"), li["l_orderkey"] == o["o_orderkey"])
+        .select("l_orderkey", "l_linenumber", "o_totalprice")
     )
 
 
@@ -2286,6 +2373,73 @@ def x12g_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x12h_bm25_fielded",
+    "X-text,X-search",
+    oracle=r"""
+    WITH tok_text AS (
+      SELECT doc_id AS doc,
+             unnest(string_split_regex(lower(trim(text)), '[^a-z0-9]+')) AS term
+      FROM documents
+    ),
+    tok_src AS (
+      SELECT doc_id AS doc,
+             unnest(string_split_regex(lower(trim(source)), '[^a-z0-9]+')) AS term
+      FROM documents
+    ),
+    p_text AS (
+      SELECT doc, term, COUNT(*) * 1.0 AS wtf FROM tok_text WHERE term <> ''
+      GROUP BY 1, 2
+    ),
+    p_src AS (
+      SELECT doc, term, COUNT(*) * 3.0 AS wtf FROM tok_src WHERE term <> ''
+      GROUP BY 1, 2
+    ),
+    postings AS (
+      SELECT doc, term, SUM(wtf) AS wtf
+      FROM (SELECT * FROM p_text UNION ALL SELECT * FROM p_src)
+      GROUP BY 1, 2
+    ),
+    doclen AS (SELECT doc, SUM(wtf) AS wdl FROM postings GROUP BY 1),
+    consts AS (
+      SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+             (SELECT CAST(SUM(wdl) AS DOUBLE) / COUNT(*) FROM doclen) AS avgwdl
+    ),
+    q(term) AS (VALUES ('hash'), ('join'), ('src3')),
+    hit AS (SELECT p.doc, p.term, p.wtf FROM postings p JOIN q USING (term)),
+    dfc AS (SELECT term, COUNT(DISTINCT doc) AS df_t FROM hit GROUP BY 1),
+    scored AS (
+      SELECT doc,
+             SUM(ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+                 * (wtf * 2.2)
+                 / (wtf + 1.2 * (1 - 0.75 + 0.75 * CAST(wdl AS DOUBLE) / avgwdl))
+             ) AS score
+      FROM hit JOIN dfc USING (term) JOIN doclen USING (doc) CROSS JOIN consts
+      GROUP BY doc
+    )
+    SELECT doc AS doc_id, ROUND(score, 6) AS score, CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT doc, score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def x12h_bm25_fielded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25F per-field weighted search (closes the ROADMAP per-field-
+    weights item): body `text` at weight 1, the short `source` tag field
+    at weight 3 — a 'src3' query term hit in the tag field outranks body
+    matches, the title-boost behavior every fielded search engine ships.
+    Weighted tf/length fold across fields before saturation (simple
+    BM25F); the oracle replicates the arithmetic verbatim."""
+    from gwasdb_spark.operators.search import bm25f_topk
+
+    d = table(spark, sf_dir, "documents")
+    return bm25f_topk(
+        d, ["hash", "join", "src3"], [("text", 1.0), ("source", 3.0)], "doc_id", k=10
+    )
+
+
+@query(
     "x35_conversion_funnel",
     "X-events,A-group",
     oracle="""
@@ -2616,6 +2770,70 @@ def m01_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         money(F.sum(cents(F.col("o_totalprice")))).alias("total_value"),
     )
+
+
+@query(
+    "m02_scd2_upsert",
+    "M2-ext,§2.9",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey, c_mktsegment AS segment,
+             '1995-01-01' AS valid_from,
+             CAST(NULL AS VARCHAR) AS valid_to,
+             TRUE AS is_current
+      FROM customer
+    ),
+    chg AS (
+      SELECT c_custkey, 'UPGRADED' AS segment, '1997-06-01' AS eff
+      FROM customer
+      WHERE c_custkey % 10 = 3 AND c_mktsegment <> 'UPGRADED'
+    ),
+    closed AS (
+      SELECT b.c_custkey, b.segment, b.valid_from,
+             c.eff AS valid_to, FALSE AS is_current
+      FROM base b JOIN chg c USING (c_custkey)
+    ),
+    untouched AS (
+      SELECT * FROM base
+      WHERE c_custkey NOT IN (SELECT c_custkey FROM chg)
+    ),
+    fresh AS (
+      SELECT c_custkey, segment, eff AS valid_from,
+             CAST(NULL AS VARCHAR) AS valid_to, TRUE AS is_current
+      FROM chg
+    )
+    SELECT * FROM untouched
+    UNION ALL SELECT * FROM closed
+    UNION ALL SELECT * FROM fresh
+    """,
+)
+def m02_scd2_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension maintenance (operators/scd.py) — the
+    warehouse-scale answer to the reference's in-place dimension UPDATE
+    (M2, R/postgres_process.Rmd): a change batch (customers ending in 3
+    move to segment UPGRADED effective 1997-06-01) closes each affected
+    current row and appends the new version; history and untouched rows
+    pass through. One keyed join + two anti/semi splits, change batch
+    broadcast — the MERGE shape without Delta. Validity bounds are date
+    STRINGS here so both engines compare identical values."""
+    from gwasdb_spark.operators.scd import scd2_apply
+
+    c = table(spark, sf_dir, "customer")
+    dim = c.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1995-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    changes = c.filter(
+        (F.col("c_custkey") % 10 == 3) & (F.col("c_mktsegment") != "UPGRADED")
+    ).select(
+        "c_custkey",
+        F.lit("UPGRADED").alias("segment"),
+        F.lit("1997-06-01").alias("eff"),
+    )
+    return scd2_apply(dim, changes, ["c_custkey"], ["segment"], eff_col="eff")
 
 
 @query(

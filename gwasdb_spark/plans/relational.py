@@ -1026,6 +1026,71 @@ def w05_ntile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "w07_group_quantiles",
+    "§2.5-ext,A2",
+    oracle="""
+    SELECT lang,
+           ROUND(quantile_cont(n_chars, 0.5), 9) AS p50_chars,
+           ROUND(quantile_cont(n_chars, 0.95), 9) AS p95_chars,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+)
+def w07_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT interpolated quantiles per group (linear/continuous — the
+    numpy default both engines implement): per-language doc-length p50 and
+    p95, the length-distribution monitor a corpus QA dashboard shows.
+    Spark's `percentile` is the exact path (full sort per group, fine at
+    dashboard grain); `approx_percentile`/KLL (x13's sketch family) is the
+    sub-linear twin when groups grow unbounded."""
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.round(F.expr("percentile(n_chars, 0.5)"), 9).alias("p50_chars"),
+        F.round(F.expr("percentile(n_chars, 0.95)"), 9).alias("p95_chars"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@query(
+    "a07_rollup_revenue",
+    "A2-ext,§2.5",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           (CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                 AS DOUBLE) / 10000.0) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def a07_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals in one pass — GROUP BY ROLLUP over
+    (returnflag, linestatus) plus the grand total, the OLAP drill-down
+    shape. Spark plans rollup as an Expand + single hash aggregate (one
+    shuffle for all grouping sets, partial-aggregated map-side); revenue
+    stays in exact e4 integer space until one final division. NULL
+    grouping labels are COALESCE'd to 'ALL' in both engines (the data
+    columns are never null, so the label is unambiguous)."""
+    li = table(spark, sf_dir, "lineitem")
+    rev_e4 = cents(F.col("l_extendedprice")) * (100 - cents(F.col("l_discount")))
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum(rev_e4).cast("double") / F.lit(10000.0)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "revenue",
+            "n_items",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sorts / limits / top-k (SURVEY.md §2.6)
 # ---------------------------------------------------------------------------

@@ -731,3 +731,150 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@query(
+    "q11_important_stock",
+    "A2,J5,P14",
+    oracle="""
+    WITH psv AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS cost_e2,
+             SUM(CAST(l_quantity AS BIGINT)) AS availqty
+      FROM lineitem GROUP BY 1, 2
+    ),
+    scoped AS (
+      SELECT ps.ps_partkey, ps.cost_e2 * ps.availqty AS v_e2
+      FROM psv ps
+      JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_7'
+    ),
+    per_part AS (
+      SELECT ps_partkey, SUM(v_e2) AS v_e2 FROM scoped GROUP BY 1
+    )
+    SELECT ps_partkey, (CAST(v_e2 AS DOUBLE) / 100.0) AS value
+    FROM per_part
+    WHERE CAST(v_e2 AS DOUBLE) > (SELECT SUM(v_e2) FROM per_part) * 0.0005
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock in one nation): per-part inventory
+    value within NATION_7's suppliers, kept when it exceeds a fraction of
+    the nation's total. Adaptations for the slim schema: partsupp derives
+    from lineitem (supplycost = MIN extendedprice, availqty = SUM
+    quantity); the fraction is 0.0005 (vs TPC-H's 0.0001/SF) so the HAVING
+    discriminates at the test SFs. Physical shape: one (part,supp)
+    aggregate reused for both the per-part values and the global
+    threshold; the threshold is a broadcast 1-row cross join (never a
+    driver collect); nation is the only broadcast-hinted dim."""
+    li = table(spark, sf_dir, "lineitem")
+    psv = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(cents(F.col("l_extendedprice"))).alias("cost_e2"),
+        F.sum(F.col("l_quantity").cast("long")).alias("availqty"),
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    scoped = (
+        psv.join(s, psv["ps_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("ps_partkey", (F.col("cost_e2") * F.col("availqty")).alias("v_e2"))
+    )
+    per_part = scoped.groupBy("ps_partkey").agg(F.sum("v_e2").alias("v_e2"))
+    total = per_part.agg(F.sum("v_e2").alias("total_e2"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("v_e2").cast("double") > F.col("total_e2").cast("double") * F.lit(0.0005)
+        )
+        .select("ps_partkey", (F.col("v_e2").cast("double") / F.lit(100.0)).alias("value"))
+    )
+
+
+@query(
+    "q20_excess_stock_suppliers",
+    "J9,P12,A2",
+    oracle="""
+    WITH promo AS (
+      SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+    ),
+    y96 AS (
+      SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS BIGINT)) AS q96
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+      GROUP BY 1, 2
+    ),
+    y97 AS (
+      SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS BIGINT)) AS q97
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY 1, 2
+    ),
+    qual AS (
+      SELECT DISTINCT a.l_suppkey
+      FROM y96 a
+      JOIN promo p ON a.l_partkey = p.p_partkey
+      LEFT JOIN y97 b
+        ON a.l_partkey = b.l_partkey AND a.l_suppkey = b.l_suppkey
+      WHERE CAST(a.q96 AS DOUBLE) > 0.5 * CAST(COALESCE(b.q97, 0) AS DOUBLE)
+    )
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = 'NATION_3'
+      AND s.s_suppkey IN (SELECT l_suppkey FROM qual)
+    """,
+)
+def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (suppliers with excess stock of promotable parts):
+    NATION_3 suppliers whose 1996 shipments of 'small%' parts exceed half
+    their 1997 demand for the same part. Adaptations: availqty derives
+    from 1996 shipped quantity (the slim schema has no partsupp), demand
+    from the 1997 window; (part,supp) pairs with no 1997 rows count as
+    zero demand (COALESCE — the nested-IN chain otherwise drops them on
+    NULL comparison, which engines disagree about). Physical shape: two
+    skinny per-(part,supp) aggregates off one lineitem scan branch, promo
+    part filter as an equi-join, final membership as a semi join."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
+    )
+
+    def year_qty(y0: str, y1: str, out: str) -> DataFrame:
+        return (
+            li.filter(
+                (F.col("l_shipdate") >= F.lit(y0).cast("timestamp"))
+                & (F.col("l_shipdate") < F.lit(y1).cast("timestamp"))
+            )
+            .groupBy("l_partkey", "l_suppkey")
+            .agg(F.sum(F.col("l_quantity").cast("long")).alias(out))
+        )
+
+    y96 = year_qty("1996-01-01", "1997-01-01", "q96")
+    y97 = year_qty("1997-01-01", "1998-01-01", "q97")
+    promo = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("small"))
+        .select("p_partkey")
+    )
+    qual = (
+        y96.join(promo, y96["l_partkey"] == promo["p_partkey"])
+        .join(y97, ["l_partkey", "l_suppkey"], "left")
+        .filter(
+            F.col("q96").cast("double")
+            > F.lit(0.5) * F.coalesce(F.col("q97"), F.lit(0)).cast("double")
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    return (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(qual, s["s_suppkey"] == qual["l_suppkey"], "left_semi")
+        .select("s_suppkey", "s_name")
+    )

@@ -170,3 +170,33 @@ def test_bucketed_join_is_shuffle_free(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_orders_t")
         spark.sql("DROP TABLE IF EXISTS bkt_lineitem_t")
+
+
+def test_scd2_apply_semantics_and_idempotence(spark):
+    """SCD2: a change closes the current row and appends a new version;
+    history is untouched; re-applying the identical change batch is a
+    no-op (the differing-attributes filter drops it)."""
+    from gwasdb_spark.operators.scd import scd2_apply
+
+    dim = spark.createDataFrame(
+        [
+            (1, "A", "d0", "d1", False),   # history row
+            (1, "B", "d1", None, True),    # current, will change
+            (2, "C", "d0", None, True),    # current, untouched
+        ],
+        "k long, attr string, valid_from string, valid_to string, is_current boolean",
+    )
+    chg = spark.createDataFrame([(1, "Z", "d2")], "k long, attr string, eff string")
+
+    v2 = scd2_apply(dim, chg, ["k"], ["attr"], eff_col="eff")
+    rows = {(r.k, r.attr, r.valid_from, r.valid_to, r.is_current)
+            for r in v2.collect()}
+    assert rows == {
+        (1, "A", "d0", "d1", False),
+        (1, "B", "d1", "d2", False),   # closed at eff
+        (1, "Z", "d2", None, True),    # new current
+        (2, "C", "d0", None, True),
+    }
+
+    v3 = scd2_apply(v2, chg, ["k"], ["attr"], eff_col="eff")
+    assert {tuple(r) for r in v3.collect()} == {tuple(r) for r in v2.collect()}

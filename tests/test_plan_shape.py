@@ -159,3 +159,13 @@ def test_q21_probes_are_aggregates_not_self_joins(spark):
     # the supplier dim join are allowed; no BroadcastNestedLoop/cartesian
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucketed_join_has_zero_exchange(spark):
+    """sk02: both sides bucketed 8-ways on the join key → the sort-merge
+    join must consume buckets directly. ANY Exchange in the plan means
+    bucketing silently stopped matching (bucket count drift, hint loss,
+    or a non-bucketed scan) and the query re-pays the full shuffle."""
+    plan = _plan(spark, "sk02_bucketed_join")
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan

@@ -26,10 +26,6 @@ NO_ORACLE_INVARIANTS = {
         ["id_a", "id_b", "hamming"], 1,
         "tests/test_dedup.py (simhash invariants)",
     ),
-    "x10b_embedding_neardup_lsh": (
-        ["id_a", "id_b", "cos"], 0,  # random corpus: top-tail pairs may be few
-        "tests/test_similarity.py (LSH recall vs x10 exact)",
-    ),
     "x13_sketch_aggregates": (
         None, 1, "tests/test_sketches.py (error bounds)",
     ),

@@ -105,3 +105,24 @@ def test_bm25_indexed_matches_adhoc(spark, tmp_path):
     adhoc = bm25_topk(df, ["hash", "join", "vector"], k=5).collect()
     indexed = bm25_topk_indexed(spark, idx, ["hash", "join", "vector"], k=5).collect()
     assert [tuple(r) for r in adhoc] == [tuple(r) for r in indexed]
+
+
+def test_bm25f_field_weight_changes_ranking(spark):
+    """BM25F: a weighted tag-field hit must outrank a body-only match,
+    and with weight 1 everywhere must reduce to plain combined-text
+    scoring (same idf/tf arithmetic over the union of fields)."""
+    from gwasdb_spark.operators.search import bm25f_topk
+
+    rows = [
+        (1, "games news games",        "sports"),   # tag match for 'sports'
+        (2, "sports sports something", "general"),  # body-only matches
+        (3, "other text entirely",     "general"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    heavy = bm25f_topk(docs, ["sports"], [("text", 1.0), ("source", 8.0)], k=3)
+    top = heavy.orderBy("rank").first()
+    assert top.doc_id == 1  # the 8x tag hit beats two body occurrences
+
+    flat = bm25f_topk(docs, ["sports"], [("text", 1.0), ("source", 1.0)], k=3)
+    top_flat = flat.orderBy("rank").first()
+    assert top_flat.doc_id == 2  # unweighted: tf 2 in body wins
