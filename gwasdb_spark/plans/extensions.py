@@ -315,6 +315,120 @@ def x09_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "x43_int8_quantize",
+    "X-sim,§2.11",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_aggregate(
+               list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+               'max') AS amax
+      FROM embeddings
+    )
+    SELECT e.vec_id,
+           ROUND(CASE WHEN q.amax > 0 THEN 127.0 / q.amax END, 9) AS scale,
+           CASE WHEN q.amax > 0 THEN array_to_string(
+             list_transform(e.embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * (127.0 / q.amax)) AS INT)),
+             ',') END AS codes_csv,
+           CAST(CASE WHEN q.amax > 0 THEN len(list_filter(
+             list_transform(e.embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * (127.0 / q.amax)) AS INT)),
+             c -> abs(c) = 127)) ELSE 0 END AS BIGINT) AS n_saturated
+    FROM embeddings e JOIN q USING (vec_id)
+    """,
+)
+def x43_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage/serving
+    compression every vector database applies before ANN (4× smaller than
+    float32; PQ (x05e) is the aggressive sibling). Pure array
+    higher-order functions (transform/array_max/filter) — whole-stage
+    codegen, no UDF, no shuffle: the quantizer is a projection. Codes are
+    emitted CSV-joined (engine-portable rendering of the array); zero
+    vectors quantize to NULL scale/codes rather than dividing by zero."""
+    e = table(spark, sf_dir, "embeddings")
+    xd = F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    amax = F.array_max(xd)
+    scale = F.lit(127.0) / amax
+    codes = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * scale).cast("int"),
+    )
+    nonzero = amax > 0
+    return e.select(
+        "vec_id",
+        F.round(F.when(nonzero, scale), 9).alias("scale"),
+        F.when(nonzero, F.array_join(codes, ",")).alias("codes_csv"),
+        F.when(
+            nonzero,
+            F.size(F.filter(codes, lambda c: F.abs(c) == 127)),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_saturated"),
+    )
+
+
+@query(
+    "x44_incremental_dedup",
+    "X-dedup",
+    oracle="""
+    WITH batch AS (
+      SELECT doc_id, md5(text) AS content_hash FROM documents
+      WHERE doc_id % 7 = 0
+    ),
+    corpus AS (
+      SELECT DISTINCT md5(text) AS content_hash FROM documents
+      WHERE doc_id % 7 <> 0
+    ),
+    labeled AS (
+      SELECT b.doc_id, b.content_hash,
+             CASE
+               WHEN c.content_hash IS NOT NULL THEN 'dup_corpus'
+               WHEN b.doc_id <> MIN(b.doc_id) OVER (PARTITION BY b.content_hash)
+                 THEN 'dup_batch'
+               ELSE 'new'
+             END AS status
+      FROM batch b LEFT JOIN corpus c USING (content_hash)
+    )
+    SELECT doc_id, content_hash, status FROM labeled
+    """,
+)
+def x44_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL ingestion dedup — the shape a 100 TB corpus actually
+    runs daily: only the incoming batch (here: doc_id % 7 = 0) is checked,
+    (a) against the existing corpus's digest set (skinny hash anti/left
+    join — at scale a pre-materialized digest table or bloom filter, never
+    the corpus text) and (b) within itself (min-id window per digest).
+    Each doc labels as dup_corpus / dup_batch / new; cost scales with the
+    BATCH, not the corpus."""
+    d = table(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", F.md5("text").alias("content_hash")
+    )
+    corpus = (
+        d.filter(F.col("doc_id") % 7 != 0)
+        .select(F.md5("text").alias("content_hash"))
+        .distinct()
+        .withColumn("__in_corpus", F.lit(True))
+    )
+    w = Window.partitionBy("content_hash")
+    return (
+        batch.join(corpus, "content_hash", "left")
+        .select(
+            "doc_id",
+            "content_hash",
+            F.when(F.col("__in_corpus"), F.lit("dup_corpus"))
+            .when(
+                F.col("doc_id") != F.min("doc_id").over(w), F.lit("dup_batch")
+            )
+            .otherwise(F.lit("new"))
+            .alias("status"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

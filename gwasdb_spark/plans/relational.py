@@ -769,6 +769,77 @@ def a04_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a08_unpivot_long",
+    "A4-ext",
+    oracle="""
+    WITH wide AS (
+      SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket,
+             CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click_cnt,
+             CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view_cnt,
+             CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT)
+               AS purchase_cnt
+      FROM events GROUP BY user_id % 10
+    )
+    SELECT user_bucket, event_type, n_events
+    FROM wide
+    UNPIVOT (n_events FOR event_type IN (click_cnt, view_cnt, purchase_cnt))
+    """,
+)
+def a08_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long UNPIVOT (tidyr pivot_longer, the inverse of a04's
+    pivot_wider — the reference pipeline reshapes in both directions):
+    three per-type count columns melt back to (bucket, event_type, n)
+    rows. Spark's `unpivot` plans as one Expand projection — no shuffle,
+    no join; 3× the rows, never 3× the scans."""
+    e = table(spark, sf_dir, "events")
+    wide = (
+        e.withColumn("user_bucket", (F.col("user_id") % 10).cast("long"))
+        .groupBy("user_bucket")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_bucket",
+            F.coalesce(F.col("click"), F.lit(0)).cast("long").alias("click_cnt"),
+            F.coalesce(F.col("view"), F.lit(0)).cast("long").alias("view_cnt"),
+            F.coalesce(F.col("purchase"), F.lit(0)).cast("long").alias("purchase_cnt"),
+        )
+    )
+    return wide.unpivot(
+        "user_bucket",
+        ["click_cnt", "view_cnt", "purchase_cnt"],
+        "event_type",
+        "n_events",
+    )
+
+
+@query(
+    "a09_listagg",
+    "A-ext,§2.11",
+    oracle="""
+    SELECT o_orderstatus,
+           string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+             AS priorities_csv,
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def a09_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG/string_agg — the OLAP "collapse a group to a delimited
+    list" aggregate (the reference's R pipelines use paste(collapse=',')
+    the same way). Portability requires determinism: collect_set's order
+    is partition-dependent, so the set is array_sort'ed BEFORE joining —
+    the only portable listagg. Distinct values bound the state (order
+    priorities, not orders)."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.array_join(
+            F.array_sort(F.collect_set("o_orderpriority")), ","
+        ).alias("priorities_csv"),
+        F.count_distinct("o_orderpriority").alias("n_priorities"),
+    )
+
+
+@query(
     "a05_manual_pivot_join",
     "A5,J1",
     oracle="""
@@ -1327,6 +1398,78 @@ def f05_clean_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # GWAS self-audit ports (SURVEY.md §5 — the reference's manual checks)
 # ---------------------------------------------------------------------------
+
+
+@query(
+    "f06_fuzzy_match",
+    "§2.11,F-ext",
+    oracle="""
+    WITH probes(probe) AS (VALUES ('smal ring'), ('red wdget'), ('hot gearr'))
+    SELECT p.probe, t.p_partkey, t.p_name,
+           CAST(levenshtein(p.probe, t.p_name) AS BIGINT) AS dist
+    FROM probes p JOIN part t ON levenshtein(p.probe, t.p_name) <= 2
+    """,
+)
+def f06_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy name lookup: edit-distance ≤ 2 match of typo'd probes against
+    the part name column — the forgiving-search twin of the marker probe
+    (a user typing rs12345 with a transposed digit still lands,
+    gwasDB/app.R:97's textInput has no autocomplete). Physical shape: the
+    probe list broadcasts, the table streams once through a codegen'd
+    levenshtein — linear in the table, never table×table. At 100 TB the
+    upgrade is a q-gram/trigram prefilter join before the exact distance;
+    at probe-list grain this single pass is the right plan."""
+    p = spark.createDataFrame(
+        [("smal ring",), ("red wdget",), ("hot gearr",)], "probe string"
+    )
+    t = table(spark, sf_dir, "part")
+    dist = F.levenshtein(F.col("probe"), F.col("p_name"))
+    return (
+        F.broadcast(p)
+        .join(t, dist <= 2)
+        .select("probe", "p_partkey", "p_name", dist.cast("long").alias("dist"))
+    )
+
+
+@query(
+    "f07_extract_all_numbers",
+    "§2.11,F-ext",
+    oracle=r"""
+    WITH nums AS (
+      SELECT doc_id,
+             list_filter(regexp_extract_all(text, '\d+'),
+                         s -> length(s) <= 9) AS ns
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(ns) AS BIGINT) AS n_numbers,
+           CAST(COALESCE(list_sum(list_transform(ns, s -> CAST(s AS BIGINT))),
+                         0) AS BIGINT) AS sum_numbers
+    FROM nums
+    """,
+)
+def f07_extract_all_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract_all — the one-to-many extraction surface (the
+    reference's str_extract_all / separate_rows shape): every integer
+    literal in each doc, counted and summed. Pure codegen array pipeline
+    (extract → filter ≤9 digits so the bigint cast can't overflow →
+    transform → aggregate), zero UDFs, zero shuffles — the projection
+    runs inside the scan stage."""
+    d = table(spark, sf_dir, "documents")
+    ns = F.filter(
+        F.regexp_extract_all(F.col("text"), F.lit(r"\d+")),
+        lambda s: F.length(s) <= 9,
+    )
+    sums = F.aggregate(
+        F.transform(ns, lambda s: s.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return d.select(
+        "doc_id",
+        F.size(ns).cast("long").alias("n_numbers"),
+        sums.alias("sum_numbers"),
+    )
 
 
 @query(

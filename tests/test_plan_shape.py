@@ -169,3 +169,11 @@ def test_bucketed_join_has_zero_exchange(spark):
     plan = _plan(spark, "sk02_bucketed_join")
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan
+
+
+def test_int8_quantize_is_pure_projection(spark):
+    """x43: the quantizer must stay a scan-stage projection — array HOFs
+    in codegen, no Exchange, no UDF python workers."""
+    plan = _plan(spark, "x43_int8_quantize")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
