@@ -234,6 +234,52 @@ def ngram_jaccard_pairs(
     )
 
 
+def shingle_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_docs: int = 100,
+) -> DataFrame:
+    """Exact DIRECTED n-gram containment pairs: C(A→B) = |sh(A) ∩ sh(B)|
+    / |sh(A)| ≥ threshold — the subset-duplicate detector Jaccard misses
+    (a quote inside a long doc: tiny union ratio, containment ≈ 1). The
+    quote/boilerplate/benchmark-decontamination primitive.
+
+    Identical physical shape to ngram_jaccard_pairs (one reused shingle
+    exchange, bounded bucket pair explode); the ordered pair set is the
+    unordered set plus a projection flip — no second enumeration pass.
+    Containment is an exact integer quotient, divided once."""
+    exploded = _exploded_shingle_hashes(
+        df.filter(F.col(id_col).isNotNull()), id_col, text_col, n
+    ).repartition("sh")
+    bounded = (
+        exploded.groupBy("sh")
+        .agg(F.array_sort(F.collect_set("doc")).alias("docs"))
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= max_shingle_docs))
+    )
+    unordered = _pairs_from_groups(bounded).groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).alias("n_shared")
+    )
+    # both directions from one enumeration: |A∩B| is symmetric
+    shared = unordered.unionByName(
+        unordered.select(
+            F.col("id_b").alias("id_a"),
+            F.col("id_a").alias("id_b"),
+            "n_shared",
+        )
+    )
+    sizes = exploded.groupBy("doc").agg(F.count_distinct("sh").alias("n_shingles"))
+    sa = sizes.select(F.col("doc").alias("id_a"), F.col("n_shingles").alias("n_a"))
+    cont = F.col("n_shared").cast("double") / F.col("n_a").cast("double")
+    return (
+        shared.join(sa, "id_a")
+        .select("id_a", "id_b", cont.alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 32
 ) -> DataFrame:

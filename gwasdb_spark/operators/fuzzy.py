@@ -1,0 +1,71 @@
+"""Scalable fuzzy (edit-distance) joins.
+
+`f06_fuzzy_match`'s single-pass levenshtein scan is linear in the table —
+right for a probe list, wrong when BOTH sides are large. The standard
+upgrade is q-gram blocking: two strings within edit distance d share at
+least one q-gram when the shorter has more than d·q q-grams (each edit
+destroys at most q of them, and q-gram blocking is position-independent,
+so insertions/deletions only shift positions). With q=3, d=2 the
+guarantee holds from length 9 up; shorter probes fall back to the exact
+scan (they are few, and their scan is cheap).
+
+Physical shape: explode both sides to (trigram, id), equi-join on the
+trigram (the probe side broadcasts when small), distinct the candidate
+pairs, THEN run exact levenshtein on candidates only — the expensive
+distance runs on |candidates|, not |probes|×|table|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+Q = 3  # trigram blocking
+
+
+def _qgrams(col: F.Column) -> F.Column:
+    """Position-independent q-gram set of a string column (codegen:
+    sequence + transform + substring; no UDF)."""
+    n = F.greatest(F.length(col) - (Q - 1), F.lit(0))
+    idx = F.sequence(F.lit(1), n)
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.substring(col, i, Q))
+    )
+
+
+def fuzzy_join_blocked(
+    probes: DataFrame,
+    table: DataFrame,
+    probe_col: str,
+    name_col: str,
+    max_dist: int = 2,
+) -> DataFrame:
+    """All (probe, table-row) pairs with levenshtein ≤ max_dist, via
+    trigram blocking + exact refine. Result-identical to the naive
+    cross-scan (the blocking guarantee covers probes of length
+    > max_dist·Q + Q − 1; shorter probes take the exact-scan branch).
+
+    Returns probes' columns + table's columns + `dist`."""
+    min_block_len = max_dist * Q + Q - 1 + 1  # first SAFE length (9 for d=2,q=3)
+    long_p = probes.filter(F.length(probe_col) >= min_block_len)
+    short_p = probes.filter(F.length(probe_col) < min_block_len)
+
+    pg = long_p.select(
+        F.col(probe_col), F.explode(_qgrams(F.col(probe_col))).alias("__g")
+    )
+    tg = table.withColumn("__g", F.explode(_qgrams(F.col(name_col))))
+    # dedupe on the full (probe row, table row) identity — multiple table
+    # rows can share one name value and each must surface independently
+    cands = (
+        tg.join(F.broadcast(pg), "__g")
+        .drop("__g")
+        .dropDuplicates([*probes.columns, *table.columns])
+    )
+    dist = F.levenshtein(F.col(probe_col), F.col(name_col))
+    blocked = cands.filter(dist <= max_dist)
+    brute = short_p.crossJoin(table).filter(dist <= max_dist)
+    out_cols = [*probes.columns, *table.columns]
+    return (
+        blocked.select(*out_cols, dist.cast("long").alias("dist"))
+        .unionByName(brute.select(*out_cols, dist.cast("long").alias("dist")))
+    )

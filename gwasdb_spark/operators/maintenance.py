@@ -157,3 +157,49 @@ def bucketed_join(
     l = spark.table(left_table)
     r = spark.table(right_table)
     return l.join(r, l[left_key] == r[right_key])
+
+
+def zorder_value(cols: list[F.Column], bits: int = 16) -> F.Column:
+    """Morton (Z-curve) value of small non-negative integer columns: bit i
+    of column j lands at position i·len(cols)+j. Pure codegen bit
+    arithmetic (shift/and/or), no UDF.
+
+    Locality property: rows close in EVERY dimension are close in z, so a
+    z-sorted file layout gives parquet row-group min/max stats pruning
+    power on ALL interleaved dimensions at once — the multi-column answer
+    where a plain sort helps only its leading column. (Delta/Iceberg
+    OPTIMIZE ZORDER is this plus transactions; the sort itself needs no
+    table format.) Callers bucketize wide domains down to `bits` bits
+    first (e.g. pos div 1024)."""
+    ndim = len(cols)
+    z: F.Column | None = None
+    for b in range(bits):
+        for j, c in enumerate(cols):
+            term = F.shiftleft(
+                F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1)),
+                b * ndim + j,
+            )
+            z = term if z is None else z.bitwiseOR(term)
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    n_files: int = 16,
+) -> None:
+    """Write `df` as parquet z-ordered on `cols`: range-partitioned by the
+    Morton value (each file owns a z-range) and sorted by it within files
+    (tight row-group stats). One extra shuffle at write time buys
+    multi-dimensional row-group skipping for every subsequent scan."""
+    z = zorder_value([F.col(c) for c in cols], bits=bits)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -87,6 +87,50 @@ def x02_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "x45_shingle_containment",
+    "X-dedup",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(
+               list_transform(
+                 range(1, greatest(len(w) - 2, 0) + 1),
+                 i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS shingles
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+            FROM documents)
+    ),
+    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh WHERE len(shingles) > 0),
+    ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    rare AS (SELECT shingle FROM ex GROUP BY shingle HAVING COUNT(*) <= 100),
+    pruned AS (SELECT ex.doc_id, ex.shingle FROM ex JOIN rare USING (shingle)),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+      FROM pruned a JOIN pruned b
+        ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(n_shared AS DOUBLE) / sa.n_sh AS containment
+    FROM shared JOIN sizes sa ON sa.doc_id = id_a
+    WHERE CAST(n_shared AS DOUBLE) / sa.n_sh >= 0.5
+    """,
+)
+def x45_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED containment pairs — C(A→B) = |shingles(A) ∩ shingles(B)|
+    / |shingles(A)| ≥ 0.5: doc A is (half-)contained in B. Jaccard (x02)
+    misses subset relations (a quote inside a long doc has tiny union
+    ratio but containment ≈ 1) — this is the quote/boilerplate/
+    benchmark-decontamination detector. Same bucketed shingle-equi-join
+    physical shape as x02 (ONE shingle pipeline, frequency prune bounds
+    the pair blowup); the ratio is an exact integer quotient, divided
+    once. Asymmetric: both directions emitted."""
+    d = table(spark, sf_dir, "documents")
+    return DD.shingle_containment_pairs(
+        d, "doc_id", "text", n=3, threshold=0.5, max_shingle_docs=100
+    )
+
+
 @query("x03_minhash_lsh_pairs", "X-dedup", oracle=None)
 def x03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs (32 hashes, 8 bands × 4 rows). Hash-based

@@ -1432,6 +1432,35 @@ def f06_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "f08_fuzzy_match_blocked",
+    "§2.11,F-ext,J-scale",
+    oracle="""
+    WITH probes(probe) AS
+      (VALUES ('smal ring'), ('red wdget'), ('hot gearr'), ('bolt'))
+    SELECT p.probe, t.p_partkey, t.p_name,
+           CAST(levenshtein(p.probe, t.p_name) AS BIGINT) AS dist
+    FROM probes p JOIN part t ON levenshtein(p.probe, t.p_name) <= 2
+    """,
+)
+def f08_fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE form of f06: trigram-blocked fuzzy join (operators/
+    fuzzy.py) — candidates must share a trigram before the exact
+    levenshtein runs, so the distance computation touches |candidates|,
+    not |probes|×|table|. Sub-blocking-length probes ('bolt') take the
+    exact-scan branch the guarantee requires. Oracle: the naive
+    all-pairs form — blocked and naive must be result-identical, which
+    is the blocking-completeness property itself."""
+    from gwasdb_spark.operators.fuzzy import fuzzy_join_blocked
+
+    p = spark.createDataFrame(
+        [("smal ring",), ("red wdget",), ("hot gearr",), ("bolt",)],
+        "probe string",
+    )
+    t = table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    return fuzzy_join_blocked(p, t, "probe", "p_name", max_dist=2)
+
+
+@query(
     "f07_extract_all_numbers",
     "§2.11,F-ext",
     oracle=r"""
@@ -1598,6 +1627,53 @@ def g05_marker_probe_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("kgp_id").rlike(r"^rs001234[0-9]$"))
         .select("chr", "pos", "kgp_id")
         .orderBy("chr", "pos")
+    )
+
+
+@query(
+    "g06_zorder_box_probe",
+    "§4,P7",
+    oracle="""
+    WITH ids AS (
+      SELECT (ROW_NUMBER() OVER ()) - 1 AS id
+      FROM lineitem, (VALUES (0), (1), (2), (3)) v(k)
+    ),
+    m AS (
+      SELECT 'rs' || lpad(CAST(id AS VARCHAR), 9, '0') AS kgp_id,
+             CAST(id % 22 + 1 AS INT) AS chr,
+             CAST(1 + (id * 997) % 50000000 AS BIGINT) AS pos
+      FROM ids
+    )
+    SELECT chr, pos, kgp_id FROM m
+    WHERE chr = 5 AND pos BETWEEN 10000000 AND 10500000
+    """,
+)
+def g06_zorder_box_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region box probe over a Z-ORDERED layout (operators/maintenance.
+    write_zordered): the marker set is laid out on the Morton interleave
+    of (chr, pos div 4096), so row-group min/max stats prune on BOTH
+    dimensions — a chr-only, pos-only, or box predicate each skips most
+    row groups without hive-partitioning by either column (the layout
+    upgrade ROADMAP tied to Delta's OPTIMIZE ZORDER; the sort needs no
+    table format). Layout effectiveness is asserted from the parquet
+    footers in tests/test_maintenance.py; this query pins the result
+    itself against the formula oracle."""
+    from gwasdb_spark.operators.maintenance import write_zordered
+    from gwasdb_spark.plans.helpers import stage_dir
+
+    n = 4 * spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    path = stage_dir(f"zorder_markers_{n}")
+    if not os.path.isdir(path):
+        m = spark.range(n).select(
+            F.format_string("rs%09d", F.col("id")).alias("kgp_id"),
+            (F.col("id") % 22 + 1).cast("int").alias("chr"),
+            (1 + (F.col("id") * 997) % 50_000_000).cast("long").alias("pos"),
+        ).withColumn("pos_kb", F.expr("pos div 4096").cast("int"))
+        write_zordered(m, path, ["chr", "pos_kb"], bits=14, n_files=16)
+    return (
+        spark.read.parquet(path)
+        .filter((F.col("chr") == 5) & F.col("pos").between(10_000_000, 10_500_000))
+        .select("chr", "pos", "kgp_id")
     )
 
 

@@ -200,3 +200,51 @@ def test_scd2_apply_semantics_and_idempotence(spark):
 
     v3 = scd2_apply(v2, chg, ["k"], ["attr"], eff_col="eff")
     assert {tuple(r) for r in v3.collect()} == {tuple(r) for r in v2.collect()}
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """Z-ordered files must give row-group stats pruning on BOTH
+    interleaved columns: for a (chr, pos) box probe, strictly fewer row
+    groups overlap than in a layout sorted by an unrelated key (name
+    order ~ random w.r.t. chr/pos, which leaves every row group's
+    [min,max] spanning nearly the full domain)."""
+    import pyarrow.parquet as pq
+
+    from gwasdb_spark.operators.maintenance import write_zordered
+
+    m = spark.range(40_000).select(
+        F.format_string("rs%09d", (F.col("id") * 48271) % 40_000).alias("name"),
+        (F.col("id") % 22 + 1).cast("int").alias("chr"),
+        (1 + (F.col("id") * 997) % 1_000_000).cast("long").alias("pos"),
+    ).withColumn("pos_kb", F.expr("pos div 256").cast("int"))
+
+    zpath, npath = str(tmp_path / "z"), str(tmp_path / "byname")
+    write_zordered(m, zpath, ["chr", "pos_kb"], bits=12, n_files=8)
+    (
+        m.repartitionByRange(8, "name").sortWithinPartitions("name")
+        .write.parquet(npath)
+    )
+
+    def overlapping_row_groups(path):
+        total = hits = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(os.path.join(root, f)).metadata
+                sch = {md.schema.column(i).name: i for i in range(md.num_columns)}
+                for rg in range(md.num_row_groups):
+                    total += 1
+                    cs = md.row_group(rg).column(sch["chr"]).statistics
+                    ps = md.row_group(rg).column(sch["pos"]).statistics
+                    if cs.min <= 5 <= cs.max and ps.min <= 500_000 and ps.max >= 400_000:
+                        hits += 1
+        return hits, total
+
+    z_hits, z_total = overlapping_row_groups(zpath)
+    n_hits, n_total = overlapping_row_groups(npath)
+    # name-ordered layout: essentially every row group overlaps the box
+    assert n_hits >= n_total - 1
+    # z-ordered: most row groups are skippable on the combined predicate
+    assert z_hits < n_hits
+    assert z_hits <= z_total // 2, (z_hits, z_total)

@@ -4,6 +4,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from gwasdb_spark.operators.search import bm25_topk
 
@@ -126,3 +127,38 @@ def test_bm25f_field_weight_changes_ranking(spark):
     flat = bm25f_topk(docs, ["sports"], [("text", 1.0), ("source", 1.0)], k=3)
     top_flat = flat.orderBy("rank").first()
     assert top_flat.doc_id == 2  # unweighted: tf 2 in body wins
+
+
+def test_fuzzy_blocked_equals_naive(spark):
+    """Blocking completeness: the trigram-blocked fuzzy join must return
+    exactly the naive cross-scan's pairs — including a distance-2 match
+    at the minimum safe blocking length and a short probe that takes the
+    brute-force branch."""
+    from gwasdb_spark.operators.fuzzy import fuzzy_join_blocked
+
+    probes = spark.createDataFrame(
+        [("abcdefghi",),   # len 9: min safe blocking length at d=2
+         ("abc",)],        # len 3: must take the brute-force branch
+        "probe string",
+    )
+    names = spark.createDataFrame(
+        [(1, "abcdefghi"), (2, "Xbcdefghi"), (3, "XYcdefghi"),  # d=0,1,2
+         (4, "XYZdefghi"),                                      # d=3: out
+         (5, "abX"), (6, "ab"), (7, "zzz")],
+        "id long, name string",
+    )
+    got = {
+        (r.probe, r.id, r.dist)
+        for r in fuzzy_join_blocked(probes, names, "probe", "name").collect()
+    }
+    naive = {
+        (r.probe, r.id, r.dist)
+        for r in probes.crossJoin(names)
+        .select("probe", "id",
+                F.levenshtein("probe", "name").cast("long").alias("dist"))
+        .filter(F.col("dist") <= 2)
+        .collect()
+    }
+    assert got == naive
+    assert ("abcdefghi", 3, 2) in got     # distance-2 survived blocking
+    assert ("abc", 6, 1) in got           # short probe matched via brute force
