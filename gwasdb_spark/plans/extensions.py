@@ -653,6 +653,47 @@ def st02_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "st11_session_window_builtin",
+    "X-stream",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY epoch_us(ts), event_id) AS prev_us
+      FROM events
+    ),
+    f AS (
+      SELECT user_id,
+             CASE WHEN prev_us IS NULL
+                       OR ts_us - prev_us >= 1800 * 1000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM g
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(new_session) AS BIGINT) AS n_sessions
+    FROM f GROUP BY user_id
+    """,
+)
+def st11_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via the ENGINE-NATIVE `session_window` aggregate —
+    the one-expression form of st02's hand-rolled lag/cumsum (and the
+    same operator Structured Streaming merges stateful session windows
+    with). Boundary semantics differ from st02 by one ulp: a session
+    window spans [start, last+gap), so a gap of EXACTLY 30 min starts a
+    new session (st02's lag rule is strictly-greater) — the oracle uses
+    >= accordingly. Two hash aggregates, one (user) shuffle."""
+    e = table(spark, sf_dir, "events")
+    per_session = (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return per_session.groupBy("user_id").agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.count(F.lit(1)).alias("n_sessions"),
+    )
+
+
+@query(
     "st03_stream_hourly_rollup",
     "X-stream,§2.10",
     oracle="""

@@ -1631,6 +1631,52 @@ def g05_marker_probe_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s22_python_datasource",
+    "S-ext,§2.1",
+    oracle="""
+    WITH ids AS (
+      SELECT (ROW_NUMBER() OVER ()) - 1 AS id
+      FROM lineitem, (VALUES (0), (1), (2), (3)) v(k)
+    ),
+    m AS (
+      SELECT 'rs' || lpad(CAST(id AS VARCHAR), 9, '0') AS kgp_id,
+             CAST(id % 22 + 1 AS INT) AS chr,
+             CAST(1 + (id * 997) % 50000000 AS BIGINT) AS pos
+      FROM ids
+    )
+    SELECT chr, CAST(COUNT(*) AS BIGINT) AS n_markers,
+           CAST(MIN(pos) AS BIGINT) AS min_pos,
+           CAST(MAX(pos) AS BIGINT) AS max_pos,
+           CAST(SUM(pos) AS BIGINT) AS sum_pos
+    FROM m GROUP BY chr
+    """,
+)
+def s22_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (sources/pyds.py — the Spark 4 DataSource
+    API): a source that is neither a file nor JDBC participates as a
+    first-class `spark.read.format("marker_gen")` with declared input
+    partitions (8 parallel generator slices, Arrow-batched rows). The
+    aggregate proves every partition's slice arrived exactly once; the
+    oracle reconstructs the generator's formula in pure SQL."""
+    from gwasdb_spark.sources.pyds import register
+
+    register(spark)
+    n = 4 * spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    m = (
+        spark.read.format("marker_gen")
+        .option("n", n)
+        .option("numpartitions", 8)
+        .load()
+    )
+    return m.groupBy("chr").agg(
+        F.count(F.lit(1)).alias("n_markers"),
+        F.min("pos").alias("min_pos"),
+        F.max("pos").alias("max_pos"),
+        F.sum("pos").alias("sum_pos"),
+    )
+
+
+@query(
     "g06_zorder_box_probe",
     "§4,P7",
     oracle="""

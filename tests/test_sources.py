@@ -184,3 +184,19 @@ def test_merge_schema_reads_evolved_table(spark, tmp_path):
     assert set(df.columns) == {"doc_id", "text", "lang"}
     got = {r.doc_id: r.lang for r in df.collect()}
     assert got == {1: None, 2: "en"}
+
+
+def test_python_datasource_partitioned_read(spark):
+    """The custom Python DataSource must honor its declared input
+    partitions (real parallelism, not one generator task) and emit each
+    slice exactly once."""
+    from gwasdb_spark.sources.pyds import register
+
+    register(spark)
+    df = (
+        spark.read.format("marker_gen")
+        .option("n", 1000).option("numpartitions", 8).load()
+    )
+    assert df.rdd.getNumPartitions() == 8
+    assert df.count() == 1000
+    assert df.select("kgp_id").distinct().count() == 1000
