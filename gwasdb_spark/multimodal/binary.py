@@ -163,3 +163,60 @@ def sample_frames(
             )
 
     return binary_table.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+DISPATCH_SCHEMA = "doc_id long, media_type string, feat_kind string, feat_val double"
+
+
+def dispatch_features(binary_table: DataFrame) -> DataFrame:
+    """Heterogeneous-modality routing inside ONE mapInPandas stage: each
+    Arrow batch is split by media_type and every slice takes its own
+    (vectorized) feature path — the mixed-corpus shape where image, audio
+    and video rows interleave in one table and per-type repartitioning
+    would triple the shuffles. Decoders stubbed as elsewhere in this
+    module (deterministic sha256-derived stand-ins; frame count is real
+    byte arithmetic), so the routing itself is oracle-checkable.
+
+    image/* → 'pixel_mean_stub' (sha256 byte 0 / 255)
+    audio/* → 'energy_stub'     (sha256 byte 1 / 255)
+    video/* → 'n_frames'        (ceil(n_bytes / 64))
+    other   → 'opaque'          (n_bytes)
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def _feat(mt: str, payload: bytes | None) -> tuple[str, float | None]:
+            if payload is None:
+                return ("null_payload", None)
+            if mt.startswith("image/"):
+                return ("pixel_mean_stub", hashlib.sha256(payload).digest()[0] / 255.0)
+            if mt.startswith("audio/"):
+                return ("energy_stub", hashlib.sha256(payload).digest()[1] / 255.0)
+            if mt.startswith("video/"):
+                return ("n_frames", float(-(-len(payload) // 64)))
+            return ("opaque", float(len(payload)))
+
+        for pdf in batches:
+            # slice per modality: one python dispatch per (batch, type),
+            # not per row; the per-slice work is the decoder's
+            parts = []
+            for mt, sub in pdf.groupby("media_type", sort=False):
+                feats = [_feat(mt, p) for p in sub["payload"]]
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "doc_id": sub["doc_id"].to_numpy(),
+                            "media_type": mt,
+                            "feat_kind": [k for k, _ in feats],
+                            "feat_val": [v for _, v in feats],
+                        }
+                    )
+                )
+            yield (
+                pd.concat(parts, ignore_index=True)
+                if parts
+                else pd.DataFrame(
+                    {"doc_id": [], "media_type": [], "feat_kind": [], "feat_val": []}
+                )
+            )
+
+    return binary_table.mapInPandas(run, schema=DISPATCH_SCHEMA)

@@ -997,6 +997,58 @@ def mm04_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "mm05_modality_dispatch",
+    "X-multimodal",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 3 AS INT)
+               WHEN 0 THEN 'image/png'
+               WHEN 1 THEN 'audio/wav'
+               ELSE 'video/mp4' END AS media_type,
+             sha256(text) AS hx,
+             octet_length(encode(text)) AS n
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id, media_type,
+           CASE WHEN media_type LIKE 'image/%' THEN 'pixel_mean_stub'
+                WHEN media_type LIKE 'audio/%' THEN 'energy_stub'
+                ELSE 'n_frames' END AS feat_kind,
+           ROUND(CASE
+             WHEN media_type LIKE 'image/%' THEN
+               ((instr('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+                + (instr('0123456789abcdef', substr(hx, 2, 1)) - 1)) / 255.0
+             WHEN media_type LIKE 'audio/%' THEN
+               ((instr('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+                + (instr('0123456789abcdef', substr(hx, 4, 1)) - 1)) / 255.0
+             ELSE CAST(ceil(n / 64.0) AS DOUBLE) END, 9) AS feat_val
+    FROM b
+    """,
+)
+def mm05_modality_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-modality feature extraction in ONE mapInPandas stage
+    (multimodal/binary.py dispatch_features): image, audio and video rows
+    interleave in one binary table; each Arrow batch is sliced by
+    media_type and routed to its own vectorized path — no per-type
+    repartition, no per-type scan. Decoders are the documented
+    deterministic stubs, so the ROUTING is what the oracle checks: each
+    row must come back through exactly its modality's path."""
+    from gwasdb_spark.multimodal.binary import dispatch_features, to_binary_table
+
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    bt = to_binary_table(d).withColumn(
+        "media_type",
+        F.when(F.col("doc_id") % 3 == 0, "image/png")
+        .when(F.col("doc_id") % 3 == 1, "audio/wav")
+        .otherwise("video/mp4"),
+    )
+    out = dispatch_features(bt)
+    return out.select(
+        "doc_id", "media_type", "feat_kind", F.round("feat_val", 9).alias("feat_val")
+    )
+
+
 @query("x05d_ann_ivf_topk", "X-sim", oracle=_X05_EXACT_TOPK_ORACLE)
 def x05d_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN (second scale path next to LSH): spherical-k-means

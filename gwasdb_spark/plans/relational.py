@@ -769,6 +769,46 @@ def a04_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "w08_range_frame_trailing",
+    "§2.5-ext",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN CAST(86400 AS BIGINT) * 1000000 PRECEDING
+                            AND CURRENT ROW) AS BIGINT) AS trail_1d_cents,
+           CAST(COUNT(*)
+                OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN CAST(86400 AS BIGINT) * 1000000 PRECEDING
+                            AND CURRENT ROW) AS BIGINT) AS trail_1d_events
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def w08_range_frame_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-RANGE window frame — `RANGE BETWEEN 1 day PRECEDING` over
+    event time, per user: each purchase carries its trailing-24h spend and
+    event count. The VALUE-based frame (rows whose ts is within the bound,
+    however many there are) vs w02/w06's ROWS frames (fixed row counts) —
+    the feature that makes trailing-period metrics exact under irregular
+    event spacing. Exact integer cents inside the frame sum; one (user)
+    shuffle. Ties in ts share a frame edge in BOTH engines (RANGE
+    semantics), so results are portable even with duplicate timestamps."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    ts_us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ts_us)
+        .rangeBetween(-86_400 * 1_000_000, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.sum(cents(F.col("value"))).over(w).alias("trail_1d_cents"),
+        F.count(F.lit(1)).over(w).cast("long").alias("trail_1d_events"),
+    )
+
+
+@query(
     "a08_unpivot_long",
     "A4-ext",
     oracle="""

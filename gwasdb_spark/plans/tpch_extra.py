@@ -700,29 +700,34 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    late = (
-        l.join(o, l["l_orderkey"] == o["o_orderkey"])
-        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90))
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
     # Set-algebra rewrite of the EXISTS / NOT EXISTS pair: a late
     # supplier qualifies iff its order has ≥2 distinct suppliers
     # (EXISTS another) and exactly 1 distinct LATE supplier (NOT EXISTS
-    # another late one — that supplier is itself). Two skinny per-order
-    # aggregates replace two wide self-joins; results are identical.
-    order_sups = (
-        l.select("l_orderkey", "l_suppkey")
-        .distinct()
-        .groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("n_sups"))
+    # another late one — that supplier is itself). ONE pass over
+    # lineitem⋈orders produces the deduplicated (order, supplier,
+    # late_any) relation; both per-order probes are aggregates of that
+    # same relation (the round-3 form scanned lineitem twice more).
+    order_sup = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)).cast(
+                    "int"
+                )
+            ).alias("late_any")
+        )
     )
-    late_sups = late.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_late")
+    per_order = order_sup.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_sups"),
+        F.sum("late_any").alias("n_late"),
     )
     lonely_late = (
-        late.join(late_sups.filter(F.col("n_late") == 1), "l_orderkey")
-        .join(order_sups.filter(F.col("n_sups") >= 2), "l_orderkey")
+        order_sup.filter(F.col("late_any") == 1)
+        .join(
+            per_order.filter((F.col("n_late") == 1) & (F.col("n_sups") >= 2)),
+            "l_orderkey",
+        )
         .select("l_orderkey", "l_suppkey")
     )
     s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")

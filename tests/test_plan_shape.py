@@ -177,3 +177,14 @@ def test_int8_quantize_is_pure_projection(spark):
     plan = _plan(spark, "x43_int8_quantize")
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q21_reuses_order_supplier_exchange(spark):
+    """q21's two per-order probes (supplier count, late count) must both
+    read the ONE deduplicated (order, supplier, late_any) aggregate — the
+    final AQE plan shows a ReusedExchange, i.e. lineitem⋈orders ran once."""
+    df = QUERIES["q21_waiting_supplier"].fn(spark, SF_DIR)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final
+    assert "ReusedExchange" in final
