@@ -998,6 +998,170 @@ def mm04_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c03_gopher_gate",
+    "X-quality,X-text",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         s -> s <> '') AS words
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(words) AS n_words,
+             CASE WHEN len(words) > 0 THEN
+               CAST(list_sum(list_transform(words, s -> length(s))) AS DOUBLE)
+                 / len(words) ELSE 0.0 END AS mean_word_len,
+             len(list_filter(words,
+                 s -> s IN ('the','and','of','to','a','in','is','that')))
+               AS n_stop,
+             CASE WHEN len(words) > 0 THEN
+               CAST(len(list_filter(words, s -> regexp_matches(s, '^\d+$')))
+                    AS DOUBLE) / len(words) ELSE 0.0 END AS numeric_frac
+      FROM w
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           ROUND(mean_word_len, 9) AS mean_word_len,
+           (n_words BETWEEN 10 AND 10000) AS ok_length,
+           (mean_word_len >= 2.0 AND mean_word_len <= 8.0) AS ok_word_len,
+           (n_stop >= 2) AS ok_stopwords,
+           (numeric_frac <= 0.3) AS ok_numeric,
+           ((n_words BETWEEN 10 AND 10000)
+            AND mean_word_len >= 2.0 AND mean_word_len <= 8.0
+            AND n_stop >= 2 AND numeric_frac <= 0.3) AS passes
+    FROM m
+    """,
+)
+def c03_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality gate (Rae et al. 2021 §A1.1, the
+    filter set FineWeb/RefinedWeb descend from), adapted to the synthetic
+    corpus' scale: word-count bounds, mean-word-length band, minimum
+    stopword evidence, numeric-token ceiling — each rule a pure codegen
+    array expression folded into the scan projection, with per-rule flags
+    kept (the audit trail a filtering pipeline must emit, not just the
+    verdict). Zero shuffles, zero UDFs."""
+    d = table(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda s: s != ""
+    )
+    n_words = F.size(words)
+    sum_len = F.aggregate(
+        F.transform(words, F.length),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    mean_wl = F.when(
+        n_words > 0, sum_len.cast("double") / n_words.cast("double")
+    ).otherwise(F.lit(0.0))
+    stops = ("the", "and", "of", "to", "a", "in", "is", "that")
+    n_stop = F.size(F.filter(words, lambda s: s.isin(*stops)))
+    num_frac = F.when(
+        n_words > 0,
+        F.size(F.filter(words, lambda s: s.rlike(r"^\d+$"))).cast("double")
+        / n_words.cast("double"),
+    ).otherwise(F.lit(0.0))
+    ok_length = n_words.between(10, 10000)
+    ok_word_len = (mean_wl >= 2.0) & (mean_wl <= 8.0)
+    ok_stop = n_stop >= 2
+    ok_num = num_frac <= 0.3
+    return d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wl, 9).alias("mean_word_len"),
+        ok_length.alias("ok_length"),
+        ok_word_len.alias("ok_word_len"),
+        ok_stop.alias("ok_stopwords"),
+        ok_num.alias("ok_numeric"),
+        (ok_length & ok_word_len & ok_stop & ok_num).alias("passes"),
+    )
+
+
+@query(
+    "x46_casefold_dedup",
+    "X-dedup,X-text",
+    oracle=r"""
+    SELECT md5(regexp_replace(lower(nfc_normalize(trim(text))),
+               '\s+', ' ', 'g')) AS canon_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def x46_casefold_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalize-then-dedup (the CCNet/CC-style normalization chain):
+    NFC → casefold → whitespace collapse → digest → min-id survivor.
+    Catches near-duplicates that differ only in case, composed Unicode
+    forms, or spacing — invisible to the byte-exact x01. The NFC step is
+    the x37 Arrow-batched UDF; everything after is codegen. One skinny
+    (hash) shuffle, text never re-shuffles."""
+    from gwasdb_spark.functions.text import nfc_normalize_udf
+
+    d = table(spark, sf_dir, "documents")
+    canon = F.regexp_replace(
+        F.lower(nfc_normalize_udf()(F.trim(F.col("text")))), r"\s+", " "
+    )
+    return (
+        d.select("doc_id", F.md5(canon).alias("canon_hash"))
+        .groupBy("canon_hash")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+@query(
+    "x47_corpus_mix_report",
+    "X-quality,A2",
+    oracle=r"""
+    WITH t AS (
+      SELECT source, lang,
+             CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                  s -> s <> '')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    g AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      FROM t GROUP BY 1, 2
+    )
+    SELECT source, lang, n_docs, n_tokens,
+           ROUND(CAST(n_tokens AS DOUBLE)
+                 / (SELECT SUM(n_tokens) FROM g), 9) AS token_share
+    FROM g
+    """,
+)
+def x47_corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-composition report — the (source × lang) token census every
+    training-mix decision starts from: doc and token counts per cell plus
+    each cell's share of the corpus token budget. One narrow aggregate;
+    the corpus total rides as a broadcast 1-row cross join."""
+    d = table(spark, sf_dir, "documents")
+    n_tok = F.size(
+        F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda s: s != "")
+    )
+    g = (
+        d.select("source", "lang", n_tok.cast("long").alias("n_tok"))
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )
+    tot = g.agg(F.sum("n_tokens").alias("tot"))
+    return g.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens").cast("double") / F.col("tot").cast("double"), 9
+        ).alias("token_share"),
+    )
+
+
+@query(
     "mm05_modality_dispatch",
     "X-multimodal",
     oracle="""

@@ -219,3 +219,34 @@ def test_dup_ngram_coverage_flags_repeated_blocks(spark):
     assert got[1].n_dup_positions == 10 and got[1].dup_ngram_frac == 1.0
     assert got[2].n_dup_positions == 0 and got[2].dup_ngram_frac == 0.0
     assert got[3].n_dup_positions == 0
+
+
+def test_casefold_dedup_groups_variants(spark):
+    """Case/space/NFC variants of one text must land in one canon group
+    while genuinely different text stays apart."""
+    from gwasdb_spark.plans import QUERIES  # registry import only
+
+    from gwasdb_spark.functions.text import nfc_normalize_udf
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "Hello  World"),
+        (2, "hello world"),
+        (3, "HELLO\tWORLD"),
+        (4, "Café time"),   # e + combining acute
+        (5, "Café time"),    # precomposed é
+        (6, "different"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    canon = F.regexp_replace(
+        F.lower(nfc_normalize_udf()(F.trim(F.col("text")))), r"\s+", " "
+    )
+    groups = (
+        d.select("doc_id", F.md5(canon).alias("h"))
+        .groupBy("h").agg(F.collect_set("doc_id").alias("ids"))
+        .collect()
+    )
+    sets = {frozenset(r.ids) for r in groups}
+    assert frozenset({1, 2, 3}) in sets
+    assert frozenset({4, 5}) in sets
+    assert frozenset({6}) in sets
