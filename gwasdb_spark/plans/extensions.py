@@ -1736,6 +1736,71 @@ def x15_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x48_mlm_masking",
+    "X-sample,X-text",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         s -> s <> '') AS words
+      FROM documents
+    ),
+    t AS (
+      SELECT doc_id, len(words) AS n_tokens,
+             list_filter(range(1, len(words) + 1),
+               p -> substring(md5(CAST(doc_id AS VARCHAR) || ':'
+                                  || CAST(p AS VARCHAR)), 1, 2) <= '26')
+               AS masked
+      FROM w
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(len(masked) AS BIGINT) AS n_masked,
+           -- DuckDB's array_to_string of an EMPTY list is NULL (Spark's
+           -- array_join is '') — coalesce to match
+           COALESCE(array_to_string(list_transform(
+             CASE WHEN len(masked) > 16 THEN masked[1:16] ELSE masked END,
+             p -> CAST(p AS VARCHAR)), ','), '') AS first_masked_csv
+    FROM t
+    """,
+)
+def x48_mlm_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic masked-LM token selection — the MLM/span-corruption
+    prep step done CONTENT-ADDRESSED instead of with an RNG: token
+    position p of doc d is masked iff the first two hex chars of
+    md5(d:p) fall below '27' (38/256 ≈ 14.8%, the BERT-class ~15% rate).
+    Reproducible on any engine and any re-run, no seed state to
+    checkpoint — the same trick as x16's hash split, applied per-token.
+    Emits the mask count and the first 16 masked positions (bounded
+    audit column); all codegen array ops, no shuffle."""
+    d = table(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda s: s != ""
+    )
+    n_tokens = F.size(words)
+    # guard: Spark's sequence(1, 0) yields a DESCENDING [1, 0], not empty
+    positions = F.when(n_tokens > 0, F.sequence(F.lit(1), n_tokens)).otherwise(
+        F.array().cast("array<int>")
+    )
+    key = lambda p: F.concat(  # noqa: E731
+        F.col("doc_id").cast("string"), F.lit(":"), p.cast("string")
+    )
+    masked = F.filter(
+        positions, lambda p: F.substring(F.md5(key(p)), 1, 2) <= "26"
+    )
+    first16 = F.when(
+        F.size(masked) > 16, F.slice(masked, 1, 16)
+    ).otherwise(masked)
+    return d.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        F.size(masked).cast("long").alias("n_masked"),
+        F.array_join(
+            F.transform(first16, lambda p: p.cast("string")), ","
+        ).alias("first_masked_csv"),
+    )
+
+
+@query(
     "x16_hash_split",
     "X-sample",
     oracle="""

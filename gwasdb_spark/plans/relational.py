@@ -880,6 +880,39 @@ def a09_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a10_cube_margins",
+    "A2-ext,§2.5",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def a10_cube_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE — all four grouping sets (both margins + grand
+    total) in one Expand + one partial-aggregated shuffle; with a07's
+    ROLLUP this completes the grouping-sets surface. Labels COALESCE'd
+    identically in both engines."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "n_items",
+            "sum_qty",
+        )
+    )
+
+
+@query(
     "a05_manual_pivot_join",
     "A5,J1",
     oracle="""
