@@ -1796,6 +1796,87 @@ def g06_zorder_box_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synthetic_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic association frame for the clumping queries: the g04
+    marker formula plus a pseudo-p from pure integer arithmetic —
+    reconstructible in SQL on both engines."""
+    n = 4 * spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    return spark.range(n).select(
+        (F.col("id") % 22 + 1).cast("int").alias("chr"),
+        (1 + (F.col("id") * 997) % 50_000_000).cast("long").alias("pos"),
+        F.col("id").alias("variant_id"),
+        (((F.col("id") * 2654435761) % 1000003).cast("double") / 1000003.0).alias(
+            "p"
+        ),
+    )
+
+
+_ASSOC_SQL = """
+    ids AS (
+      SELECT (ROW_NUMBER() OVER ()) - 1 AS id
+      FROM lineitem, (VALUES (0), (1), (2), (3)) v(k)
+    ),
+    assoc AS (
+      SELECT CAST(id % 22 + 1 AS INT) AS chr,
+             CAST(1 + (id * 997) % 50000000 AS BIGINT) AS pos,
+             id AS variant_id,
+             CAST((id * 2654435761) % 1000003 AS DOUBLE) / 1000003.0 AS p
+      FROM ids
+    )
+    """
+
+
+@query("g07_distance_clump", "X-gwas,§2.12", oracle=None)
+def g07_distance_clump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy distance-based clumping (plink --clump, LD-free): best-p
+    variant leads, ±100 kb suppressed, repeat — per chromosome in
+    parallel (gwas/clump.py applyInPandas; the reference's per-chr
+    fan-out X2/X3). Greedy suppression is order-dependent and iterative →
+    no single SQL oracle; exact parity vs a pure-python reference is
+    tested in tests/test_gwas_pipeline.py, and g08 is the SQL-checkable
+    binned variant."""
+    from gwasdb_spark.gwas.clump import distance_clump
+
+    assoc = _synthetic_assoc(spark, sf_dir)
+    return distance_clump(assoc, radius=100_000).orderBy("chr", "pos")
+
+
+@query(
+    "g08_binned_lead_snp",
+    "X-gwas,§2.5",
+    oracle=f"""
+    WITH {_ASSOC_SQL},
+    ranked AS (
+      SELECT chr, pos, variant_id, p,
+             CAST(pos // 200000 AS BIGINT) AS bin,
+             ROW_NUMBER() OVER (PARTITION BY chr, pos // 200000
+                                ORDER BY p, variant_id) AS rk,
+             CAST(COUNT(*) OVER (PARTITION BY chr, pos // 200000)
+                  AS BIGINT) AS n_in_bin
+      FROM assoc
+    )
+    SELECT chr, pos, variant_id, p, bin, n_in_bin
+    FROM ranked WHERE rk = 1
+    """,
+)
+def g08_binned_lead_snp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned lead-variant selection — the SQL-exact sibling of g07's
+    greedy clump: one lead (min p, variant_id tiebreak) per 200 kb bin
+    per chromosome. One window over (chr, bin); no iteration, so the
+    whole result hash-checks against the oracle. The greedy form refines
+    bin edges; this form is what dashboards compute."""
+    assoc = _synthetic_assoc(spark, sf_dir)
+    binned = assoc.withColumn("bin", F.expr("pos div 200000"))
+    w = Window.partitionBy("chr", "bin").orderBy("p", "variant_id")
+    wc = Window.partitionBy("chr", "bin")
+    return (
+        binned.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_in_bin", F.count(F.lit(1)).over(wc).cast("long"))
+        .filter(F.col("rk") == 1)
+        .select("chr", "pos", "variant_id", "p", "bin", "n_in_bin")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Headline analytical queries (scale benchmarks; bench.py drives these)
 # ---------------------------------------------------------------------------

@@ -254,3 +254,55 @@ def test_update_set_evaluates_against_pre_update_row(spark):
     }
     assert out[1] == ("F", 200.0)   # both assignments applied
     assert out[2] == ("O", 100.0)   # untouched
+
+
+def test_distance_clump_matches_python_reference(spark):
+    """Greedy clump via per-chr applyInPandas must equal the serial
+    pure-python algorithm exactly — leads, membership counts, all
+    chromosomes — and clump invariants must hold (no two leads within
+    the radius on one chr; members account for every variant)."""
+    import numpy as np
+
+    from gwasdb_spark.gwas.clump import distance_clump
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (int(c), int(p), int(i), float(rng.integers(0, 10_000)) / 10_000)
+        for i, (c, p) in enumerate(
+            zip(rng.integers(1, 4, 600), rng.integers(1, 2_000_000, 600))
+        )
+    ]
+    assoc = spark.createDataFrame(
+        rows, "chr int, pos long, variant_id long, p double"
+    )
+    radius = 150_000
+    got = {
+        (r.chr, r.variant_id): (r.pos, r.n_clumped)
+        for r in distance_clump(assoc, radius=radius).collect()
+    }
+
+    # serial reference
+    want = {}
+    import pandas as pd
+    pdf = pd.DataFrame(rows, columns=["chr", "pos", "variant_id", "p"])
+    for c, sub in pdf.groupby("chr"):
+        sub = sub.sort_values(["p", "variant_id"]).reset_index(drop=True)
+        alive = [True] * len(sub)
+        for i in range(len(sub)):
+            if not alive[i]:
+                continue
+            members = [
+                j for j in range(len(sub))
+                if alive[j] and abs(sub.pos[j] - sub.pos[i]) <= radius
+            ]
+            want[(c, int(sub.variant_id[i]))] = (int(sub.pos[i]), len(members))
+            for j in members:
+                alive[j] = False
+    assert got == want
+    # invariant: no two leads within radius on one chromosome
+    leads = sorted((c, p) for (c, _vid), (p, _n) in got.items())
+    for (c1, p1), (c2, p2) in zip(leads, leads[1:]):
+        if c1 == c2:
+            assert abs(p2 - p1) > radius
+    # invariant: memberships partition the variant set
+    assert sum(n for _pos, n in got.values()) == len(rows)

@@ -36,6 +36,10 @@ NO_ORACLE_INVARIANTS = {
     "x39_pagerank_neardup": (
         ["id", "rank"], 1, "tests/test_graph.py (numpy power-iteration parity)",
     ),
+    "g07_distance_clump": (
+        ["chr", "pos", "variant_id", "p", "n_clumped"], 22,
+        "tests/test_gwas_pipeline.py::test_distance_clump_matches_python_reference",
+    ),
 }
 
 
