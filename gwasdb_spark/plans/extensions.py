@@ -448,25 +448,32 @@ def x44_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each doc labels as dup_corpus / dup_batch / new; cost scales with the
     BATCH, not the corpus."""
     d = table(spark, sf_dir, "documents")
-    batch = d.filter(F.col("doc_id") % 7 == 0).select(
-        "doc_id", F.md5("text").alias("content_hash")
-    )
-    corpus = (
-        d.filter(F.col("doc_id") % 7 != 0)
-        .select(F.md5("text").alias("content_hash"))
-        .distinct()
-        .withColumn("__in_corpus", F.lit(True))
+    # ONE scan, ONE exchange, NO join: every signal (corpus membership,
+    # min batch id) is a window aggregate over the digest group — the
+    # corpus-vs-batch split is a flag inside the group, not a second
+    # branch over the table (a branched plan re-scans: column pruning
+    # diverges the two subtrees and defeats exchange reuse).
+    hashed = d.select(
+        "doc_id",
+        F.md5("text").alias("content_hash"),
+        (F.col("doc_id") % 7 == 0).alias("__is_batch"),
     )
     w = Window.partitionBy("content_hash")
+    has_corpus = (
+        F.max((~F.col("__is_batch")).cast("int")).over(w) == 1
+    )
+    min_batch = F.min(
+        F.when(F.col("__is_batch"), F.col("doc_id"))
+    ).over(w)
     return (
-        batch.join(corpus, "content_hash", "left")
+        hashed.withColumn("__has_corpus", has_corpus)
+        .withColumn("__min_batch", min_batch)
+        .filter(F.col("__is_batch"))
         .select(
             "doc_id",
             "content_hash",
-            F.when(F.col("__in_corpus"), F.lit("dup_corpus"))
-            .when(
-                F.col("doc_id") != F.min("doc_id").over(w), F.lit("dup_batch")
-            )
+            F.when(F.col("__has_corpus"), F.lit("dup_corpus"))
+            .when(F.col("doc_id") != F.col("__min_batch"), F.lit("dup_batch"))
             .otherwise(F.lit("new"))
             .alias("status"),
         )

@@ -188,3 +188,12 @@ def test_q21_reuses_order_supplier_exchange(spark):
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in final
     assert "ReusedExchange" in final
+
+
+def test_incremental_dedup_single_pass_no_join(spark):
+    """x44 must stay the one-scan/one-window form: corpus membership is a
+    flag aggregated INSIDE the digest group. A join or a second documents
+    branch means the table is scanned twice."""
+    plan = _plan(spark, "x44_incremental_dedup")
+    assert "Join" not in plan
+    assert plan.count("documents.parquet") <= 2  # one scan (+AQE re-render)
