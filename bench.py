@@ -91,6 +91,15 @@ HEADLINE = [
     "x12h_bm25_fielded",
     "a07_rollup_revenue",
     "sk02_bucketed_join",
+    "x45_shingle_containment",
+    "c03_gopher_gate",
+    "x46_casefold_dedup",
+    "x48_mlm_masking",
+    "x44_incremental_dedup",
+    "g06_zorder_box_probe",
+    "g08_binned_lead_snp",
+    "w08_range_frame_trailing",
+    "f08_fuzzy_match_blocked",
 ]
 
 

@@ -897,6 +897,47 @@ def e01_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "e02_json_construct_parse",
+    "X-events,§2.11",
+    oracle="""
+    WITH j AS (
+      SELECT o_orderkey,
+             json_object('status', o_orderstatus,
+                         'cents', CAST(ROUND(o_totalprice * 100) AS BIGINT))
+               AS payload
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    SELECT o_orderkey,
+           json_extract_string(payload, '$.status') AS status,
+           CAST(json_extract(payload, '$.cents') AS BIGINT) AS cents
+    FROM j
+    """,
+)
+def e02_json_construct_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON CONSTRUCTION + TYPED PARSE round-trip (the sink→source twin of
+    e01's path extraction): rows serialize to JSON documents with
+    to_json(struct(...)), then parse back through from_json with an
+    explicit schema — the event-payload encode/decode every JSON topic
+    producer/consumer pair needs, all JVM-side (Jackson), no Python.
+    Exact-cents integer rides through the string form untouched."""
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    payload = F.to_json(
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            cents(F.col("o_totalprice")).alias("cents"),
+        )
+    )
+    parsed = F.from_json(payload, "status string, cents bigint")
+    return o.select(
+        "o_orderkey",
+        parsed.getField("status").alias("status"),
+        parsed.getField("cents").alias("cents"),
+    )
+
+
+@query(
     "x11_dedup_clusters",
     "X-dedup",
     oracle="""

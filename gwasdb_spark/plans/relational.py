@@ -1171,6 +1171,37 @@ def w05_ntile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "w09_rank_variants",
+    "§2.5-ext",
+    oracle="""
+    SELECT o_orderstatus, o_orderkey,
+           CAST(RANK() OVER w AS BIGINT) AS price_rank,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS price_dense_rank,
+           ROUND(CUME_DIST() OVER w, 9) AS price_cume_dist
+    FROM orders
+    WHERE o_totalprice >= 450000
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC)
+    """,
+)
+def w09_rank_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tie-aware ranking family in one window — RANK (gaps after
+    ties), DENSE_RANK (no gaps), CUME_DIST (inclusive fraction ≤ current)
+    — complementing w01's row_number and w05's ntile/percent_rank.
+    Ranking over the VALUE (not the row) means duplicated prices rank
+    identically in both engines with no tiebreak column needed; one
+    (status) shuffle."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 450000)
+    w = Window.partitionBy("o_orderstatus").orderBy(F.desc("o_totalprice"))
+    return o.select(
+        "o_orderstatus",
+        "o_orderkey",
+        F.rank().over(w).cast("long").alias("price_rank"),
+        F.dense_rank().over(w).cast("long").alias("price_dense_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("price_cume_dist"),
+    )
+
+
+@query(
     "w07_group_quantiles",
     "§2.5-ext,A2",
     oracle="""
