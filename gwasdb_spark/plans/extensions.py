@@ -790,6 +790,64 @@ def st05_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "event_type")
 
 
+@query(
+    "st12_stream_jsonl_ingest",
+    "X-stream,S-ext",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    UNION ALL
+    SELECT '__quarantined__', 10, 0
+    """,
+)
+def st12_stream_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE streaming JSONL ingestion with corrupt-line quarantine — the
+    streaming twin of s20's batch read: documents staged as JSONL plus 10
+    injected malformed lines, streamed as text (splittable; the file
+    source's backpressure knob applies), parsed per micro-batch with
+    from_json PERMISSIVE. Malformed lines become quarantine rows (counted
+    under '__quarantined__'), clean rows aggregate per language — job
+    survival through bad input is the 100 TB ingest contract, same as the
+    batch path. Bounded replay via Trigger.AvailableNow."""
+    import tempfile as _tf
+
+    from gwasdb_spark.plans.helpers import stage_dir
+    from gwasdb_spark.streaming.events import run_available_now
+
+    d = table(spark, sf_dir, "documents")
+    src = stage_dir("stream_jsonl_src")
+    d.select("doc_id", "text", "lang", "n_chars").repartition(4).write.mode(
+        "overwrite"
+    ).json(src)
+    bad = os.path.join(src, "zz_corrupt.json")  # after part files, one batch
+    with open(bad, "w") as f:
+        for i in range(10):
+            f.write(f"corrupt line number {i}\n")
+
+    schema = "doc_id bigint, text string, lang string, n_chars bigint"
+    parsed = F.from_json(
+        F.col("value"),
+        schema + ", _corrupt string",
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+    )
+    lines = (
+        spark.readStream.format("text").load(src)
+        .select(parsed.alias("r"))
+        .select(
+            F.when(F.col("r._corrupt").isNull(), F.col("r.lang"))
+            .otherwise(F.lit("__quarantined__"))
+            .alias("lang"),
+            F.coalesce(F.col("r.n_chars"), F.lit(0)).alias("n_chars"),
+        )
+    )
+    agg = lines.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+    return run_available_now(agg, "complete")
+
+
 # ---------------------------------------------------------------------------
 # Multimodal binary plumbing
 # ---------------------------------------------------------------------------
@@ -996,6 +1054,91 @@ def x11_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text", n=3, threshold=0.12, max_shingle_docs=100
     )
     return connected_components(pairs).orderBy("id")
+
+
+@query(
+    "x49_cluster_keep_best",
+    "X-dedup,X-quality",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct(
+               list_transform(
+                 range(1, greatest(len(w) - 2, 0) + 1),
+                 i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS shingles
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+            FROM documents)
+    ),
+    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+    ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    rare AS (SELECT shingle FROM ex GROUP BY shingle HAVING COUNT(*) <= 100),
+    pruned AS (SELECT ex.doc_id, ex.shingle FROM ex JOIN rare USING (shingle)),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+      FROM pruned a JOIN pruned b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM shared
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) >= 0.12
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(id, lbl) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.id
+    ),
+    comp AS (SELECT id, MIN(lbl) AS component FROM reach GROUP BY id),
+    q AS (
+      SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars FROM documents
+    )
+    SELECT CAST(c.component AS BIGINT) AS component,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MIN(c.id) AS BIGINT) AS min_id,
+           CAST((array_agg(c.id ORDER BY q.n_chars DESC, c.id))[1] AS BIGINT)
+             AS best_id
+    FROM comp c JOIN q ON q.doc_id = c.id
+    GROUP BY c.component
+    """,
+)
+def x49_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive-cluster canonicalization — x29's keep-best upgraded from
+    exact-digest groups to FULL near-dup clusters: connected components
+    over the exact Jaccard pair graph, then one representative per
+    component by quality (longest text, id tiebreak — the FineWeb 'keep
+    the most complete member' rule; a chain a~b, b~c keeps ONE doc, which
+    per-pair dedup cannot guarantee). Quality ranking is a window over
+    component groups only; cluster labels are deterministic given the
+    pair set, so the whole composition hash-checks against the
+    recursive-CTE oracle."""
+    from gwasdb_spark.operators.graph import connected_components
+
+    d = table(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.12, max_shingle_docs=100
+    )
+    comp = connected_components(pairs)
+    q = d.select(F.col("doc_id").alias("id"), F.length("text").alias("n_chars"))
+    joined = comp.join(q, "id")
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_chars"), F.asc("id")
+    )
+    return (
+        joined.withColumn("__rk", F.row_number().over(w))
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("id").alias("min_id"),
+            F.min(F.when(F.col("__rk") == 1, F.col("id"))).alias("best_id"),
+        )
+    )
 
 
 @query("mm03_resize_thumbs", "X-multimodal", oracle=None)
