@@ -1992,6 +1992,105 @@ def x48_mlm_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x50_chunk_overlap",
+    "X-text,X-sample",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         s -> s <> '') AS words
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, len(words) AS n_words,
+             unnest(range(0,
+               greatest(CAST(ceil((len(words) - 64) / 48.0) AS BIGINT), 0)
+                 + 1)) AS chunk_idx,
+             words
+      FROM w WHERE len(words) > 0
+    )
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(least(chunk_idx * 48 + 64, n_words) - chunk_idx * 48
+                AS BIGINT) AS n_tokens,
+           md5(array_to_string(
+             words[CAST(chunk_idx * 48 + 1 AS BIGINT)
+                   : CAST(least(chunk_idx * 48 + 64, n_words) AS BIGINT)],
+             ' ')) AS chunk_digest
+    FROM c
+    """,
+)
+def x50_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window document chunking — the RAG/embedding prep step:
+    64-token chunks at stride 48 (16-token overlap so no boundary loses
+    context), last chunk truncated, every doc emits ≥1 chunk. The chunk
+    text never materializes as its own shuffled column here — the digest
+    proves exact chunk content; a production pipeline feeds the slice
+    straight to the embedder. posexplode over a computed start grid +
+    slice: codegen array ops, zero UDFs, zero shuffles."""
+    d = table(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda s: s != ""
+    )
+    base = d.select("doc_id", words.alias("words")).filter(
+        F.size("words") > 0
+    )
+    n_words = F.size("words")
+    # number of stride steps whose chunk still starts inside the doc:
+    # ceil((n-64)/48) extra chunks after the first, clamped at 0
+    n_chunks = (
+        F.greatest(
+            F.ceil((n_words - F.lit(64)).cast("double") / 48.0).cast("long"),
+            F.lit(0).cast("long"),
+        )
+        + 1
+    )
+    grid = F.sequence(F.lit(0).cast("long"), n_chunks - 1)
+    exploded = base.select(
+        "doc_id",
+        "words",
+        n_words.alias("n_words"),
+        F.explode(grid).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * 48
+    end = F.least(start + 64, F.col("n_words"))
+    chunk = F.slice(F.col("words"), (start + 1).cast("int"), (end - start).cast("int"))
+    return exploded.select(
+        "doc_id",
+        "chunk_idx",
+        (end - start).cast("long").alias("n_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_digest"),
+    )
+
+
+@query(
+    "s23_lang_partitioned_corpus",
+    "S-ext,§4",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'
+    """,
+)
+def s23_lang_partitioned_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned corpus layout + partition-pruned read: documents
+    written partitionBy(lang), then a lang-bound read resolves to ONE
+    partition directory — the directory listing itself is the index
+    (PartitionFilters in the scan, plan-guarded in
+    tests/test_plan_shape.py). The corpus twin of the warehouse's chr
+    partitioning; at 100 TB a per-language training run reads only its
+    language's files."""
+    from gwasdb_spark.plans.helpers import stage_dir
+
+    d = table(spark, sf_dir, "documents")
+    path = stage_dir("corpus_by_lang")
+    if not os.path.isdir(path):
+        d.write.mode("overwrite").partitionBy("lang").parquet(path)
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("lang") == "en")
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+@query(
     "x16_hash_split",
     "X-sample",
     oracle="""

@@ -197,3 +197,11 @@ def test_incremental_dedup_single_pass_no_join(spark):
     plan = _plan(spark, "x44_incremental_dedup")
     assert "Join" not in plan
     assert plan.count("documents.parquet") <= 2  # one scan (+AQE re-render)
+
+
+def test_lang_partitioned_read_prunes_partitions(spark):
+    """s23: the lang predicate must resolve as a PartitionFilter (directory
+    pruning), not a data filter over all partitions."""
+    plan = _plan(spark, "s23_lang_partitioned_corpus")
+    part = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert part and any("lang" in ln for ln in part), part

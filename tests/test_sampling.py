@@ -115,3 +115,37 @@ def test_temperature_sample_quota_law(spark):
     ids2 = sorted(r["doc_id"] for r in temperature_sample(
         df, "lang", "doc_id", scale=8.0).collect())
     assert ids1 == ids2
+
+
+def test_chunk_overlap_covers_and_never_redundant(spark):
+    """x50 chunk grid: every token lands in >= 1 chunk, consecutive chunks
+    overlap by exactly 16 tokens (when both are full), and no chunk is
+    fully contained in its predecessor (boundary: n == chunk size)."""
+    from gwasdb_spark.plans import QUERIES
+    from pyspark.sql import functions as F
+
+    texts = [
+        (1, " ".join(f"t{i}" for i in range(64))),    # exactly one chunk
+        (2, " ".join(f"t{i}" for i in range(65))),    # 2 chunks, 1 new token
+        (3, " ".join(f"t{i}" for i in range(200))),   # several chunks
+        (4, "short doc"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    words = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda s: s != "")
+    base = df.select("doc_id", words.alias("words")).filter(F.size("words") > 0)
+    n_words = F.size("words")
+    n_chunks = (
+        F.greatest(
+            F.ceil((n_words - F.lit(64)).cast("double") / 48.0).cast("long"),
+            F.lit(0).cast("long"),
+        ) + 1
+    )
+    got = {r.doc_id: (r.n, r.k) for r in
+           base.select("doc_id", n_words.alias("n"), n_chunks.alias("k")).collect()}
+    assert got[1] == (64, 1)     # no redundant fully-overlapped tail
+    assert got[2] == (65, 2)
+    assert got[3] == (200, 4)    # starts 0,48,96,144; 144+56=200 covered
+    assert got[4][1] == 1
+    # coverage: last chunk's end == n for every doc
+    for n, k in got.values():
+        assert 48 * (k - 1) < n <= 48 * (k - 1) + 64
