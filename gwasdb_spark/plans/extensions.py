@@ -330,6 +330,51 @@ def x10b_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x53_embedding_dim_stats",
+    "X-sim",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) - 1 AS dim
+      FROM embeddings
+    )
+    SELECT CAST(dim AS INT) AS dim,
+           ROUND(AVG(CAST(v AS DOUBLE)), 9) AS mean_v,
+           ROUND(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) / COUNT(*)
+                 - AVG(CAST(v AS DOUBLE)) * AVG(CAST(v AS DOUBLE)), 9)
+             AS var_v,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM e GROUP BY dim
+    """,
+)
+def x53_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION corpus statistics (mean, population variance) — the
+    whitening/centering pre-pass embedding pipelines run before cosine
+    retrieval (anisotropic embedding spaces benefit measurably; also the
+    input to PCA/OPQ rotations). posexplode flips (vec × dim) to skinny
+    (dim, value) rows; one 64-group aggregate. Variance via the
+    E[x²]−E[x]² moments so both engines reduce in the same fixed order
+    after rounding."""
+    e = table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        F.posexplode("embedding").alias("dim", "v")
+    ).select("dim", F.col("v").cast("double").alias("v"))
+    mean = F.sum("v") / F.count(F.lit(1))
+    return (
+        ex.groupBy("dim")
+        .agg(
+            F.round(mean, 9).alias("mean_v"),
+            F.round(
+                F.sum(F.col("v") * F.col("v")) / F.count(F.lit(1)) - mean * mean,
+                9,
+            ).alias("var_v"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("dim", "mean_v", "var_v", "n")
+    )
+
+
+@query(
     "x09_embedding_stats",
     "X-sim",
     oracle="""
@@ -1988,6 +2033,97 @@ def x48_mlm_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(
             F.transform(first16, lambda p: p.cast("string")), ","
         ).alias("first_masked_csv"),
+    )
+
+
+@query(
+    "x51_pmi_collocations",
+    "X-text",
+    oracle=r"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '[^a-z0-9]+')) AS term
+      FROM documents
+    ),
+    toks2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    df AS (
+      SELECT term, COUNT(*) AS df_t FROM toks2 GROUP BY term
+      HAVING COUNT(*) >= 20
+    ),
+    kept AS (SELECT t.doc_id, t.term FROM toks2 t JOIN df USING (term)),
+    pairs AS (
+      SELECT a.term AS term_a, b.term AS term_b, COUNT(*) AS n_ab
+      FROM kept a JOIN kept b
+        ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY 1, 2 HAVING COUNT(*) >= 10
+    ),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM toks2)
+    SELECT term_a, term_b, CAST(n_ab AS BIGINT) AS n_ab,
+           ROUND(ln(CAST(n_ab AS DOUBLE) * n_docs
+                    / (da.df_t * CAST(db.df_t AS DOUBLE))), 9) AS pmi
+    FROM pairs
+    JOIN df da ON da.term = term_a
+    JOIN df db ON db.term = term_b
+    CROSS JOIN n
+    """,
+)
+def x51_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocations over document
+    co-occurrence — the corpus-linguistics signal behind phrase mining
+    and tokenizer merge candidates. Pair space is BOUNDED before any
+    fan-out: only terms in ≥20 docs participate and only pairs
+    co-occurring ≥10 times emerge, so the per-doc self-join explodes
+    (kept-terms-per-doc)², never vocabulary². Presence-based (distinct
+    term per doc); PMI = ln(n_ab·N / (df_a·df_b)); corpus size rides as
+    a broadcast 1-row cross join."""
+    d = table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.split(F.lower(F.trim(F.col("text"))), r"[^a-z0-9]+")
+                )
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    df_t = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df_t"))
+        .filter(F.col("df_t") >= 20)
+    )
+    kept = toks.join(F.broadcast(df_t.select("term")), "term")
+    a = kept.select("doc_id", F.col("term").alias("term_a"))
+    b = kept.select("doc_id", F.col("term").alias("term_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 10)
+    )
+    n = toks.agg(F.count_distinct("doc_id").alias("n_docs"))
+    pmi = F.log(
+        F.col("n_ab").cast("double")
+        * F.col("n_docs")
+        / (F.col("df_a") * F.col("df_b").cast("double"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(df_t.select(F.col("term").alias("term_a"),
+                                    F.col("df_t").alias("df_a"))),
+            "term_a",
+        )
+        .join(
+            F.broadcast(df_t.select(F.col("term").alias("term_b"),
+                                    F.col("df_t").alias("df_b"))),
+            "term_b",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "term_a", "term_b", "n_ab", F.round(pmi, 9).alias("pmi")
+        )
     )
 
 
