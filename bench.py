@@ -100,6 +100,16 @@ HEADLINE = [
     "g08_binned_lead_snp",
     "w08_range_frame_trailing",
     "f08_fuzzy_match_blocked",
+    "x49_cluster_keep_best",
+    "x50_chunk_overlap",
+    "x51_pmi_collocations",
+    "x53_embedding_dim_stats",
+    "m02_scd2_upsert",
+    "a10_cube_margins",
+    "w07_group_quantiles",
+    "w09_rank_variants",
+    "e02_json_construct_parse",
+    "f06_fuzzy_match",
 ]
 
 
