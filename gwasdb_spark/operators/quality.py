@@ -42,6 +42,8 @@ __all__ = [
     "cap_vocabulary",
     "unigram_logprob",
     "pii_scrub",
+    "span_dedup",
+    "bigram_logprob",
 ]
 
 UNK = "<unk>"
@@ -297,5 +299,123 @@ def dup_ngram_coverage(
                 F.col("n_dup_positions").cast("double")
                 / F.col("n_tokens").cast("double"),
             ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+def span_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_words: int = 3,
+    max_occ: int = 1,
+) -> DataFrame:
+    """Corpus-wide duplicate-span removal — the CCNet/RefinedWeb
+    "drop repeated lines" pass for corpora whose unit of repetition is a
+    token span rather than a newline-delimited line. Documents are cut
+    into consecutive ``span_words``-token spans; any span whose exact
+    text occurs more than ``max_occ`` times ACROSS THE CORPUS is dropped
+    from every document, and the survivors are re-joined in order.
+
+    Columns: id, n_spans, n_spans_kept, cleaned_text (empty string when
+    every span was boilerplate). Token-less documents are absent, as in
+    every tokenizing oracle.
+
+    Scale: the occurrence count groups by xxhash64(span) — the shuffle
+    carries 8-byte digests, not span text; the keep-flag returns via an
+    equi-join on the same digest (co-partitioned with the count, no
+    second wide exchange of text). Reassembly is one per-document
+    aggregate whose memory bound is a single document — the same bound
+    the reader already pays. The global duplicate-span set is never
+    collected or broadcast: at 100 TB the hot spans (the whole point of
+    the pass) would overflow any broadcast, so both sides stay
+    distributed.
+    """
+    toks = positional_tokens(df, id_col, text_col)
+    spans = (
+        toks.withColumn("span_id", F.expr(f"pos div {int(span_words)}"))
+        .groupBy(id_col, "span_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                    lambda s: s.token,
+                ),
+                " ",
+            ).alias("span_text")
+        )
+        .withColumn("span_h", F.xxhash64("span_text"))
+    )
+    occ = spans.groupBy("span_h").agg(F.count(F.lit(1)).alias("n_occ"))
+    flagged = spans.join(occ, "span_h").withColumn(
+        "keep", F.col("n_occ") <= F.lit(int(max_occ))
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_spans_kept"),
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.filter(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("span_id", "keep", "span_text")
+                            )
+                        ),
+                        lambda s: s.keep,
+                    ),
+                    lambda s: s.span_text,
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("cleaned_text"),
+    )
+
+
+def bigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Add-one-smoothed bigram language-model score per document — the
+    2-gram refinement of `unigram_logprob` (the KenLM-filter stand-in):
+    for each adjacent token pair, log p(w2 | w1) = ln((c(w1,w2) + 1) /
+    (c(w1,·) + V)) with counts from the corpus itself and V = corpus
+    distinct-token count. Columns: id, n_bigrams, avg_logprob,
+    min_logprob. Single-token documents have no bigrams and are absent.
+
+    Scale: bigrams come from one per-document lead() window (no
+    cross-doc state); the two count relations shuffle (w1, w2) string
+    pairs — bounded by vocabulary², not corpus size; V rides the plan as
+    a broadcast 1-row cross join (no driver action). The (w1,·)
+    continuation counts join on w1 — skew on stop-words is real at
+    scale, and AQE skew-join splitting handles it (conf set in
+    session.py) without a salting pass.
+    """
+    toks = positional_tokens(df, id_col, text_col)
+    w = Window.partitionBy(id_col).orderBy("pos")
+    bg = (
+        toks.withColumn("next_token", F.lead("token").over(w))
+        .filter(F.col("next_token").isNotNull())
+        .select(F.col(id_col), F.col("token").alias("w1"), F.col("next_token").alias("w2"))
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = toks.agg(F.count_distinct("token").cast("double").alias("v_size"))
+    logp = F.log(
+        (F.col("c12") + F.lit(1.0)).cast("double")
+        / (F.col("c1").cast("double") + F.col("v_size"))
+    )
+    return (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn("logp", logp)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.avg("logp").alias("avg_logprob"),
+            F.min("logp").alias("min_logprob"),
         )
     )

@@ -448,3 +448,81 @@ def x41_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "x54_span_dedup",
+    "X-dedup,X-quality",
+    oracle=rf"""
+    WITH {_SQL_TOK},
+    spans AS (
+      SELECT doc_id, CAST((pos - 1) // 3 AS BIGINT) AS span_id,
+             string_agg(token, ' ' ORDER BY pos) AS span_text
+      FROM tok GROUP BY 1, 2
+    ),
+    occ AS (SELECT span_text, COUNT(*) AS n_occ FROM spans GROUP BY 1),
+    flagged AS (
+      SELECT s.doc_id, s.span_id, s.span_text, o.n_occ <= 1 AS keep
+      FROM spans s JOIN occ o USING (span_text)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_spans_kept,
+           COALESCE(string_agg(CASE WHEN keep THEN span_text END, ' '
+                               ORDER BY span_id), '') AS cleaned_text
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def x54_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-wide repeated-span removal: cut each document
+    into consecutive 3-token spans, drop every span whose exact text
+    occurs more than once ACROSS the corpus, re-join the survivors in
+    order. The cross-document sibling of x40's within-doc coverage and
+    x23's pattern scrub — this one removes shared boilerplate by exact
+    corpus-frequency evidence. Occurrence counting shuffles xxhash64
+    digests, never span text (operators/quality.py span_dedup)."""
+    from gwasdb_spark.operators.quality import span_dedup
+
+    d = table(spark, sf_dir, "documents")
+    return span_dedup(d, "doc_id", "text", span_words=3, max_occ=1)
+
+
+@query(
+    "x55_bigram_logprob",
+    "X-text,X-quality",
+    oracle=rf"""
+    WITH {_SQL_TOK},
+    bg AS (
+      SELECT doc_id, token AS w1,
+             LEAD(token) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM tok QUALIFY w2 IS NOT NULL
+    ),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+    v AS (SELECT CAST(COUNT(DISTINCT token) AS DOUBLE) AS v_size FROM tok)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(LN((c12 + 1.0) / (c1 + v_size))), 9) AS avg_logprob,
+           ROUND(MIN(LN((c12 + 1.0) / (c1 + v_size))), 9) AS min_logprob
+    FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+    GROUP BY doc_id
+    """,
+)
+def x55_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KenLM-filter stand-in, one order up from x30: add-one-smoothed
+    bigram log-likelihood per document under the corpus' own 2-gram
+    distribution — ln((c(w1,w2)+1) / (c(w1,·)+V)) averaged and min'd per
+    doc. Count relations are vocabulary-bounded; V rides as a broadcast
+    1-row constant; stop-word skew on the w1 join is AQE-split
+    (operators/quality.py bigram_logprob). 9-dp round as in x30: log
+    associativity differs across engines at ~1e-15."""
+    from gwasdb_spark.operators.quality import bigram_logprob
+
+    d = table(spark, sf_dir, "documents")
+    res = bigram_logprob(d, "doc_id", "text")
+    return res.select(
+        "doc_id",
+        "n_bigrams",
+        F.round("avg_logprob", 9).alias("avg_logprob"),
+        F.round("min_logprob", 9).alias("min_logprob"),
+    )

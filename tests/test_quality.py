@@ -250,3 +250,57 @@ def test_casefold_dedup_groups_variants(spark):
     assert frozenset({1, 2, 3}) in sets
     assert frozenset({4, 5}) in sets
     assert frozenset({6}) in sets
+
+
+def test_span_dedup_drops_corpus_repeated_spans(spark):
+    import math
+
+    from gwasdb_spark.operators.quality import span_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c x y z"),          # spans: "a b c", "x y z"
+            (2, "a b c p q r"),          # "a b c" repeats corpus-wide
+            (3, "unique words only here yes sir"),
+            (4, "  "),                   # token-less -> absent
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in span_dedup(df, span_words=3).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["n_spans"] == 2 and rows[1]["n_spans_kept"] == 1
+    assert rows[1]["cleaned_text"] == "x y z"
+    assert rows[2]["cleaned_text"] == "p q r"
+    assert rows[3]["n_spans_kept"] == 2
+    assert rows[3]["cleaned_text"] == "unique words only here yes sir"
+
+    # Identical documents: every span shared -> emptied, row retained.
+    dup = spark.createDataFrame(
+        [(1, "m n o"), (2, "m n o")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in span_dedup(dup, span_words=3).collect()}
+    assert out[1]["cleaned_text"] == "" and out[2]["cleaned_text"] == ""
+    assert out[1]["n_spans_kept"] == 0
+
+
+def test_bigram_logprob_matches_hand_formula(spark):
+    import math
+
+    from gwasdb_spark.operators.quality import bigram_logprob
+
+    # Corpus tokens: a, b, solo -> V = 3 distinct.
+    # Bigrams: (a,b) x3, (b,a) x1 -> c(a,b)=3, c(b,a)=1, c(a,.)=3, c(b,.)=1.
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "solo")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in bigram_logprob(df).collect()}
+    assert set(rows) == {1, 2}  # single-token doc has no bigrams
+    p_ab = math.log((3 + 1) / (3 + 3))
+    p_ba = math.log((1 + 1) / (1 + 3))
+    r1 = rows[1]
+    assert r1["n_bigrams"] == 3
+    assert r1["avg_logprob"] == pytest.approx((2 * p_ab + p_ba) / 3)
+    assert r1["min_logprob"] == pytest.approx(min(p_ab, p_ba))
+    assert rows[2]["avg_logprob"] == pytest.approx(p_ab)
+    # Smoothed probabilities are proper: log p < 0 always.
+    assert all(r["min_logprob"] < 0 for r in rows.values())
