@@ -662,3 +662,44 @@ def filtered_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "fkey", "cosine", "rank")
     )
+
+
+def mutual_knn_graph(
+    nodes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    directed: DataFrame | None = None,
+) -> DataFrame:
+    """Mutual k-NN graph — the edge set behind SemDeDup-style semantic
+    dedup and kNN-graph clustering: an undirected edge (a, b) survives
+    iff a ranks b in ITS top-k AND b ranks a in its top-k. Mutuality
+    prunes hub nodes (a popular vector near everything) that plain kNN
+    graphs wire into giant stars.
+
+    `directed` may supply precomputed directed edges with the
+    brute_force_topk schema (query_id, neighbor_id, cosine, rank);
+    at corpus scale feed it from `hyperplane_lsh_topk`/`ivf_topk` so the
+    scoring stays bucketed — the symmetrization below is one
+    equi-self-join on the (min, max) id pair regardless of how the
+    directed edges were produced. Defaults to exact scoring over
+    `nodes`.
+
+    Returns (id_a < id_b, cosine, rank_ab, rank_ba).
+    """
+    if directed is None:
+        directed = brute_force_topk(nodes, nodes, id_col, vec_col, k)
+    fwd = directed.select(
+        F.col("query_id").alias("id_a"),
+        F.col("neighbor_id").alias("id_b"),
+        "cosine",
+        F.col("rank").alias("rank_ab"),
+    ).filter(F.col("id_a") < F.col("id_b"))
+    rev = directed.select(
+        F.col("neighbor_id").alias("id_a"),
+        F.col("query_id").alias("id_b"),
+        F.col("rank").alias("rank_ba"),
+    ).filter(F.col("id_a") < F.col("id_b"))
+    return fwd.join(rev, ["id_a", "id_b"]).select(
+        "id_a", "id_b", "cosine", "rank_ab", "rank_ba"
+    )

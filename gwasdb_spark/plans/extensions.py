@@ -3904,3 +3904,46 @@ def x39_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id", F.round("rank", 9).alias("rank"))
         .orderBy("id")
     )
+
+
+_X56_KNN_SQL = f"""
+    WITH n AS (SELECT vec_id AS id, embedding AS v FROM embeddings
+               WHERE vec_id % 5 = 0),
+    scored AS (
+      SELECT a.id AS src, b.id AS dst,
+             {_COS_SQL.format(a='a.v', b='b.v')}
+               / (sqrt({_COS_SQL.format(a='a.v', b='a.v')})
+                  * sqrt({_COS_SQL.format(a='b.v', b='b.v')})) AS cos_raw
+      FROM n a CROSS JOIN n b WHERE a.id != b.id
+    ),
+    directed AS (
+      SELECT src, dst, cos_raw,
+             ROW_NUMBER() OVER (PARTITION BY src
+                                ORDER BY cos_raw DESC, dst) AS rank
+      FROM scored QUALIFY rank <= 5
+    )
+    SELECT f.src AS id_a, f.dst AS id_b, ROUND(f.cos_raw, 6) AS cosine,
+           CAST(f.rank AS BIGINT) AS rank_ab,
+           CAST(r.rank AS BIGINT) AS rank_ba
+    FROM directed f
+    JOIN directed r ON r.src = f.dst AND r.dst = f.src
+    WHERE f.src < f.dst
+    """
+
+
+@query("x56_mutual_knn_graph", "X-sim,X-dedup", oracle=_X56_KNN_SQL)
+def x56_mutual_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual k-NN graph over a deterministic node subset (vec_id % 5):
+    undirected edges kept only when BOTH endpoints rank each other in
+    their top-5 by cosine — the edge set SemDeDup-style semantic dedup
+    clusters over (feed x11's connected components with these edges).
+    Exact scoring here is the oracle-checkable baseline; at corpus scale
+    the same symmetrization join consumes hyperplane_lsh_topk/ivf_topk
+    directed edges unchanged (operators/similarity.py mutual_knn_graph)."""
+    from gwasdb_spark.operators.similarity import mutual_knn_graph
+
+    nodes = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    g = mutual_knn_graph(nodes, "vec_id", "embedding", k=5)
+    return g.select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine"), "rank_ab", "rank_ba"
+    )

@@ -268,3 +268,31 @@ def test_filtered_topk_respects_segment(spark):
     ids = [r.neighbor_id for r in got]
     assert ids == [1, 3]          # 2 excluded despite higher cosine
     assert all(r.fkey == "a" for r in got)
+
+
+def test_mutual_knn_graph_prunes_nonreciprocal_edges(spark):
+    from gwasdb_spark.operators.similarity import mutual_knn_graph
+
+    # Two tight pairs on distinct axes plus one hub-ish outlier. With
+    # k=1: 1<->2 are each other's nearest; 3<->4 likewise; 5 points at 1
+    # but 1 points at 2 -> the 5->1 edge must NOT survive symmetrization.
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.99, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.99, 0.1]),
+        (5, [0.9, 0.0, 0.5]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    edges = {
+        (r["id_a"], r["id_b"]): r
+        for r in mutual_knn_graph(df, k=1).collect()
+    }
+    assert set(edges) == {(1, 2), (3, 4)}
+    assert all(r["rank_ab"] == 1 and r["rank_ba"] == 1 for r in edges.values())
+
+    # With k=2 the 1<->5 edge becomes reciprocal (5 is 1's 2nd neighbor).
+    edges2 = {
+        (r["id_a"], r["id_b"]) for r in mutual_knn_graph(df, k=2).collect()
+    }
+    assert (1, 5) in edges2 and (1, 2) in edges2
