@@ -3155,6 +3155,14 @@ def st09_incremental_rollup_serve(spark: SparkSession, sf_dir: str) -> DataFrame
     returns. Write cost per batch is proportional to touched keys, not
     table size (the timescale hypertable-rollup shape). Oracle: the batch
     rollup SQL (st01's)."""
+    return _serve_hourly_rollup(spark, sf_dir)
+
+
+def _serve_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the UPDATE-mode hourly rollup stream to completion into a fresh
+    per-run serving directory (dynamic-partition-overwrite upserts) and
+    return the serving table — shared by st09 (raw serve) and st13
+    (serve-time rank)."""
     import tempfile as _tf
 
     from gwasdb_spark.streaming.events import (
@@ -3184,6 +3192,43 @@ def st09_incremental_rollup_serve(spark: SparkSession, sf_dir: str) -> DataFrame
             "spark.sql.sources.partitionColumnTypeInference.enabled", prev
         )
     return serving.select("hour", "event_type", "n_events", "total_value")
+
+
+@query(
+    "st13_stream_trending",
+    "X-stream,§2.10",
+    oracle="""
+    WITH rolled AS (
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+             event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT hour, event_type, n_events, CAST(rk AS BIGINT) AS rank
+    FROM (
+      SELECT hour, event_type, n_events,
+             ROW_NUMBER() OVER (PARTITION BY hour
+                                ORDER BY n_events DESC, event_type) AS rk
+      FROM rolled
+    ) WHERE rk <= 3
+    """,
+)
+def st13_stream_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending-items query over the LIVE rollup: per-hour top-3 event
+    types by count, where the counting is the streaming upsert pipeline
+    (st09's) and the rank is a serve-time window over the serving table.
+    The split is the scalable design: a global top-k inside the stream
+    would hold unbounded rank state, while the continuous aggregate keeps
+    streaming state ∝ open windows and the serve-time rank costs O(rows
+    of the rollup) — partitioned by hour, so ~|event types| per task."""
+    serving = _serve_hourly_rollup(spark, sf_dir)
+    w = Window.partitionBy("hour").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        serving.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("hour", "event_type", "n_events", "rank")
+    )
 
 
 # Built text indexes, keyed by a corpus FINGERPRINT, not sf_dir alone —

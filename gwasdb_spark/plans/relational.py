@@ -913,6 +913,37 @@ def a10_cube_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a11_grouping_sets",
+    "A2-ext,§2.5",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def a11_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the margins-only shape ((flag), (mode),
+    ()) that neither ROLLUP (a07) nor CUBE (a10) expresses without
+    post-filtering: each dimension's totals plus the grand total, never
+    the (flag × status) cells. One Expand (3 replicas) + one partial-agg
+    shuffle — the cells' combinatorial blowup never materializes."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               COUNT(*) AS n_items,
+               SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+        FROM v_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
     "a05_manual_pivot_join",
     "A5,J1",
     oracle="""
