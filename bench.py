@@ -110,6 +110,11 @@ HEADLINE = [
     "w09_rank_variants",
     "e02_json_construct_parse",
     "f06_fuzzy_match",
+    # round-4 late additions
+    "x54_span_dedup",
+    "x55_bigram_logprob",
+    "x56_mutual_knn_graph",
+    "a11_grouping_sets",
 ]
 
 

@@ -45,3 +45,51 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(i).cast("int") for i in range(salts)]))
     )
     return fact_s.join(dim_s, [key, "__salt"], how).drop("__salt")
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_n: int = 20,
+    target_rows_per_task: int = 1_000_000,
+) -> DataFrame:
+    """Heavy-hitter diagnostic for a prospective join/agg key — the
+    measurement that decides between a plain shuffle, AQE skew-split, and
+    `salted_join`, and sizes the salt factor when salting wins.
+
+    Per top-`top_n` key (exact counts, count-desc/key-asc order):
+    n_rows, share of the table, skew_ratio (key rows ÷ ideal uniform
+    rows-per-key), and suggested_salts = ⌈n_rows / target_rows_per_task⌉
+    (1 ⇒ no salting needed).
+
+    Scale: one partial-aggregated groupBy on the key (map-side combine
+    collapses each partition to its distinct keys) followed by a bounded
+    TakeOrdered head — the full key distribution is never sorted globally
+    or collected. Totals ride as a broadcast 1-row aggregate, in-plan."""
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    totals = df.agg(
+        F.count(F.lit(1)).cast("double").alias("total_rows"),
+    )
+    n_keys = counts.agg(F.count(F.lit(1)).cast("double").alias("n_keys"))
+    return (
+        counts.orderBy(F.desc("n_rows"), F.asc("key"))
+        .limit(top_n)
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(n_keys))
+        .select(
+            "key",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            (F.col("n_rows") / F.col("total_rows")).alias("share"),
+            (F.col("n_rows") * F.col("n_keys") / F.col("total_rows")).alias(
+                "skew_ratio"
+            ),
+            F.greatest(
+                F.lit(1),
+                F.ceil(F.col("n_rows") / F.lit(float(target_rows_per_task))),
+            )
+            .cast("long")
+            .alias("suggested_salts"),
+        )
+    )

@@ -3992,3 +3992,41 @@ def x56_mutual_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "id_a", "id_b", F.round("cosine", 6).alias("cosine"), "rank_ab", "rank_ba"
     )
+
+
+@query(
+    "x57_skew_report",
+    "X-ops,A2",
+    oracle="""
+    WITH counts AS (
+      SELECT event_type AS key, COUNT(*) AS n_rows FROM events GROUP BY 1
+    ),
+    t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total_rows FROM events),
+    k AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_keys FROM counts)
+    SELECT key, CAST(n_rows AS BIGINT) AS n_rows,
+           ROUND(n_rows / total_rows, 9) AS share,
+           ROUND(n_rows * n_keys / total_rows, 9) AS skew_ratio,
+           CAST(GREATEST(1, CEIL(n_rows / 10000.0)) AS BIGINT)
+             AS suggested_salts
+    FROM counts CROSS JOIN t CROSS JOIN k
+    ORDER BY n_rows DESC, key LIMIT 20
+    """,
+)
+def x57_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic: exact top-20 heavy hitters on
+    events.event_type with table share, skew ratio vs a uniform key, and
+    the salt factor `salted_join` (sk01) should use at a 10k-rows-per-
+    task target. One map-side-combined groupBy + a bounded TakeOrdered
+    head; totals ride as broadcast 1-row aggregates
+    (operators/skew.py skew_report)."""
+    from gwasdb_spark.operators.skew import skew_report
+
+    e = table(spark, sf_dir, "events")
+    rep = skew_report(e, "event_type", top_n=20, target_rows_per_task=10_000)
+    return rep.select(
+        "key",
+        "n_rows",
+        F.round("share", 9).alias("share"),
+        F.round("skew_ratio", 9).alias("skew_ratio"),
+        "suggested_salts",
+    )

@@ -33,3 +33,22 @@ def test_salted_join_rejects_right(spark):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_skew_report_flags_hot_key(spark):
+    from gwasdb_spark.operators.skew import skew_report
+
+    # 3 keys: 'hot' 80 rows, 'warm' 15, 'cold' 5 -> 100 rows total.
+    rows = [("hot",)] * 80 + [("warm",)] * 15 + [("cold",)] * 5
+    df = spark.createDataFrame(rows, "k string")
+    rep = {
+        r["key"]: r
+        for r in skew_report(df, "k", top_n=2, target_rows_per_task=30).collect()
+    }
+    assert list(rep) == ["hot", "warm"]  # top-2 only, count-desc order
+    hot = rep["hot"]
+    assert hot["n_rows"] == 80
+    assert hot["share"] == 0.8
+    assert hot["skew_ratio"] == 2.4  # 80 * 3 keys / 100 rows
+    assert hot["suggested_salts"] == 3  # ceil(80 / 30)
+    assert rep["warm"]["suggested_salts"] == 1
