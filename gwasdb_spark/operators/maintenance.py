@@ -203,3 +203,41 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    cols: list[str],
+) -> DataFrame:
+    """Dataset-version diff — the corpus-curation answer to `git diff`
+    between two snapshots of a table: per id, `added` (only in new),
+    `removed` (only in old), `changed` (content digest differs over
+    `cols`), or `unchanged`. The digest is md5 over the compared columns
+    (unit-separator joined), so the diff never compares wide payloads
+    byte-by-byte in the join.
+
+    Scale: digests are computed scan-side (projection, codegen) and the
+    FULL OUTER join shuffles (id, 16-byte digest) pairs only — payload
+    columns never enter the exchange. At 100 TB both snapshots hash-
+    partition on the id; AQE handles the residual skew. Downstream counts
+    (`groupBy("status")`) are a partial agg over the skinny join output.
+    """
+    digest = F.md5(F.concat_ws("\x1f", *[F.col(c) for c in cols]))
+    o = old.select(
+        F.col(id_col).alias("id"), digest.alias("old_digest")
+    )
+    n = new.select(
+        F.col(id_col).alias("id"), digest.alias("new_digest")
+    )
+    return o.join(n, "id", "full_outer").select(
+        "id",
+        "old_digest",
+        "new_digest",
+        F.when(F.col("old_digest").isNull(), F.lit("added"))
+        .when(F.col("new_digest").isNull(), F.lit("removed"))
+        .when(F.col("old_digest") != F.col("new_digest"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )

@@ -4030,3 +4030,53 @@ def x57_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("skew_ratio", 9).alias("skew_ratio"),
         "suggested_salts",
     )
+
+
+@query(
+    "x58_snapshot_diff",
+    "X-ops,J9",
+    oracle="""
+    WITH v1 AS (SELECT doc_id, md5(text) AS old_digest FROM documents),
+    v2 AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 17 = 1 THEN upper(text) ELSE text END)
+               AS new_digest
+      FROM documents WHERE doc_id % 17 != 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, md5(text) AS new_digest
+      FROM documents WHERE doc_id % 17 = 2
+    )
+    SELECT COALESCE(v1.doc_id, v2.doc_id) AS id, old_digest, new_digest,
+           CASE WHEN old_digest IS NULL THEN 'added'
+                WHEN new_digest IS NULL THEN 'removed'
+                WHEN old_digest != new_digest THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    """,
+)
+def x58_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff — dataset versioning without a table format:
+    v2 is derived deterministically from v1 (every 17th doc removed, the
+    next residue class rewritten to upper case, the one after re-added
+    under a shifted id) and the diff labels every id added / removed /
+    changed / unchanged by content digest. The FULL OUTER join shuffles
+    (id, md5) pairs only — never document text
+    (operators/maintenance.py snapshot_diff)."""
+    from gwasdb_spark.operators.maintenance import snapshot_diff
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    v2 = (
+        d.filter(F.col("doc_id") % 17 != 0)
+        .withColumn(
+            "text",
+            F.when(F.col("doc_id") % 17 == 1, F.upper("text")).otherwise(
+                F.col("text")
+            ),
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 17 == 2).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return snapshot_diff(d, v2, "doc_id", ["text"])

@@ -248,3 +248,18 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     # z-ordered: most row groups are skippable on the combined predicate
     assert z_hits < n_hits
     assert z_hits <= z_total // 2, (z_hits, z_total)
+
+
+def test_snapshot_diff_statuses(spark):
+    from gwasdb_spark.operators.maintenance import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y"), (3, "c", "z")],
+        "id long, t string, u string",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", "y"), (3, "CHANGED", "z"), (4, "d", "w")],
+        "id long, t string, u string",
+    )
+    out = {r["id"]: r["status"] for r in snapshot_diff(old, new, "id", ["t", "u"]).collect()}
+    assert out == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
