@@ -130,7 +130,12 @@ def bm25_topk(
         raise ValueError(f"mode must be or|and|phrase, got {mode!r}")
     spark = df.sparkSession
     terms_lc = [t.lower() for t in query_terms]
-    postings = _term_postings(df, id_col, text_col)
+    # Lazy localCheckpoint: postings feed doclen, the pruned hit list,
+    # df counts, and the scorer — four consumers that would each replan
+    # the tokenize→(doc,term) shuffle (exchange reuse does not span the
+    # branches). One materialization of the skinny postings beats four
+    # recomputes; the PERSISTED serving answer is build_text_index/x12g.
+    postings = _term_postings(df, id_col, text_col).localCheckpoint(eager=False)
     doclen = postings.groupBy("doc").agg(F.sum("tf").alias("dl"))
     # scalar constants in-plan: two 1-row aggregates, auto-broadcast by
     # the cross join (explicit sum/count, not avg(), so the oracle engine
@@ -254,7 +259,13 @@ def bm25f_topk(
     u = parts[0]
     for p in parts[1:]:
         u = u.unionByName(p)
-    postings = u.groupBy("doc", "term").agg(F.sum("wtf").alias("wtf"))
+    # Same reuse rationale as bm25_topk: the per-field tokenize→union→
+    # re-aggregate pipeline would otherwise replan once per consumer.
+    postings = (
+        u.groupBy("doc", "term")
+        .agg(F.sum("wtf").alias("wtf"))
+        .localCheckpoint(eager=False)
+    )
     doclen = postings.groupBy("doc").agg(F.sum("wtf").alias("wdl"))
     consts = df.agg(F.count(F.lit(1)).cast("double").alias("n_docs")).crossJoin(
         doclen.agg((F.sum("wdl") / F.count(F.lit(1))).alias("avgwdl"))

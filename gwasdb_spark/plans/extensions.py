@@ -3982,13 +3982,20 @@ def x56_mutual_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     undirected edges kept only when BOTH endpoints rank each other in
     their top-5 by cosine — the edge set SemDeDup-style semantic dedup
     clusters over (feed x11's connected components with these edges).
-    Exact scoring here is the oracle-checkable baseline; at corpus scale
-    the same symmetrization join consumes hyperplane_lsh_topk/ivf_topk
-    directed edges unchanged (operators/similarity.py mutual_knn_graph)."""
-    from gwasdb_spark.operators.similarity import mutual_knn_graph
+    Directed edges come from the Arrow/BLAS vectorized exact scorer
+    (x05c's kernel — oracle-proven 6-dp-identical to the expression
+    fold), so the quadratic scoring runs one matmul per Arrow batch; at
+    corpus scale the same symmetrization join consumes
+    hyperplane_lsh_topk/ivf_topk directed edges unchanged
+    (operators/similarity.py mutual_knn_graph)."""
+    from gwasdb_spark.operators.similarity import (
+        brute_force_topk_vectorized,
+        mutual_knn_graph,
+    )
 
     nodes = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
-    g = mutual_knn_graph(nodes, "vec_id", "embedding", k=5)
+    directed = brute_force_topk_vectorized(nodes, nodes, "vec_id", "embedding", k=5)
+    g = mutual_knn_graph(nodes, "vec_id", "embedding", k=5, directed=directed)
     return g.select(
         "id_a", "id_b", F.round("cosine", 6).alias("cosine"), "rank_ab", "rank_ba"
     )

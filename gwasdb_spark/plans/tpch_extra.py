@@ -788,7 +788,17 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("ps_partkey", (F.col("cost_e2") * F.col("availqty")).alias("v_e2"))
     )
-    per_part = scoped.groupBy("ps_partkey").agg(F.sum("v_e2").alias("v_e2"))
+    # Lazy localCheckpoint: per_part feeds BOTH the output rows and the
+    # global threshold; without it the whole lineitem→join→agg pipeline
+    # plans twice (exchange reuse does not canonicalize across the
+    # self-referencing cross join) and the fact table scans twice. The
+    # checkpoint holds |parts-in-nation| rows — dimension-sized, far
+    # below the fact table, and computed exactly once per action.
+    per_part = (
+        scoped.groupBy("ps_partkey")
+        .agg(F.sum("v_e2").alias("v_e2"))
+        .localCheckpoint(eager=False)
+    )
     total = per_part.agg(F.sum("v_e2").alias("total_e2"))
     return (
         per_part.crossJoin(F.broadcast(total))
