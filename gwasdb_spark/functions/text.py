@@ -126,3 +126,23 @@ def nfc_normalize_udf():
     # signature inspection rejects
     _nfc.__annotations__ = {"s": pd.Series, "return": pd.Series}
     return pandas_udf(_nfc, "string")
+
+
+def quality_classifier_prob(text: Column) -> Column:
+    """Model-based quality filter stand-in (the fasttext/classifier stage
+    of production corpus pipelines) as a FIXED logistic model over
+    interpretable features — deterministic, oracle-mirrorable, and a pure
+    codegen expression:
+
+      z = -2.4 + 0.35·ln(1+len) + 6·stopword_ratio − 8·punct_ratio
+      p = 1 / (1 + e^(−z))
+
+    Swap the weights for trained ones without changing the plan shape —
+    the classifier stays a scan-side projection either way."""
+    z = (
+        F.lit(-2.4)
+        + F.lit(0.35) * F.log(F.lit(1.0) + F.length(text).cast("double"))
+        + F.lit(6.0) * stopword_ratio(text)
+        - F.lit(8.0) * punct_ratio(text)
+    )
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))

@@ -526,3 +526,51 @@ def x55_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("avg_logprob", 9).alias("avg_logprob"),
         F.round("min_logprob", 9).alias("min_logprob"),
     )
+
+
+@query(
+    "x59_quality_classifier",
+    "X-text,X-quality",
+    oracle=r"""
+    WITH feats AS (
+      SELECT doc_id, source,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_tok,
+             CAST(len(regexp_extract_all(lower(text),
+                  '\b(the|and|of|to|a|in|is|that)\b')) AS DOUBLE) AS n_sw,
+             CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+               AS DOUBLE) AS n_punct
+      FROM documents
+    ),
+    z AS (
+      SELECT doc_id, source,
+             -2.4 + 0.35 * LN(1.0 + n_chars)
+                  + 6.0 * (CASE WHEN n_tok > 0 THEN n_sw / n_tok
+                                ELSE 0.0 END)
+                  - 8.0 * (CASE WHEN n_chars > 0 THEN n_punct / n_chars
+                                ELSE 0.0 END) AS z
+      FROM feats
+    )
+    SELECT doc_id, source,
+           ROUND(1.0 / (1.0 + EXP(-z)), 9) AS quality_prob,
+           (1.0 / (1.0 + EXP(-z))) >= 0.5 AS keep
+    FROM z
+    """,
+)
+def x59_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality gate — the classifier stage (fasttext-style)
+    of a pre-training pipeline as a fixed logistic model over length,
+    stopword density, and punctuation features. Entirely a scan-side
+    codegen projection: zero shuffles, and swapping in trained weights
+    changes literals, not the plan
+    (functions/text.py quality_classifier_prob)."""
+    from gwasdb_spark.functions.text import quality_classifier_prob
+
+    d = table(spark, sf_dir, "documents")
+    p = quality_classifier_prob(F.col("text"))
+    return d.select(
+        "doc_id",
+        "source",
+        F.round(p, 9).alias("quality_prob"),
+        (p >= 0.5).alias("keep"),
+    )

@@ -859,26 +859,42 @@ def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
     )
 
-    def year_qty(y0: str, y1: str, out: str) -> DataFrame:
-        return (
-            li.filter(
-                (F.col("l_shipdate") >= F.lit(y0).cast("timestamp"))
-                & (F.col("l_shipdate") < F.lit(y1).cast("timestamp"))
-            )
-            .groupBy("l_partkey", "l_suppkey")
-            .agg(F.sum(F.col("l_quantity").cast("long")).alias(out))
+    def in_year(y0: str, y1: str):
+        return (F.col("l_shipdate") >= F.lit(y0).cast("timestamp")) & (
+            F.col("l_shipdate") < F.lit(y1).cast("timestamp")
         )
 
-    y96 = year_qty("1996-01-01", "1997-01-01", "q96")
-    y97 = year_qty("1997-01-01", "1998-01-01", "q97")
+    # ONE fact scan + ONE (part,supp) shuffle: both year windows fold
+    # into conditional sums (the y96 ⟕ y97 join of the SQL form is the
+    # same relation — q96 non-null ⇔ the pair shipped in 1996). At scale
+    # this halves both the scan and the exchange vs two year-filtered
+    # aggregates.
+    per_ps = (
+        li.filter(in_year("1996-01-01", "1998-01-01"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(
+                F.when(
+                    in_year("1996-01-01", "1997-01-01"),
+                    F.col("l_quantity").cast("long"),
+                )
+            ).alias("q96"),
+            F.sum(
+                F.when(
+                    in_year("1997-01-01", "1998-01-01"),
+                    F.col("l_quantity").cast("long"),
+                )
+            ).alias("q97"),
+        )
+        .filter(F.col("q96").isNotNull())
+    )
     promo = (
         table(spark, sf_dir, "part")
         .filter(F.col("p_name").startswith("small"))
         .select("p_partkey")
     )
     qual = (
-        y96.join(promo, y96["l_partkey"] == promo["p_partkey"])
-        .join(y97, ["l_partkey", "l_suppkey"], "left")
+        per_ps.join(promo, per_ps["l_partkey"] == promo["p_partkey"])
         .filter(
             F.col("q96").cast("double")
             > F.lit(0.5) * F.coalesce(F.col("q97"), F.lit(0)).cast("double")
