@@ -115,6 +115,9 @@ HEADLINE = [
     "x55_bigram_logprob",
     "x56_mutual_knn_graph",
     "a11_grouping_sets",
+    "x57_skew_report",
+    "x58_snapshot_diff",
+    "x59_quality_classifier",
 ]
 
 

@@ -4087,3 +4087,93 @@ def x58_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return snapshot_diff(d, v2, "doc_id", ["text"])
+
+
+@query(
+    "st14_stream_dedup_ingest",
+    "X-stream,X-dedup",
+    oracle="""
+    WITH arr AS (
+      SELECT doc_id, md5(text) AS digest FROM documents WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + 500000 AS doc_id, md5(text) AS digest
+      FROM documents WHERE doc_id % 7 = 1 AND doc_id % 3 = 0
+    ),
+    corp AS (
+      SELECT DISTINCT md5(text) AS digest FROM documents WHERE doc_id % 7 != 0
+    )
+    SELECT digest,
+           CASE WHEN digest IN (SELECT digest FROM corp) THEN 'dup_corpus'
+                ELSE 'accepted' END AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_arrivals,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+    FROM arr GROUP BY digest
+    """,
+)
+def st14_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE streaming dedup-on-ingest — the streaming twin of x44's
+    incremental dedup: arrivals (every 7th doc, staged as JSON and read
+    as a file stream) are content-hashed per micro-batch and anti-joined
+    against the existing corpus' digest set; both accepted and
+    corpus-duplicate arrivals land in a status sink. The result is the
+    digest-grain ingest ledger (status, arrival count, first id) — built
+    by aggregation over the sink, so it is independent of how the file
+    source happened to cut micro-batches. Scale: the per-batch work is
+    one equi-join on 16-byte digests (corpus side is a digest projection,
+    never text) plus an append ∝ batch size; ledger aggregation is
+    partial-agg'd on digest."""
+    import tempfile as _tf
+
+    from gwasdb_spark.streaming.events import run_available_now  # noqa: F401
+
+    d = table(spark, sf_dir, "documents")
+    base = _tf.mkdtemp(prefix="dedup_ingest_")
+    src = os.path.join(base, "arrivals")
+    arrivals_df = (
+        d.filter(F.col("doc_id") % 7 == 0)
+        .select("doc_id", "text")
+        .unionByName(
+            # Re-submissions of existing corpus docs under new ids: the
+            # dup_corpus path must actually fire in every run.
+            d.filter((F.col("doc_id") % 7 == 1) & (F.col("doc_id") % 3 == 0))
+            .select((F.col("doc_id") + 500000).alias("doc_id"), "text")
+        )
+    )
+    arrivals_df.repartition(4).write.mode("overwrite").json(src)
+
+    corpus_digests = (
+        d.filter(F.col("doc_id") % 7 != 0)
+        .select(F.md5("text").alias("digest"))
+        .distinct()
+    )
+    sink = os.path.join(base, "sink")
+
+    def _ingest(batch_df, batch_id):
+        hashed = batch_df.select(
+            "doc_id", F.md5("text").alias("digest")
+        )
+        accepted = hashed.join(corpus_digests, "digest", "left_anti")
+        dup = hashed.join(corpus_digests, "digest", "left_semi")
+        out = accepted.withColumn("status", F.lit("accepted")).unionByName(
+            dup.withColumn("status", F.lit("dup_corpus"))
+        )
+        out.write.mode("append").parquet(sink)
+
+    arrivals = (
+        spark.readStream.schema("doc_id bigint, text string").json(src)
+    )
+    q = (
+        arrivals.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(sink)
+        .groupBy("digest", "status")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_arrivals"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+        )
+    )
