@@ -342,3 +342,45 @@ def test_str_detect_unicode_parity(spark, samples):
         for j, pat in enumerate(_CLASS_PATTERNS):
             want = re.search(pat, t) is not None
             assert got[i][f"m{j}"] == want, (repr(t), pat)
+
+
+# Small-alphabet documents maximize span collisions across docs.
+_span_words = st.lists(
+    st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=12
+).map(" ".join)
+
+
+@SETTINGS
+@given(st.lists(_span_words, min_size=1, max_size=12))
+def test_span_dedup_matches_python_reference(spark, texts):
+    from collections import Counter
+
+    from gwasdb_spark.operators.quality import span_dedup
+
+    W = 3
+    docs = list(enumerate(texts))
+    # Pure-python reference: cut into consecutive W-token spans, drop
+    # spans whose exact text occurs >1 time corpus-wide, re-join.
+    spans_by_doc = {}
+    for i, t in docs:
+        toks = t.split()
+        spans_by_doc[i] = [
+            " ".join(toks[j : j + W]) for j in range(0, len(toks), W)
+        ]
+    occ = Counter(s for spans in spans_by_doc.values() for s in spans)
+    want = {
+        i: (
+            len(spans),
+            sum(1 for s in spans if occ[s] <= 1),
+            " ".join(s for s in spans if occ[s] <= 1),
+        )
+        for i, spans in spans_by_doc.items()
+        if spans  # token-less docs absent
+    }
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_spans_kept"], r["cleaned_text"])
+        for r in span_dedup(df, span_words=W).collect()
+    }
+    assert got == want
