@@ -574,3 +574,83 @@ def x59_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p, 9).alias("quality_prob"),
         (p >= 0.5).alias("keep"),
     )
+
+
+@query(
+    "c04_corpus_refinery",
+    "X-dedup,X-quality,X-composite",
+    oracle=rf"""
+    WITH {_SQL_TOK},
+    spans AS (
+      SELECT doc_id, CAST((pos - 1) // 3 AS BIGINT) AS span_id,
+             string_agg(token, ' ' ORDER BY pos) AS span_text
+      FROM tok GROUP BY 1, 2
+    ),
+    occ AS (SELECT span_text, COUNT(*) AS n_occ FROM spans GROUP BY 1),
+    cleaned AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+             CAST(SUM(CASE WHEN o.n_occ <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_spans_kept,
+             COALESCE(string_agg(CASE WHEN o.n_occ <= 1 THEN s.span_text END,
+                                 ' ' ORDER BY s.span_id), '') AS ct
+      FROM spans s JOIN occ o USING (span_text) GROUP BY doc_id
+    ),
+    feats AS (
+      SELECT doc_id, n_spans, n_spans_kept,
+             CAST(length(ct) AS DOUBLE) AS n_chars,
+             CAST(len(regexp_extract_all(ct, '\S+')) AS DOUBLE) AS n_tok,
+             CAST(len(regexp_extract_all(lower(ct),
+                  '\b(the|and|of|to|a|in|is|that)\b')) AS DOUBLE) AS n_sw,
+             CAST(len(regexp_extract_all(ct, '[^A-Za-z0-9\s]'))
+               AS DOUBLE) AS n_punct
+      FROM cleaned
+    ),
+    scored AS (
+      SELECT doc_id, n_spans, n_spans_kept, CAST(n_tok AS BIGINT) AS n_tokens,
+             1.0 / (1.0 + EXP(-(-2.4 + 0.35 * LN(1.0 + n_chars)
+                  + 6.0 * (CASE WHEN n_tok > 0 THEN n_sw / n_tok
+                                ELSE 0.0 END)
+                  - 8.0 * (CASE WHEN n_chars > 0 THEN n_punct / n_chars
+                                ELSE 0.0 END)))) AS p
+      FROM feats
+    )
+    SELECT s.doc_id, d.lang, d.source, s.n_spans, s.n_spans_kept,
+           s.n_tokens, ROUND(s.p, 9) AS quality_prob
+    FROM scored s JOIN documents d USING (doc_id)
+    WHERE s.p >= 0.4
+    """,
+)
+def c04_corpus_refinery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus refinery over the ROUND-4 stages: corpus-wide
+    span dedup strips shared boilerplate (x54), then the logistic quality
+    classifier re-scores the CLEANED text (x59's model — scoring after
+    boilerplate removal is the order production pipelines use, since
+    boilerplate inflates length and deflates stopword density), gating at
+    p ≥ 0.4. One composed plan: the span pipeline's digest shuffles, a
+    scan-side classifier projection, and one broadcast-sized join back to
+    the doc dims — cleaned text shuffles once (the reassembly), never
+    again."""
+    from gwasdb_spark.functions.text import (
+        n_tokens_ws,
+        quality_classifier_prob,
+    )
+    from gwasdb_spark.operators.quality import span_dedup
+
+    d = table(spark, sf_dir, "documents")
+    cleaned = span_dedup(d, "doc_id", "text", span_words=3, max_occ=1)
+    p = quality_classifier_prob(F.col("cleaned_text"))
+    return (
+        cleaned.withColumn("quality_prob", F.round(p, 9))
+        .withColumn("n_tokens", n_tokens_ws(F.col("cleaned_text")))
+        .filter(p >= 0.4)
+        .join(d.select("doc_id", "lang", "source"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_spans",
+            "n_spans_kept",
+            "n_tokens",
+            "quality_prob",
+        )
+    )
