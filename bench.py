@@ -118,6 +118,9 @@ HEADLINE = [
     "x57_skew_report",
     "x58_snapshot_diff",
     "x59_quality_classifier",
+    "st14_stream_dedup_ingest",
+    "c04_corpus_refinery",
+    "st13_stream_trending",
 ]
 
 
