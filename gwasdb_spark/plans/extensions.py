@@ -4177,3 +4177,130 @@ def st14_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").cast("long").alias("min_doc_id"),
         )
     )
+
+
+@query(
+    "x60_copurchase_lift",
+    "J1,A2,X-events",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pair_n AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*) AS n_both
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    part_n AS (SELECT l_partkey, COUNT(*) AS n_part FROM items GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n_orders
+            FROM items)
+    SELECT part_a, part_b, CAST(n_both AS BIGINT) AS n_both,
+           ROUND(n_both * n_orders / (pa.n_part * pb.n_part), 9) AS lift
+    FROM pair_n
+    JOIN part_n pa ON pa.l_partkey = part_a
+    JOIN part_n pb ON pb.l_partkey = part_b
+    CROSS JOIN tot
+    ORDER BY n_both DESC, part_a, part_b LIMIT 20
+    """,
+)
+def x60_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: top-20 part pairs by co-order count
+    with lift = P(a,b)/(P(a)P(b)) — x51's PMI collocations transplanted
+    to the order/part domain. The pair explosion is the self-equi-join on
+    l_orderkey over DISTINCT (order, part) rows — bounded by per-order
+    basket size squared, never |parts|²; counts shuffle (part, part)
+    pairs; the order total rides as a broadcast 1-row constant; the
+    head is a bounded TakeOrdered."""
+    items = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    pair_n = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    part_n = items.groupBy(F.col("l_partkey")).agg(
+        F.count(F.lit(1)).alias("n_part")
+    )
+    tot = items.agg(
+        F.count_distinct("l_orderkey").cast("double").alias("n_orders")
+    )
+    pa = part_n.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_part").alias("n_a")
+    )
+    pb = part_n.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_part").alias("n_b")
+    )
+    return (
+        pair_n.join(pa, "part_a")
+        .join(pb, "part_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("n_both").cast("long").alias("n_both"),
+            F.round(
+                F.col("n_both") * F.col("n_orders") / (F.col("n_a") * F.col("n_b")),
+                9,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("n_both"), F.asc("part_a"), F.asc("part_b"))
+        .limit(20)
+    )
+
+
+@query(
+    "x61_retention_cohorts",
+    "X-events,A2,§2.5",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, date_trunc('week', e.ts) AS act_week
+      FROM events e
+    )
+    SELECT strftime(f.cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.act_week) // 7 AS BIGINT)
+             AS week_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM activity a JOIN firsts f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def x61_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts — the canonical product-analytics rollup:
+    users bucketed by first-seen week, counted as active at each week
+    offset. Two partial-aggregated shuffles (per-user first-seen, then
+    (cohort, offset) counts) and one user-keyed equi-join; the
+    (user, week) distinct bounds the join input to active user-weeks,
+    not raw events."""
+    e = table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("act_week")
+    ).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(F.col("act_week"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+    )
