@@ -410,3 +410,49 @@ def bm25_topk_indexed(
         .filter(F.col("rank") <= k)
         .select(F.col("doc").alias(id_col), F.round("score", 6).alias("score"), "rank")
     )
+
+
+def update_text_index(
+    df_new: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Incremental index maintenance — append a document batch to an
+    existing `build_text_index` layout without re-tokenizing the corpus:
+
+    - postings: the batch's (doc, term, tf) rows land as NEW term-sorted
+      segment files appended to the postings directory (the LSM shape —
+      base + delta segments; every file stays term-sorted, so the
+      term-IN row-group pruning of `bm25_topk_indexed` applies to base
+      and delta alike).
+    - doclen: pure append (new doc ids by contract).
+    - consts: n_docs += |batch|; avgdl recomputed from the doc-grain
+      doclen table (an aggregate over |docs| rows, not the corpus).
+
+    Cost ∝ the BATCH: tokenize + two shuffles over new docs only, plus a
+    doc-grain aggregate. `bm25_topk_indexed` needs no changes — it reads
+    the union of segments. Periodic re-`build_text_index` compacts
+    accumulated deltas back to few wide segments (the merge policy knob).
+    The two consts scalars are driver-read by design: index maintenance
+    is a write job, and both are single-row reads."""
+    spark = df_new.sparkSession
+    postings = _term_postings(df_new, id_col, text_col)
+    doclen = postings.groupBy("doc").agg(F.sum("tf").alias("dl"))
+    (
+        postings.repartitionByRange(2, "term")
+        .sortWithinPartitions("term")
+        .write.mode("append")
+        .parquet(f"{index_dir}/postings")
+    )
+    doclen.write.mode("append").parquet(f"{index_dir}/doclen")
+    old = spark.read.parquet(f"{index_dir}/consts").collect()[0]
+    n_docs = float(old["n_docs"]) + float(df_new.count())
+    avgdl = (
+        spark.read.parquet(f"{index_dir}/doclen")
+        .agg((F.sum("dl") / F.count(F.lit(1))).alias("avgdl"))
+        .collect()[0]["avgdl"]
+    )
+    spark.createDataFrame(
+        [(n_docs, float(avgdl))], "n_docs double, avgdl double"
+    ).write.mode("overwrite").parquet(f"{index_dir}/consts")

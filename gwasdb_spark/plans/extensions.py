@@ -3271,10 +3271,9 @@ def _text_index(spark: SparkSession, sf_dir: str) -> str:
     return idx
 
 
-@query(
-    "x12g_bm25_indexed",
-    "X-text,X-search",
-    oracle=r"""
+# Full-corpus BM25 ground truth: shared by x12g (one-shot index build)
+# and x62 (base build + incremental update) — both must reproduce it.
+_X12G_FULL_BM25_ORACLE = r"""
     WITH toks AS (
       SELECT doc_id AS doc,
              unnest(string_split_regex(lower(trim(text)), '[^a-z0-9]+')) AS term
@@ -3307,7 +3306,13 @@ def _text_index(spark: SparkSession, sf_dir: str) -> str:
              ROW_NUMBER() OVER (ORDER BY score DESC, doc) AS rank
       FROM scored
     ) WHERE rank <= 10
-    """,
+    """
+
+
+@query(
+    "x12g_bm25_indexed",
+    "X-text,X-search",
+    oracle=_X12G_FULL_BM25_ORACLE,
 )
 def x12g_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 over a MATERIALIZED inverted index (term-sorted postings +
@@ -4304,3 +4309,32 @@ def x61_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
     )
+
+
+@query(
+    "x62_bm25_index_update",
+    "X-text,X-search,X-stream",
+    oracle=_X12G_FULL_BM25_ORACLE,
+)
+def x62_bm25_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental inverted-index maintenance, proven equivalent to a
+    full rebuild: the index is built from 4/5 of the corpus, the
+    remaining fifth arrives as an update batch (update_text_index — new
+    term-sorted delta segments + doclen append + consts refresh, cost ∝
+    batch), and the SAME query must reproduce the full-corpus BM25
+    ground truth x12g answers from its one-shot build. This is the index
+    freshness path a streaming ingest (st14) feeds
+    (operators/search.py update_text_index)."""
+    import tempfile as _tf
+
+    from gwasdb_spark.operators.search import (
+        bm25_topk_indexed,
+        build_text_index,
+        update_text_index,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    idx = os.path.join(_tf.mkdtemp(prefix="bm25_incr_"), "index")
+    build_text_index(d.filter(F.col("doc_id") % 5 != 0), idx)
+    update_text_index(d.filter(F.col("doc_id") % 5 == 0), idx)
+    return bm25_topk_indexed(spark, idx, ["hash", "join", "vector"], "doc_id", k=10)

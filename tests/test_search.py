@@ -162,3 +162,34 @@ def test_fuzzy_blocked_equals_naive(spark):
     assert got == naive
     assert ("abcdefghi", 3, 2) in got     # distance-2 survived blocking
     assert ("abc", 6, 1) in got           # short probe matched via brute force
+
+
+def test_update_text_index_equals_full_rebuild(spark, tmp_path):
+    from gwasdb_spark.operators.search import (
+        bm25_topk_indexed,
+        build_text_index,
+        update_text_index,
+    )
+
+    docs = [
+        (1, "spark joins hash tables fast"),
+        (2, "hash partitioning spreads hash keys"),
+        (3, "sort merge join spills"),
+        (4, "broadcast join avoids the shuffle"),
+        (5, "window functions rank rows"),
+        (6, "hash aggregation combines partials"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    full_idx = str(tmp_path / "full")
+    build_text_index(df, full_idx)
+    want = bm25_topk_indexed(spark, full_idx, ["hash", "join"], k=6).collect()
+
+    # Base build on 1-2, then TWO update batches (3-4, then 5-6).
+    incr_idx = str(tmp_path / "incr")
+    build_text_index(df.filter("doc_id <= 2"), incr_idx)
+    update_text_index(df.filter("doc_id in (3, 4)"), incr_idx)
+    update_text_index(df.filter("doc_id in (5, 6)"), incr_idx)
+    got = bm25_topk_indexed(spark, incr_idx, ["hash", "join"], k=6).collect()
+
+    assert [r.asDict() for r in got] == [r.asDict() for r in want]
