@@ -120,6 +120,11 @@ HEADLINE = [
     "x59_quality_classifier",
     "st14_stream_dedup_ingest",
     "c04_corpus_refinery",
+    "x60_copurchase_lift",
+    "x61_retention_cohorts",
+    "x62_bm25_index_update",
+    "x63_triangle_counts",
+    "x64_event_debounce",
     # st13 (trending over the live rollup) is correctness-gated, not
     # benched: like st07/st09 its wall time is the micro-batch replay +
     # per-batch dynamic-partition-overwrite commits of the upsert

@@ -287,3 +287,66 @@ def pagerank(
     outdeg.unpersist()
     nodes.unpersist()
     return ranks
+
+
+def triangle_counts(
+    pairs: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Per-node triangle counts over an undirected edge set (src < dst
+    canonical form) — the clustering-structure probe for near-dup graphs
+    (a doc in many triangles sits in a dense boilerplate clique; a
+    bridge doc does not).
+
+    Algorithm: degree-ordered edge orientation (Cohen's MapReduce
+    triangle counting) — each edge is re-oriented from the LOWER-degree
+    endpoint to the higher (id tiebreak), wedges are enumerated by
+    self-joining oriented edges on their source, and a wedge (u→v, u→w)
+    closes iff edge (v,w) exists. Orientation bounds the join fan-out by
+    Σ d_out², with d_out ≤ O(√|E|) on any graph — the skew-killer that
+    makes the enumeration feasible when a hub node has a million
+    neighbors. Wedge closure is an equi-join against the canonical edge
+    set; every relation shuffled is (node, node) pairs.
+
+    Returns (id, n_triangles) for every node appearing in `pairs`,
+    including zero rows."""
+    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    deg = (
+        e.select(F.col("u").alias("id"))
+        .unionAll(e.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("id").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("id").alias("v"), F.col("deg").alias("deg_v"))
+    keyed = e.join(du, "u").join(dv, "v")
+    lower_first = (F.col("deg_u") < F.col("deg_v")) | (
+        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+    )
+    oriented = keyed.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("o_src"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("o_dst"),
+    )
+    w1 = oriented.select(F.col("o_src").alias("pivot"), F.col("o_dst").alias("a"))
+    w2 = oriented.select(F.col("o_src").alias("pivot"), F.col("o_dst").alias("b"))
+    wedges = w1.join(w2, "pivot").filter(F.col("a") < F.col("b"))
+    closing = e.select(
+        F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+    )
+    tri = wedges.join(closing, ["a", "b"])  # (pivot, a, b) = one triangle
+    per_node = (
+        tri.select(F.col("pivot").alias("id"))
+        .unionAll(tri.select(F.col("a").alias("id")))
+        .unionAll(tri.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        deg.select("id")
+        .join(per_node, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("n_triangles"), F.lit(0))
+            .cast("long")
+            .alias("n_triangles"),
+        )
+    )

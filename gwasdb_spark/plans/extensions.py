@@ -4338,3 +4338,114 @@ def x62_bm25_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     build_text_index(d.filter(F.col("doc_id") % 5 != 0), idx)
     update_text_index(d.filter(F.col("doc_id") % 5 == 0), idx)
     return bm25_topk_indexed(spark, idx, ["hash", "join", "vector"], "doc_id", k=10)
+
+
+# x02's exact 3-gram Jaccard pair graph as a DuckDB CTE chain (threshold
+# 0.12, shingle-df prune 100) — shared verbatim with x49/x11's oracles.
+_JACCARD_PAIRS_CTE = r"""
+    sh AS (
+      SELECT doc_id,
+             list_distinct(
+               list_transform(
+                 range(1, greatest(len(w) - 2, 0) + 1),
+                 i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS shingles
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+            FROM documents)
+    ),
+    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+    ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    rare AS (SELECT shingle FROM ex GROUP BY shingle HAVING COUNT(*) <= 100),
+    pruned AS (SELECT ex.doc_id, ex.shingle FROM ex JOIN rare USING (shingle)),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+      FROM pruned a JOIN pruned b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM shared
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) >= 0.12
+    )
+"""
+
+
+@query(
+    "x63_triangle_counts",
+    "X-dedup,X-graph",
+    oracle=f"""
+    WITH {_JACCARD_PAIRS_CTE},
+    tri AS (
+      SELECT e1.id_a AS x, e1.id_b AS y, e2.id_b AS z
+      FROM pairs e1
+      JOIN pairs e2 ON e2.id_a = e1.id_b
+      JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+    ),
+    nodes AS (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs),
+    per AS (
+      SELECT id, COUNT(*) AS n FROM (
+        SELECT x AS id FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+      ) GROUP BY id
+    )
+    SELECT n.id, CAST(COALESCE(per.n, 0) AS BIGINT) AS n_triangles
+    FROM nodes n LEFT JOIN per USING (id)
+    """,
+)
+def x63_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the exact near-dup pair graph —
+    dense-clique structure detection (boilerplate families triangle
+    heavily; incidental pair matches do not). Degree-ordered edge
+    orientation (Cohen) bounds wedge enumeration by Σ d_out² with
+    d_out ≤ O(√|E|) — the hub-node skew-killer; wedge closure is one
+    equi-join against the canonical edge set
+    (operators/graph.py triangle_counts)."""
+    from gwasdb_spark.operators.graph import triangle_counts
+
+    d = table(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.12, max_shingle_docs=100
+    )
+    return triangle_counts(pairs)
+
+
+@query(
+    "x64_event_debounce",
+    "X-events,§2.5",
+    oracle="""
+    WITH g AS (
+      SELECT event_id, user_id, event_type, ts,
+             date_diff('second',
+                       LAG(ts) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id),
+                       ts) AS gap_s
+      FROM events
+    )
+    SELECT event_id, user_id, event_type,
+           CAST(COALESCE(gap_s, -1) AS BIGINT) AS gap_s
+    FROM g WHERE gap_s IS NULL OR gap_s >= 300
+    """,
+)
+def x64_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst-leader filter (debounce/throttle): keep only events opening
+    a new burst — first ever, or ≥300 s after the PREVIOUS event of the
+    same (user, event_type). The repeated-click / retry-storm suppressor
+    of event pipelines; st02's sessionizer groups these bursts, this op
+    filters to their leaders. One lag() window partitioned by the group
+    key — parallel per (user, type), no cross-group state; gap_s = −1
+    marks first-ever events in the output."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    return (
+        e.withColumn("gap_s", gap)
+        .filter(F.col("gap_s").isNull() | (F.col("gap_s") >= 300))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.coalesce(F.col("gap_s"), F.lit(-1)).cast("long").alias("gap_s"),
+        )
+    )

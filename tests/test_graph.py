@@ -127,3 +127,18 @@ def test_pagerank_symmetric_graph_uniform(spark):
     )
     got = [r.rank for r in pagerank(df, max_iter=40).collect()]
     assert all(abs(x - 1 / 3) < 1e-6 for x in got)
+
+
+def test_triangle_counts_known_graph(spark):
+    from gwasdb_spark.operators.graph import triangle_counts
+
+    # K4 on 1-4 (every node in C(3,2)=3 triangles), a pendant 5-1 edge,
+    # and an isolated edge 6-7 (zero triangles).
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        (1, 5),
+        (6, 7),
+    ]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 5: 0, 6: 0, 7: 0}
