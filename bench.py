@@ -125,6 +125,7 @@ HEADLINE = [
     "x62_bm25_index_update",
     "x63_triangle_counts",
     "x64_event_debounce",
+    "x65_semantic_dedup",
     # st13 (trending over the live rollup) is correctness-gated, not
     # benched: like st07/st09 its wall time is the micro-batch replay +
     # per-batch dynamic-partition-overwrite commits of the upsert

@@ -4449,3 +4449,84 @@ def x64_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("gap_s"), F.lit(-1)).cast("long").alias("gap_s"),
         )
     )
+
+
+_X65_SEMDEDUP_ORACLE = f"""
+    WITH RECURSIVE n AS (SELECT vec_id AS id, embedding AS v
+                         FROM embeddings),
+    scored AS (
+      SELECT a.id AS src, b.id AS dst,
+             {_COS_SQL.format(a='a.v', b='b.v')}
+               / (sqrt({_COS_SQL.format(a='a.v', b='a.v')})
+                  * sqrt({_COS_SQL.format(a='b.v', b='b.v')})) AS cos_raw
+      FROM n a CROSS JOIN n b WHERE a.id != b.id
+    ),
+    directed AS (
+      SELECT src, dst, cos_raw,
+             ROW_NUMBER() OVER (PARTITION BY src
+                                ORDER BY cos_raw DESC, dst) AS rank
+      FROM scored QUALIFY rank <= 3
+    ),
+    mutual AS (
+      SELECT f.src AS id_a, f.dst AS id_b
+      FROM directed f JOIN directed r ON r.src = f.dst AND r.dst = f.src
+      WHERE f.src < f.dst AND f.cos_raw >= 0.4
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM mutual
+      UNION SELECT id_b AS u, id_a AS v FROM mutual
+    ),
+    reach(id, lbl) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.id
+    ),
+    comp AS (SELECT id, MIN(lbl) AS component FROM reach GROUP BY id)
+    SELECT CAST(c.component AS BIGINT) AS component,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MIN(c.id) AS BIGINT) AS min_id,
+           CAST((array_agg(c.id ORDER BY d.n_chars DESC, c.id))[1] AS BIGINT)
+             AS best_id
+    FROM comp c JOIN documents d ON d.doc_id = c.id
+    GROUP BY c.component
+    """
+
+
+@query("x65_semantic_dedup", "X-sim,X-dedup", oracle=_X65_SEMDEDUP_ORACLE)
+def x65_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup end to end: mutual-3-NN edges over the embedding space
+    gated at cosine ≥ 0.4 → connected components → one canonical doc per
+    semantic cluster by quality (n_chars, id tiebreak) — x49's
+    keep-best, with the pair graph coming from EMBEDDINGS instead of
+    n-gram overlap (catches paraphrase duplicates lexical dedup misses;
+    embeddings align with doc ids in the test tables). Exact vectorized
+    scoring here (x05c kernel, flat regime); at corpus scale the
+    directed edges come from hyperplane_lsh_topk/ivf_topk and the rest
+    of the plan is unchanged (operators/similarity.py mutual_knn_graph,
+    operators/graph.py connected_components)."""
+    from gwasdb_spark.operators.graph import connected_components
+    from gwasdb_spark.operators.similarity import (
+        brute_force_topk_vectorized,
+        mutual_knn_graph,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    directed = brute_force_topk_vectorized(emb, emb, "vec_id", "embedding", k=3)
+    edges = mutual_knn_graph(emb, "vec_id", "embedding", k=3, directed=directed).filter(
+        F.col("cosine") >= 0.4
+    )
+    comp = connected_components(edges)
+    d = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "n_chars"
+    )
+    joined = comp.join(d, "id")
+    w = Window.partitionBy("component").orderBy(F.desc("n_chars"), F.asc("id"))
+    return (
+        joined.withColumn("__rk", F.row_number().over(w))
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("id").alias("min_id"),
+            F.min(F.when(F.col("__rk") == 1, F.col("id"))).alias("best_id"),
+        )
+    )
