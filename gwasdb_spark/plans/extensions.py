@@ -4530,3 +4530,64 @@ def x65_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.when(F.col("__rk") == 1, F.col("id"))).alias("best_id"),
         )
     )
+
+
+@query(
+    "x66_mad_outliers",
+    "X-events,X-quality",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY 1
+    ),
+    dev AS (
+      SELECT e.event_id, e.event_type, e.value, m.med,
+             ABS(e.value - m.med) AS d
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (SELECT event_type, quantile_cont(d, 0.5) AS mad
+            FROM dev GROUP BY 1)
+    SELECT event_id, dev.event_type, value,
+           ROUND(med, 9) AS med, ROUND(mad, 9) AS mad,
+           ROUND((value - med) / (1.4826 * mad), 9) AS robust_z
+    FROM dev JOIN mad USING (event_type)
+    WHERE mad > 0 AND ABS(value - med) > 3 * 1.4826 * mad
+    """,
+)
+def x66_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection — median/MAD instead of x15's mean/σ
+    (one fat-tailed burst inflates σ and hides its own members; the
+    median absolute deviation does not break down until half the data is
+    corrupt). Flag = |v − med| > 3·1.4826·MAD (the σ-consistent scale).
+    Two-phase exact medians: per-type median, then median of absolute
+    deviations — two broadcast-dim joins back onto the fact rows, so the
+    fact table is scanned twice but never shuffled on a data-dependent
+    key; groups with MAD = 0 are excluded in both engines (the z-score
+    is undefined there)."""
+    e = table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "d", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(d, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(
+            (F.col("mad") > 0)
+            & (F.col("d") > F.lit(3 * 1.4826) * F.col("mad"))
+        )
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round("med", 9).alias("med"),
+            F.round("mad", 9).alias("mad"),
+            F.round(
+                (F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("mad")), 9
+            ).alias("robust_z"),
+        )
+    )
