@@ -28,10 +28,12 @@ from gwasdb_spark.plans import corpus_quality as _corpus_quality  # noqa: F401
 # evidence, then (c) a backfill rotation of the SURVEY §2 reference-surface
 # core so it is re-attested on current testdata (green twice: r01 + r04).
 # With this window every query registered BEFORE round 4 has a driver row
-# somewhere in r01∪r03∪r04. The ~37 round-4 additions (g04-g08, q11/q20,
-# x12h, a07-a10, w07-w09, m02, sk02, x43-x51, x53, c03, mm05, st11/st12,
-# s22/s23, e02, f06-f08) hold in-repo oracle green rows and are round 5's
-# window seats. File order within modules is unchanged; only the
+# somewhere in r01∪r03∪r04. The ~52 round-4 additions (g04-g08, q11/q20,
+# x12h, a07-a11, w07-w09, m02, sk02, x43-x51, x53-x66, c03/c04, mm05,
+# st11-st14, s22/s23, e02, f06-f08) hold in-repo oracle green rows and
+# are round 5's window seats — more than one 50-seat window, so round 5
+# should seat the oldest registrations first and rotate the remainder
+# into round 6. File order within modules is unchanged; only the
 # registry's iteration order is rebuilt here.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
