@@ -2385,3 +2385,52 @@ def w06_trailing_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "user_id", "event_id", "value", (num / den).alias("ewma_value")
     )
+
+
+@query(
+    "s24_schema_evolution",
+    "S-ext,§2.1",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_with_chars,
+           CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END)
+                AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def s24_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read — the lakehouse column-add path without a
+    table format: an old segment written BEFORE a column existed (half
+    the corpus, no n_chars) and a new segment written after sit in one
+    directory; `mergeSchema` reconciles the footers and the old rows
+    surface the new column as NULL. The aggregate proves both the union
+    and the null semantics. Schema merge is a footer-only operation —
+    at 100 TB it reads metadata, not data; pin a user-supplied schema
+    instead when footers number in the millions."""
+    from gwasdb_spark.plans.helpers import stage_dir
+
+    d = table(spark, sf_dir, "documents")
+    # sf-keyed: the same process runs this at several SFs (warmup +
+    # measured); a shared stage would serve the wrong corpus.
+    base = stage_dir(f"schema_evo_{os.path.basename(sf_dir.rstrip('/'))}")
+    old_seg = os.path.join(base, "seg=old")
+    new_seg = os.path.join(base, "seg=new")
+    if not (os.path.isdir(old_seg) and os.path.isdir(new_seg)):
+        d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang").write.mode(
+            "overwrite"
+        ).parquet(old_seg)
+        d.filter(F.col("doc_id") % 2 == 1).select(
+            "doc_id", "lang", "n_chars"
+        ).write.mode("overwrite").parquet(new_seg)
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        old_seg, new_seg
+    )
+    return merged.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("n_chars").isNotNull().cast("int"))
+        .cast("long")
+        .alias("n_with_chars"),
+        F.coalesce(F.sum("n_chars"), F.lit(0)).cast("long").alias("total_chars"),
+    )
