@@ -2216,7 +2216,11 @@ def s23_lang_partitioned_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gwasdb_spark.plans.helpers import stage_dir
 
     d = table(spark, sf_dir, "documents")
-    path = stage_dir("corpus_by_lang")
+    # sf-keyed: one process touches several SFs (warmup, gate, driver);
+    # an unkeyed stage would serve the first SF's corpus to the rest.
+    path = stage_dir(
+        f"corpus_by_lang_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
     if not os.path.isdir(path):
         d.write.mode("overwrite").partitionBy("lang").parquet(path)
     return (
