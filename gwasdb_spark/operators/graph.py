@@ -67,7 +67,9 @@ def connected_components_star(
     )
     nodes.count()  # materialize while e is cached
 
-    edges = e.localCheckpoint(eager=True)
+    # Lazy checkpoint: the checksum action right after materializes it,
+    # so init costs ONE job instead of checkpoint-then-checksum two.
+    edges = e.localCheckpoint(eager=False)
     prev = _edge_checksum(edges)
     iters = 0
     for _ in range(max_iter):
@@ -94,7 +96,9 @@ def connected_components_star(
             .filter(F.col("n") != F.col("m"))
             .select(F.col("n").alias("u"), F.col("m").alias("v"))
             .distinct()
-            .localCheckpoint(eager=True)  # cut lineage growth per round
+            # Lazy lineage cut: the checksum action below materializes
+            # the checkpoint — one job per round, not two.
+            .localCheckpoint(eager=False)
         )
         cur = _edge_checksum(small)
         edges = small
@@ -180,9 +184,61 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 50,
     stats: dict | None = None,
+    small_graph_threshold: int = 2_000_000,
 ) -> DataFrame:
-    """Default CC entry point: the O(log n)-round star algorithm."""
-    return connected_components_star(pairs, src, dst, max_iter, stats)
+    """Size-adaptive CC entry point — the same physical-strategy-by-size
+    decision Catalyst makes for broadcast vs shuffle joins, applied to
+    the iterative algorithm:
+
+    - edge sets ≤ `small_graph_threshold` (16-byte rows → ≤ ~32 MB
+      driver memory at the default) resolve with a driver union-find:
+      one collect, zero iteration rounds. Near-dup pair graphs are
+      usually far below this bound AFTER thresholding even when the
+      corpus is 100 TB — paying 6 × ~5-stage distributed rounds to
+      label a few thousand edges is pure scheduling overhead.
+    - larger edge sets run the O(log n)-round star algorithm unchanged.
+
+    Both paths emit identical labels (component = min reachable id;
+    equivalence pinned in tests/test_graph.py). Pass
+    `small_graph_threshold=0` to force the distributed path."""
+    e = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_edges = e.count()
+    if n_edges > small_graph_threshold:
+        if stats is not None:
+            stats["path"] = "star"
+        return connected_components_star(e, "u", "v", max_iter, stats)
+
+    # Bounded by contract: ≤ threshold edges collected once.
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in e.collect():
+        u, v = row[0], row[1]
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+
+    labels = [(node, find(node)) for node in parent]
+    if stats is not None:
+        stats["path"] = "driver-unionfind"
+        stats["iterations"] = 0
+    return pairs.sparkSession.createDataFrame(
+        labels, "id bigint, component bigint"
+    )
 
 
 def dedup_keep_representative(
@@ -309,7 +365,13 @@ def triangle_counts(
 
     Returns (id, n_triangles) for every node appearing in `pairs`,
     including zero rows."""
-    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # Lazy localCheckpoint: the edge set feeds degrees (twice), the
+    # oriented wedges, and the closure probe — when `pairs` is itself an
+    # expensive pipeline (the shingle-Jaccard graph) each consumer would
+    # replan it. Edges are the skinny relation by construction.
+    e = pairs.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).localCheckpoint(eager=False)
     deg = (
         e.select(F.col("u").alias("id"))
         .unionAll(e.select(F.col("v").alias("id")))

@@ -303,22 +303,23 @@ def brute_force_topk_vectorized(
             V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["__vec"]])
             Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
             C = Vn @ Qn.T  # (batch, nq)
+            # Self-exclusion and per-query top-k fully vectorized: a
+            # python loop over queries turns O(nq) interpreter steps per
+            # batch into the bottleneck when the query set is the corpus
+            # (mutual-kNN / SemDeDup); argpartition along the batch axis
+            # does every query in one C-level call.
+            C[ids[:, None] == q_ids[None, :]] = -np.inf
             top = min(k, len(ids))
-            for qi, qid in enumerate(q_ids):
-                col = C[:, qi]
-                mask = ids != qid  # self-exclusion
-                cand_idx = np.nonzero(mask)[0]
-                if cand_idx.size == 0:
-                    continue
-                take = min(top, cand_idx.size)
-                part = cand_idx[np.argpartition(-col[cand_idx], take - 1)[:take]]
-                yield pd.DataFrame(
-                    {
-                        "query_id": qid,
-                        "neighbor_id": ids[part],
-                        "cosine": col[part],
-                    }
-                )
+            part = np.argpartition(-C, top - 1, axis=0)[:top]  # (top, nq)
+            cos = np.take_along_axis(C, part, axis=0)
+            keep = np.isfinite(cos.ravel())
+            yield pd.DataFrame(
+                {
+                    "query_id": np.broadcast_to(q_ids, (top, len(q_ids))).ravel()[keep],
+                    "neighbor_id": ids[part].ravel()[keep],
+                    "cosine": cos.ravel()[keep],
+                }
+            )
 
     scored = corpus.select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")

@@ -142,3 +142,26 @@ def test_triangle_counts_known_graph(spark):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {r["id"]: r["n_triangles"] for r in triangle_counts(df).collect()}
     assert got == {1: 3, 2: 3, 3: 3, 4: 3, 5: 0, 6: 0, 7: 0}
+
+
+def test_cc_driver_and_star_paths_agree(spark):
+    from gwasdb_spark.operators.graph import connected_components
+
+    # chain 1-2-3-4, pair 10-11, self-contained triangle 20-21-22
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    s1, s2 = {}, {}
+    small = {
+        r.id: r.component
+        for r in connected_components(df, stats=s1).collect()
+    }
+    dist = {
+        r.id: r.component
+        for r in connected_components(
+            df, stats=s2, small_graph_threshold=0
+        ).collect()
+    }
+    assert s1["path"] == "driver-unionfind" and s2["path"] == "star"
+    assert small == dist
+    assert small == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                     20: 20, 21: 20, 22: 20}
