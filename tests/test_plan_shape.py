@@ -205,3 +205,37 @@ def test_lang_partitioned_read_prunes_partitions(spark):
     plan = _plan(spark, "s23_lang_partitioned_corpus")
     part = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert part and any("lang" in ln for ln in part), part
+
+
+def test_quality_classifier_is_pure_projection(spark):
+    """x59's contract: the classifier is a scan-side codegen projection —
+    zero Exchange, zero python workers."""
+    plan = _plan(spark, "x59_quality_classifier")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_snapshot_diff_shuffles_digests_not_text(spark):
+    """x58's FULL OUTER join must exchange (id, md5) pairs only — the
+    document text stays scan-side in the digest projection."""
+    plan = _plan(spark, "x58_snapshot_diff")
+    for ln in plan.splitlines():
+        if ln.strip().startswith("Exchange"):
+            assert "text#" not in ln, ln
+
+
+def test_span_dedup_occurrence_count_groups_by_digest(spark):
+    """x54's corpus-frequency count must aggregate on the xxhash64 span
+    digest (8-byte keys), not on span text."""
+    plan = _optimized(spark, "x54_span_dedup")
+    agg_lines = [ln for ln in plan.splitlines() if "Aggregate [" in ln]
+    assert any(
+        ln.split("Aggregate [", 1)[1].startswith("span_h") for ln in agg_lines
+    ), agg_lines
+
+
+def test_copurchase_joins_are_equi_not_cartesian(spark):
+    """x60's pair enumeration must be the per-order equi-self-join —
+    never a parts×parts cartesian."""
+    plan = _plan(spark, "x60_copurchase_lift")
+    assert "CartesianProduct" not in plan
