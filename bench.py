@@ -127,6 +127,8 @@ HEADLINE = [
     "x64_event_debounce",
     "x65_semantic_dedup",
     "x66_mad_outliers",
+    "x67_winsorize",
+    "s24_schema_evolution",
     # st13 (trending over the live rollup) is correctness-gated, not
     # benched: like st07/st09 its wall time is the micro-batch replay +
     # per-batch dynamic-partition-overwrite commits of the upsert

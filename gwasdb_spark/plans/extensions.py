@@ -4595,3 +4595,49 @@ def x66_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("robust_z"),
         )
     )
+
+
+@query(
+    "x67_winsorize",
+    "X-events,X-quality",
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS p05,
+             quantile_cont(value, 0.95) AS p95
+      FROM events GROUP BY 1
+    )
+    SELECT event_id, e.event_type, value,
+           ROUND(CASE WHEN value < p05 THEN p05
+                      WHEN value > p95 THEN p95
+                      ELSE value END, 9) AS value_w,
+           (value < p05 OR value > p95) AS clipped
+    FROM events e JOIN q USING (event_type)
+    """,
+)
+def x67_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization — clip each event's value to its type's
+    exact [p05, p95] band: the tail-taming rewrite feature pipelines
+    apply before aggregation when x66's diagnostics say the tails are
+    noise. One exact-percentile aggregate per group (broadcast-dim
+    joined back), then a pure projection — the fact table shuffles
+    never."""
+    e = table(spark, sf_dir, "events")
+    q = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("p05"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+    return e.join(F.broadcast(q), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(
+            F.when(F.col("value") < F.col("p05"), F.col("p05"))
+            .when(F.col("value") > F.col("p95"), F.col("p95"))
+            .otherwise(F.col("value")),
+            9,
+        ).alias("value_w"),
+        ((F.col("value") < F.col("p05")) | (F.col("value") > F.col("p95"))).alias(
+            "clipped"
+        ),
+    )
