@@ -5,7 +5,11 @@ at sf0.01, comparing each Spark result against its DuckDB oracle:
 row count, sorted column names, and an order-insensitive value hash with
 floats rounded to 9 dp — the same contract CORRECTNESS_r{N}.json records.
 
-Usage:  python scripts/driver_sim.py [first_n] [sf_dir]
+Usage:  python scripts/driver_sim.py [first_n] [sf_dir] [offset]
+
+`offset` skips that many registrations first — pre-flight NEXT round's
+window (the driver always takes the first 50, but future rounds re-seat
+the priority list; `offset 50` checks seats 51-100 today).
 """
 
 from __future__ import annotations
@@ -39,6 +43,7 @@ def _value_hash(pdf) -> str:
 def main() -> None:
     first_n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    offset = int(sys.argv[3]) if len(sys.argv) > 3 else 0
 
     spark = get_spark()
     qs, oracles = E.queries(), E.oracle_sql()
@@ -50,7 +55,7 @@ def main() -> None:
 
     results: dict[str, dict] = {}
     fails = 0
-    for name in list(qs)[:first_n]:
+    for name in list(qs)[offset : offset + first_n]:
         try:
             sdf = qs[name](spark, sf_dir)
             if sdf.isStreaming:
