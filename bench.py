@@ -129,6 +129,7 @@ HEADLINE = [
     "x66_mad_outliers",
     "x67_winsorize",
     "s24_schema_evolution",
+    "g09_qq_binned",
     # st13 (trending over the live rollup) is correctness-gated, not
     # benched: like st07/st09 its wall time is the micro-batch replay +
     # per-batch dynamic-partition-overwrite commits of the upsert

@@ -2434,3 +2434,73 @@ def s24_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_with_chars"),
         F.coalesce(F.sum("n_chars"), F.lit(0)).cast("long").alias("total_chars"),
     )
+
+
+@query(
+    "g09_qq_binned",
+    "X-gwas,A2,§2.5",
+    oracle=f"""
+    WITH {_ASSOC_SQL},
+    binned AS (
+      SELECT CAST(FLOOR(-log10(p) * 50) AS BIGINT) AS bin_id,
+             CAST(COUNT(*) AS BIGINT) AS n_variants
+      FROM assoc WHERE p > 0 GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n_variants) AS DOUBLE) AS n FROM binned),
+    cum AS (
+      SELECT bin_id, n_variants,
+             COALESCE(SUM(n_variants) OVER (
+               ORDER BY bin_id DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_more_significant
+      FROM binned
+    )
+    SELECT bin_id, (bin_id / 50.0) AS observed_nlp, n_variants,
+           ROUND(-log10((n_more_significant + (n_variants + 1) / 2.0)
+                        / (n + 1.0)), 9) AS expected_nlp
+    FROM cum CROSS JOIN tot
+    """,
+)
+def g09_qq_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QQ-plot points for the association scan — the genomic-inflation
+    diagnostic every GWAS report ships (gwasDB's Shiny plots run on
+    exactly this observed-vs-expected −log10 p data): variants binned at
+    0.02 resolution on observed −log10 p, each bin's expected quantile
+    from its midpoint rank −log10((r+½)/(n+1)). Scale: the only window
+    runs over the BIN relation (bounded by resolution × max −log10 p —
+    hundreds of rows at any corpus size), never over variants; the
+    per-variant work is one floor() projection plus a partial-agg'd
+    count; p = 0 rows (beyond float resolution) are excluded as every
+    QQ implementation does. Binning uses floor (not round): both engines floor the same
+    IEEE double identically."""
+    assoc = _synthetic_assoc(spark, sf_dir).filter(F.col("p") > 0)
+    binned = assoc.groupBy(
+        F.floor(-F.log10("p") * 50).cast("long").alias("bin_id")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_variants"))
+    tot = binned.agg(F.sum("n_variants").cast("double").alias("n"))
+    w = (
+        Window.orderBy(F.desc("bin_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        binned.withColumn(
+            "n_more_significant",
+            F.coalesce(F.sum("n_variants").over(w), F.lit(0)),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bin_id",
+            (F.col("bin_id") / F.lit(50.0)).alias("observed_nlp"),
+            "n_variants",
+            F.round(
+                -F.log10(
+                    (
+                        F.col("n_more_significant")
+                        + (F.col("n_variants") + 1) / F.lit(2.0)
+                    )
+                    / (F.col("n") + F.lit(1.0))
+                ),
+                9,
+            ).alias("expected_nlp"),
+        )
+    )
