@@ -130,6 +130,7 @@ HEADLINE = [
     "x67_winsorize",
     "s24_schema_evolution",
     "g09_qq_binned",
+    "mm06_binary_dedup",
     # st13 (trending over the live rollup) is correctness-gated, not
     # benched: like st07/st09 its wall time is the micro-batch replay +
     # per-batch dynamic-partition-overwrite commits of the upsert

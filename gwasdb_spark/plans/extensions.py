@@ -4641,3 +4641,49 @@ def x67_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "clipped"
         ),
     )
+
+
+@query(
+    "mm06_binary_dedup",
+    "X-multimodal,X-dedup",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 600000 AS doc_id, text
+      FROM documents WHERE doc_id % 11 = 0
+    )
+    SELECT md5(text) AS digest,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
+           CAST((COUNT(*) - 1) * MIN(octet_length(encode(text))) AS BIGINT)
+             AS bytes_saved
+    FROM corpus GROUP BY 1
+    """,
+)
+def mm06_binary_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed dedup of binary media payloads — the first pass
+    of every multimodal curation pipeline (identical images/audio enter
+    the corpus many times under different ids; byte-level hashing
+    removes them before any expensive decode). Runs on the binary table
+    (payload digests computed scan-side in to_binary_table); the
+    aggregate shuffles 16-byte digests, the payload bytes never leave
+    the scan. bytes_saved prices the dedup win per content."""
+    from gwasdb_spark.multimodal.binary import to_binary_table
+
+    d = table(spark, sf_dir, "documents")
+    # Re-submitted payloads under fresh ids: every run must exercise the
+    # duplicate branch, not just hash singletons.
+    corpus = d.unionByName(
+        d.filter(F.col("doc_id") % 11 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 600000
+        )
+    )
+    bt = to_binary_table(corpus)
+    return bt.groupBy("digest").agg(
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+        F.min("doc_id").cast("long").alias("keeper_id"),
+        ((F.count(F.lit(1)) - 1) * F.min("n_bytes")).cast("long").alias(
+            "bytes_saved"
+        ),
+    )
