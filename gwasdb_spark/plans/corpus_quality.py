@@ -654,3 +654,62 @@ def c04_corpus_refinery(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quality_prob",
         )
     )
+
+
+@query(
+    "x68_keyword_tfidf",
+    "X-text,X-search",
+    oracle=rf"""
+    WITH {_SQL_TOK},
+    tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok GROUP BY 1, 2
+    ),
+    df AS (
+      SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df_t
+      FROM tok GROUP BY 1
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM tok),
+    scored AS (
+      SELECT doc_id, token, tf,
+             tf * LN(n_docs / df_t) AS tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tf * LN(n_docs / df_t) DESC,
+                                         token) AS rk
+      FROM tf JOIN df USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tf, ROUND(tfidf, 9) AS tfidf,
+           CAST(rk AS BIGINT) AS rank
+    FROM scored WHERE rk <= 3
+    """,
+)
+def x68_keyword_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: the top-3 tf·idf terms of every
+    document — the corpus-exploration op behind tag clouds, topic
+    labeling, and near-dup triage (x21 answers "what is the corpus
+    about", this answers "what is THIS doc about"). Postings and df are
+    the same two partial-agg'd shuffles the BM25 family pays; scoring
+    constants ride as a broadcast 1-row aggregate; the rank window
+    partitions by document (no global sort)."""
+    from pyspark.sql.window import Window
+
+    from gwasdb_spark.operators.quality import positional_tokens
+
+    d = table(spark, sf_dir, "documents")
+    toks = positional_tokens(d, "doc_id", "text")
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dfr = toks.groupBy("token").agg(
+        F.count_distinct("doc_id").cast("long").alias("df_t")
+    )
+    n = toks.agg(F.count_distinct("doc_id").cast("double").alias("n_docs"))
+    tfidf = F.col("tf") * F.log(F.col("n_docs") / F.col("df_t"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc(tfidf), F.asc("token"))
+    return (
+        tf.join(dfr, "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "token", "tf", F.round(tfidf, 9).alias("tfidf"), "rank")
+    )
