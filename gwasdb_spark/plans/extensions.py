@@ -4222,10 +4222,15 @@ def x60_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     basket size squared, never |parts|²; counts shuffle (part, part)
     pairs; the order total rides as a broadcast 1-row constant; the
     head is a bounded TakeOrdered."""
+    # Lazy checkpoint: the distinct (order, part) relation feeds both
+    # pair sides, the per-part counts, and the order total — four
+    # consumers that would each rescan lineitem and re-shuffle the
+    # distinct.
     items = (
         table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     a = items.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
