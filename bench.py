@@ -132,6 +132,7 @@ HEADLINE = [
     "g09_qq_binned",
     "mm06_binary_dedup",
     "x68_keyword_tfidf",
+    "x69_rolling_distinct",
     # st13 (trending over the live rollup) is correctness-gated, not
     # benched: like st07/st09 its wall time is the micro-batch replay +
     # per-batch dynamic-partition-overwrite commits of the upsert

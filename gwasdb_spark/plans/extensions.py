@@ -4692,3 +4692,50 @@ def mm06_binary_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bytes_saved"
         ),
     )
+
+
+@query(
+    "x69_rolling_distinct",
+    "X-events,A2",
+    oracle="""
+    WITH daily AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM daily),
+    win AS (
+      SELECT dy.d AS window_day, da.user_id
+      FROM days dy JOIN daily da
+        ON da.d BETWEEN dy.d - INTERVAL 6 DAY AND dy.d
+    )
+    SELECT strftime(window_day, '%Y-%m-%d') AS window_day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active_7d
+    FROM win GROUP BY 1
+    """,
+)
+def x69_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day — the sliding
+    COUNT(DISTINCT) no window frame computes (distinct is not
+    decomposable over frames). Scale shape: each (user, day) pair
+    EXPLODES to the ≤7 window-days it contributes to, then one
+    partial-agg'd distinct count per window-day — input is the distinct
+    user-day relation (bounded by activity, not events), the fan-out is
+    the fixed window length, and there is no range join. The oracle
+    states the same set with the range join DuckDB plans well at test
+    scale."""
+    e = table(spark, sf_dir, "events")
+    daily = e.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    days = daily.select("d").distinct()
+    exploded = daily.withColumn(
+        "window_day", F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6)))
+    )
+    return (
+        exploded.join(
+            F.broadcast(days.select(F.col("d").alias("window_day"))),
+            "window_day",
+            "left_semi",
+        )
+        .groupBy(F.date_format("window_day", "yyyy-MM-dd").alias("window_day"))
+        .agg(F.count_distinct("user_id").cast("long").alias("n_active_7d"))
+    )
