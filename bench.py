@@ -133,6 +133,7 @@ HEADLINE = [
     "mm06_binary_dedup",
     "x68_keyword_tfidf",
     "x69_rolling_distinct",
+    "st15_session_durations",
     # st13 (trending over the live rollup) is correctness-gated, not
     # benched: like st07/st09 its wall time is the micro-batch replay +
     # per-batch dynamic-partition-overwrite commits of the upsert

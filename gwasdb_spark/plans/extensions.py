@@ -4739,3 +4739,68 @@ def x69_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_format("window_day", "yyyy-MM-dd").alias("window_day"))
         .agg(F.count_distinct("user_id").cast("long").alias("n_active_7d"))
     )
+
+
+@query(
+    "st15_session_durations",
+    "X-stream,§2.5",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY epoch_us(ts), event_id) AS prev_us
+      FROM events
+    ),
+    f AS (
+      SELECT user_id, event_id, ts_us,
+             CASE WHEN prev_us IS NULL
+                       OR ts_us - prev_us > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM g
+    ),
+    s AS (
+      SELECT user_id, event_id, ts_us,
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts_us, event_id) AS session_id
+      FROM f
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(ts_us) - MIN(ts_us) AS BIGINT) AS duration_us
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def st15_session_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-grain metrics — st02's sessionizer carried one step
+    further: the running sum of session-start flags numbers each user's
+    sessions, and the per-session aggregate yields event count and
+    duration (exact integer microseconds; single-event sessions are
+    duration 0). Both windows partition by user — parallel per user, no
+    global state; this is the batch shape of what the streaming
+    applyInPandasWithState sessionizer emits incrementally."""
+    e = table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(ts_us, F.col("event_id"))
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        ts_us.alias("ts_us"),
+        F.when(
+            F.lag(ts_us).over(w).isNull()
+            | ((ts_us - F.lag(ts_us).over(w)) > 1800 * 1_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return (
+        flagged.withColumn(
+            "session_id", F.sum("new_session").over(w2).cast("long")
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            (F.max("ts_us") - F.min("ts_us")).cast("long").alias("duration_us"),
+        )
+    )
