@@ -4804,3 +4804,52 @@ def st15_session_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("ts_us") - F.min("ts_us")).cast("long").alias("duration_us"),
         )
     )
+
+
+@query(
+    "x70_activity_streaks",
+    "X-events,§2.5",
+    oracle="""
+    WITH daily AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    grouped AS (
+      SELECT user_id, d,
+             date_diff('day', DATE '1970-01-01', d)
+               - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS grp
+      FROM daily
+    ),
+    streaks AS (
+      SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS streak_len
+      FROM grouped GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(SUM(streak_len) AS BIGINT) AS n_active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(MAX(streak_len) AS BIGINT) AS longest_streak
+    FROM streaks GROUP BY user_id
+    """,
+)
+def x70_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-day activity streaks per user — the gaps-and-islands
+    shape (day-number minus per-user row_number is constant within a
+    run of consecutive days). Input is the distinct user-day relation;
+    the only window partitions by user; two partial-agg'd rollups close
+    it out. The engagement metric behind every retention dashboard's
+    'streak' tile."""
+    e = table(spark, sf_dir, "events")
+    daily = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grouped = daily.withColumn(
+        "grp",
+        F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+        - F.row_number().over(w),
+    )
+    streaks = grouped.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("streak_len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.sum("streak_len").cast("long").alias("n_active_days"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        F.max("streak_len").cast("long").alias("longest_streak"),
+    )
