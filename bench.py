@@ -135,6 +135,7 @@ HEADLINE = [
     "x69_rolling_distinct",
     "st15_session_durations",
     "x70_activity_streaks",
+    "x71_cooccurrence_counts",
     # st13 (trending over the live rollup) is correctness-gated, not
     # benched: like st07/st09 its wall time is the micro-batch replay +
     # per-batch dynamic-partition-overwrite commits of the upsert

@@ -713,3 +713,61 @@ def x68_keyword_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("doc_id", "token", "tf", F.round(tfidf, 9).alias("tfidf"), "rank")
     )
+
+
+@query(
+    "x71_cooccurrence_counts",
+    "X-text",
+    oracle=rf"""
+    WITH {_SQL_TOK},
+    pairs AS (
+      SELECT LEAST(a.token, b.token) AS w1,
+             GREATEST(a.token, b.token) AS w2
+      FROM tok a JOIN tok b
+        ON a.doc_id = b.doc_id
+       AND b.pos > a.pos AND b.pos <= a.pos + 3
+       AND a.token != b.token
+    )
+    SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_cooc
+    FROM pairs GROUP BY 1, 2
+    ORDER BY n_cooc DESC, w1, w2 LIMIT 20
+    """,
+)
+def x71_cooccurrence_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed co-occurrence counts — the GloVe/word2vec context-matrix
+    builder: unordered term pairs within a ±3-token window, top-20 by
+    count (x51's PMI is the adjacent-bigram special case). No join at
+    all: three lead() columns over one per-doc window enumerate each
+    position's ≤3 successors (window × tokens rows, never per-doc
+    tokens²); counts shuffle (term, term) pairs, vocabulary²-bounded;
+    the head is a bounded TakeOrdered. The oracle states the same pair
+    set as the positional band self-join DuckDB plans well at test
+    scale."""
+    from pyspark.sql.window import Window
+
+    from gwasdb_spark.operators.quality import positional_tokens
+
+    d = table(spark, sf_dir, "documents")
+    toks = positional_tokens(d, "doc_id", "text")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    led = toks.select(
+        F.col("token").alias("ta"),
+        F.array(
+            F.lead("token", 1).over(w),
+            F.lead("token", 2).over(w),
+            F.lead("token", 3).over(w),
+        ).alias("succ"),
+    )
+    pairs = (
+        led.select("ta", F.explode("succ").alias("tb"))
+        .filter(F.col("tb").isNotNull() & (F.col("ta") != F.col("tb")))
+        .select(
+            F.least("ta", "tb").alias("w1"), F.greatest("ta", "tb").alias("w2")
+        )
+    )
+    return (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cooc"))
+        .orderBy(F.desc("n_cooc"), F.asc("w1"), F.asc("w2"))
+        .limit(20)
+    )
