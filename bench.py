@@ -136,6 +136,7 @@ HEADLINE = [
     "st15_session_durations",
     "x70_activity_streaks",
     "x71_cooccurrence_counts",
+    "s25_gzip_csv_roundtrip",
     # st13 (trending over the live rollup) is correctness-gated, not
     # benched: like st07/st09 its wall time is the micro-batch replay +
     # per-batch dynamic-partition-overwrite commits of the upsert

@@ -2504,3 +2504,45 @@ def g09_qq_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("expected_nlp"),
         )
     )
+
+
+@query(
+    "s25_gzip_csv_roundtrip",
+    "S8,S9,S-ext",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts
+    FROM documents GROUP BY lang
+    """,
+)
+def s25_gzip_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-CSV interchange: corpus → gzip CSV (quoted/escaped —
+    the texts are free-form) → typed read-back, digest-aggregated to
+    prove byte fidelity through compression, quoting, AND the codec
+    (s20/s21's check for the third interchange format). gzip CSV files
+    are NOT splittable — one task per file — so the writer controls
+    parallelism by file count (repartition(4)); at 100 TB prefer
+    splittable parquet/ORC or zstd-seekable framing, and size gzip
+    files to the task budget when the format is imposed."""
+    from gwasdb_spark.plans.helpers import stage_dir
+
+    d = table(spark, sf_dir, "documents")
+    out = stage_dir("docs_gzip_csv")
+    (
+        d.repartition(4)
+        .write.mode("overwrite")
+        .option("header", True)
+        .option("compression", "gzip")
+        .csv(out)
+    )
+    back = (
+        spark.read.option("header", True)
+        .schema("doc_id bigint, text string, lang string, source string, n_chars bigint")
+        .csv(out)
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.count_distinct(F.md5("text")).alias("n_distinct_texts"),
+    )
