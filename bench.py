@@ -137,6 +137,7 @@ HEADLINE = [
     "x70_activity_streaks",
     "x71_cooccurrence_counts",
     "s25_gzip_csv_roundtrip",
+    "g10_maf_spectrum",
     # st13 (trending over the live rollup) is correctness-gated, not
     # benched: like st07/st09 its wall time is the micro-batch replay +
     # per-batch dynamic-partition-overwrite commits of the upsert

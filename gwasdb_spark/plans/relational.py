@@ -2546,3 +2546,55 @@ def s25_gzip_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("total_chars"),
         F.count_distinct(F.md5("text")).alias("n_distinct_texts"),
     )
+
+
+@query(
+    "g10_maf_spectrum",
+    "X-gwas,F11,A2",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(l_quantity AS INTEGER) AS hom1, l_linenumber AS het,
+             l_suppkey % 7 AS hom2
+      FROM lineitem
+    ),
+    m AS (
+      SELECT (CAST(het AS DOUBLE) + 2 * CAST(hom1 AS DOUBLE))
+               / (2 * CAST(hom1 + het + hom2 AS DOUBLE)) AS maf
+      FROM g WHERE hom1 + het + hom2 > 0
+    ),
+    f AS (
+      SELECT CASE WHEN maf <= 0.5 THEN maf ELSE 1.0 - maf END AS folded
+      FROM m
+    )
+    SELECT CAST(FLOOR(folded * 20) AS BIGINT) AS maf_bin,
+           (CAST(FLOOR(folded * 20) AS BIGINT) / 20.0) AS bin_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_markers
+    FROM f GROUP BY 1
+    """,
+)
+def g10_maf_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Folded minor-allele-frequency spectrum — the site-frequency
+    histogram every GWAS QC report opens with (rare-variant load,
+    ascertainment bias, genotyping artifacts all show up here). f02's
+    native MAF expression, folded to [0, 0.5] and binned at 0.05
+    resolution: one scan-side projection + one bounded group-by (≤ 11
+    bins at any corpus size). Zero-depth genotypes are excluded in both
+    engines (no 0/0 division)."""
+    li = table(spark, sf_dir, "lineitem")
+    hom1 = F.col("l_quantity").cast("int").cast("double")
+    het = F.col("l_linenumber").cast("double")
+    hom2 = (F.col("l_suppkey") % 7).cast("double")
+    depth = hom1 + het + hom2
+    maf = (het + 2 * hom1) / (2 * depth)
+    folded = F.when(maf <= 0.5, maf).otherwise(1.0 - maf)
+    return (
+        li.filter(depth > 0)
+        .select(F.floor(folded * 20).cast("long").alias("maf_bin"))
+        .groupBy("maf_bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_markers"))
+        .select(
+            "maf_bin",
+            (F.col("maf_bin") / F.lit(20.0)).alias("bin_lo"),
+            "n_markers",
+        )
+    )
