@@ -138,6 +138,7 @@ HEADLINE = [
     "x71_cooccurrence_counts",
     "s25_gzip_csv_roundtrip",
     "g10_maf_spectrum",
+    "g11_hwe_chisq",
     # st13 (trending over the live rollup) is correctness-gated, not
     # benched: like st07/st09 its wall time is the micro-batch replay +
     # per-batch dynamic-partition-overwrite commits of the upsert

@@ -2598,3 +2598,73 @@ def g10_maf_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_markers",
         )
     )
+
+
+@query(
+    "g11_hwe_chisq",
+    "X-gwas,F11,P14",
+    oracle="""
+    WITH g AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(CAST(l_quantity AS INTEGER) AS DOUBLE) AS hom1,
+             CAST(l_linenumber AS DOUBLE) AS het,
+             CAST(l_suppkey % 7 AS DOUBLE) AS hom2
+      FROM lineitem
+    ),
+    f AS (
+      SELECT l_orderkey, l_linenumber, hom1, het, hom2,
+             hom1 + het + hom2 AS n,
+             (2 * hom1 + het) / (2 * (hom1 + het + hom2)) AS p
+      FROM g WHERE hom1 + het + hom2 > 0
+    ),
+    e AS (
+      SELECT l_orderkey, l_linenumber, hom1, het, hom2,
+             n * p * p AS e_hom1,
+             2 * n * p * (1 - p) AS e_het,
+             n * (1 - p) * (1 - p) AS e_hom2
+      FROM f WHERE p > 0 AND p < 1
+    )
+    SELECT l_orderkey, l_linenumber,
+           ROUND((hom1 - e_hom1) * (hom1 - e_hom1) / e_hom1
+                 + (het - e_het) * (het - e_het) / e_het
+                 + (hom2 - e_hom2) * (hom2 - e_hom2) / e_hom2, 9)
+             AS hwe_chisq,
+           ((hom1 - e_hom1) * (hom1 - e_hom1) / e_hom1
+            + (het - e_het) * (het - e_het) / e_het
+            + (hom2 - e_hom2) * (hom2 - e_hom2) / e_hom2) > 3.841
+             AS hwe_fail
+    FROM e
+    """,
+)
+def g11_hwe_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hardy-Weinberg equilibrium chi-square per marker — the canonical
+    genotyping-QC filter (plink --hwe; the reference's marker-QC stage
+    flags exactly this class of artifact): observed (hom1, het, hom2)
+    vs expectations from the allele frequency, 1-df chi-square, fail at
+    3.841 (p < 0.05). Pure scan-side arithmetic on f02's genotype
+    counts — zero shuffles; monomorphic markers (p ∈ {0,1}) are
+    excluded in both engines (their expected het count is 0)."""
+    li = table(spark, sf_dir, "lineitem")
+    hom1 = F.col("l_quantity").cast("int").cast("double")
+    het = F.col("l_linenumber").cast("double")
+    hom2 = (F.col("l_suppkey") % 7).cast("double")
+    n = hom1 + het + hom2
+    p = (2 * hom1 + het) / (2 * n)
+    e_hom1 = n * p * p
+    e_het = 2 * n * p * (1 - p)
+    e_hom2 = n * (1 - p) * (1 - p)
+    chi2 = (
+        (hom1 - e_hom1) * (hom1 - e_hom1) / e_hom1
+        + (het - e_het) * (het - e_het) / e_het
+        + (hom2 - e_hom2) * (hom2 - e_hom2) / e_hom2
+    )
+    return (
+        li.filter(n > 0)
+        .filter((p > 0) & (p < 1))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(chi2, 9).alias("hwe_chisq"),
+            (chi2 > 3.841).alias("hwe_fail"),
+        )
+    )
