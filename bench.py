@@ -139,6 +139,7 @@ HEADLINE = [
     "s25_gzip_csv_roundtrip",
     "g10_maf_spectrum",
     "g11_hwe_chisq",
+    "x72_cumulative_uniques",
     # st13 (trending over the live rollup) is correctness-gated, not
     # benched: like st07/st09 its wall time is the micro-batch replay +
     # per-batch dynamic-partition-overwrite commits of the upsert

@@ -4853,3 +4853,43 @@ def x70_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_streaks"),
         F.max("streak_len").cast("long").alias("longest_streak"),
     )
+
+
+@query(
+    "x72_cumulative_uniques",
+    "X-events,§2.5",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY user_id
+    ),
+    new_per_day AS (
+      SELECT first_day AS d, CAST(COUNT(*) AS BIGINT) AS n_new
+      FROM firsts GROUP BY 1
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day, n_new,
+           CAST(SUM(n_new) OVER (ORDER BY d) AS BIGINT) AS n_cumulative
+    FROM new_per_day
+    """,
+)
+def x72_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative unique users over time — the growth curve: each user
+    collapses to their first-seen day, new-user counts aggregate per
+    day, and the running total is a window over the DAY relation (one
+    row per active day — bounded by calendar time, not users or
+    events). The expanding-distinct that a naive per-day
+    COUNT(DISTINCT user) over growing windows recomputes quadratically
+    falls out of one first-seen aggregation here."""
+    e = table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("d")
+    )
+    per_day = firsts.groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("n_new")
+    )
+    w = Window.orderBy("d")
+    return per_day.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "n_new",
+        F.sum("n_new").over(w).cast("long").alias("n_cumulative"),
+    )
