@@ -140,6 +140,7 @@ HEADLINE = [
     "g10_maf_spectrum",
     "g11_hwe_chisq",
     "x72_cumulative_uniques",
+    "j11_nullsafe_join",
     # st13 (trending over the live rollup) is correctness-gated, not
     # benched: like st07/st09 its wall time is the micro-batch replay +
     # per-batch dynamic-partition-overwrite commits of the upsert

@@ -4893,3 +4893,48 @@ def x72_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_new",
         F.sum("n_new").over(w).cast("long").alias("n_cumulative"),
     )
+
+
+@query(
+    "j11_nullsafe_join",
+    "J-ext,§2.3",
+    oracle="""
+    WITH keyed AS (
+      SELECT event_id,
+             NULLIF(CAST(json_extract_string(props, '$.k') AS BIGINT) % 5, 4)
+               AS bucket
+      FROM events
+    ),
+    dim(bucket, label) AS (
+      VALUES (0, 'alpha'), (1, 'beta'), (2, 'gamma'), (3, 'delta'),
+             (NULL, 'unclassified')
+    )
+    SELECT d.label, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM keyed k JOIN dim d ON k.bucket IS NOT DISTINCT FROM d.bucket
+    GROUP BY d.label
+    """,
+)
+def j11_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM) — the join
+    semantics a plain `=` silently breaks: a nullable classification key
+    (here a JSON-extracted bucket where residue 4 maps to NULL) must
+    still match its dimension's NULL row instead of dropping. Spark
+    plans `<=>` as a hash join (null-safe keys hash like values), so
+    the dim broadcasts exactly as with `=` — semantics change, plan
+    shape does not."""
+    e = table(spark, sf_dir, "events")
+    keyed = e.select(
+        "event_id",
+        F.nullif(
+            F.get_json_object("props", "$.k").cast("long") % 5, F.lit(4)
+        ).alias("bucket"),
+    )
+    dim = spark.createDataFrame(
+        [(0, "alpha"), (1, "beta"), (2, "gamma"), (3, "delta"), (None, "unclassified")],
+        "bucket bigint, label string",
+    )
+    return (
+        keyed.join(F.broadcast(dim), keyed["bucket"].eqNullSafe(dim["bucket"]))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
