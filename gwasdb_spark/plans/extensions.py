@@ -4938,3 +4938,51 @@ def j11_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
     )
+
+
+@query(
+    "x73_langid_confusion",
+    "X-text,X-quality",
+    oracle=r"""
+    WITH s AS (
+      SELECT doc_id, lang,
+        CAST(len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|ein|nicht|mit)\b')) AS BIGINT) AS score_de,
+        CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is|that)\b')) AS BIGINT) AS score_en,
+        CAST(len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|un|es)\b')) AS BIGINT) AS score_es,
+        CAST(len(regexp_extract_all(lower(text), '\b(le|la|de|et|un|est|que|pour)\b')) AS BIGINT) AS score_fr
+      FROM documents
+    ),
+    pred AS (
+      SELECT lang AS labeled,
+           CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+                WHEN score_de >= score_en AND score_de >= score_es
+                     AND score_de >= score_fr THEN 'de'
+                WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
+                WHEN score_es >= score_fr THEN 'es'
+                ELSE 'fr' END AS detected
+      FROM s
+    )
+    SELECT labeled, detected, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           labeled = detected AS agree
+    FROM pred GROUP BY labeled, detected
+    """,
+)
+def x73_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion census — the detector-quality audit a lang
+    gate needs before anyone trusts it: x07's stopword-argmax detector
+    against the corpus' labeled `lang` column, counted per (labeled,
+    detected) cell. Pure scan-side scoring + one tiny group-by (cells ≤
+    |langs|²); the `agree` flag makes the diagonal trivially
+    filterable."""
+    from gwasdb_spark.functions import text as TX
+
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.col("lang").alias("labeled"),
+            TX.lang_id(F.col("text")).alias("detected"),
+        )
+        .groupBy("labeled", "detected")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .withColumn("agree", F.col("labeled") == F.col("detected"))
+    )
