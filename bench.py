@@ -142,6 +142,7 @@ HEADLINE = [
     "x72_cumulative_uniques",
     "j11_nullsafe_join",
     "x73_langid_confusion",
+    "w10_first_last_value",
     # st13 (trending over the live rollup) is correctness-gated, not
     # benched: like st07/st09 its wall time is the micro-batch replay +
     # per-batch dynamic-partition-overwrite commits of the upsert

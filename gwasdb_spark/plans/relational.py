@@ -2668,3 +2668,60 @@ def g11_hwe_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
             (chi2 > 3.841).alias("hwe_fail"),
         )
     )
+
+
+@query(
+    "w10_first_last_value",
+    "§2.5-ext",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, event_id, event_type, value,
+             FIRST_VALUE(event_type) OVER uw AS first_type,
+             LAST_VALUE(event_type) OVER uw AS last_type,
+             FIRST_VALUE(value) OVER uw AS first_value,
+             LAST_VALUE(value) OVER uw AS last_value
+      FROM events
+      WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, first_type, last_type,
+           ROUND(last_value - first_value, 9) AS value_drift,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM w
+    GROUP BY user_id, first_type, last_type,
+             ROUND(last_value - first_value, 9)
+    """,
+)
+def w10_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST_VALUE/LAST_VALUE window frames — the entry/exit shape
+    (first touch vs last touch attribution, value drift over a user's
+    history). The frame must be explicitly UNBOUNDED FOLLOWING: the
+    default frame stops at CURRENT ROW, where LAST_VALUE degenerates to
+    the row itself — the classic window-frame trap, pinned here on both
+    engines. One per-user window + a group-by that collapses each user
+    to one row."""
+    e = table(spark, sf_dir, "events")
+    uw = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w = e.select(
+        "user_id",
+        F.first("event_type").over(uw).alias("first_type"),
+        F.last("event_type").over(uw).alias("last_type"),
+        F.first("value").over(uw).alias("first_value"),
+        F.last("value").over(uw).alias("last_value"),
+    )
+    return (
+        w.groupBy(
+            "user_id",
+            "first_type",
+            "last_type",
+            F.round(F.col("last_value") - F.col("first_value"), 9).alias(
+                "value_drift"
+            ),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
