@@ -184,60 +184,83 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 50,
     stats: dict | None = None,
-    small_graph_threshold: int = 2_000_000,
+    small_graph_threshold: int = 500_000,
 ) -> DataFrame:
     """Size-adaptive CC entry point — the same physical-strategy-by-size
     decision Catalyst makes for broadcast vs shuffle joins, applied to
     the iterative algorithm:
 
-    - edge sets ≤ `small_graph_threshold` (16-byte rows → ≤ ~32 MB
-      driver memory at the default) resolve with a driver union-find:
-      one collect, zero iteration rounds. Near-dup pair graphs are
+    - edge sets ≤ `small_graph_threshold` with integral ids resolve with
+      a driver union-find over an Arrow-collected edge table: one
+      toPandas (two int64 numpy columns — a real 16 bytes/row, ~8 MB at
+      the 500k default; NOT Python Row objects, whose per-object
+      overhead is ~20× that) plus an int64 parent array over the ≤ 2·|E|
+      distinct nodes, zero iteration rounds. Near-dup pair graphs are
       usually far below this bound AFTER thresholding even when the
       corpus is 100 TB — paying 6 × ~5-stage distributed rounds to
       label a few thousand edges is pure scheduling overhead.
-    - larger edge sets run the O(log n)-round star algorithm unchanged.
+    - larger edge sets — and ANY non-integral id type (string ids etc.),
+      which the star path handles for free since it only needs an
+      ordering — run the O(log n)-round star algorithm unchanged.
 
     Both paths emit identical labels (component = min reachable id;
-    equivalence pinned in tests/test_graph.py). Pass
+    equivalence pinned in tests/test_graph.py), and the driver path
+    preserves the input id type in its output schema. Pass
     `small_graph_threshold=0` to force the distributed path."""
+    import numpy as np
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
     e = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=False)
     )
+    id_type = e.schema["u"].dataType
+    integral = isinstance(id_type, (ByteType, ShortType, IntegerType, LongType))
     n_edges = e.count()
-    if n_edges > small_graph_threshold:
+    if n_edges > small_graph_threshold or not integral:
         if stats is not None:
             stats["path"] = "star"
         return connected_components_star(e, "u", "v", max_iter, stats)
 
-    # Bounded by contract: ≤ threshold edges collected once.
-    parent: dict[int, int] = {}
+    # Bounded by contract: ≤ threshold edges, Arrow-collected once into
+    # two int64 columns. Node ids are compressed to dense indices via a
+    # sorted-unique table; union-by-min keeps every root the minimum id
+    # of its tree (ascending node order makes index order = id order).
+    pdf = e.toPandas()
+    u = pdf["u"].to_numpy(dtype=np.int64, copy=False)
+    v = pdf["v"].to_numpy(dtype=np.int64, copy=False)
+    nodes = np.unique(np.concatenate([u, v]))
+    iu = np.searchsorted(nodes, u)
+    iv = np.searchsorted(nodes, v)
+    parent = np.arange(len(nodes), dtype=np.int64)
 
-    def find(x: int) -> int:
+    def _find(x: int) -> int:
         r = x
         while parent[r] != r:
             r = parent[r]
         while parent[x] != r:  # path compression
-            parent[x], x = r, parent[x]
+            nxt = int(parent[x])
+            parent[x] = r
+            x = nxt
         return r
 
-    for row in e.collect():
-        u, v = row[0], row[1]
-        parent.setdefault(u, u)
-        parent.setdefault(v, v)
-        ru, rv = find(u), find(v)
-        if ru != rv:
-            parent[max(ru, rv)] = min(ru, rv)
+    for a, b in zip(iu.tolist(), iv.tolist()):
+        ra, rb = _find(a), _find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
 
-    labels = [(node, find(node)) for node in parent]
+    roots = np.array([_find(i) for i in range(len(nodes))], dtype=np.int64)
+    import pandas as pd
+
+    out = pd.DataFrame({"id": nodes, "component": nodes[roots]})
     if stats is not None:
         stats["path"] = "driver-unionfind"
         stats["iterations"] = 0
+    spark_type = id_type.simpleString()
     return pairs.sparkSession.createDataFrame(
-        labels, "id bigint, component bigint"
+        out, f"id {spark_type}, component {spark_type}"
     )
 
 

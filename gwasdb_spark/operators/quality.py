@@ -321,15 +321,21 @@ def span_dedup(
     every span was boilerplate). Token-less documents are absent, as in
     every tokenizing oracle.
 
-    Scale: the occurrence count groups by xxhash64(span) — the shuffle
-    carries 8-byte digests, not span text; the keep-flag returns via an
-    equi-join on the same digest (co-partitioned with the count, no
-    second wide exchange of text). Reassembly is one per-document
-    aggregate whose memory bound is a single document — the same bound
-    the reader already pays. The global duplicate-span set is never
-    collected or broadcast: at 100 TB the hot spans (the whole point of
-    the pass) would overflow any broadcast, so both sides stay
-    distributed.
+    Scale: the occurrence count groups by (xxhash64(span), span_text) —
+    the digest leads the key so partitioning and sort comparisons run on
+    8 bytes, but TEXT EQUALITY decides the group: a 64-bit collision
+    (statistically expected around the ~4B-span birthday bound, i.e.
+    guaranteed at 100 TB) merges nothing and can never drop clean text.
+    The keep-flag returns via an equi-join on the same composite key
+    (co-partitioned with the count). The marginal shuffle cost over a
+    digest-only key is the span text itself (~tens of bytes for a
+    3-word span) — spans already travel through the reassembly exchange,
+    so the pass stays one order of magnitude below shuffling documents.
+    Reassembly is one per-document aggregate whose memory bound is a
+    single document — the same bound the reader already pays. The global
+    duplicate-span set is never collected or broadcast: at 100 TB the
+    hot spans (the whole point of the pass) would overflow any
+    broadcast, so both sides stay distributed.
     """
     toks = positional_tokens(df, id_col, text_col)
     spans = (
@@ -346,8 +352,10 @@ def span_dedup(
         )
         .withColumn("span_h", F.xxhash64("span_text"))
     )
-    occ = spans.groupBy("span_h").agg(F.count(F.lit(1)).alias("n_occ"))
-    flagged = spans.join(occ, "span_h").withColumn(
+    occ = spans.groupBy("span_h", "span_text").agg(
+        F.count(F.lit(1)).alias("n_occ")
+    )
+    flagged = spans.join(occ, ["span_h", "span_text"]).withColumn(
         "keep", F.col("n_occ") <= F.lit(int(max_occ))
     )
     return flagged.groupBy(id_col).agg(

@@ -38,6 +38,30 @@ K1 = 1.2
 B = 0.75
 
 
+def _rank_topk(scored: DataFrame, id_col: str, k: int, score_col: str = "score") -> DataFrame:
+    """TakeOrdered-then-rank for the final (doc, score) → (id, score, rank)
+    step, shared by every BM25 path.
+
+    `.orderBy(desc(score), asc(doc)).limit(k)` compiles to
+    TakeOrderedAndProject — each task keeps a k-row heap and the driver
+    merges k-row heads — so no task ever holds more than k rows even when
+    a common query term matches a corpus-sized candidate set. The
+    row_number window that assigns ranks then runs over the BOUNDED k-row
+    survivor relation (allowlisted in the global-window audit). Ranking
+    the full candidate set through one unpartitioned window, the previous
+    shape, was a single-task sort of everything matching ≥1 term — fine
+    at sf0.1, a scale-killer at 100 TB.
+
+    Output is bit-identical to ranking-then-filtering: (score desc, doc
+    asc) is a total order because `scored` is doc-grain, so the k
+    survivors and their ranks are the same rows in the same order."""
+    topk = scored.orderBy(F.desc(score_col), F.asc("doc")).limit(k)
+    w = Window.orderBy(F.desc(score_col), F.asc("doc"))
+    return topk.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        F.col("doc").alias(id_col), F.round(score_col, 6).alias(score_col), "rank"
+    )
+
+
 def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(doc, pos, term) positional tokens. Positions are split-array
     indices: empty tokens (leading delimiter) keep their slot, so
@@ -217,12 +241,7 @@ def bm25_topk(
             ).alias("score"),
             "__n_matched",
         )
-    w = Window.orderBy(F.desc("score"), F.asc("doc"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select(F.col("doc").alias(id_col), F.round("score", 6).alias("score"), "rank")
-    )
+    return _rank_topk(scored, id_col, k)
 
 
 def bm25f_topk(
@@ -291,12 +310,7 @@ def bm25f_topk(
         .groupBy("doc")
         .agg(F.sum("term_score").alias("score"))
     )
-    w = Window.orderBy(F.desc("score"), F.asc("doc"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select(F.col("doc").alias(id_col), F.round("score", 6).alias("score"), "rank")
-    )
+    return _rank_topk(scored, id_col, k)
 
 
 def rrf_fuse(
@@ -310,7 +324,11 @@ def rrf_fuse(
     absent from a list contribute nothing). Inputs are already top-k'ed
     candidate lists (bounded), so the union + one hash aggregate is tiny
     regardless of corpus size; the heavy lifting stayed in the upstream
-    retrievers. Deterministic id tiebreak."""
+    retrievers. The final unpartitioned rank window is therefore over a
+    ≤ Σ|list_i|-row relation by construction — allowlisted in the
+    global-window audit (tests/test_plan_shape.py), unlike the former
+    BM25 full-candidate rank this module no longer contains.
+    Deterministic id tiebreak."""
     if not rankings:
         raise ValueError("rrf_fuse needs at least one ranking")
     parts = [
@@ -404,12 +422,7 @@ def bm25_topk_indexed(
         .groupBy("doc")
         .agg(F.sum(term_score).alias("score"))
     )
-    w = Window.orderBy(F.desc("score"), F.asc("doc"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select(F.col("doc").alias(id_col), F.round("score", 6).alias("score"), "rank")
-    )
+    return _rank_topk(scored, id_col, k)
 
 
 def update_text_index(
@@ -435,8 +448,30 @@ def update_text_index(
     the union of segments. Periodic re-`build_text_index` compacts
     accumulated deltas back to few wide segments (the merge policy knob).
     The two consts scalars are driver-read by design: index maintenance
-    is a write job, and both are single-row reads."""
+    is a write job, and both are single-row reads.
+
+    Idempotency: the batch is anti-joined against the index's existing
+    doclen doc ids before anything is written, so re-running a batch
+    (retry after a failed job, at-least-once upstream delivery) is a
+    no-op instead of double-appending postings/doclen and inflating
+    n_docs. The anti-join is doc-grain (reads only the skinny doclen
+    relation), cost ∝ |index docs|, not corpus text. Docs whose text
+    tokenizes to nothing leave no doclen row and are therefore not
+    retry-deduplicated — they also contribute no postings, so only the
+    n_docs scalar could drift on a retry containing such docs.
+
+    Durability: the commit is NOT atomic — a crash between the
+    postings/doclen appends and the consts overwrite leaves stale
+    n_docs/avgdl (scores mildly off until the next successful update or
+    compaction, never missing/duplicate postings for previously
+    committed batches). An ACID table format (Delta/Iceberg — jar absent
+    in this container, see ROADMAP) is the real fix; the layout is shaped
+    so the swap is mechanical."""
     spark = df_new.sparkSession
+    existing = spark.read.parquet(f"{index_dir}/doclen").select(
+        F.col("doc").alias(id_col)
+    )
+    df_new = df_new.join(existing, id_col, "left_anti").localCheckpoint(eager=False)
     postings = _term_postings(df_new, id_col, text_col)
     doclen = postings.groupBy("doc").agg(F.sum("tf").alias("dl"))
     (

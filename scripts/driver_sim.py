@@ -6,10 +6,13 @@ row count, sorted column names, and an order-insensitive value hash with
 floats rounded to 9 dp — the same contract CORRECTNESS_r{N}.json records.
 
 Usage:  python scripts/driver_sim.py [first_n] [sf_dir] [offset]
+        python scripts/driver_sim.py names <q1> <q2> ...   # targeted
 
 `offset` skips that many registrations first — pre-flight NEXT round's
 window (the driver always takes the first 50, but future rounds re-seat
-the priority list; `offset 50` checks seats 51-100 today).
+the priority list; `offset 50` checks seats 51-100 today). `names` mode
+checks exactly the listed queries (default sf0.01) — the fast loop when
+iterating on one operator.
 """
 
 from __future__ import annotations
@@ -41,9 +44,14 @@ def _value_hash(pdf) -> str:
 
 
 def main() -> None:
-    first_n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
-    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
-    offset = int(sys.argv[3]) if len(sys.argv) > 3 else 0
+    explicit_names: list[str] | None = None
+    if len(sys.argv) > 1 and sys.argv[1] == "names":
+        explicit_names = sys.argv[2:]
+        first_n, sf_dir, offset = len(explicit_names), "/root/testdata/sf0.01", 0
+    else:
+        first_n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+        sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+        offset = int(sys.argv[3]) if len(sys.argv) > 3 else 0
 
     spark = get_spark()
     qs, oracles = E.queries(), E.oracle_sql()
@@ -55,7 +63,8 @@ def main() -> None:
 
     results: dict[str, dict] = {}
     fails = 0
-    for name in list(qs)[offset : offset + first_n]:
+    for name in (explicit_names if explicit_names is not None
+                 else list(qs)[offset : offset + first_n]):
         try:
             sdf = qs[name](spark, sf_dir)
             if sdf.isStreaming:

@@ -225,13 +225,18 @@ def test_snapshot_diff_shuffles_digests_not_text(spark):
 
 
 def test_span_dedup_occurrence_count_groups_by_digest(spark):
-    """x54's corpus-frequency count must aggregate on the xxhash64 span
-    digest (8-byte keys), not on span text."""
+    """x54's corpus-frequency count must aggregate on (span_h, span_text)
+    with the xxhash64 digest LEADING the key — 8-byte partitioning/sort
+    comparisons — while text equality decides the group (64-bit
+    collisions merge nothing; see span_dedup docstring)."""
     plan = _optimized(spark, "x54_span_dedup")
     agg_lines = [ln for ln in plan.splitlines() if "Aggregate [" in ln]
-    assert any(
-        ln.split("Aggregate [", 1)[1].startswith("span_h") for ln in agg_lines
-    ), agg_lines
+    occ = [
+        ln.split("Aggregate [", 1)[1]
+        for ln in agg_lines
+        if ln.split("Aggregate [", 1)[1].startswith("span_h")
+    ]
+    assert occ and any("span_text" in ln for ln in occ), agg_lines
 
 
 def test_copurchase_joins_are_equi_not_cartesian(spark):

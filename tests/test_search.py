@@ -193,3 +193,12 @@ def test_update_text_index_equals_full_rebuild(spark, tmp_path):
     got = bm25_topk_indexed(spark, incr_idx, ["hash", "join"], k=6).collect()
 
     assert [r.asDict() for r in got] == [r.asDict() for r in want]
+
+    # Idempotency: replaying an already-applied batch (at-least-once
+    # delivery / retry after failure) must be a no-op — no double-counted
+    # postings, no inflated n_docs.
+    update_text_index(df.filter("doc_id in (3, 4)"), incr_idx)
+    replayed = bm25_topk_indexed(spark, incr_idx, ["hash", "join"], k=6).collect()
+    assert [r.asDict() for r in replayed] == [r.asDict() for r in want]
+    consts = spark.read.parquet(f"{incr_idx}/consts").collect()[0]
+    assert consts["n_docs"] == 6.0
