@@ -199,3 +199,97 @@ def length_bucketed_batches(
     return ranked.join(stats, "batch_id").select(
         "id", "n_tokens", "batch_id", "batch_max_tokens", "batch_padding"
     )
+
+
+def global_row_number(
+    df: DataFrame,
+    order_by: list[Column],
+    rank_col: str = "rk",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global 1-based row number under `order_by` WITHOUT a
+    single-task window — the distributed replacement for
+    ``row_number().over(Window.orderBy(...))`` when the input is
+    unbounded.
+
+    Physical shape: one range exchange on the sort key (every partition
+    holds a contiguous key range, sorted within), then
+    `monotonically_increasing_id` — contiguous per partition by
+    construction — gives each row its 0-based in-partition position via
+    ``mid - min(mid)``. Per-partition (count, min_mid) stats are a
+    #partitions-row relation; their cumulative sum (the only
+    unpartitioned window, bounded by the partition count — audit
+    allowlist) yields each partition's global offset, broadcast-joined
+    back. rank = offset + in-partition position + 1.
+
+    Exactness does NOT depend on where the range sampler places the
+    boundaries: any boundary split of a totally ordered stream plus
+    per-partition offsets reproduces the same global order. `order_by`
+    must therefore be a TOTAL order (include a unique id tiebreak) —
+    with ties straddling a boundary the rank would still be a valid
+    row_number, but not deterministic across runs."""
+    nparts = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"
+    )
+    ranged = (
+        df.repartitionByRange(int(nparts), *order_by)
+        .sortWithinPartitions(*order_by)
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)  # pin mid/pid; feeds stats AND result
+    )
+    stats = ranged.groupBy("__pid").agg(
+        F.count(F.lit(1)).alias("__n"), F.min("__mid").alias("__min_mid")
+    )
+    prior = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow - 1
+    )
+    offsets = stats.select(
+        "__pid",
+        "__min_mid",
+        F.coalesce(F.sum("__n").over(prior), F.lit(0)).alias("__offset"),
+    )
+    return (
+        ranged.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            rank_col,
+            (F.col("__offset") + (F.col("__mid") - F.col("__min_mid")) + 1).cast(
+                "long"
+            ),
+        )
+        .drop("__mid", "__pid", "__min_mid", "__offset", "__n")
+    )
+
+
+def exact_ntile(
+    df: DataFrame,
+    n: int,
+    order_by: list[Column],
+    tile_col: str = "tile",
+) -> DataFrame:
+    """Exact SQL NTILE(n) under `order_by`, distributed — same bucket
+    boundaries as the standard window function (first ``N mod n`` tiles
+    get ``ceil(N/n)`` rows, the rest ``floor(N/n)``) but computed from
+    `global_row_number` plus arithmetic, so the corpus never funnels
+    through one task. N rides in-plan as a broadcast 1-row aggregate.
+    `order_by` must be a total order (see global_row_number)."""
+    ranked = global_row_number(df, order_by, rank_col="__rk")
+    total = ranked.agg(F.count(F.lit(1)).alias("__N"))
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn("__q", F.expr(f"__N div {int(n)}"))
+        .withColumn("__m", F.expr(f"__N % {int(n)}"))
+        .withColumn(
+            tile_col,
+            F.when(
+                F.col("__rk") <= F.col("__m") * (F.col("__q") + 1),
+                F.expr("(__rk - 1) div (__q + 1) + 1"),
+            )
+            .otherwise(
+                F.col("__m")
+                + F.expr("(__rk - __m * (__q + 1) - 1) div __q + 1")
+            )
+            .cast("int"),
+        )
+        .drop("__rk", "__N", "__q", "__m")
+    )

@@ -414,19 +414,22 @@ def x41_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     count as the quality proxy, best first) and emit a deterministic
     training order — banded curriculum with content-addressed shuffling
     inside each band (md5 order, so the 'random' order is reproducible
-    on any engine). Two-level global rank: per-band row_number + offsets
-    over the 4 band sizes (no single-task window over documents; the
-    ntile banding itself is over (n_tokens, id) — at true scale replace
-    with percentile cuts to avoid its global sort)."""
+    on any engine). Fully distributed: the banding is
+    operators/sampling.py exact_ntile (range-exchange two-level global
+    rank + NTILE arithmetic — bit-identical to SQL NTILE, no
+    corpus-sized unpartitioned window), and the final global rank is
+    per-band row_number + offsets over the 4 band sizes. The banded
+    relation is checkpointed once — it feeds both the in-band ranking
+    and the band-size aggregate."""
     from gwasdb_spark.functions import text as TX
+    from gwasdb_spark.operators.sampling import exact_ntile
     from pyspark.sql.window import Window as W
 
     d = table(spark, sf_dir, "documents")
     q = d.select("doc_id", TX.n_tokens_ws(F.col("text")).cast("long").alias("n_tokens"))
-    banded = q.withColumn(
-        "band",
-        F.ntile(4).over(W.orderBy(F.desc("n_tokens"), F.asc("doc_id"))),
-    )
+    banded = exact_ntile(
+        q, 4, [F.desc("n_tokens"), F.asc("doc_id")], tile_col="band"
+    ).localCheckpoint(eager=False)
     in_band = W.partitionBy("band").orderBy(
         F.md5(F.col("doc_id").cast("string").cast("binary")), F.asc("doc_id")
     )

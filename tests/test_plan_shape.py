@@ -244,3 +244,97 @@ def test_copurchase_joins_are_equi_not_cartesian(spark):
     never a parts×parts cartesian."""
     plan = _plan(spark, "x60_copurchase_lift")
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Global-window audit (VERDICT r4 #4): an unpartitioned ordered Window is a
+# single-task sort of its whole input — legitimate ONLY over relations that
+# are bounded by construction. This walks every registered query's executed
+# plan and fails on any site not in the documented allowlist, turning the
+# BM25-top-k class of scale defect into a regression guard.
+# ---------------------------------------------------------------------------
+
+def _bracket_groups(s: str) -> list[str]:
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "[":
+            if depth == 0:
+                cur = []
+            else:
+                cur.append(ch)
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                out.append("".join(cur))
+            else:
+                cur.append(ch)
+        elif depth > 0:
+            cur.append(ch)
+    return out
+
+
+def _unpartitioned_ordered_windows(plan: str) -> list[str]:
+    hits = []
+    for ln in plan.splitlines():
+        stripped = ln.lstrip(" :+-*")
+        if stripped.startswith("Window ["):
+            g = _bracket_groups(stripped[len("Window "):])
+            if len(g) >= 3:
+                continue  # [exprs], [partition spec], [order spec]
+            if len(g) == 2 and not (" ASC" in g[1] or " DESC" in g[1]):
+                continue  # [exprs], [partition spec] — partitioned, unordered
+            hits.append(stripped[:160])
+    return hits
+
+
+# query -> (max allowed unpartitioned ordered Window nodes, bounded-input
+# reason). Anything not listed here gets ZERO.
+GLOBAL_WINDOW_ALLOWLIST = {
+    # BM25 family: rank window runs over the k survivors of
+    # orderBy().limit(k) (TakeOrderedAndProject) — operators/search.py
+    # _rank_topk.
+    "x12_bm25_search": (1, "k-row TakeOrdered survivors"),
+    "x12b_bm25_and": (1, "k-row TakeOrdered survivors"),
+    "x12c_bm25_phrase": (1, "k-row TakeOrdered survivors"),
+    "x12d_bm25_boosted": (1, "k-row TakeOrdered survivors"),
+    "x12e_bm25_multiphrase": (1, "k-row TakeOrdered survivors"),
+    "x12f_bm25_proximity": (1, "k-row TakeOrdered survivors"),
+    "x12g_bm25_indexed": (1, "k-row TakeOrdered survivors"),
+    "x12h_bm25_fielded": (1, "k-row TakeOrdered survivors"),
+    "x62_bm25_index_update": (1, "k-row TakeOrdered survivors"),
+    # RRF: union of already-bounded top-k candidate lists + one bounded
+    # retriever rank (operators/search.py rrf_fuse docstring).
+    "x32_hybrid_rrf": (2, "bounded top-k candidate lists"),
+    # Two-level cumsums: the global window sees per-bucket/per-partition
+    # TOTALS, never documents (operators/sampling.py module docstring).
+    "x17_pack_chunks": (1, "bucket totals (#buckets rows)"),
+    "c02_training_mix": (1, "bucket totals (#buckets rows)"),
+    "x38_length_bucketing": (2, "distinct sequence lengths"),
+    "x41_curriculum_order": (2, "partition stats + 4 band sizes"),
+    # Small-by-construction relations.
+    "w03_auto_increment": (1, "distinct segments"),
+    "g08_binned_lead_snp": (1, "genomic bins"),
+    "g09_qq_binned": (1, "QQ bins"),
+    "x72_cumulative_uniques": (1, "distinct days"),
+    # Vocabulary heads: rank runs AFTER the top-k limit
+    # (operators/vocab.py TakeOrdered-then-rank).
+    "x22_vocabulary": (1, "top-k vocab head"),
+    "x33_bpe_pair_counts": (1, "top-k pair head"),
+}
+
+
+def test_global_window_audit(spark):
+    violations = {}
+    for name, q in QUERIES.items():
+        df = q.fn(spark, SF_DIR)
+        hits = _unpartitioned_ordered_windows(
+            df._jdf.queryExecution().executedPlan().toString()
+        )
+        allowed = GLOBAL_WINDOW_ALLOWLIST.get(name, (0, ""))[0]
+        if len(hits) > allowed:
+            violations[name] = hits
+    assert not violations, (
+        "unpartitioned ordered Window over a potentially unbounded input "
+        f"(add to allowlist ONLY with a bounded-input proof): {violations}"
+    )
