@@ -45,6 +45,12 @@ def fuzzy_join_blocked(
     cross-scan (the blocking guarantee covers probes of length
     > max_dist·Q + Q − 1; shorter probes take the exact-scan branch).
 
+    This is the DEFAULT fuzzy-match path at scale — f06_fuzzy_match's
+    single linear levenshtein pass is the baseline twin (fine for a
+    handful of probes over an already-scanned table, wrong once the
+    table or probe set grows); the pairing mirrors g04 indexed vs g05
+    full-scan marker probes.
+
     Returns probes' columns + table's columns + `dist`."""
     min_block_len = max_dist * Q + Q - 1 + 1  # first SAFE length (9 for d=2,q=3)
     long_p = probes.filter(F.length(probe_col) >= min_block_len)

@@ -1551,9 +1551,15 @@ def f06_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a user typing rs12345 with a transposed digit still lands,
     gwasDB/app.R:97's textInput has no autocomplete). Physical shape: the
     probe list broadcasts, the table streams once through a codegen'd
-    levenshtein — linear in the table, never table×table. At 100 TB the
-    upgrade is a q-gram/trigram prefilter join before the exact distance;
-    at probe-list grain this single pass is the right plan."""
+    levenshtein — linear in the table, never table×table.
+
+    SCALE ROUTING: this is the documented linear-scan BASELINE. The
+    default recommendation at scale is `f08_fuzzy_match_blocked`
+    (operators/fuzzy.py fuzzy_join_blocked): trigram q-gram blocking
+    prunes candidates before the exact distance, the same
+    indexed-vs-full-scan pairing as g04/g05's marker probe. Reach for
+    f06 only when the probe list is tiny AND the table is already being
+    scanned anyway — otherwise use f08."""
     p = spark.createDataFrame(
         [("smal ring",), ("red wdget",), ("hot gearr",)], "probe string"
     )
