@@ -1040,10 +1040,10 @@ def e02_json_construct_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "x11_dedup_clusters",
-    "X-dedup",
-    oracle="""
+# Shared near-dup graph construction (3-gram Jaccard >= 0.12, both edge
+# directions) — the CTE prefix of both the x11 connected-components oracle
+# and the x39 fixed-iteration PageRank oracle.
+_NEARDUP_EDGES_CTE = """
     WITH RECURSIVE sh AS (
       SELECT doc_id,
              list_distinct(
@@ -1074,7 +1074,14 @@ def e02_json_construct_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT id_a AS u, id_b AS v FROM pairs
       UNION
       SELECT id_b AS u, id_a AS v FROM pairs
-    ),
+    ),"""
+
+
+@query(
+    "x11_dedup_clusters",
+    "X-dedup",
+    oracle=_NEARDUP_EDGES_CTE
+    + """
     reach(id, lbl) AS (
       SELECT u, u FROM edges
       UNION
@@ -3936,14 +3943,42 @@ def u05_sentence_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("x39_pagerank_neardup", "X-graph", oracle=None)
+@query(
+    "x39_pagerank_neardup",
+    "X-graph",
+    oracle=_NEARDUP_EDGES_CTE
+    + """
+    deg AS (SELECT u, CAST(COUNT(*) AS DOUBLE) AS deg FROM edges GROUP BY u),
+    nodes AS (SELECT DISTINCT u AS id FROM edges),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    ew AS (SELECT e.u, e.v, 1.0 / d.deg AS w FROM edges e JOIN deg d USING (u)),
+    pr(iter, id, r) AS (
+      SELECT 0, id, 1.0 / n FROM nodes CROSS JOIN nn
+      UNION ALL
+      SELECT p.iter + 1, e.v,
+             (1.0 - 0.85) / nn.n + 0.85 * SUM(p.r * e.w)
+      FROM pr p JOIN ew e ON e.u = p.id CROSS JOIN nn
+      WHERE p.iter < 20
+      GROUP BY p.iter, e.v, nn.n
+    )
+    SELECT CAST(id AS BIGINT) AS id, ROUND(r, 9) AS rank
+    FROM pr WHERE iter = 20
+    """,
+)
 def x39_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality over the exact 3-gram Jaccard near-dup graph
     (undirected → both edge directions): ranks the most-connected
     duplicate hubs — the doc to inspect first when a dup cluster is
-    large. Iterative power iteration with dangling-mass correction; no
-    single SQL oracle (rows-only check), verified against a dense numpy
-    power iteration in tests/test_graph.py."""
+    large. Power iteration pinned to EXACTLY 20 rounds (tol=0.0 — no
+    data-dependent early exit), which makes the result a deterministic
+    function of the edge set and lets a DuckDB recursive-CTE twin
+    hash-match it (r4 verdict item 7; previously rows-only). The
+    undirected construction gives every node an out-edge, so the
+    dangling-mass term is identically zero here and the recursion is the
+    pure weighted-contribution update r_v = (1-d)/N + d·Σ r_u/deg_u;
+    the distributed operator's dangling correction stays exercised by
+    tests/test_graph.py's directed-graph numpy parity. 9-dp rounding
+    absorbs summation-order float noise (~1e-14 on ~1e-2 ranks)."""
     from gwasdb_spark.operators.graph import pagerank
 
     d = table(spark, sf_dir, "documents")
@@ -3954,7 +3989,7 @@ def x39_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
     return (
-        pagerank(edges, max_iter=20)
+        pagerank(edges, max_iter=20, tol=0.0)
         .select("id", F.round("rank", 9).alias("rank"))
         .orderBy("id")
     )
