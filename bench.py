@@ -147,6 +147,14 @@ HEADLINE = [
     "j11_nullsafe_join",
     "x73_langid_confusion",
     "w10_first_last_value",
+    "x74_global_rank",
+    "x75_ntile_deciles",
+    "x76_percentile_cut",
+    "x77_weighted_sample",
+    "x78_table_profile",
+    "x79_stopword_discovery",
+    "x80_kcore",
+    "x81_k_anonymity",
     # st13 (trending over the live rollup) is correctness-gated, not
     # benched: like st07/st09 its wall time is the micro-batch replay +
     # per-batch dynamic-partition-overwrite commits of the upsert

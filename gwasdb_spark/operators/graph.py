@@ -435,3 +435,54 @@ def triangle_counts(
             .alias("n_triangles"),
         )
     )
+
+
+def kcore(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    k: int = 2,
+    rounds: int = 10,
+) -> DataFrame:
+    """Nodes of the k-core (max subgraph where every node has degree ≥ k)
+    of the undirected graph `pairs`, by SYNCHRONIZED peeling: each round
+    drops every node whose degree within the current alive set is < k,
+    all at once. The k-core is the unique fixpoint, so any schedule that
+    reaches it agrees; `rounds` caps the iteration (peel depth is
+    typically a handful of rounds — exit early when a round removes
+    nothing, which post-fixpoint rounds provably do).
+
+    Per-round shape: two semi-joins restrict the static edge relation to
+    alive×alive, one degree aggregate, one filter — all skinny (node,
+    node)/(node, count) rows; the edge set is checkpointed once and the
+    alive set's lineage is cut every round (same discipline as
+    connected_components_star/pagerank). Returns (id)."""
+    e = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    alive = e.select(F.col("u").alias("id")).distinct().localCheckpoint()
+    n_alive = alive.count()
+    for _ in range(rounds):
+        if n_alive == 0:
+            break
+        deg = (
+            e.join(alive, e["u"] == alive["id"], "left_semi")
+            .join(alive.withColumnRenamed("id", "__vid"),
+                  F.col("v") == F.col("__vid"), "left_semi")
+            .groupBy("u")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        new_alive = (
+            deg.filter(F.col("deg") >= k).select(F.col("u").alias("id"))
+            .localCheckpoint()
+        )
+        n_new = new_alive.count()
+        alive = new_alive
+        if n_new == n_alive:
+            break
+        n_alive = n_new
+    return alive

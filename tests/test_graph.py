@@ -165,3 +165,19 @@ def test_cc_driver_and_star_paths_agree(spark):
     assert small == dist
     assert small == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
                      20: 20, 21: 20, 22: 20}
+
+
+def test_kcore_matches_definition(spark):
+    """kcore on a hand graph: path 1-2-3-4 (2-core empty contribution),
+    triangle 5-6-7, and a pendant 8 off the triangle. 2-core = {5,6,7};
+    3-core of the 4-clique 10-13 = {10,11,12,13}."""
+    from gwasdb_spark.operators.graph import kcore
+
+    edges = [(1, 2), (2, 3), (3, 4), (5, 6), (6, 7), (5, 7), (7, 8)]
+    clique = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    df = spark.createDataFrame(edges + clique, "id_a long, id_b long")
+    two = sorted(r.id for r in kcore(df, k=2).collect())
+    assert two == [5, 6, 7, 10, 11, 12, 13]
+    three = sorted(r.id for r in kcore(df, k=3).collect())
+    assert three == [10, 11, 12, 13]
+    assert kcore(df, k=5).count() == 0

@@ -321,6 +321,11 @@ GLOBAL_WINDOW_ALLOWLIST = {
     # (operators/vocab.py TakeOrdered-then-rank).
     "x22_vocabulary": (1, "top-k vocab head"),
     "x33_bpe_pair_counts": (1, "top-k pair head"),
+    # Distributed global rank: the only unpartitioned window is the
+    # cumulative offset over per-partition stat rows
+    # (operators/sampling.py global_row_number).
+    "x74_global_rank": (1, "partition stats (#partitions rows)"),
+    "x75_ntile_deciles": (1, "partition stats (#partitions rows)"),
 }
 
 

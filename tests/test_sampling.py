@@ -149,3 +149,92 @@ def test_chunk_overlap_covers_and_never_redundant(spark):
     # coverage: last chunk's end == n for every doc
     for n, k in got.values():
         assert 48 * (k - 1) < n <= 48 * (k - 1) + 64
+
+
+def test_global_row_number_matches_naive_window(spark):
+    """The distributed two-level rank must be indistinguishable from the
+    single-task Window.orderBy row_number, including on skewed and
+    duplicate-heavy key distributions."""
+    from pyspark.sql.window import Window
+
+    from gwasdb_spark.operators.sampling import global_row_number
+
+    df = spark.range(0, 5000).select(
+        F.col("id"),
+        (F.col("id") % 37).alias("k"),  # heavy duplicate sort values
+    )
+    got = {
+        (r.id, r.rk)
+        for r in global_row_number(
+            df, [F.asc("k"), F.desc("id")], rank_col="rk"
+        ).collect()
+    }
+    want = {
+        (r.id, r.rk)
+        for r in df.withColumn(
+            "rk",
+            F.row_number()
+            .over(Window.orderBy(F.asc("k"), F.desc("id")))
+            .cast("long"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_global_row_number_plan_has_no_global_data_window(spark):
+    """The only unpartitioned window may run over per-partition stats —
+    the data relation itself must go through the range exchange, not a
+    single-task sort."""
+    from gwasdb_spark.operators.sampling import global_row_number
+
+    df = spark.range(0, 1000).select(F.col("id"), (F.col("id") % 7).alias("k"))
+    ranked = global_row_number(df, [F.asc("k"), F.asc("id")], rank_col="rk")
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    # The executed plan reads the lazily-checkpointed ranged relation as
+    # an RDD scan (the range exchange lives upstream of the checkpoint);
+    # what must hold HERE is that the only Window is the bounded
+    # per-partition-stats cumsum — ordered by __pid, never by data
+    # columns — and that the offsets join back via broadcast.
+    saw_window = False
+    for ln in plan.splitlines():
+        stripped = ln.lstrip(" :+-*")
+        if stripped.startswith("Window ["):
+            saw_window = True
+            assert "__pid" in stripped and "k#" not in stripped, stripped
+    assert saw_window
+    assert "BroadcastHashJoin" in plan
+
+
+def test_exact_ntile_matches_sql_ntile(spark):
+    """exact_ntile must reproduce SQL NTILE bucket boundaries exactly,
+    including the N mod n remainder distribution, for several n."""
+    from pyspark.sql.window import Window
+
+    from gwasdb_spark.operators.sampling import exact_ntile
+
+    df = spark.range(0, 1003).select(F.col("id"), (F.col("id") * 7 % 97).alias("v"))
+    for n in (2, 4, 10, 1000, 2000):  # 2000 > N exercises the degenerate tile
+        got = {
+            (r.id, r.tile)
+            for r in exact_ntile(df, n, [F.desc("v"), F.asc("id")]).collect()
+        }
+        want = {
+            (r.id, r.tile)
+            for r in df.withColumn(
+                "tile",
+                F.ntile(n).over(Window.orderBy(F.desc("v"), F.asc("id"))),
+            ).collect()
+        }
+        assert got == want, f"ntile({n}) diverged"
+
+
+def test_weighted_sample_is_rerun_stable(spark):
+    """x77's content-addressed A-Res keys: two independent evaluations
+    must select the identical sample in the identical order."""
+    from gwasdb_spark.plans import QUERIES
+
+    from tests.conftest import SF_DIR
+
+    a = QUERIES["x77_weighted_sample"].fn(spark, SF_DIR).collect()
+    b = QUERIES["x77_weighted_sample"].fn(spark, SF_DIR).collect()
+    assert a == b and len(a) == 100
