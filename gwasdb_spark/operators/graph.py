@@ -284,6 +284,7 @@ def pagerank(
     damping: float = 0.85,
     max_iter: int = 20,
     tol: float = 1e-6,
+    small_graph_threshold: int = 500_000,
 ) -> DataFrame:
     """PageRank by power iteration — the iterative-algorithm shape beyond
     connected components: each round is ONE shuffle of (node, mass)
@@ -292,21 +293,71 @@ def pagerank(
     out-edges redistribute uniformly — without this the total mass
     leaks and ranks are wrong).
 
-    Scale discipline matches connected_components: skinny (long, double)
-    rows only, per-iteration localCheckpoint to cut lineage (the plan
-    would double per round), convergence via a distributed L1-delta
-    aggregate (one scalar to the driver per round, never the rank
-    vector). ONE job per iteration: the dangling-mass scalar rides
-    in-plan as a broadcast 1-row aggregate (never collected), and the
-    delta action doubles as the lazy checkpoint's materializer — so the
-    contribution shuffle runs exactly once per round. Returns (id, rank)
-    summing to ~1."""
+    Size-adaptive like connected_components: edge sets ≤
+    `small_graph_threshold` with integral ids are Arrow-collected once
+    (two int64 numpy columns) and power-iterated in numpy with the
+    IDENTICAL update — near-dup graphs after thresholding are a few
+    hundred edges even on a huge corpus, and 20 distributed rounds
+    (~5 stages each) for that is pure scheduling overhead. Larger
+    graphs run the distributed rounds. Float summation order differs
+    between the paths by ≤ ~1e-13 on ~1e-2 ranks — below the 9-dp
+    rounding every consumer applies (equivalence pinned in
+    tests/test_graph.py). Pass `small_graph_threshold=0` to force the
+    distributed path.
+
+    Distributed-path scale discipline matches connected_components:
+    skinny (long, double) rows only, per-iteration localCheckpoint to
+    cut lineage (the plan would double per round), convergence via a
+    distributed L1-delta aggregate (one scalar to the driver per round,
+    never the rank vector). ONE job per iteration: the dangling-mass
+    scalar rides in-plan as a broadcast 1-row aggregate (never
+    collected), and the delta action doubles as the lazy checkpoint's
+    materializer — so the contribution shuffle runs exactly once per
+    round. Returns (id, rank) summing to ~1."""
+    import numpy as np
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
     ed = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
         .distinct()
         .persist()
     )
+    id_type = ed.schema["u"].dataType
+    integral = isinstance(id_type, (ByteType, ShortType, IntegerType, LongType))
+    if integral and ed.count() <= small_graph_threshold:
+        import pandas as pd
+
+        pdf = ed.toPandas()
+        ed.unpersist()
+        if len(pdf) == 0:
+            return edges.sparkSession.createDataFrame(
+                [], f"id {id_type.simpleString()}, rank double"
+            )
+        u = pdf["u"].to_numpy(dtype=np.int64)
+        v = pdf["v"].to_numpy(dtype=np.int64)
+        nodes = np.unique(np.concatenate([u, v]))
+        n = len(nodes)
+        iu = np.searchsorted(nodes, u)
+        iv = np.searchsorted(nodes, v)
+        deg = np.bincount(iu, minlength=n).astype(np.float64)
+        r = np.full(n, 1.0 / n)
+        base = (1.0 - damping) / n
+        dangling_mask = deg == 0.0
+        safe_deg = np.where(dangling_mask, 1.0, deg)
+        for _ in range(max_iter):
+            contrib = np.zeros(n)
+            np.add.at(contrib, iv, r[iu] / safe_deg[iu])
+            dangling = float(r[dangling_mask].sum())
+            new_r = base + damping * dangling / n + damping * contrib
+            delta = float(np.abs(new_r - r).sum())
+            r = new_r
+            if delta < tol:
+                break
+        out = pd.DataFrame({"id": nodes, "rank": r})
+        return edges.sparkSession.createDataFrame(
+            out, f"id {id_type.simpleString()}, rank double"
+        )
     nodes = (
         ed.select(F.col("u").alias("id"))
         .union(ed.select(F.col("v").alias("id")))

@@ -181,3 +181,23 @@ def test_kcore_matches_definition(spark):
     three = sorted(r.id for r in kcore(df, k=3).collect())
     assert three == [10, 11, 12, 13]
     assert kcore(df, k=5).count() == 0
+
+
+def test_pagerank_driver_path_equals_distributed(spark):
+    """Size-adaptive PageRank: numpy fast path and distributed rounds
+    must agree to 9 dp on a directed graph WITH dangling nodes (4 has no
+    out-edges — exercises the dangling-mass redistribution both paths)."""
+    from gwasdb_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (1, 4), (5, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    fast = {
+        r.id: round(r.rank, 9)
+        for r in pagerank(df, max_iter=20, tol=0.0).collect()
+    }
+    dist = {
+        r.id: round(r.rank, 9)
+        for r in pagerank(df, max_iter=20, tol=0.0, small_graph_threshold=0).collect()
+    }
+    assert fast == dist
+    assert abs(sum(fast.values()) - 1.0) < 1e-6
