@@ -155,6 +155,14 @@ HEADLINE = [
     "x79_stopword_discovery",
     "x80_kcore",
     "x81_k_anonymity",
+    "x82_cluster_size_histogram",
+    "x83_zipf_slope",
+    "x84_lexical_richness",
+    "x85_source_kl_divergence",
+    "x86_label_centroid_sim",
+    "x87_centroid_outliers",
+    "x88_funnel_latency",
+    "s26_compaction_roundtrip",
     # st13 (trending over the live rollup) is correctness-gated, not
     # benched: like st07/st09 its wall time is the micro-batch replay +
     # per-batch dynamic-partition-overwrite commits of the upsert

@@ -20,6 +20,19 @@ primitive and oracle-checked against the naive SQL semantics.
   iterative-graph shape with a recursive-CTE twin).
 - x81: k-anonymity audit over quasi-identifier groups (governance gate
   before corpus release).
+
+Second batch — corpus/embedding analytics:
+
+- x82: dedup cluster-size histogram (component-grain rollup of x11's CC).
+- x83: Zipf rank-frequency OLS fit (vocab ranked via global_row_number).
+- x84: lexical richness per source (types, hapax, TTR).
+- x85: per-source KL divergence vs the corpus unigram blend.
+- x86/x87: embedding label-centroid similarity + centroid-distance
+  outliers (one corpus pass to centroids; everything pairwise runs over
+  the centroid relation).
+- x88: funnel conversion latency (view→purchase, exact seconds).
+- s26: small-file compaction with content-identity proof
+  (repartitionByRange keeps id clustering; file mechanics in tests).
 """
 
 from __future__ import annotations
@@ -433,4 +446,465 @@ def x81_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "source", "len_bucket")
         .agg(F.count(F.lit(1)).alias("group_size"))
         .filter(F.col("group_size") < 5)
+    )
+
+
+@query(
+    "x82_cluster_size_histogram",
+    "X-dedup,X-qa",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct(
+               list_transform(
+                 range(1, greatest(len(w) - 2, 0) + 1),
+                 i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS shingles
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+            FROM documents)
+    ),
+    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+    ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    rare AS (SELECT shingle FROM ex GROUP BY shingle HAVING COUNT(*) <= 100),
+    pruned AS (SELECT ex.doc_id, ex.shingle FROM ex JOIN rare USING (shingle)),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+      FROM pruned a JOIN pruned b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM shared
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) >= 0.12
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(id, lbl) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.id
+    ),
+    comp AS (SELECT id, MIN(lbl) AS component FROM reach GROUP BY id),
+    csize AS (SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY 1)
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters
+    FROM csize GROUP BY 1
+    """,
+)
+def x82_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER-SIZE histogram — the dedup health report
+    (how much of the corpus sits in 2-doc pairs vs 50-doc boilerplate
+    blobs decides whether keep-one dedup or span-level scrubbing is the
+    right treatment). Built on x11's connected components; both
+    follow-on aggregates are component-grain then size-grain — strictly
+    smaller than the corpus at every step."""
+    from gwasdb_spark.operators import dedup as DD
+    from gwasdb_spark.operators.graph import connected_components
+
+    d = table(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.12, max_shingle_docs=100
+    )
+    comp = connected_components(pairs)
+    return (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )
+
+
+@query(
+    "x83_zipf_slope",
+    "X-text,X-qa",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+      FROM documents
+    ),
+    counts AS (
+      SELECT token, COUNT(*) AS n FROM tok WHERE token <> '' GROUP BY token
+    ),
+    ranked AS (
+      SELECT LN(CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS DOUBLE))
+               AS x,
+             LN(CAST(n AS DOUBLE)) AS y
+      FROM counts
+    ),
+    sums AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS m, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM ranked
+    )
+    SELECT CAST(m AS BIGINT) AS n_terms,
+           ROUND((m * sxy - sx * sy) / (m * sxx - sx * sx), 9) AS slope,
+           ROUND((sy - (m * sxy - sx * sy) / (m * sxx - sx * sx) * sx) / m, 9)
+             AS intercept
+    FROM sums
+    """,
+)
+def x83_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit: OLS slope/intercept of ln(freq) over
+    ln(rank) across the corpus vocabulary — a natural corpus sanity
+    number (clean natural language sits near slope -1; templated or
+    synthetic text bends the curve). Frequency ranking runs through
+    global_row_number (vocabulary is corpus-bounded but still millions
+    of terms at 100 TB — no single-task rank window), and the OLS fit is
+    one closed-form aggregate over (x, y) pairs. The oracle spells out
+    the same explicit-sum formula (never regr_slope — its streaming
+    covariance accumulates in a different order)."""
+    from gwasdb_spark.operators.sampling import global_row_number
+
+    d = table(spark, sf_dir, "documents")
+    counts = (
+        d.select(
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ranked = global_row_number(
+        counts, [F.desc("n"), F.asc("token")], rank_col="rk"
+    ).select(
+        F.log(F.col("rk").cast("double")).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
+    )
+    sums = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        F.col("m").cast("long").alias("n_terms"),
+        F.round(slope, 9).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("m"), 9).alias(
+            "intercept"
+        ),
+    )
+
+
+@query(
+    "x84_lexical_richness",
+    "X-text,X-quality",
+    oracle="""
+    WITH tok AS (
+      SELECT source,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+      FROM documents
+    ),
+    tc AS (
+      SELECT source, token, COUNT(*) AS n
+      FROM tok WHERE token <> '' GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(n), 9) AS type_token_ratio,
+           ROUND(SUM(CASE WHEN n = 1 THEN 1.0 ELSE 0.0 END) / COUNT(*), 9)
+             AS hapax_fraction
+    FROM tc GROUP BY source
+    """,
+)
+def x84_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-richness report per source: token count, type (distinct
+    token) count, hapax legomena, type-token ratio, hapax fraction —
+    the vocabulary-diversity fingerprint that separates organic text
+    from templated/boilerplate sources (low TTR, low hapax) before any
+    model sees the data. Two stacked aggregates: (source, token) counts
+    then source rollup — shuffles carry skinny token rows bounded by
+    per-source vocabulary."""
+    d = table(spark, sf_dir, "documents")
+    tc = (
+        d.select(
+            "source",
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return tc.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).cast("long").alias("n_hapax"),
+        F.round(F.count(F.lit(1)).cast("double") / F.sum("n"), 9).alias(
+            "type_token_ratio"
+        ),
+        F.round(
+            F.sum(F.when(F.col("n") == 1, 1.0).otherwise(0.0)) / F.count(F.lit(1)), 9
+        ).alias("hapax_fraction"),
+    )
+
+
+@query(
+    "x85_source_kl_divergence",
+    "X-text,X-qa",
+    oracle="""
+    WITH tok AS (
+      SELECT source,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+      FROM documents
+    ),
+    st AS (
+      SELECT source, token, COUNT(*) AS n
+      FROM tok WHERE token <> '' GROUP BY 1, 2
+    ),
+    stot AS (SELECT source, CAST(SUM(n) AS DOUBLE) AS s_total
+             FROM st GROUP BY 1),
+    ct AS (SELECT token, CAST(SUM(n) AS DOUBLE) AS cn FROM st GROUP BY 1),
+    tot AS (SELECT SUM(cn) AS c_total FROM ct)
+    SELECT s.source,
+           ROUND(SUM((s.n / o.s_total)
+                     * LN((s.n / o.s_total) / (c.cn / t.c_total))), 9)
+             AS kl_divergence
+    FROM st s
+    JOIN stot o USING (source)
+    JOIN ct c USING (token)
+    CROSS JOIN tot t
+    GROUP BY s.source
+    """,
+)
+def x85_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence of each source's unigram distribution from the
+    corpus distribution — the quantitative version of x47's mix report:
+    which source is most unlike the blend (domain shift, encoding rot,
+    synthetic injection) and therefore skews a model trained on the
+    mix. Every relation is vocabulary-bounded ((source, token) counts,
+    token totals); the corpus total rides as a broadcast 1-row
+    aggregate; KL terms sum per source in one grouped aggregate.
+    P_source is absolutely continuous w.r.t. P_corpus by construction
+    (every source token IS a corpus token), so no smoothing term is
+    needed — the log is always finite."""
+    d = table(spark, sf_dir, "documents")
+    st = (
+        d.select(
+            "source",
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)  # feeds source totals, token totals, terms
+    )
+    stot = st.groupBy("source").agg(F.sum("n").cast("double").alias("s_total"))
+    ct = st.groupBy("token").agg(F.sum("n").cast("double").alias("cn"))
+    tot = ct.agg(F.sum("cn").alias("c_total"))
+    p_s = F.col("n") / F.col("s_total")
+    p_c = F.col("cn") / F.col("c_total")
+    return (
+        st.join(F.broadcast(stot), "source")
+        .join(ct, "token")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(F.round(F.sum(p_s * F.log(p_s / p_c)), 9).alias("kl_divergence"))
+    )
+
+
+_CENTROID_CTE = """
+    dims AS (
+      SELECT label, i.i AS pos, AVG(CAST(embedding[i.i] AS DOUBLE)) AS c
+      FROM embeddings, range(1, 65) i(i)
+      GROUP BY label, i.i
+    )
+"""
+
+
+@query(
+    "x86_label_centroid_sim",
+    "X-sim,X-qa",
+    oracle=f"""
+    WITH {_CENTROID_CTE},
+    pair AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             SUM(a.c * b.c) AS dot,
+             SUM(a.c * a.c) AS na,
+             SUM(b.c * b.c) AS nb
+      FROM dims a JOIN dims b ON a.pos = b.pos AND a.label < b.label
+      GROUP BY 1, 2
+    )
+    SELECT label_a, label_b,
+           ROUND(dot / (SQRT(na) * SQRT(nb)), 6) AS cosine
+    FROM pair
+    """,
+)
+def x86_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-separability audit: pairwise cosine between per-label
+    embedding CENTROIDS — two labels whose centroids are near-parallel
+    are candidates for merge (or mislabeling) before the embeddings
+    feed a classifier or ANN index. Shape: posexplode to (label, dim)
+    rows, one avg aggregate (|labels|·dims rows — tiny), then the
+    pairwise join runs over the CENTROID relation only (|labels|²·dims),
+    never over vectors. The corpus-sized part is exactly one pass."""
+    e = table(spark, sf_dir, "embeddings")
+    dims = (
+        e.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.avg(F.col("val").cast("double")).alias("c"))
+        .localCheckpoint(eager=False)  # both join sides read it
+    )
+    a = dims.select(
+        F.col("label").alias("label_a"), "pos", F.col("c").alias("ca")
+    )
+    b = dims.select(
+        F.col("label").alias("label_b"), "pos", F.col("c").alias("cb")
+    )
+    return (
+        a.join(b, "pos")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.round(
+                F.sum(F.col("ca") * F.col("cb"))
+                / (
+                    F.sqrt(F.sum(F.col("ca") * F.col("ca")))
+                    * F.sqrt(F.sum(F.col("cb") * F.col("cb")))
+                ),
+                6,
+            ).alias("cosine")
+        )
+    )
+
+
+@query(
+    "x87_centroid_outliers",
+    "X-sim,X-qa",
+    oracle=f"""
+    WITH {_CENTROID_CTE},
+    dist AS (
+      SELECT e.vec_id, e.label,
+             SUM(POW(CAST(e.embedding[d.pos] AS DOUBLE) - d.c, 2)) AS sq_dist
+      FROM embeddings e JOIN dims d ON d.label = e.label
+      GROUP BY 1, 2
+    )
+    SELECT vec_id, label, ROUND(sq_dist, 6) AS sq_dist
+    FROM dist
+    ORDER BY sq_dist DESC, vec_id
+    LIMIT 20
+    """,
+)
+def x87_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mislabel/outlier candidates: the 20 vectors farthest (squared
+    euclidean) from their OWN label's centroid — the vectors a labeling
+    audit reviews first (SemDeDup/label-error triage shape). The
+    centroid relation is |labels|·dims rows and broadcast-joins back to
+    the exploded vectors; the final selection is orderBy().limit —
+    TakeOrdered per-partition heaps, no global sort."""
+    e = table(spark, sf_dir, "embeddings")
+    dims = (
+        e.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.avg(F.col("val").cast("double")).alias("c"))
+    )
+    exploded = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "val")
+    )
+    diff = F.col("val").cast("double") - F.col("c")
+    return (
+        exploded.join(F.broadcast(dims), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(F.sum(F.pow(diff, F.lit(2))).alias("sq_dist"))
+        .orderBy(F.desc("sq_dist"), F.asc("vec_id"))
+        .limit(20)
+        .select("vec_id", "label", F.round("sq_dist", 6).alias("sq_dist"))
+    )
+
+
+@query(
+    "x88_funnel_latency",
+    "X-analytics",
+    oracle="""
+    WITH fv AS (
+      SELECT user_id, MIN(ts) AS first_view
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    fp AS (
+      SELECT e.user_id, f.first_view, MIN(e.ts) AS first_purchase
+      FROM events e JOIN fv f USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts >= f.first_view
+      GROUP BY 1, 2
+    )
+    SELECT user_id, first_view, first_purchase,
+           CAST(date_diff('second', first_view, first_purchase) AS BIGINT)
+             AS latency_sec
+    FROM fp
+    """,
+)
+def x88_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion latency per user: first 'view' to the first 'purchase'
+    at-or-after it — the time-to-convert metric behind x35's funnel
+    counts. Two skinny user-grain aggregates (first view, then first
+    qualifying purchase); the event-grain filter runs scan-side with
+    the type predicate pushed to parquet. Timestamp arithmetic is exact
+    integer seconds — no float drift."""
+    ev = table(spark, sf_dir, "events")
+    fv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(fv, "user_id")
+        .filter(F.col("ts") >= F.col("first_view"))
+        .groupBy("user_id", "first_view")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    return fp.select(
+        "user_id",
+        "first_view",
+        "first_purchase",
+        (
+            F.unix_timestamp("first_purchase") - F.unix_timestamp("first_view")
+        ).cast("long").alias("latency_sec"),
+    )
+
+
+@query(
+    "s26_compaction_roundtrip",
+    "§2.1-ext,X-qa",
+    oracle="""
+    SELECT doc_id, md5(text) AS text_md5, lang, source FROM documents
+    """,
+)
+def s26_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance pass every long-
+    lived lake table needs (streaming ingest and fine-grained upserts
+    strand thousands of KB-sized files; open/footer overhead then
+    dominates scans). Stages the documents table as a deliberately
+    over-split layout (64 files), compacts via repartitionByRange on
+    doc_id to 4 key-clustered files (range clustering keeps id
+    pruning/min-max stats tight, vs coalesce which merges arbitrary
+    neighbors and destroys clustering), reads the compacted layout back
+    and proves content identity against the ORIGINAL table via digest
+    rows. File-count mechanics pinned in tests/test_sources.py."""
+    import tempfile as _tf
+
+    d = table(spark, sf_dir, "documents")
+    base = _tf.mkdtemp(prefix="compact_")
+    small = f"{base}/small"
+    compacted = f"{base}/compacted"
+    d.repartition(64).write.mode("overwrite").parquet(small)
+    (
+        spark.read.parquet(small)
+        .repartitionByRange(4, "doc_id")
+        .write.mode("overwrite")
+        .parquet(compacted)
+    )
+    return spark.read.parquet(compacted).select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("text_md5"),
+        "lang",
+        "source",
     )

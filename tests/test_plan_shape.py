@@ -326,6 +326,7 @@ GLOBAL_WINDOW_ALLOWLIST = {
     # (operators/sampling.py global_row_number).
     "x74_global_rank": (1, "partition stats (#partitions rows)"),
     "x75_ntile_deciles": (1, "partition stats (#partitions rows)"),
+    "x83_zipf_slope": (1, "partition stats (#partitions rows)"),
 }
 
 

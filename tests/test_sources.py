@@ -200,3 +200,38 @@ def test_python_datasource_partitioned_read(spark):
     assert df.rdd.getNumPartitions() == 8
     assert df.count() == 1000
     assert df.select("kgp_id").distinct().count() == 1000
+
+
+def test_compaction_reduces_file_count_and_preserves_content(spark, tmp_path):
+    """s26 mechanics: 64-way over-split layout compacts to exactly 4
+    range-clustered files with identical content; each compacted file
+    covers a disjoint doc_id range (min-max stats stay prunable)."""
+    import glob
+    import os
+
+    from tests.conftest import SF_DIR
+
+    d = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    small = str(tmp_path / "small")
+    compacted = str(tmp_path / "compacted")
+    d.repartition(64).write.parquet(small)
+    spark.read.parquet(small).repartitionByRange(4, "doc_id").write.parquet(
+        compacted
+    )
+    n_small = len(glob.glob(f"{small}/part-*.parquet"))
+    n_comp = len(glob.glob(f"{compacted}/part-*.parquet"))
+    assert n_small == 64 and n_comp == 4, (n_small, n_comp)
+    a = {r.doc_id: r.text for r in d.collect()}
+    b = {r.doc_id: r.text for r in spark.read.parquet(compacted).collect()}
+    assert a == b
+    # range clustering: per-file id ranges must not overlap
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in glob.glob(f"{compacted}/part-*.parquet"):
+        t = pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist()
+        if t:
+            ranges.append((min(t), max(t)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, ranges
