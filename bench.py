@@ -163,6 +163,9 @@ HEADLINE = [
     "x87_centroid_outliers",
     "x88_funnel_latency",
     "s26_compaction_roundtrip",
+    "x89_gap_fill",
+    "x90_forward_fill",
+    "x91_series_anomalies",
     # st13 (trending over the live rollup) is correctness-gated, not
     # benched: like st07/st09 its wall time is the micro-batch replay +
     # per-batch dynamic-partition-overwrite commits of the upsert

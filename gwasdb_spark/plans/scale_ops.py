@@ -33,6 +33,12 @@ Second batch — corpus/embedding analytics:
 - x88: funnel conversion latency (view→purchase, exact seconds).
 - s26: small-file compaction with content-identity proof
   (repartitionByRange keeps id clustering; file mechanics in tests).
+
+Third batch — time-series shaping:
+
+- x89: hourly gap-fill/resample (in-plan generated spine, zero-filled).
+- x90: per-entity LOCF forward fill (per-user spine + ignorenulls last).
+- x91: trailing-24h z-score anomalies over the dense series.
 """
 
 from __future__ import annotations
@@ -907,4 +913,230 @@ def s26_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("text").cast("binary")).alias("text_md5"),
         "lang",
         "source",
+    )
+
+
+@query(
+    "x89_gap_fill",
+    "X-analytics,X-stream",
+    oracle="""
+    WITH b AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM b
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    c AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT t.event_type, s.hour,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+    FROM spine s CROSS JOIN types t
+    LEFT JOIN c ON c.event_type = t.event_type AND c.hour = s.hour
+    """,
+)
+def x89_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly event-count series per type, gaps zero-filled — the
+    resample step every downstream time-series consumer (anomaly
+    detection, forecasting, rate alerting) silently assumes and raw
+    event logs never provide. The hour spine is GENERATED in-plan from
+    a 1-row min/max aggregate (`sequence` + explode — rows ∝ time
+    range, not events) and cross-joined with the distinct-type relation
+    (both broadcast-sized); only the per-(type, hour) count aggregate
+    touches the event log, once."""
+    ev = table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    counts = ev.select("event_type", hour.alias("hour")).groupBy(
+        "event_type", "hour"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        spine.crossJoin(F.broadcast(types))
+        .join(counts, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            "hour",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+        )
+    )
+
+
+@query(
+    "x90_forward_fill",
+    "X-analytics,X-stream",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour, AVG(value) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    ub AS (
+      SELECT user_id, MIN(hour) AS lo, MAX(hour) AS hi
+      FROM hourly GROUP BY 1
+    ),
+    spine AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+      FROM ub
+    ),
+    joined AS (
+      SELECT s.user_id, s.hour, h.v
+      FROM spine s LEFT JOIN hourly h USING (user_id, hour)
+    )
+    SELECT user_id, hour,
+           ROUND(last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 9)
+             AS v_filled,
+           v IS NOT NULL AS was_observed
+    FROM joined
+    """,
+)
+def x90_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly resample with last-observation-carried-forward —
+    the LOCF imputation that turns sparse event streams into the dense
+    per-entity series feature pipelines expect. Each user's spine spans
+    their own [first, last] active hour (generated in-plan, rows ∝
+    user-hours); the fill is `last(v, ignorenulls)` over a window
+    PARTITIONED BY USER — parallel per user, no global sort, state
+    bounded by one user's hours. Spine starts at an observed hour, so
+    v_filled is never null."""
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "user_id", F.date_trunc("hour", F.col("ts")).alias("hour"), "value"
+        )
+        .groupBy("user_id", "hour")
+        .agg(F.avg("value").alias("v"))
+        .localCheckpoint(eager=False)  # feeds bounds AND the fill join
+    )
+    spine = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hour").alias("lo"), F.max("hour").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            "hour",
+            F.round(F.last("v", ignorenulls=True).over(w), 9).alias("v_filled"),
+            F.col("v").isNotNull().alias("was_observed"),
+        )
+    )
+
+
+@query(
+    "x91_series_anomalies",
+    "X-analytics,X-qa",
+    oracle="""
+    WITH b AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM b
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    c AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    series AS (
+      SELECT t.event_type, s.hour,
+             CAST(COALESCE(c.n, 0) AS DOUBLE) AS n_events
+      FROM spine s CROSS JOIN types t
+      LEFT JOIN c ON c.event_type = t.event_type AND c.hour = s.hour
+    ),
+    scored AS (
+      SELECT event_type, hour, n_events,
+             AVG(n_events) OVER w AS mu,
+             STDDEV_SAMP(n_events) OVER w AS sd
+      FROM series
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, hour, CAST(n_events AS BIGINT) AS n_events,
+           ROUND((n_events - mu) / sd, 6) AS z
+    FROM scored
+    WHERE sd IS NOT NULL AND sd > 0 AND ABS((n_events - mu) / sd) > 3.0
+    """,
+)
+def x91_series_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-anomaly detection on the gap-filled hourly series: trailing
+    24-hour z-score per (type, hour), flag |z| > 3 — the alerting query
+    behind every 'error spike' page. Composes x89's dense series (zero
+    hours matter: a silent outage IS the anomaly — raw-log windows
+    can't see missing data) with per-type trailing windows (parallel
+    per type, 24-row frames, no global sort). The trailing frame
+    excludes the current hour so a spike can't mask itself."""
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    counts = ev.select("event_type", hour.alias("hour")).groupBy(
+        "event_type", "hour"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    series = (
+        spine.crossJoin(F.broadcast(types))
+        .join(counts, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            "hour",
+            F.coalesce(F.col("n"), F.lit(0)).cast("double").alias("n_events"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-24, -1)
+    )
+    # sd == 0 (constant trailing frame — e.g. an all-quiet type) must not
+    # reach the division: ANSI mode turns x/0 into a runtime error.
+    scored = series.withColumn("mu", F.avg("n_events").over(w)).withColumn(
+        "sd", F.stddev_samp("n_events").over(w)
+    )
+    z = F.when(
+        F.col("sd").isNotNull() & (F.col("sd") > 0),
+        (F.col("n_events") - F.col("mu")) / F.col("sd"),
+    )
+    return (
+        scored.withColumn("z", z)
+        .filter(F.col("z").isNotNull() & (F.abs(F.col("z")) > 3.0))
+        .select(
+            "event_type",
+            "hour",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.round("z", 6).alias("z"),
+        )
     )
