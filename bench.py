@@ -166,6 +166,8 @@ HEADLINE = [
     "x89_gap_fill",
     "x90_forward_fill",
     "x91_series_anomalies",
+    "g12_meta_analysis",
+    "g13_genomic_control",
     # st13 (trending over the live rollup) is correctness-gated, not
     # benched: like st07/st09 its wall time is the micro-batch replay +
     # per-batch dynamic-partition-overwrite commits of the upsert

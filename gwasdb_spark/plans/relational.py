@@ -2731,3 +2731,111 @@ def w10_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
     )
+
+
+@query(
+    "g12_meta_analysis",
+    "X-gwas,A2",
+    oracle="""
+    WITH res AS (
+      SELECT l_partkey AS marker, l_suppkey % 3 AS study,
+             CAST(l_discount - 0.05 AS DOUBLE) AS beta,
+             CAST(l_tax + 0.01 AS DOUBLE) AS se
+      FROM lineitem
+    ),
+    per AS (
+      SELECT marker, study,
+             AVG(beta) AS beta, AVG(se) AS se
+      FROM res GROUP BY 1, 2
+    ),
+    meta AS (
+      SELECT marker,
+             CAST(COUNT(*) AS BIGINT) AS n_studies,
+             SUM(beta / (se * se)) / SUM(1.0 / (se * se)) AS beta_meta,
+             SQRT(1.0 / SUM(1.0 / (se * se))) AS se_meta
+      FROM per GROUP BY 1 HAVING COUNT(*) >= 2
+    )
+    SELECT marker, n_studies,
+           ROUND(beta_meta, 9) AS beta_meta,
+           ROUND(se_meta, 9) AS se_meta,
+           ROUND(beta_meta / se_meta, 6) AS z_meta
+    FROM meta
+    """,
+)
+def g12_meta_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-effect inverse-variance meta-analysis across studies — the
+    cross-study combine step the reference's multi-study warehouse
+    exists to enable (9 studies of the same trait; gwasDB/app.R lets
+    the user eyeball them side by side, this computes the canonical
+    pooled estimate): w_i = 1/se_i², β_meta = Σw_iβ_i/Σw_i,
+    se_meta = √(1/Σw_i). GWAS semantics mapped onto the deterministic
+    lineitem columns like g10/g11 (marker = l_partkey, study =
+    l_suppkey mod 3, per-(marker, study) results averaged first — the
+    one-result-per-study grain the gwas fact table guarantees by PK).
+    Two stacked marker-grain aggregates; markers in < 2 studies are
+    excluded (nothing to pool). Shuffles carry (marker, study, 2
+    doubles) — never wide rows."""
+    li = table(spark, sf_dir, "lineitem")
+    res = li.select(
+        F.col("l_partkey").alias("marker"),
+        (F.col("l_suppkey") % 3).alias("study"),
+        (F.col("l_discount") - 0.05).cast("double").alias("beta"),
+        (F.col("l_tax") + 0.01).cast("double").alias("se"),
+    )
+    per = res.groupBy("marker", "study").agg(
+        F.avg("beta").alias("beta"), F.avg("se").alias("se")
+    )
+    w = 1.0 / (F.col("se") * F.col("se"))
+    meta = (
+        per.groupBy("marker")
+        .agg(
+            F.count(F.lit(1)).alias("n_studies"),
+            (F.sum(F.col("beta") * w) / F.sum(w)).alias("beta_meta"),
+            F.sqrt(1.0 / F.sum(w)).alias("se_meta"),
+        )
+        .filter(F.col("n_studies") >= 2)
+    )
+    return meta.select(
+        "marker",
+        "n_studies",
+        F.round("beta_meta", 9).alias("beta_meta"),
+        F.round("se_meta", 9).alias("se_meta"),
+        F.round(F.col("beta_meta") / F.col("se_meta"), 6).alias("z_meta"),
+    )
+
+
+@query(
+    "g13_genomic_control",
+    "X-gwas,X-qa",
+    oracle="""
+    WITH z AS (
+      SELECT CAST((l_discount - 0.05) / (l_tax + 0.01) AS DOUBLE) AS zstat
+      FROM lineitem
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_markers,
+           ROUND(quantile_cont(zstat * zstat, 0.5) / 0.4549364231195728, 6)
+             AS lambda_gc
+    FROM z
+    """,
+)
+def g13_genomic_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Genomic-control inflation factor λ_GC = median(χ²)/0.4549… (the
+    median of a central 1-df chi-square) — the single number every GWAS
+    reports to show its test statistics aren't inflated by stratification
+    (λ ≈ 1 clean, λ > 1.05 suspect). Complements g09's QQ curve with
+    the scalar the reference's study table would store per study.
+    Exact median via `percentile` (one sort-by-value aggregate; the
+    scale swap is approx_percentile, same plan otherwise) over a
+    scan-side z² projection."""
+    li = table(spark, sf_dir, "lineitem")
+    z2 = F.pow(
+        (F.col("l_discount") - 0.05).cast("double")
+        / (F.col("l_tax") + 0.01).cast("double"),
+        F.lit(2),
+    )
+    return li.select(z2.alias("z2")).agg(
+        F.count(F.lit(1)).alias("n_markers"),
+        F.round(
+            F.expr("percentile(z2, 0.5)") / F.lit(0.4549364231195728), 6
+        ).alias("lambda_gc"),
+    )
