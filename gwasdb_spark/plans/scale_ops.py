@@ -39,6 +39,7 @@ Third batch — time-series shaping:
 - x89: hourly gap-fill/resample (in-plan generated spine, zero-filled).
 - x90: per-entity LOCF forward fill (per-user spine + ignorenulls last).
 - x91: trailing-24h z-score anomalies over the dense series.
+- x92: sparse TF-IDF cosine pairs (df-pruned postings self-join).
 """
 
 from __future__ import annotations
@@ -1139,4 +1140,92 @@ def x91_series_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_events").cast("long").alias("n_events"),
             F.round("z", 6).alias("z"),
         )
+    )
+
+
+@query(
+    "x92_sparse_cosine_pairs",
+    "X-sim,X-dedup",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, token FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+        FROM documents
+      ) raw WHERE token <> ''
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+    vec AS (
+      SELECT t.doc_id, t.token,
+             t.tf * LN(n.n_docs / d.df) AS w
+      FROM tf t JOIN df d USING (token) CROSS JOIN n
+      WHERE d.df <= 100
+    ),
+    norm AS (SELECT doc_id, SQRT(SUM(w * w)) AS nrm FROM vec GROUP BY 1),
+    dot AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.w * b.w) AS dot
+      FROM vec a JOIN vec b
+        ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d.id_a, d.id_b,
+           ROUND(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dot d
+    JOIN norm na ON na.doc_id = d.id_a
+    JOIN norm nb ON nb.doc_id = d.id_b
+    WHERE d.dot / (na.nrm * nb.nrm) >= 0.3
+    """,
+)
+def x92_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine document pairs ≥ 0.3 — lexical near-dup /
+    related-document detection in the SPARSE vector space (catches
+    paraphrase-free template reuse that MinHash's set-Jaccard and the
+    dense embedding space each miss differently). Physical discipline
+    mirrors x02: the pair fan-out happens ONLY through the postings
+    self-join on terms with df ≤ 100 (common terms carry no signal AND
+    are the quadratic blow-up — one bound serves both purposes), so
+    per-term join fan-in is capped at df²; norms and the doc count ride
+    the plan as aggregates (no driver actions). The tf-idf postings
+    relation is computed once and checkpointed — it feeds the norm
+    aggregate and BOTH self-join sides."""
+    d = table(spark, sf_dir, "documents")
+    tf = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    vec = (
+        tf.join(dfreq, "token")
+        .filter(F.col("df") <= 100)
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("w"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    norm = vec.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    a = vec.select(F.col("doc_id").alias("id_a"), "token", F.col("w").alias("wa"))
+    b = vec.select(F.col("doc_id").alias("id_b"), "token", F.col("w").alias("wb"))
+    dot = (
+        a.join(b, "token")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    cos = F.col("dot") / (F.col("na") * F.col("nb"))
+    return (
+        dot.join(norm.select(F.col("doc_id").alias("id_a"), F.col("nrm").alias("na")), "id_a")
+        .join(norm.select(F.col("doc_id").alias("id_b"), F.col("nrm").alias("nb")), "id_b")
+        .filter(cos >= 0.3)
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
     )
