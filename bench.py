@@ -169,6 +169,7 @@ HEADLINE = [
     "g12_meta_analysis",
     "g13_genomic_control",
     "x92_sparse_cosine_pairs",
+    "x93_label_propagation",
     # st13 (trending over the live rollup) is correctness-gated, not
     # benched: like st07/st09 its wall time is the micro-batch replay +
     # per-batch dynamic-partition-overwrite commits of the upsert

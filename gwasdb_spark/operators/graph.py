@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _edge_checksum(edges: DataFrame) -> tuple[int, int]:
@@ -537,3 +538,48 @@ def kcore(
             break
         n_alive = n_new
     return alive
+
+
+def label_propagation(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    rounds: int = 5,
+) -> DataFrame:
+    """Community detection by SYNCHRONIZED label propagation: every node
+    starts as its own label; each round, all nodes simultaneously adopt
+    the most frequent label among their neighbors (min-label tiebreak).
+    A FIXED round count makes the result a deterministic function of
+    the edge set — the price is that bipartite structures can oscillate
+    rather than settle (inherent to synchronous LPA; asynchronous
+    schedules fix oscillation but surrender determinism, the wrong
+    trade for a reproducible pipeline).
+
+    Per-round shape: one contribution shuffle (edges ⋈ labels), one
+    (node, label) count aggregate, one per-NODE-partitioned argmax
+    window — all skinny rows, labels' lineage cut every round. Returns
+    (id, label)."""
+    e = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = e.select(F.col("u").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    ).localCheckpoint()
+    w = Window.partitionBy("v").orderBy(F.desc("cnt"), F.asc("label"))
+    for _ in range(rounds):
+        cnt = (
+            e.join(labels, e["u"] == labels["id"])
+            .groupBy("v", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("v").alias("id"), "label")
+            .localCheckpoint()
+        )
+    return labels

@@ -40,6 +40,7 @@ Third batch — time-series shaping:
 - x90: per-entity LOCF forward fill (per-user spine + ignorenulls last).
 - x91: trailing-24h z-score anomalies over the dense series.
 - x92: sparse TF-IDF cosine pairs (df-pruned postings self-join).
+- x93: synchronized label-propagation communities (fixed rounds).
 """
 
 from __future__ import annotations
@@ -1228,4 +1229,80 @@ def x92_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(norm.select(F.col("doc_id").alias("id_b"), F.col("nrm").alias("nb")), "id_b")
         .filter(cos >= 0.3)
         .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+    )
+
+
+@query(
+    "x93_label_propagation",
+    "X-graph",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct(
+               list_transform(
+                 range(1, greatest(len(w) - 2, 0) + 1),
+                 i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS shingles
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+            FROM documents)
+    ),
+    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+    ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    rare AS (SELECT shingle FROM ex GROUP BY shingle HAVING COUNT(*) <= 100),
+    pruned AS (SELECT ex.doc_id, ex.shingle FROM ex JOIN rare USING (shingle)),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+      FROM pruned a JOIN pruned b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    prs AS (
+      SELECT id_a, id_b
+      FROM shared
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) >= 0.12
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM prs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM prs
+    ),
+    lp(iter, id, lbl) AS (
+      SELECT DISTINCT 0, u, u FROM edges
+      UNION ALL
+      SELECT iter + 1, v, lbl FROM (
+        SELECT iter, v, lbl,
+               ROW_NUMBER() OVER (PARTITION BY iter, v
+                                  ORDER BY cnt DESC, lbl) AS rn
+        FROM (
+          SELECT p.iter AS iter, e.v AS v, p.lbl AS lbl, COUNT(*) AS cnt
+          FROM lp p JOIN edges e ON e.u = p.id
+          WHERE p.iter < 5
+          GROUP BY 1, 2, 3
+        )
+      ) WHERE rn = 1
+    )
+    SELECT CAST(id AS BIGINT) AS id, CAST(lbl AS BIGINT) AS label
+    FROM lp WHERE iter = 5
+    """,
+)
+def x93_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the near-dup graph by synchronized label
+    propagation (operators/graph.py label_propagation, FIXED 5 rounds:
+    deterministic on any engine, so the recursive-CTE twin hashes) —
+    the soft-clustering complement to x11's exact components: LPA
+    splits a weakly-bridged blob into its dense communities, which is
+    the right grouping when two boilerplate families share one chance
+    near-dup edge. Per round: one contribution shuffle + (node, label)
+    count + per-node argmax window (parallel per node)."""
+    from gwasdb_spark.operators import dedup as DD
+    from gwasdb_spark.operators.graph import label_propagation
+
+    d = table(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.12, max_shingle_docs=100
+    )
+    return label_propagation(pairs, "id_a", "id_b", rounds=5).select(
+        F.col("id").cast("long").alias("id"),
+        F.col("label").cast("long").alias("label"),
     )

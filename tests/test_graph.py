@@ -201,3 +201,24 @@ def test_pagerank_driver_path_equals_distributed(spark):
     }
     assert fast == dist
     assert abs(sum(fast.values()) - 1.0) < 1e-6
+
+
+def test_label_propagation_communities(spark):
+    """Two triangles joined by one bridge edge: synchronized LPA (5
+    rounds) must keep the two dense communities distinct while x11-style
+    CC would merge them through the bridge."""
+    from gwasdb_spark.operators.graph import (
+        connected_components,
+        label_propagation,
+    )
+
+    tri1 = [(1, 2), (2, 3), (1, 3)]
+    tri2 = [(10, 11), (11, 12), (10, 12)]
+    bridge = [(3, 10)]
+    df = spark.createDataFrame(tri1 + tri2 + bridge, "id_a long, id_b long")
+    labels = {r.id: r.label for r in label_propagation(df, rounds=5).collect()}
+    assert len(set(labels.values())) >= 2  # communities stay separate
+    assert labels[1] == labels[2] == labels[3]
+    assert labels[11] == labels[12]
+    comp = {r.id: r.component for r in connected_components(df).collect()}
+    assert len(set(comp.values())) == 1  # CC merges through the bridge
