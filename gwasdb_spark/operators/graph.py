@@ -545,6 +545,7 @@ def label_propagation(
     src: str = "id_a",
     dst: str = "id_b",
     rounds: int = 5,
+    small_graph_threshold: int = 500_000,
 ) -> DataFrame:
     """Community detection by SYNCHRONIZED label propagation: every node
     starts as its own label; each round, all nodes simultaneously adopt
@@ -555,10 +556,17 @@ def label_propagation(
     schedules fix oscillation but surrender determinism, the wrong
     trade for a reproducible pipeline).
 
-    Per-round shape: one contribution shuffle (edges ⋈ labels), one
-    (node, label) count aggregate, one per-NODE-partitioned argmax
-    window — all skinny rows, labels' lineage cut every round. Returns
-    (id, label)."""
+    Size-adaptive like connected_components/pagerank: edge sets ≤
+    `small_graph_threshold` with integral ids Arrow-collect and run the
+    identical synchronized update in numpy — INTEGER counts and id
+    tiebreaks, so the two paths are exactly equal (pinned in tests),
+    not merely 9-dp-close. Larger graphs run distributed rounds: one
+    contribution shuffle (edges ⋈ labels), one (node, label) count
+    aggregate, one per-NODE-partitioned argmax window — all skinny
+    rows, labels' lineage cut every round. Returns (id, label)."""
+    import numpy as np
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
     e = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -566,6 +574,40 @@ def label_propagation(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    id_type = e.schema["u"].dataType
+    integral = isinstance(id_type, (ByteType, ShortType, IntegerType, LongType))
+    if integral and e.count() <= small_graph_threshold:
+        import pandas as pd
+
+        pdf = e.toPandas()
+        if len(pdf) == 0:
+            return pairs.sparkSession.createDataFrame(
+                [], f"id {id_type.simpleString()}, label {id_type.simpleString()}"
+            )
+        u = pdf["u"].to_numpy(dtype=np.int64)
+        v = pdf["v"].to_numpy(dtype=np.int64)
+        nodes = np.unique(np.concatenate([u, v]))
+        iu = np.searchsorted(nodes, u)
+        iv = np.searchsorted(nodes, v)
+        lbl = np.arange(len(nodes), dtype=np.int64)  # label = own index
+        for _ in range(rounds):
+            contrib = np.stack([iv, lbl[iu]], axis=1)
+            uniq, cnt = np.unique(contrib, axis=0, return_counts=True)
+            # per node: max count, then MIN label index (= min label id,
+            # since node order is ascending). Sort by (v, -cnt, lbl) and
+            # take the first row per v.
+            order = np.lexsort((uniq[:, 1], -cnt, uniq[:, 0]))
+            s = uniq[order]
+            first = np.unique(s[:, 0], return_index=True)[1]
+            new_lbl = lbl.copy()
+            new_lbl[s[first, 0]] = s[first, 1]
+            lbl = new_lbl
+        out = pd.DataFrame({"id": nodes, "label": nodes[lbl]})
+        spark_type = id_type.simpleString()
+        return pairs.sparkSession.createDataFrame(
+            out, f"id {spark_type}, label {spark_type}"
+        )
+
     labels = e.select(F.col("u").alias("id")).distinct().withColumn(
         "label", F.col("id")
     ).localCheckpoint()

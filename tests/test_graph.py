@@ -222,3 +222,24 @@ def test_label_propagation_communities(spark):
     assert labels[11] == labels[12]
     comp = {r.id: r.component for r in connected_components(df).collect()}
     assert len(set(comp.values())) == 1  # CC merges through the bridge
+
+
+def test_label_propagation_driver_path_equals_distributed(spark):
+    """Size-adaptive LPA: the numpy fast path and the distributed rounds
+    must be EXACTLY equal (integer counts, id tiebreaks — no float)."""
+    from gwasdb_spark.operators.graph import label_propagation
+
+    import random
+
+    rng = random.Random(7)
+    edges = list({(rng.randrange(40), rng.randrange(40)) for _ in range(120)})
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    fast = {r.id: r.label for r in label_propagation(df, rounds=5).collect()}
+    dist = {
+        r.id: r.label
+        for r in label_propagation(
+            df, rounds=5, small_graph_threshold=0
+        ).collect()
+    }
+    assert fast == dist
