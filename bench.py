@@ -170,6 +170,8 @@ HEADLINE = [
     "g13_genomic_control",
     "x92_sparse_cosine_pairs",
     "x93_label_propagation",
+    "x94_hierarchy_rollup",
+    "x95_peak_concurrency",
     # st13 (trending over the live rollup) is correctness-gated, not
     # benched: like st07/st09 its wall time is the micro-batch replay +
     # per-batch dynamic-partition-overwrite commits of the upsert

@@ -26,7 +26,7 @@ from gwasdb_spark.plans import scale_ops as _scale_ops  # noqa: F401
 # (registration order), per the r4 verdict's rotation plan. Round 6's
 # seats are (a) the 20 deferred r4 registrations (g09-g11, mm05/mm06,
 # s24/s25, st15, w10, x63-x66, x67-x73) and (b) the 19 round-5
-# additions (x74-x93, s26, g12/g13) — 43 seats + 7 backfill re-attestations
+# additions (x74-x95, s26, g12/g13) — 45 seats + 5 backfill re-attestations
 # fills the window, after which every registered query has a driver
 # row. All 39 hold in-repo oracle green rows (sf0.01 + sf0.001).
 # File order within modules is unchanged; only the registry's

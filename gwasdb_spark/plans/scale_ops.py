@@ -41,6 +41,8 @@ Third batch — time-series shaping:
 - x91: trailing-24h z-score anomalies over the dense series.
 - x92: sparse TF-IDF cosine pairs (df-pruned postings self-join).
 - x93: synchronized label-propagation communities (fixed rounds).
+- x94: hierarchical subtree rollup (iterative closure, recursive twin).
+- x95: sweep-line peak concurrency (two-level time-bucketed cumsum).
 """
 
 from __future__ import annotations
@@ -1305,4 +1307,195 @@ def x93_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(pairs, "id_a", "id_b", rounds=5).select(
         F.col("id").cast("long").alias("id"),
         F.col("label").cast("long").alias("label"),
+    )
+
+
+@query(
+    "x94_hierarchy_rollup",
+    "X-analytics,X-graph",
+    oracle="""
+    WITH RECURSIVE parts AS (
+      SELECT p_partkey AS part, CAST(p_retailprice AS DOUBLE) AS price
+      FROM part
+    ),
+    closure(part, anc) AS (
+      SELECT part, part FROM parts
+      UNION
+      SELECT c.part, c.anc // 10
+      FROM closure c JOIN parts a ON a.part = c.anc
+      WHERE c.anc >= 10
+    ),
+    pairs AS (
+      SELECT c.part, c.anc FROM closure c
+      JOIN parts p ON p.part = c.anc  -- ancestors that exist as parts
+    )
+    SELECT pr.anc AS part,
+           CAST(COUNT(*) AS BIGINT) AS subtree_size,
+           ROUND(SUM(p.price), 6) AS subtree_price
+    FROM pairs pr JOIN parts p ON p.part = pr.part
+    GROUP BY pr.anc
+    """,
+)
+def x94_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical (BOM-style) subtree rollup: parts form a synthetic
+    10-ary tree (parent = part div 10); every node aggregates its whole
+    SUBTREE's size and retail price — the ancestor-descendant closure +
+    rollup that flat SQL can't express without recursion and that BI
+    hierarchies (org charts, assemblies, category trees) need
+    constantly. The closure is built by iterative self-joins doubling
+    nothing: each round extends every path by ONE hop toward the root
+    (rounds = tree depth, here ≤ 5; fixpoint reached when a round adds
+    no pairs — both engines compute the identical unique closure, so
+    the UNION-recursion twin hashes). Closure size = nodes × depth —
+    the relation every round shuffles — never nodes². Lineage cut per
+    round."""
+    p = table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("part"),
+        F.col("p_retailprice").cast("double").alias("price"),
+    ).localCheckpoint(eager=False)
+    parts_only = p.select("part")
+    # closure: (part, anc) including self; extend last frontier one hop/round
+    closure = p.select("part", F.col("part").alias("anc"))
+    frontier = closure
+    for _ in range(8):
+        nxt = (
+            frontier.filter(F.col("anc") >= 10)
+            .join(parts_only.withColumnRenamed("part", "anc"), "anc", "left_semi")
+            .select("part", F.expr("anc div 10").alias("anc"))
+            .exceptAll(closure)
+            .distinct()
+            .localCheckpoint()
+        )
+        if nxt.count() == 0:
+            break
+        closure = closure.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    pairs = closure.join(
+        parts_only.withColumnRenamed("part", "anc"), "anc", "left_semi"
+    )
+    return (
+        pairs.join(p, "part")
+        .groupBy(F.col("anc").alias("part"))
+        .agg(
+            F.count(F.lit(1)).alias("subtree_size"),
+            F.round(F.sum("price"), 6).alias("subtree_price"),
+        )
+    )
+
+
+@query(
+    "x95_peak_concurrency",
+    "X-analytics,X-stream",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, epoch_us(ts) AS ts_us,
+             LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY epoch_us(ts), event_id)
+               AS prev_us
+      FROM events
+    ),
+    f AS (
+      SELECT user_id, ts, ts_us,
+             CASE WHEN prev_us IS NULL
+                       OR ts_us - prev_us > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM g
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts_us
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW) AS session_no
+      FROM f
+    ),
+    sessions AS (
+      SELECT user_id, session_no, MIN(ts) AS s_start, MAX(ts) AS s_end
+      FROM numbered GROUP BY 1, 2
+    ),
+    deltas AS (
+      SELECT s_start AS t, 1 AS d FROM sessions
+      UNION ALL
+      SELECT s_end, -1 FROM sessions
+    ),
+    net AS (SELECT t, SUM(d) AS net FROM deltas GROUP BY t),
+    run AS (
+      SELECT t, SUM(net) OVER (ORDER BY t
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS conc
+      FROM net
+    )
+    SELECT CAST(MAX(conc) AS BIGINT) AS peak_concurrency,
+           MIN(t) FILTER (WHERE conc = (SELECT MAX(conc) FROM run))
+             AS first_peak_ts
+    FROM run
+    """,
+)
+def x95_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions (and when it first happened) by
+    sweep-line: sessionize (30-min gap), emit +1/-1 boundary deltas,
+    NET them per timestamp (ends-before-starts at a shared instant —
+    netting per instant makes the tie order irrelevant), running-sum,
+    max. The running sum over all boundary timestamps is the classic
+    single-task window trap; here it is two-level — per-hour-bucket
+    cumsums in parallel, one bounded window over the hour totals
+    (operators/sampling.py's packing discipline applied to time) —
+    while the ORACLE uses the naive global window, proving the
+    decomposition exact. Sessionization windows are per-user."""
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    uw = Window.partitionBy("user_id").orderBy(F.col("ts_us"), F.col("event_id"))
+    g = ev.select(
+        "user_id", "ts", "event_id", F.unix_micros("ts").alias("ts_us")
+    ).withColumn("prev_us", F.lag("ts_us").over(uw))
+    f = g.withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_us").isNull()
+            | (F.col("ts_us") - F.col("prev_us") > 1800 * 1_000_000),
+            1,
+        ).otherwise(0),
+    )
+    cum = Window.partitionBy("user_id").orderBy("ts_us").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessions = (
+        f.withColumn("session_no", F.sum("new_session").over(cum))
+        .groupBy("user_id", "session_no")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    deltas = sessions.select(F.col("s_start").alias("t"), F.lit(1).alias("d")).unionByName(
+        sessions.select(F.col("s_end").alias("t"), F.lit(-1).alias("d"))
+    )
+    net = deltas.groupBy("t").agg(F.sum("d").alias("net"))
+    # two-level global cumsum over boundary timestamps, bucketed by hour
+    bucketed = net.withColumn("bucket", F.date_trunc("hour", F.col("t")))
+    in_bucket = Window.partitionBy("bucket").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    local = bucketed.withColumn("local_cum", F.sum("net").over(in_bucket))
+    totals = bucketed.groupBy("bucket").agg(F.sum("net").alias("bucket_total"))
+    prior = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow - 1
+    )
+    offsets = totals.select(
+        "bucket",
+        F.coalesce(F.sum("bucket_total").over(prior), F.lit(0)).alias("offset"),
+    )
+    run = (
+        local.join(F.broadcast(offsets), "bucket")
+        .select("t", (F.col("offset") + F.col("local_cum")).alias("conc"))
+        # both consumers (peak scalar, first-peak filter) read one
+        # materialization — without it the whole sweep replans twice
+        .localCheckpoint(eager=False)
+    )
+    peak = run.agg(F.max("conc").alias("peak"))
+    return (
+        run.crossJoin(F.broadcast(peak))
+        .filter(F.col("conc") == F.col("peak"))
+        .agg(
+            F.max("conc").cast("long").alias("peak_concurrency"),
+            F.min("t").alias("first_peak_ts"),
+        )
     )

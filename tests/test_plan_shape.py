@@ -327,6 +327,7 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "x74_global_rank": (1, "partition stats (#partitions rows)"),
     "x75_ntile_deciles": (1, "partition stats (#partitions rows)"),
     "x83_zipf_slope": (1, "partition stats (#partitions rows)"),
+    "x95_peak_concurrency": (1, "hour-bucket totals"),
 }
 
 
