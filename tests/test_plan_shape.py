@@ -345,3 +345,13 @@ def test_global_window_audit(spark):
         "unpartitioned ordered Window over a potentially unbounded input "
         f"(add to allowlist ONLY with a bounded-input proof): {violations}"
     )
+
+
+def test_bm25_final_rank_is_take_ordered(spark):
+    """r4 verdict #1's done-criterion: all three BM25 paths (ad-hoc,
+    indexed/serving, fielded) must take the top k via
+    TakeOrderedAndProject (per-task k-row heaps) BEFORE the rank window
+    — never rank the full candidate set through one task."""
+    for name in ("x12_bm25_search", "x12g_bm25_indexed", "x12h_bm25_fielded"):
+        plan = _plan(spark, name)
+        assert "TakeOrderedAndProject" in plan, name
