@@ -45,17 +45,47 @@ def clump_pandas(pdf: pd.DataFrame, radius: int) -> pd.DataFrame:
 def distance_clump(
     assoc: DataFrame,
     radius: int = 100_000,
+    extra_group_keys: tuple[str, ...] = (),
 ) -> DataFrame:
     """Greedy distance clumping of an association frame with columns
     (chr int, pos long, variant_id long, p double). One shuffle on chr;
     each chromosome's serial greedy pass runs as a single Arrow batch
     group. Output: (chr, pos, variant_id, p, n_clumped) — the lead
-    variants only."""
+    variants only.
+
+    MEMORY CONTRACT (mirrors graph.py's ≤500k-edge driver-path
+    contract): one group = ONE CHROMOSOME'S association rows in a
+    single pandas batch — 4 numeric columns ≈ 40 B/row, so even the
+    densest human chromosome at full catalog density (~8M variants of
+    the ~93M-marker reference scale) is ~320 MB, well inside an
+    executor. The bound is the VARIANT CATALOG per chromosome, not the
+    corpus or study count. If the input stacks many studies (rows ≈
+    catalog × |studies| per chr), pass extra_group_keys=("study_id",)
+    — clumping is per-study semantics in that shape anyway (each
+    study's p-values rank independently), and the per-group bound
+    drops back to one chromosome of one study."""
     schema = "chr int, pos long, variant_id long, p double, n_clumped long"
+    keys = ["chr", *extra_group_keys]
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
             return pdf.head(0).assign(n_clumped=pd.Series(dtype="int64"))
         return clump_pandas(pdf, radius)
 
-    return assoc.groupBy("chr").applyInPandas(run, schema=schema)
+    if extra_group_keys:
+        # Group on (chr, extra...) but keep the output schema: the extra
+        # keys ride through clump_pandas untouched only if selected —
+        # clumping output stays lead rows per (chr, extra...) group.
+        schema_extra = schema + "".join(
+            f", {k} {dict(assoc.dtypes)[k]}" for k in extra_group_keys
+        )
+
+        def run_extra(pdf: pd.DataFrame) -> pd.DataFrame:
+            extras = {k: pdf[k].iloc[0] for k in extra_group_keys} if len(pdf) else {}
+            out = run(pdf)
+            for k in extra_group_keys:
+                out[k] = extras.get(k)
+            return out
+
+        return assoc.groupBy(*keys).applyInPandas(run_extra, schema=schema_extra)
+    return assoc.groupBy(*keys).applyInPandas(run, schema=schema)

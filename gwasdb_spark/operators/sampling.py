@@ -228,11 +228,19 @@ def global_row_number(
     must therefore be a TOTAL order (include a unique id tiebreak) —
     with ties straddling a boundary the rank would still be a valid
     row_number, but not deterministic across runs."""
-    nparts = num_partitions or df.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions", "32"
-    )
+    if num_partitions:
+        nparts = int(num_partitions)
+    else:
+        # Managed distros may set shuffle.partitions to a non-numeric
+        # value (e.g. "auto"); degrade to the input's partitioning.
+        try:
+            nparts = int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+            )
+        except (TypeError, ValueError):
+            nparts = df.rdd.getNumPartitions()
     ranged = (
-        df.repartitionByRange(int(nparts), *order_by)
+        df.repartitionByRange(nparts, *order_by)
         .sortWithinPartitions(*order_by)
         .withColumn("__mid", F.monotonically_increasing_id())
         .withColumn("__pid", F.spark_partition_id())

@@ -19,69 +19,73 @@ from gwasdb_spark.plans import scale_ops as _scale_ops  # noqa: F401
 # Registration-order priority.
 #
 # The driver's correctness gate records the FIRST 50 registered queries per
-# round. Rounds 1/3/4 adjudicated the reference-surface core, the
-# regressed-then-fixed block, and the round-3 tail + ANN/cluster upgrades
-# (all green, r01∪r03∪r04). 70 round-4 registrations have never held a
-# driver row; this round's window seats the OLDEST 50 of them
-# (registration order), per the r4 verdict's rotation plan. Round 6's
-# seats are (a) the 20 deferred r4 registrations (g09-g11, mm05/mm06,
-# s24/s25, st15, w10, x63-x66, x67-x73) and (b) the 19 round-5
-# additions (x74-x95, s26, g12/g13) — 45 seats + 5 backfill re-attestations
-# fills the window, after which every registered query has a driver
-# row. All 39 hold in-repo oracle green rows (sf0.01 + sf0.001).
-# File order within modules is unchanged; only the registry's
-# iteration order is rebuilt here.
+# round. Rounds 1/3/4/5 adjudicated the reference-surface core, the
+# regressed-then-fixed block, the round-3 tail + ANN/cluster upgrades, and
+# the 50 oldest never-checked registrations (all green, r01∪r03∪r04∪r05).
+# Round 6 seats the FINAL 45 registrations that have never held a driver
+# row — the 20 r4-deferred (g09-g11, mm05/mm06, s24/s25, st15, w10,
+# x63-x73) and the 25 round-5 additions (x74-x95, s26, g12/g13) — plus 5
+# backfill seats: x39 (its PageRank hash oracle landed in r5 but its only
+# driver row is r4's no_oracle), x12/x12g (last rows r2/r4 predate the r5
+# _rank_topk rewrite), x41 (last row r4 predates the r5 exact_ntile fix),
+# and x62 (its serve path is re-benched split this round). After this
+# window EVERY registered query holds a driver row. All 50 hold in-repo
+# oracle green rows (sf0.01 + sf0.001). File order within modules is
+# unchanged; only the registry's iteration order is rebuilt here.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    "a07_rollup_revenue",
-    "a08_unpivot_long",
-    "a09_listagg",
-    "a10_cube_margins",
-    "a11_grouping_sets",
-    "c03_gopher_gate",
-    "c04_corpus_refinery",
-    "e02_json_construct_parse",
-    "f06_fuzzy_match",
-    "f07_extract_all_numbers",
-    "f08_fuzzy_match_blocked",
-    "g04_marker_probe_indexed",
-    "g05_marker_probe_scan",
-    "g06_zorder_box_probe",
-    "g07_distance_clump",
-    "g08_binned_lead_snp",
-    "j11_nullsafe_join",
-    "m02_scd2_upsert",
-    "q11_important_stock",
-    "q20_excess_stock_suppliers",
-    "s22_python_datasource",
-    "s23_lang_partitioned_corpus",
-    "sk02_bucketed_join",
-    "st11_session_window_builtin",
-    "st12_stream_jsonl_ingest",
-    "st13_stream_trending",
-    "st14_stream_dedup_ingest",
-    "w07_group_quantiles",
-    "w08_range_frame_trailing",
-    "w09_rank_variants",
-    "x12h_bm25_fielded",
-    "x43_int8_quantize",
-    "x44_incremental_dedup",
-    "x45_shingle_containment",
-    "x46_casefold_dedup",
-    "x47_corpus_mix_report",
-    "x48_mlm_masking",
-    "x49_cluster_keep_best",
-    "x50_chunk_overlap",
-    "x51_pmi_collocations",
-    "x53_embedding_dim_stats",
-    "x54_span_dedup",
-    "x55_bigram_logprob",
-    "x56_mutual_knn_graph",
-    "x57_skew_report",
-    "x58_snapshot_diff",
-    "x59_quality_classifier",
-    "x60_copurchase_lift",
-    "x61_retention_cohorts",
+    # 20 r4-deferred registrations (registration order)
+    "s24_schema_evolution",
+    "g09_qq_binned",
+    "s25_gzip_csv_roundtrip",
+    "g10_maf_spectrum",
+    "g11_hwe_chisq",
+    "w10_first_last_value",
+    "mm05_modality_dispatch",
+    "x63_triangle_counts",
+    "x64_event_debounce",
+    "x65_semantic_dedup",
+    "x66_mad_outliers",
+    "x67_winsorize",
+    "mm06_binary_dedup",
+    "x68_keyword_tfidf",
+    "x69_rolling_distinct",
+    "st15_session_durations",
+    "x70_activity_streaks",
+    "x71_cooccurrence_counts",
+    "x72_cumulative_uniques",
+    "x73_langid_confusion",
+    # 25 round-5 additions
+    "x74_global_rank",
+    "x75_ntile_deciles",
+    "x76_percentile_cut",
+    "x77_weighted_sample",
+    "x78_table_profile",
+    "x79_stopword_discovery",
+    "x80_kcore",
+    "x81_k_anonymity",
+    "x82_cluster_size_histogram",
+    "x83_zipf_slope",
+    "x84_lexical_richness",
+    "x85_source_kl_divergence",
+    "x86_label_centroid_sim",
+    "x87_centroid_outliers",
+    "x88_funnel_latency",
+    "s26_compaction_roundtrip",
+    "x89_gap_fill",
+    "x90_forward_fill",
+    "x91_series_anomalies",
+    "g12_meta_analysis",
+    "g13_genomic_control",
+    "x92_sparse_cosine_pairs",
+    "x93_label_propagation",
+    "x94_hierarchy_rollup",
+    "x95_peak_concurrency",
+    # 5 backfill re-attestations
+    "x39_pagerank_neardup",
+    "x12_bm25_search",
+    "x12g_bm25_indexed",
+    "x41_curriculum_order",
     "x62_bm25_index_update",
 ]
 

@@ -4355,6 +4355,42 @@ def x61_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x62_phases(spark: SparkSession, sf_dir: str):
+    """x62 decomposed into its three cost phases — (build, update, query)
+    thunks — so bench.py can time them separately (r5 verdict: a
+    serve-path regression must not hide inside index-build noise).
+    `build` and `update` are write jobs returning None; `query` returns
+    the DataFrame. The index lands under a STABLE per-sf_dir /tmp path:
+    build's mode("overwrite") clears prior segments (including prior
+    runs' deltas), so repeated invocations reuse one directory instead
+    of stranding an index copy per call."""
+    import hashlib as _hl
+    import tempfile as _tf
+
+    from gwasdb_spark.operators.search import (
+        bm25_topk_indexed,
+        build_text_index,
+        update_text_index,
+    )
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:12]
+    idx = os.path.join(_tf.gettempdir(), f"gwasdb_bm25_incr_{tag}", "index")
+    d = table(spark, sf_dir, "documents")
+
+    def build() -> None:
+        build_text_index(d.filter(F.col("doc_id") % 5 != 0), idx)
+
+    def update() -> None:
+        update_text_index(d.filter(F.col("doc_id") % 5 == 0), idx)
+
+    def query() -> DataFrame:
+        return bm25_topk_indexed(
+            spark, idx, ["hash", "join", "vector"], "doc_id", k=10
+        )
+
+    return build, update, query
+
+
 @query(
     "x62_bm25_index_update",
     "X-text,X-search,X-stream",
@@ -4368,20 +4404,12 @@ def x62_bm25_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch), and the SAME query must reproduce the full-corpus BM25
     ground truth x12g answers from its one-shot build. This is the index
     freshness path a streaming ingest (st14) feeds
-    (operators/search.py update_text_index)."""
-    import tempfile as _tf
-
-    from gwasdb_spark.operators.search import (
-        bm25_topk_indexed,
-        build_text_index,
-        update_text_index,
-    )
-
-    d = table(spark, sf_dir, "documents")
-    idx = os.path.join(_tf.mkdtemp(prefix="bm25_incr_"), "index")
-    build_text_index(d.filter(F.col("doc_id") % 5 != 0), idx)
-    update_text_index(d.filter(F.col("doc_id") % 5 == 0), idx)
-    return bm25_topk_indexed(spark, idx, ["hash", "join", "vector"], "doc_id", k=10)
+    (operators/search.py update_text_index). Phase split + staging-dir
+    lifecycle live in x62_phases (benched per-phase)."""
+    build, update, query = x62_phases(spark, sf_dir)
+    build()
+    update()
+    return query()
 
 
 # x02's exact 3-gram Jaccard pair graph as a DuckDB CTE chain (threshold

@@ -306,3 +306,48 @@ def test_distance_clump_matches_python_reference(spark):
             assert abs(p2 - p1) > radius
     # invariant: memberships partition the variant set
     assert sum(n for _pos, n in got.values()) == len(rows)
+
+
+def test_distance_clump_extra_group_keys_shards_per_study(spark):
+    """The memory-contract escape hatch: extra_group_keys=("study_id",)
+    must clump each study independently (per-study p-value ranking),
+    and equal running distance_clump separately per study."""
+    import numpy as np
+
+    from gwasdb_spark.gwas.clump import distance_clump
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (int(c), int(p), int(i), float(rng.integers(0, 10_000)) / 10_000, int(s))
+        for i, (c, p, s) in enumerate(
+            zip(
+                rng.integers(1, 3, 400),
+                rng.integers(1, 1_000_000, 400),
+                rng.integers(0, 3, 400),
+            )
+        )
+    ]
+    assoc = spark.createDataFrame(
+        rows, "chr int, pos long, variant_id long, p double, study_id int"
+    )
+    radius = 120_000
+    got = {
+        (r.study_id, r.chr, r.variant_id): (r.pos, r.n_clumped)
+        for r in distance_clump(
+            assoc, radius=radius, extra_group_keys=("study_id",)
+        ).collect()
+    }
+    want = {}
+    for s in {r[4] for r in rows}:
+        sub = assoc.filter(assoc.study_id == s).drop("study_id")
+        for r in distance_clump(sub, radius=radius).collect():
+            want[(s, r.chr, r.variant_id)] = (r.pos, r.n_clumped)
+    assert got == want
+    # per-study membership totals partition each study's variant set
+    from collections import Counter
+
+    per_study_rows = Counter(r[4] for r in rows)
+    per_study_members = Counter()
+    for (s, _c, _v), (_pos, n) in got.items():
+        per_study_members[s] += n
+    assert per_study_members == per_study_rows
