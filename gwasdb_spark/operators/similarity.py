@@ -414,12 +414,38 @@ def ivf_topk(
     pass, one vectorized cell-assignment pass over the corpus (numpy
     matmul per Arrow batch), a driver-side probe-list for the (small)
     query set, then an equi-join on cell id — the scan of each query
-    touches |corpus|·nprobe/n_cells rows instead of |corpus|."""
+    touches |corpus|·nprobe/n_cells rows instead of |corpus|.
+
+    This one-shot form re-trains and re-assigns on every call — right
+    for a single analytic query, wrong for a serving workload. For
+    serving, do the faiss-shaped split yourself: train_ivf_centroids
+    once, assign_cells once (persist or write the assignment — it is
+    the index), then ivf_probe per query batch."""
     Cn = train_ivf_centroids(
         corpus, vec_col, n_cells=n_cells, seed=seed, train_fraction=train_fraction
     )
     assigned = assign_cells(corpus, Cn, id_col, vec_col)
+    return ivf_probe(queries, assigned, Cn, id_col, vec_col, k=k, nprobe=nprobe)
 
+
+def ivf_probe(
+    queries: DataFrame,
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF serve path against a PREBUILT index: `assigned` is
+    assign_cells' (neighbor_id, c_vec, cell) relation (persisted or read
+    back from storage), `centroids` the row-normalized matrix it was
+    built with. Per-call cost is the probe-cell scan + bounded top-k —
+    train/assign are paid once at index-build time, the same
+    build-vs-serve split the BM25 index (build_text_index /
+    bm25_topk_indexed) makes. Partition the stored assignment BY CELL
+    at 100 TB and the equi-join prunes to the probed cells' files."""
+    Cn = centroids
     qrows = queries.select(id_col, vec_col).collect()
     probe_rows = []
     for r in qrows:

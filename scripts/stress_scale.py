@@ -1,0 +1,298 @@
+#!/usr/bin/env python
+"""sf1-class stress fixtures for the three operators a 100 TB run
+stresses hardest (r5 verdict #5b): BM25 serving latency, connected
+components above the driver-path threshold, and IVF ANN recall.
+
+The per-round bench (sf0.1) proves plan shapes; these stresses prove the
+SCALE PATHS: each one synthesizes a deterministic input 10-100x the
+bench scale in /tmp (stable per-stress path, overwritten), forces the
+operator down the branch a 1000-executor run would take (distributed
+star CC, sampled-training IVF, prebuilt-index BM25 serving), and gates
+on a hard correctness/quality invariant before reporting timings —
+a fast-but-wrong stress number is a failure, not a result.
+
+Usage:  python scripts/stress_scale.py [bm25|cc|ivf|all]
+
+Prints one JSON line per stress; numbers are recorded in ROADMAP.md
+per round so regressions in the scale paths are visible across rounds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from gwasdb_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+TMP = tempfile.gettempdir()
+
+
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+# ---------------------------------------------------------------------------
+# Stress 1 — BM25 serving at 10x corpus (sf1-class: 50k docs).
+#
+# The serving question at 100 TB is NOT index build cost (amortized,
+# incremental via update_text_index) but per-query latency against a
+# prebuilt index: postings pruned to query terms, df/doclen joins bounded
+# by hit lists, TakeOrdered top-k. Gate: indexed top-k must equal the
+# brute-force bm25_topk answer on the same corpus exactly (ids, ranks,
+# scores to 6 dp) — the serve path may be fast only if it is right.
+# ---------------------------------------------------------------------------
+def stress_bm25(spark) -> dict:
+    from gwasdb_spark.operators.search import (
+        bm25_topk,
+        bm25_topk_indexed,
+        build_text_index,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    reps = spark.range(10).select(F.col("id").alias("rep"))
+    # 10x corpus with globally distinct ids; texts repeat, which leaves
+    # per-term df and doclen distributions realistic (duplicated docs tie
+    # on score and are broken by the deterministic id tiebreak).
+    corpus = docs.crossJoin(F.broadcast(reps)).select(
+        (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
+        "text",
+    )
+    n_docs = corpus.count()
+
+    idx = os.path.join(TMP, "gwasdb_stress_bm25", "index")
+    t0 = time.perf_counter()
+    build_text_index(corpus, idx)
+    build_s = time.perf_counter() - t0
+
+    queries = [
+        ["hash", "join", "vector"],
+        ["shuffle", "partition"],
+        ["broadcast", "executor", "memory"],
+        ["index", "scan"],
+        ["stream", "window", "state"],
+        ["parquet", "column"],
+        ["cache", "spill"],
+        ["sort", "merge", "join"],
+    ]
+    # warm the JVM/codegen paths once before timing
+    _noop(bm25_topk_indexed(spark, idx, queries[0], "doc_id", k=10))
+    lat = []
+    for terms in queries:
+        t0 = time.perf_counter()
+        _noop(bm25_topk_indexed(spark, idx, terms, "doc_id", k=10))
+        lat.append(time.perf_counter() - t0)
+
+    # correctness gate on two query sets: indexed == brute, exactly
+    mismatches = 0
+    for terms in queries[:2]:
+        a = {
+            (r["doc_id"], r["rank"], round(r["score"], 6))
+            for r in bm25_topk_indexed(spark, idx, terms, "doc_id", k=10).collect()
+        }
+        b = {
+            (r["doc_id"], r["rank"], round(r["score"], 6))
+            for r in bm25_topk(corpus, terms, "doc_id", "text", k=10).collect()
+        }
+        mismatches += len(a ^ b)
+
+    return {
+        "stress": "bm25_serving",
+        "n_docs": n_docs,
+        "build_sec": round(build_s, 3),
+        "serve_p50_sec": round(float(np.median(lat)), 3),
+        "serve_max_sec": round(float(max(lat)), 3),
+        "gate_mismatches": mismatches,
+        "ok": mismatches == 0,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Stress 2 — connected components at 1.005M edges (> the 500k driver-path
+# threshold, so the distributed large-star/small-star rounds run — the
+# branch a 100 TB near-dup graph takes). The graph is analytic: 100k
+# chains of 11 nodes (10 edges each), with chains 2j/2j+1 bridged for
+# j < 5k. Ground truth: 90k components of size 11 + 5k of size 22, every
+# label the component's min node id ≡ 0 (mod 16). All gates are
+# distributed aggregates — no driver materialization of node rows.
+# ---------------------------------------------------------------------------
+def stress_cc(spark) -> dict:
+    from gwasdb_spark.operators.graph import connected_components
+
+    n_chains, chain_len = 100_000, 11
+    chain_edges = (
+        spark.range(n_chains * (chain_len - 1))
+        .select(
+            (F.col("id") / (chain_len - 1)).cast("long").alias("chain"),
+            (F.col("id") % (chain_len - 1)).alias("i"),
+        )
+        .select(
+            (F.col("chain") * 16 + F.col("i")).alias("id_a"),
+            (F.col("chain") * 16 + F.col("i") + 1).alias("id_b"),
+        )
+    )
+    bridges = spark.range(5_000).select(
+        (F.col("id") * 2 * 16 + 10).alias("id_a"),
+        ((F.col("id") * 2 + 1) * 16).alias("id_b"),
+    )
+    edges = chain_edges.unionByName(bridges)
+
+    stats: dict = {}
+    t0 = time.perf_counter()
+    labels = connected_components(edges, stats=stats).localCheckpoint()
+    sizes = labels.groupBy("component").count()
+    hist = {int(r["count"]): int(r["n"]) for r in
+            sizes.groupBy("count").agg(F.count(F.lit(1)).alias("n")).collect()}
+    wall = time.perf_counter() - t0
+
+    bad_labels = sizes.filter(F.col("component") % 16 != 0).count()
+    # bridged pairs must carry the EVEN chain's min id as their label
+    bridged_bad = (
+        labels.filter((F.col("id") / 16).cast("long") % 2 == 1)
+        .filter((F.col("id") / 16).cast("long") < 10_000)
+        .filter(F.col("component") != ((F.col("id") / 16).cast("long") - 1) * 16)
+        .count()
+    )
+    ok = (
+        stats.get("path") == "star"
+        and hist == {11: 90_000, 22: 5_000}
+        and bad_labels == 0
+        and bridged_bad == 0
+    )
+    return {
+        "stress": "cc_star_1m_edges",
+        "n_edges": 1_005_000,
+        "path": stats.get("path"),
+        "rounds": stats.get("iterations"),
+        "wall_sec": round(wall, 3),
+        "size_hist": hist,
+        "bad_labels": bad_labels + bridged_bad,
+        "ok": ok,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Stress 3 — IVF ANN recall at 200k vectors (100x the sf0.1 embeddings
+# table), serving-shaped: train centroids ONCE, assign cells ONCE (the
+# index build), then ivf_probe per nprobe against the prebuilt
+# assignment — the faiss train/add/search split a 100 TB serving
+# deployment uses; the one-shot ivf_topk would re-train per call and
+# hide serve cost in training.
+#
+# Data: 32 planted centers + per-row content-addressed Gaussian noise
+# at sigma 2.0 — near-isotropic overlap, so true neighbors straddle
+# cell boundaries and recall genuinely rises with nprobe (at
+# sigma 0.35 recall was 1.0 even at nprobe=4: a gate that cannot fail
+# measures nothing). Gate: recall@10 >= 0.95 at nprobe=16/64 cells AND
+# recall monotone nondecreasing in nprobe.
+# ---------------------------------------------------------------------------
+def stress_ivf(spark) -> dict:
+    from gwasdb_spark.operators.similarity import (
+        assign_cells,
+        brute_force_topk_vectorized,
+        ivf_probe,
+        train_ivf_centroids,
+    )
+
+    n_vec, dim, n_centers = 200_000, 64, 32
+    path = os.path.join(TMP, "gwasdb_stress_ivf", "vectors")
+
+    def gen(batches):
+        import pandas as pd
+
+        centers = {
+            c: np.random.default_rng(10_000 + c).normal(size=dim)
+            for c in range(n_centers)
+        }
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            out = []
+            for i in ids:
+                rng = np.random.default_rng(int(i))
+                v = centers[int(i) % n_centers] + 2.0 * rng.normal(size=dim)
+                out.append([float(x) for x in v])
+            yield pd.DataFrame({"vec_id": ids, "embedding": out})
+
+    t0 = time.perf_counter()
+    (
+        spark.range(n_vec)
+        .repartition(32)
+        .mapInPandas(gen, "vec_id long, embedding array<double>")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    gen_s = time.perf_counter() - t0
+    corpus = spark.read.parquet(path)
+    queries = corpus.filter(F.col("vec_id") % 4_000 == 7)  # 50 held-out probes
+
+    t0 = time.perf_counter()
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk_vectorized(queries, corpus, k=10).collect()
+    }
+    brute_s = time.perf_counter() - t0
+
+    # index build: train on a 25% sample (faiss-style), assign every
+    # vector once, pin the assignment (at 100 TB: write it, cell-
+    # partitioned, instead)
+    t0 = time.perf_counter()
+    Cn = train_ivf_centroids(corpus, n_cells=64, train_fraction=0.25)
+    train_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    assigned = assign_cells(corpus, Cn).localCheckpoint()
+    assign_s = time.perf_counter() - t0
+
+    out: dict = {
+        "stress": "ivf_recall_200k",
+        "n_vectors": n_vec,
+        "dim": dim,
+        "gen_sec": round(gen_s, 3),
+        "brute_sec": round(brute_s, 3),
+        "train_sec": round(train_s, 3),
+        "assign_sec": round(assign_s, 3),
+    }
+    recalls = []
+    for nprobe in (4, 8, 16):
+        t0 = time.perf_counter()
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_probe(queries, assigned, Cn, k=10, nprobe=nprobe).collect()
+        }
+        out[f"probe{nprobe}_sec"] = round(time.perf_counter() - t0, 3)
+        rec = len(truth & approx) / len(truth)
+        out[f"recall_at10_nprobe{nprobe}"] = round(rec, 4)
+        recalls.append(rec)
+    out["ok"] = recalls[-1] >= 0.95 and all(
+        b >= a - 1e-9 for a, b in zip(recalls, recalls[1:])
+    )
+    return out
+
+
+STRESSES = {"bm25": stress_bm25, "cc": stress_cc, "ivf": stress_ivf}
+
+
+def main() -> None:
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    names = list(STRESSES) if which == "all" else [which]
+    spark = get_spark("gwasdb_stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    rc = 0
+    for n in names:
+        res = STRESSES[n](spark)
+        print(json.dumps(res))
+        if not res.get("ok"):
+            rc = 1
+    spark.stop()
+    sys.exit(rc)
+
+
+if __name__ == "__main__":
+    main()

@@ -151,6 +151,27 @@ def test_ivf_recall_on_neardups(spark, neardup_corpus):
     assert all(r.rank <= 5 for r in res)
 
 
+def test_ivf_probe_equals_one_shot_topk(spark, neardup_corpus):
+    """The serving split (train once + assign once + ivf_probe) must be
+    bit-identical to the one-shot ivf_topk at the same seed/params —
+    the refactor guard for the faiss-shaped build/serve separation."""
+    from gwasdb_spark.operators.similarity import (
+        assign_cells,
+        ivf_probe,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    queries = neardup_corpus.filter(F.col("vec_id") >= 1000)
+    one_shot = ivf_topk(queries, neardup_corpus, k=5, n_cells=16, nprobe=4).collect()
+    C = train_ivf_centroids(neardup_corpus, n_cells=16)
+    assigned = assign_cells(neardup_corpus, C)
+    served = ivf_probe(queries, assigned, C, k=5, nprobe=4).collect()
+    ka = {(r.query_id, r.neighbor_id, r.rank, round(r.cosine, 9)) for r in one_shot}
+    kb = {(r.query_id, r.neighbor_id, r.rank, round(r.cosine, 9)) for r in served}
+    assert ka == kb
+
+
 def test_ivf_kmeans_cell_occupancy(spark, neardup_corpus):
     """k-means centroids must produce non-degenerate cells: most cells
     populated and no single cell swallowing the corpus (the failure mode
