@@ -172,6 +172,11 @@ HEADLINE = [
     "x93_label_propagation",
     "x94_hierarchy_rollup",
     "x95_peak_concurrency",
+    # round-6 additions
+    "x96_dsir_importance",
+    "x97_source_dup_profile",
+    "x98_shingle_novelty",
+    "g14_heterogeneity",
     # st13 (trending over the live rollup) is correctness-gated, not
     # benched: like st07/st09 its wall time is the micro-batch replay +
     # per-batch dynamic-partition-overwrite commits of the upsert

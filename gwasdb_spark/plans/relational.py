@@ -2839,3 +2839,79 @@ def g13_genomic_control(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("percentile(z2, 0.5)") / F.lit(0.4549364231195728), 6
         ).alias("lambda_gc"),
     )
+
+
+@query(
+    "g14_heterogeneity",
+    "X-gwas,X-qa",
+    oracle="""
+    WITH res AS (
+      SELECT l_partkey AS marker, l_suppkey % 3 AS study,
+             CAST(l_discount - 0.05 AS DOUBLE) AS beta,
+             CAST(l_tax + 0.01 AS DOUBLE) AS se
+      FROM lineitem
+    ),
+    per AS (
+      SELECT marker, study,
+             AVG(beta) AS beta, AVG(se) AS se
+      FROM res GROUP BY 1, 2
+    ),
+    het AS (
+      SELECT marker,
+             CAST(COUNT(*) AS BIGINT) AS n_studies,
+             SUM(beta * beta / (se * se))
+               - POW(SUM(beta / (se * se)), 2) / SUM(1.0 / (se * se)) AS q
+      FROM per GROUP BY 1 HAVING COUNT(*) >= 2
+    )
+    SELECT marker, n_studies,
+           ROUND(q, 6) AS cochran_q,
+           ROUND(CASE WHEN q > n_studies - 1
+                      THEN (q - (n_studies - 1)) / q
+                      ELSE 0.0 END, 6) AS i_squared
+    FROM het
+    """,
+)
+def g14_heterogeneity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Between-study heterogeneity per marker — Cochran's Q and Higgins'
+    I² — the statistic a meta-analyst reads NEXT to g12's pooled
+    estimate (a significant β_meta with I² > 0.75 means the studies
+    disagree and the fixed-effect pool is misleading; the reference's
+    multi-study warehouse is exactly the input this audits). Same
+    deterministic GWAS mapping and per-(marker, study) grain as g12.
+
+    Q = Σ wᵢ(βᵢ − β̄w)² computed via the one-pass algebraic identity
+    Σwβ² − (Σwβ)²/Σw, so the marker-grain aggregate needs NO join back
+    to the pooled estimate — two stacked skinny aggregates total, same
+    shuffle shape as g12. I² = max(0, (Q − df)/Q), df = n−1."""
+    li = table(spark, sf_dir, "lineitem")
+    res = li.select(
+        F.col("l_partkey").alias("marker"),
+        (F.col("l_suppkey") % 3).alias("study"),
+        (F.col("l_discount") - 0.05).cast("double").alias("beta"),
+        (F.col("l_tax") + 0.01).cast("double").alias("se"),
+    )
+    per = res.groupBy("marker", "study").agg(
+        F.avg("beta").alias("beta"), F.avg("se").alias("se")
+    )
+    w = 1.0 / (F.col("se") * F.col("se"))
+    het = (
+        per.groupBy("marker")
+        .agg(
+            F.count(F.lit(1)).alias("n_studies"),
+            (
+                F.sum(F.col("beta") * F.col("beta") * w)
+                - F.pow(F.sum(F.col("beta") * w), 2) / F.sum(w)
+            ).alias("q"),
+        )
+        .filter(F.col("n_studies") >= 2)
+    )
+    df = (F.col("n_studies") - 1).cast("double")
+    return het.select(
+        "marker",
+        "n_studies",
+        F.round("q", 6).alias("cochran_q"),
+        F.round(
+            F.when(F.col("q") > df, (F.col("q") - df) / F.col("q")).otherwise(0.0),
+            6,
+        ).alias("i_squared"),
+    )

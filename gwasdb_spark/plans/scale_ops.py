@@ -1510,3 +1510,231 @@ def x95_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("t").alias("first_peak_ts"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Fourth batch (round 6) — data-selection and corpus-forensics shapes.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x96_dsir_importance",
+    "X-text,X-sample",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CAST(CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 128
+                  AS INTEGER) AS bucket
+      FROM (
+        SELECT doc_id, lang,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        FROM documents
+      )
+      WHERE tok <> ''
+    ),
+    stats AS (
+      SELECT bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_raw,
+             CAST(COUNT(*) FILTER (WHERE lang = 'en') AS BIGINT) AS n_target
+      FROM toks GROUP BY bucket
+    ),
+    consts AS (
+      SELECT SUM(n_raw) AS tot_raw, SUM(n_target) AS tot_target FROM stats
+    ),
+    llr AS (
+      SELECT bucket,
+             LN((n_target + 1.0) / (tot_target + 128.0))
+               - LN((n_raw + 1.0) / (tot_raw + 128.0)) AS bucket_llr
+      FROM stats CROSS JOIN consts
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(SUM(l.bucket_llr), 6) AS log_importance
+    FROM toks t JOIN llr l USING (bucket)
+    GROUP BY t.doc_id
+    """,
+)
+def x96_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, public method):
+    score every raw document by the log-likelihood ratio of a TARGET
+    hashed-token unigram model (here: the lang='en' slice) vs the RAW
+    corpus model — the data-selection step that tilts a 100 TB crawl
+    toward a target distribution before sampling. Features are words
+    hashed content-addressed into 128 buckets (md5 prefix, identical
+    on any engine — no vocabulary to ship), both models add-one
+    smoothed.
+
+    Physical shape: one token explode feeding (a) the 128-row bucket
+    stats aggregate — target and raw counts in the SAME pass via a
+    conditional count, not two scans — and (b) the per-doc sum; the
+    bucket LLR relation (≤128 rows with its 1-row totals cross-joined
+    in-plan) broadcasts back onto the token stream, so the only
+    token-grain shuffle carries (doc_id, bucket). The downstream
+    consumer composes this with x77's deterministic weighted sampler
+    (weight = exp(log_importance)) for the actual resample."""
+    d = table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .select(
+            "doc_id",
+            "lang",
+            (F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 8), 16, 10)
+             .cast("long") % 128).cast("int").alias("bucket"),
+        )
+    )
+    stats = toks.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.count_if(F.col("lang") == "en").alias("n_target"),
+    )
+    consts = stats.agg(
+        F.sum("n_raw").alias("tot_raw"), F.sum("n_target").alias("tot_target")
+    )
+    llr = stats.crossJoin(F.broadcast(consts)).select(
+        "bucket",
+        (
+            F.log((F.col("n_target") + 1.0) / (F.col("tot_target") + 128.0))
+            - F.log((F.col("n_raw") + 1.0) / (F.col("tot_raw") + 128.0))
+        ).alias("bucket_llr"),
+    )
+    return (
+        toks.join(F.broadcast(llr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.sum("bucket_llr"), 6).alias("log_importance"),
+        )
+    )
+
+
+@query(
+    "x97_source_dup_profile",
+    "X-dedup,X-qa",
+    oracle=r"""
+    WITH fp AS (
+      SELECT source, n_chars,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fingerprint
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT fingerprint) AS BIGINT) AS n_unique,
+           ROUND(1.0 - CAST(COUNT(DISTINCT fingerprint) AS DOUBLE)
+                 / COUNT(*), 6) AS dup_fraction,
+           ROUND(AVG(CAST(n_chars AS DOUBLE)), 6) AS avg_chars
+    FROM fp GROUP BY source
+    """,
+)
+def x97_source_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication profile — the triage table a crawl
+    pipeline reads before deciding which hosts to throttle or drop
+    (CommonCrawl-style pipelines budget by domain, and a source whose
+    dup_fraction spikes is a scraper loop or a mirror): docs, unique
+    normalized fingerprints (x08's formatting-robust key), the implied
+    duplicate fraction, and mean length per source.
+
+    One scan projecting (source, fingerprint digest, n_chars); the
+    count_distinct shuffles 16-byte digests keyed by source — never
+    text — and |sources| output rows. At 100 TB this is the cheapest
+    question the dedup family answers, which is exactly why it runs
+    FIRST in a refinery (drop whole sources before pairwise work)."""
+    from gwasdb_spark.functions import text as TX
+
+    d = table(spark, sf_dir, "documents")
+    fp = d.select(
+        "source", "n_chars", TX.fingerprint(F.col("text")).alias("fingerprint")
+    )
+    return fp.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_distinct("fingerprint").cast("long").alias("n_unique"),
+        F.round(
+            1.0
+            - F.count_distinct("fingerprint").cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_fraction"),
+        F.round(F.avg(F.col("n_chars").cast("double")), 6).alias("avg_chars"),
+    )
+
+
+@query(
+    "x98_shingle_novelty",
+    "X-dedup,X-qa",
+    oracle=r"""
+    WITH sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               list_transform(
+                 range(1, greatest(len(w) - 2, 0) + 1),
+                 i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))) AS shingle
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+            FROM documents)
+    ),
+    firsts AS (
+      SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle
+    )
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(COUNT(*) FILTER (WHERE f.first_doc = sh.doc_id) AS BIGINT)
+             AS n_novel,
+           ROUND(CAST(COUNT(*) FILTER (WHERE f.first_doc = sh.doc_id)
+                      AS DOUBLE) / COUNT(*), 6) AS novelty
+    FROM sh JOIN firsts f USING (shingle)
+    GROUP BY sh.doc_id
+    """,
+)
+def x98_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document shingle novelty — what fraction of a doc's distinct
+    3-gram shingles appear in NO earlier document (ingest order =
+    doc_id): the redundancy-growth curve that tells a corpus builder
+    when additional crawl volume stops adding information (novelty
+    decaying toward 0 means the marginal doc is re-paste). Uses x02's
+    exact 3-word shingle definition, unpruned — novelty needs every
+    shingle, not just rare ones.
+
+    Physical shape — deliberately JOIN-FREE at shingle grain: a doc's
+    novel-shingle count is |{shingle : MIN(doc_id over its holders) =
+    doc}|, so it falls out of aggregating the first-sighting aggregate
+    a second time (shingle-keyed MIN, then first_doc-keyed COUNT) —
+    the shingle-keyed equi-join of two multi-million-row relations the
+    naive oracle form implies never happens, and the only join is
+    doc-grain (|docs| rows per side). Shingles ride as dedup.py's
+    xxhash64 occurrence stream (`_exploded_shingle_hashes`: arrays_zip
+    codegen, NOT interpreted transform(); shuffles (long, long), never
+    strings; 64-bit collision odds ~n²/2^64, the module's documented
+    discipline) — every consumer here (count_distinct, MIN, COUNT) is
+    multiset-insensitive, so occurrences need no pre-dedup. Measured at
+    sf0.1: 18 s (string join form) → ~2 s."""
+    d = table(spark, sf_dir, "documents")
+    from gwasdb_spark.operators.dedup import _exploded_shingle_hashes
+
+    sh = _exploded_shingle_hashes(d, "doc_id", "text", 3).localCheckpoint(
+        eager=False
+    )
+    totals = sh.groupBy("doc").agg(
+        F.count_distinct("sh").cast("long").alias("n_shingles")
+    )
+    novels = (
+        sh.groupBy("sh")
+        .agg(F.min("doc").alias("doc"))
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_novel"))
+    )
+    return (
+        totals.join(novels, "doc", "left")
+        .select(
+            F.col("doc").alias("doc_id"),
+            "n_shingles",
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("long").alias("n_novel"),
+            F.round(
+                F.coalesce(F.col("n_novel"), F.lit(0)).cast("double")
+                / F.col("n_shingles").cast("double"),
+                6,
+            ).alias("novelty"),
+        )
+    )
