@@ -177,6 +177,10 @@ HEADLINE = [
     "x97_source_dup_profile",
     "x98_shingle_novelty",
     "g14_heterogeneity",
+    "sk03_salted_skew_agg",
+    "x99_leakage_safe_split",
+    "e03_props_key_census",
+    "x100_perplexity_buckets",
     # st13 (trending over the live rollup) is correctness-gated, not
     # benched: like st07/st09 its wall time is the micro-batch replay +
     # per-batch dynamic-partition-overwrite commits of the upsert

@@ -774,3 +774,61 @@ def x71_cooccurrence_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_cooc"), F.asc("w1"), F.asc("w2"))
         .limit(20)
     )
+
+
+@query(
+    "x100_perplexity_buckets",
+    "X-quality,X-sample",
+    oracle=rf"""
+    WITH {_SQL_TOK},
+    counts AS (SELECT token, COUNT(*) AS n_occ FROM tok GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_occ) AS DOUBLE) AS n_total FROM counts),
+    scored AS (
+      SELECT doc_id,
+             ROUND(AVG(LN(CAST(n_occ AS DOUBLE) / n_total)), 9) AS avg_logprob
+      FROM tok JOIN counts USING (token) CROSS JOIN tot
+      GROUP BY doc_id
+    ),
+    cuts AS (
+      SELECT quantile_cont(avg_logprob, 0.3333333333333333) AS c_tail,
+             quantile_cont(avg_logprob, 0.6666666666666666) AS c_mid
+      FROM scored
+    )
+    SELECT doc_id, avg_logprob,
+           CASE WHEN avg_logprob >= c_mid THEN 'head'
+                WHEN avg_logprob >= c_tail THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored CROSS JOIN cuts
+    """,
+)
+def x100_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity binning: split the corpus into
+    head/middle/tail terciles by LM score (here x30's corpus-unigram
+    avg log-probability; head = most fluent) — the quality
+    stratification CCNet uses to keep head+middle and drop (or
+    down-sample) tail before training. Terciles are computed over the
+    9-dp ROUNDED score so both engines cut on bit-identical inputs (an
+    unrounded boundary could flip a doc whose score differs at 1e-15
+    across engines); the two cut points ride as a broadcast 1-row
+    constant into the scan-side CASE — percentile's sort-by-value is
+    the only piece that grows at scale (swap approx_percentile, same
+    plan shape, per x76)."""
+    from gwasdb_spark.operators.quality import unigram_logprob
+
+    d = table(spark, sf_dir, "documents")
+    scored = unigram_logprob(d, "doc_id", "text").select(
+        "doc_id", F.round("avg_logprob", 9).alias("avg_logprob")
+    )
+    cuts = scored.agg(
+        F.expr("percentile(avg_logprob, 0.3333333333333333)").alias("c_tail"),
+        F.expr("percentile(avg_logprob, 0.6666666666666666)").alias("c_mid"),
+    )
+    bucket = (
+        F.when(F.col("avg_logprob") >= F.col("c_mid"), F.lit("head"))
+        .when(F.col("avg_logprob") >= F.col("c_tail"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        scored.crossJoin(F.broadcast(cuts))
+        .select("doc_id", "avg_logprob", bucket.alias("bucket"))
+    )

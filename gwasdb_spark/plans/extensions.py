@@ -5049,3 +5049,146 @@ def x73_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .withColumn("agree", F.col("labeled") == F.col("detected"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 batch: skew-mitigation, leakage-safe splits, schema drift.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sk03_salted_skew_agg",
+    "X-skew,§2.4",
+    oracle="""
+    SELECT CASE WHEN l_suppkey % 10 < 3 THEN -1 ELSE l_suppkey END AS hot_key,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def sk03_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-level aggregation over a deliberately skewed key —
+    THE mitigation for the hot-key reducer at 100 TB (one key holding
+    30% of a 100 TB table pins one task for hours while 999 executors
+    idle). The key is salted with a deterministic 16-way suffix
+    (l_orderkey % 16 — content-derived, no RNG), partially aggregated
+    per (key, salt) — so the hot key's rows land on 16 reducers — then
+    finalized per key. Integer cents arithmetic makes the two-level
+    re-aggregation bit-identical to the oracle's single GROUP BY (the
+    associativity proof is exact, not floating-point).
+
+    AQE's skew handling only splits JOIN partitions; a skewed
+    AGGREGATE key still needs the salt. The demo key funnels every
+    l_suppkey with residue <3 mod 10 (~30% of the table) into one
+    value."""
+    li = table(spark, sf_dir, "lineitem")
+    hot = F.when(F.col("l_suppkey") % 10 < 3, F.lit(-1)).otherwise(
+        F.col("l_suppkey")
+    )
+    salted = li.select(
+        hot.alias("hot_key"),
+        (F.col("l_orderkey") % 16).alias("salt"),
+        cents(F.col("l_extendedprice")).alias("cents"),
+    )
+    partial = salted.groupBy("hot_key", "salt").agg(
+        F.count(F.lit(1)).alias("n_part"),
+        F.sum("cents").alias("cents_part"),
+    )
+    return partial.groupBy("hot_key").agg(
+        F.sum("n_part").cast("long").alias("n_rows"),
+        F.sum("cents_part").cast("long").alias("revenue_cents"),
+    )
+
+
+@query(
+    "x99_leakage_safe_split",
+    "X-sample,X-qa",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, source, n_chars,
+             CAST('0x' || substr(md5(source), 1, 8) AS BIGINT) % 100
+               AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM b GROUP BY 1
+    """,
+)
+def x99_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware train/val/test split — hash the SOURCE, not the doc:
+    a doc-level hash split leaks near-duplicate documents from one
+    crawl host across the train/eval boundary (the classic
+    contamination-by-split bug); bucketing md5(source) % 100 into
+    80/10/10 keeps every host entirely inside one split, by
+    construction, on any engine, forever (content-addressed — re-runs
+    and incremental batches land identically; no RNG state). One
+    scan-side projection + one 3-row aggregate; the no-source-spans-
+    splits invariant needs no verification query because the split is
+    a pure function of source."""
+    d = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("source").cast("binary")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select(split.alias("split"), "source", "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_distinct("source").cast("long").alias("n_sources"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+@query(
+    "e03_props_key_census",
+    "X-events,X-qa",
+    oracle="""
+    WITH keys AS (
+      SELECT unnest(json_keys(props)) AS key FROM events
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_events FROM events)
+    SELECT key, CAST(COUNT(*) AS BIGINT) AS n_present,
+           ROUND(COUNT(*) / n_events, 6) AS coverage
+    FROM keys CROSS JOIN tot
+    GROUP BY key, n_events
+    """,
+)
+def e03_props_key_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured schema-drift census: which keys actually occur in
+    the JSON payload column and what fraction of events carry each —
+    the audit that catches a producer silently adding/dropping fields
+    before a typed from_json schema goes stale. Keys come from parsing
+    props as map<string,string> (JVM Jackson, no Python); the event
+    total rides as a broadcast 1-row constant. Output is
+    |distinct keys| rows — scan-bounded work, key-grain shuffle."""
+    e = table(spark, sf_dir, "events")
+    keys = e.select(
+        F.explode(
+            F.map_keys(F.from_json(F.col("props"), "map<string,string>"))
+        ).alias("key")
+    )
+    tot = e.agg(F.count(F.lit(1)).cast("double").alias("n_events"))
+    return (
+        keys.crossJoin(F.broadcast(tot))
+        .groupBy("key", "n_events")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_present"))
+        .select(
+            "key",
+            "n_present",
+            F.round(F.col("n_present") / F.col("n_events"), 6).alias("coverage"),
+        )
+    )
