@@ -29,9 +29,11 @@ from gwasdb_spark.plans import scale_ops as _scale_ops  # noqa: F401
 # driver row is r4's no_oracle), x12/x12g (last rows r2/r4 predate the r5
 # _rank_topk rewrite), x41 (last row r4 predates the r5 exact_ntile fix),
 # and x62 (its serve path is re-benched split this round). After this
-# window EVERY registered query holds a driver row. All 50 hold in-repo
-# oracle green rows (sf0.01 + sf0.001). File order within modules is
-# unchanged; only the registry's iteration order is rebuilt here.
+# window every query registered BEFORE round 6 holds a driver row; the 8
+# round-6 additions (x96-x100, sk03, e03, g14) are round 7's seats. All
+# 50 seats hold in-repo oracle green rows (sf0.01 + sf0.001). File order
+# within modules is unchanged; only the registry's iteration order is
+# rebuilt here.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
     # 20 r4-deferred registrations (registration order)

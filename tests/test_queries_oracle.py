@@ -80,3 +80,17 @@ def test_contract_shape():
     os_ = mod.oracle_sql()
     assert set(os_) <= set(qs)
     assert len(qs) >= 40
+
+
+def test_priority_window_wellformed():
+    """The driver adjudicates the FIRST 50 registered queries; the
+    _PRIORITY reseat must reference only live registrations (a typo'd
+    name silently shrinks the window — a seat would be wasted on
+    whatever _rest query drifts in) and contain no duplicates."""
+    from gwasdb_spark.plans import _PRIORITY
+
+    assert len(_PRIORITY) == len(set(_PRIORITY)), "duplicate priority seat"
+    missing = [n for n in _PRIORITY if n not in QUERIES]
+    assert not missing, f"priority seats not in registry: {missing}"
+    assert len(_PRIORITY) >= 50, "window underfilled"
+    assert list(QUERIES)[: len(_PRIORITY)] == _PRIORITY
