@@ -1,7 +1,8 @@
 #!/usr/bin/env python
-"""sf1-class stress fixtures for the three operators a 100 TB run
-stresses hardest (r5 verdict #5b): BM25 serving latency, connected
-components above the driver-path threshold, and IVF ANN recall.
+"""sf1-class stress fixtures for the operators a 100 TB run stresses
+hardest (r5 verdict #5b): BM25 serving latency, connected components
+above the driver-path threshold, IVF ANN recall, and MinHash-LSH
+near-dup recall.
 
 The per-round bench (sf0.1) proves plan shapes; these stresses prove the
 SCALE PATHS: each one synthesizes a deterministic input 10-100x the
@@ -11,7 +12,7 @@ star CC, sampled-training IVF, prebuilt-index BM25 serving), and gates
 on a hard correctness/quality invariant before reporting timings —
 a fast-but-wrong stress number is a failure, not a result.
 
-Usage:  python scripts/stress_scale.py [bm25|cc|ivf|all]
+Usage:  python scripts/stress_scale.py [bm25|cc|ivf|neardup|all]
 
 Prints one JSON line per stress; numbers are recorded in ROADMAP.md
 per round so regressions in the scale paths are visible across rounds.
@@ -276,7 +277,121 @@ def stress_ivf(spark) -> dict:
     return out
 
 
-STRESSES = {"bm25": stress_bm25, "cc": stress_cc, "ivf": stress_ivf}
+# ---------------------------------------------------------------------------
+# Stress 4 — MinHash-LSH near-dup recall at 25k docs (5x corpus, 4
+# planted near-dup variants per base doc). The dedup family's scale
+# claim is that band-bucketing finds near-dups WITHOUT the O(n²) pair
+# scan — worthless if the buckets miss them. Variants drop every k-th
+# word (k = 12/18/24/30; k=12 leaves exact 3-gram Jaccard ≈ 0.55-0.65,
+# deliberately ON the 64-hash/16-band S-curve's shoulder so the gate
+# exercises the marginal zone instead of saturating at 1.0 — at the
+# first cut (k = 20-32, all J ≥ 0.7) recall was 0.9999, a gate that
+# cannot fail); ground truth is the designated (base, variant) pairs'
+# EXACT Jaccard computed from the same shingle stream the operator
+# hashes. Gate: recall ≥ 0.9 over truth pairs with exact J ≥ 0.5, and mean
+# |estimated − exact| ≤ 0.1 on the found pairs (signature estimator
+# sanity, σ ≈ √(J(1−J)/64) ≈ 0.05).
+# ---------------------------------------------------------------------------
+def stress_neardup(spark) -> dict:
+    from gwasdb_spark.operators.dedup import (
+        _exploded_shingle_hashes,
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    parts = [
+        docs.select((F.col("doc_id") * 10).alias("doc_id"), "text")
+    ]
+    for v in range(1, 5):
+        k = 6 + 6 * v
+        pert = F.concat_ws(
+            " ", F.filter(words, lambda x, i: (i % F.lit(k)) != 0)
+        )
+        parts.append(
+            docs.select(
+                (F.col("doc_id") * 10 + v).alias("doc_id"),
+                pert.alias("text"),
+            )
+        )
+    corpus = parts[0]
+    for p in parts[1:]:
+        corpus = corpus.unionByName(p)
+    corpus = corpus.localCheckpoint()
+    n_docs = corpus.count()
+
+    # exact Jaccard for the designated (base, variant) pairs only —
+    # shingle streams joined through the bounded pair list, never all-pairs
+    designated = docs.select(
+        (F.col("doc_id") * 10).alias("id_a"),
+        F.explode(
+            F.array(*[F.col("doc_id") * 10 + v for v in range(1, 5)])
+        ).alias("id_b"),
+    )
+    sh = _exploded_shingle_hashes(corpus, "doc_id", "text", 3).distinct()
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    shared = (
+        sh.join(F.broadcast(designated), sh.doc == designated.id_a)
+        .select("id_a", "id_b", "sh")
+        .join(
+            sh.select(F.col("doc").alias("id_b"), "sh"), ["id_b", "sh"]
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    truth = {
+        (r["id_a"], r["id_b"]): r["j"]
+        for r in shared.join(
+            sizes.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("nb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_shared")
+                / (F.col("na") + F.col("nb") - F.col("n_shared"))
+            ).alias("j"),
+        )
+        .collect()
+        if r["j"] >= 0.5
+    }
+
+    t0 = time.perf_counter()
+    found = {
+        (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"])): r["est_jaccard"]
+        for r in minhash_lsh_pairs(
+            corpus, "doc_id", "text", num_hashes=64, bands=16
+        ).collect()
+    }
+    lsh_s = time.perf_counter() - t0
+
+    hits = {p for p in truth if p in found}
+    recall = len(hits) / len(truth) if truth else 0.0
+    est_err = (
+        float(np.mean([abs(found[p] - truth[p]) for p in hits])) if hits else 1.0
+    )
+    return {
+        "stress": "neardup_lsh_25k",
+        "n_docs": n_docs,
+        "n_truth_pairs": len(truth),
+        "lsh_sec": round(lsh_s, 3),
+        "recall": round(recall, 4),
+        "mean_est_abs_err": round(est_err, 4),
+        "ok": recall >= 0.9 and est_err <= 0.1,
+    }
+
+
+STRESSES = {
+    "bm25": stress_bm25,
+    "cc": stress_cc,
+    "ivf": stress_ivf,
+    "neardup": stress_neardup,
+}
 
 
 def main() -> None:
