@@ -12,7 +12,7 @@ star CC, sampled-training IVF, prebuilt-index BM25 serving), and gates
 on a hard correctness/quality invariant before reporting timings —
 a fast-but-wrong stress number is a failure, not a result.
 
-Usage:  python scripts/stress_scale.py [bm25|cc|ivf|neardup|all]
+Usage:  python scripts/stress_scale.py [bm25|cc|ivf|neardup|stream|all]
 
 Prints one JSON line per stress; numbers are recorded in ROADMAP.md
 per round so regressions in the scale paths are visible across rounds.
@@ -386,11 +386,76 @@ def stress_neardup(spark) -> dict:
     }
 
 
+# ---------------------------------------------------------------------------
+# Stress 5 — streaming steady-state throughput. The st* bench rows are
+# deliberately excluded from the headline suite because bounded-replay
+# wall time measures micro-batch commit overhead, not throughput; this
+# stress measures the number that matters at ingest scale: sustained
+# rows/sec through the watermarked hourly rollup (watermark + windowed
+# agg + state store) from an unbounded rate source. Gate: the pipeline
+# KEEPS UP — rows processed over the steady-state window >= 90% of the
+# source's emitted rows (a growing backlog fails), with the rollup's
+# correctness already hash-gated by its batch twin (st01/st03 oracles).
+# ---------------------------------------------------------------------------
+def stress_stream(spark) -> dict:
+    import shutil
+
+    from gwasdb_spark.streaming.events import hourly_rollup_stream
+
+    target_rate = 200_000
+    ckpt = os.path.join(TMP, "gwasdb_stress_stream_ckpt")
+    shutil.rmtree(ckpt, ignore_errors=True)  # fresh offsets each run
+    src = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", target_rate)
+        .option("numPartitions", 8)
+        .load()
+    )
+    events = src.select(
+        F.col("timestamp").alias("ts"),
+        F.element_at(
+            F.array(F.lit("view"), F.lit("click"), F.lit("purchase")),
+            (F.col("value") % 3 + 1).cast("int"),
+        ).alias("event_type"),
+        (F.col("value") % 997).cast("double").alias("value"),
+    )
+    q = (
+        hourly_rollup_stream(events, lateness="10 seconds")
+        .writeStream.outputMode("update")
+        .format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="2 seconds")
+        .start()
+    )
+    time.sleep(30)
+    progress = [p for p in q.recentProgress if p.get("numInputRows", 0) > 0]
+    q.stop()
+    # drop the warmup batches (JIT, state-store init) from the window
+    steady = progress[2:] if len(progress) > 4 else progress
+    processed = sum(p["numInputRows"] for p in steady)
+    secs = sum(p["batchDuration"] for p in steady) / 1000.0
+    sustained = processed / secs if secs else 0.0
+    p95_batch_ms = (
+        float(np.percentile([p["batchDuration"] for p in steady], 95))
+        if steady
+        else None
+    )
+    return {
+        "stress": "stream_rollup_throughput",
+        "target_rows_per_sec": target_rate,
+        "n_batches": len(steady),
+        "sustained_rows_per_sec": round(sustained, 1),
+        "p95_batch_ms": p95_batch_ms,
+        "ok": sustained >= 0.9 * target_rate,
+    }
+
+
 STRESSES = {
     "bm25": stress_bm25,
     "cc": stress_cc,
     "ivf": stress_ivf,
     "neardup": stress_neardup,
+    "stream": stress_stream,
 }
 
 
