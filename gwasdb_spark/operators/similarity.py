@@ -450,7 +450,9 @@ def ivf_probe(
     probe_rows = []
     for r in qrows:
         qv = np.asarray(r[1], dtype=np.float64)
-        qv = qv / np.linalg.norm(qv)
+        # zero-vector guard, mirroring assign_cells: an all-zero query
+        # must pick deterministic cells, not NaN-argsort arbitrary ones
+        qv = qv / (np.linalg.norm(qv) or 1.0)
         top_cells = np.argsort(-(Cn @ qv))[:nprobe]
         for c in top_cells:
             probe_rows.append((r[0], [float(x) for x in r[1]], int(c)))

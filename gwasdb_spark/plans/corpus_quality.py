@@ -816,8 +816,14 @@ def x100_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gwasdb_spark.operators.quality import unigram_logprob
 
     d = table(spark, sf_dir, "documents")
-    scored = unigram_logprob(d, "doc_id", "text").select(
-        "doc_id", F.round("avg_logprob", 9).alias("avg_logprob")
+    scored = (
+        unigram_logprob(d, "doc_id", "text")
+        .select("doc_id", F.round("avg_logprob", 9).alias("avg_logprob"))
+        # two consumers (the cuts aggregate and the final projection) of
+        # an expensive doc-grain relation — pin it once or the whole
+        # tokenize+LM pipeline replans per consumer (measured 6 corpus
+        # scans in the executed plan without this)
+        .localCheckpoint(eager=False)
     )
     cuts = scored.agg(
         F.expr("percentile(avg_logprob, 0.3333333333333333)").alias("c_tail"),

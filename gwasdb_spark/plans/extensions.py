@@ -4360,12 +4360,12 @@ def x62_phases(spark: SparkSession, sf_dir: str):
     thunks — so bench.py can time them separately (r5 verdict: a
     serve-path regression must not hide inside index-build noise).
     `build` and `update` are write jobs returning None; `query` returns
-    the DataFrame. The index lands under a STABLE per-sf_dir /tmp path:
-    build's mode("overwrite") clears prior segments (including prior
-    runs' deltas), so repeated invocations reuse one directory instead
-    of stranding an index copy per call."""
+    the DataFrame. The index lands under a stage_dir path — stable
+    WITHIN a process (repeated invocations reuse one directory via
+    mode("overwrite"), which also clears prior runs' delta segments)
+    but PID-scoped, so a concurrent harness run can never interleave
+    its build() overwrite with this process's query() scan."""
     import hashlib as _hl
-    import tempfile as _tf
 
     from gwasdb_spark.operators.search import (
         bm25_topk_indexed,
@@ -4374,7 +4374,7 @@ def x62_phases(spark: SparkSession, sf_dir: str):
     )
 
     tag = _hl.md5(sf_dir.encode()).hexdigest()[:12]
-    idx = os.path.join(_tf.gettempdir(), f"gwasdb_bm25_incr_{tag}", "index")
+    idx = os.path.join(stage_dir(f"bm25_incr_{tag}"), "index")
     d = table(spark, sf_dir, "documents")
 
     def build() -> None:

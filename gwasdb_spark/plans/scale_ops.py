@@ -905,15 +905,17 @@ def s26_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     and proves content identity against the ORIGINAL table via digest
     rows. File-count mechanics pinned in tests/test_sources.py.
 
-    The staging dir is a STABLE per-sf_dir path (overwritten each run,
-    not mkdtemp'd fresh) so repeated bench/driver invocations reuse one
-    directory instead of stranding two table copies per call in /tmp."""
+    The staging dir is a stage_dir path — stable within a process
+    (repeated bench/driver invocations overwrite one directory instead
+    of stranding two table copies per call in /tmp) and PID-scoped so
+    concurrent harness runs can't interleave overwrite with read-back."""
     import hashlib as _hl
-    import tempfile as _tf
+
+    from gwasdb_spark.plans.helpers import stage_dir
 
     d = table(spark, sf_dir, "documents")
     tag = _hl.md5(sf_dir.encode()).hexdigest()[:12]
-    base = os.path.join(_tf.gettempdir(), f"gwasdb_compact_{tag}")
+    base = stage_dir(f"compact_{tag}")
     small = f"{base}/small"
     compacted = f"{base}/compacted"
     d.repartition(64).write.mode("overwrite").parquet(small)
@@ -1586,6 +1588,9 @@ def x96_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 8), 16, 10)
              .cast("long") % 128).cast("int").alias("bucket"),
         )
+        # three consumers (stats, consts via stats, final join) — pin the
+        # tokenize+hash projection once or the corpus scans three times
+        .localCheckpoint(eager=False)
     )
     stats = toks.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_raw"),
