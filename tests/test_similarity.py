@@ -172,6 +172,35 @@ def test_ivf_probe_equals_one_shot_topk(spark, neardup_corpus):
     assert ka == kb
 
 
+def test_ivf_probe_zero_vector_query(spark, neardup_corpus):
+    """A zero query vector must not crash or NaN-argsort arbitrary probe
+    cells: the driver-side norm guard picks deterministic cells, the
+    query returns k rows with deterministic id-tiebroken ranks, and the
+    cosines are null (similarity to a zero vector is undefined — Spark's
+    x/0 → null — never NaN garbage)."""
+    from gwasdb_spark.operators.similarity import (
+        assign_cells,
+        ivf_probe,
+        train_ivf_centroids,
+    )
+
+    dim = len(neardup_corpus.select("embedding").first()[0])
+    zq = spark.createDataFrame(
+        [(999_999, [0.0] * dim)], "vec_id long, embedding array<double>"
+    )
+    C = train_ivf_centroids(neardup_corpus, n_cells=8)
+    assigned = assign_cells(neardup_corpus, C)
+    a = ivf_probe(zq, assigned, C, k=3, nprobe=2).collect()
+    b = ivf_probe(zq, assigned, C, k=3, nprobe=2).collect()
+    assert len(a) == 3
+    assert [r.rank for r in a] == [1, 2, 3]
+    assert all(r.cosine is None for r in a)
+    # rerun-deterministic: same cells probed, same id-ordered neighbors
+    assert [(r.neighbor_id, r.rank) for r in a] == [
+        (r.neighbor_id, r.rank) for r in b
+    ]
+
+
 def test_ivf_kmeans_cell_occupancy(spark, neardup_corpus):
     """k-means centroids must produce non-degenerate cells: most cells
     populated and no single cell swallowing the corpus (the failure mode
