@@ -355,3 +355,52 @@ def test_bm25_final_rank_is_take_ordered(spark):
     for name in ("x12_bm25_search", "x12g_bm25_indexed", "x12h_bm25_fielded"):
         plan = _plan(spark, name)
         assert "TakeOrderedAndProject" in plan, name
+
+
+def test_dsir_llr_broadcasts_onto_token_stream(spark):
+    """x96's bucket-LLR relation (<=128 rows + 1-row totals) must ride a
+    broadcast join back onto the token stream — a sort-merge here would
+    shuffle the whole tokenized corpus on bucket for a 128-row dim."""
+    plan = _plan(spark, "x96_dsir_importance")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_shingle_novelty_has_no_shingle_grain_join(spark):
+    """x98 is join-free at shingle grain by design: the only join is the
+    doc-grain totals-vs-novels merge. A join keyed on the shingle hash
+    would mean the naive two-multi-million-row-relation form regressed
+    back in (measured 15x slower)."""
+    plan = _plan(spark, "x98_shingle_novelty")
+    joins = [
+        ln for ln in plan.splitlines()
+        if ("SortMergeJoin" in ln or "BroadcastHashJoin" in ln
+            or "ShuffledHashJoin" in ln)
+    ]
+    assert joins, "expected the doc-grain join"
+    assert all("sh#" not in ln for ln in joins), (
+        "join keyed on the shingle hash — the join-free formulation "
+        f"regressed: {joins}"
+    )
+
+
+def test_salted_agg_is_two_level(spark):
+    """sk03 must aggregate at (hot_key, salt) before the final hot_key
+    level — two distinct grouping stages in the plan. Collapsing to one
+    agg on hot_key alone re-creates the single-hot-reducer it exists to
+    prevent."""
+    plan = _plan(spark, "sk03_salted_skew_agg")
+    assert "salt" in plan, "salt column eliminated from the aggregation"
+    n_hashagg_keys = plan.count("keys=[hot_key")
+    assert n_hashagg_keys >= 2, plan[:2000]
+
+
+def test_perplexity_buckets_reuses_scored_relation(spark):
+    """x100's scored relation feeds both the cuts aggregate and the
+    final projection through ONE pinned computation — without the
+    checkpoint the executed plan held 6 independent corpus scans."""
+    plan = _plan(spark, "x100_perplexity_buckets")
+    assert plan.count("FileScan") == 0 or plan.count("FileScan") <= 1, (
+        "tokenize+LM pipeline replans per consumer again"
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
