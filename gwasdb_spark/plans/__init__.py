@@ -19,76 +19,71 @@ from gwasdb_spark.plans import scale_ops as _scale_ops  # noqa: F401
 # Registration-order priority.
 #
 # The driver's correctness gate records the FIRST 50 registered queries per
-# round. Rounds 1/3/4/5 adjudicated the reference-surface core, the
-# regressed-then-fixed block, the round-3 tail + ANN/cluster upgrades, and
-# the 50 oldest never-checked registrations (all green, r01∪r03∪r04∪r05).
-# Round 6 seats the FINAL 45 registrations that have never held a driver
-# row — the 20 r4-deferred (g09-g11, mm05/mm06, s24/s25, st15, w10,
-# x63-x73) and the 25 round-5 additions (x74-x95, s26, g12/g13) — plus 5
-# backfill seats: x39 (its PageRank hash oracle landed in r5 but its only
-# driver row is r4's no_oracle), x12/x12g (last rows r2/r4 predate the r5
-# _rank_topk rewrite), x41 (last row r4 predates the r5 exact_ntile fix),
-# and x62 (its serve path is re-benched split this round). After this
-# window every query registered BEFORE round 6 holds a driver row; the 8
-# round-6 additions (x96-x100, sk03, e03, g14) are round 7's seats. All
-# 50 seats hold in-repo oracle green rows (sf0.01 + sf0.001). File order
-# within modules is unchanged; only the registry's iteration order is
-# rebuilt here.
+# round. After round 6 every query registered through round 5 holds a green
+# driver row (r01∪…∪r06). Round 7 seats the 8 round-6 additions (their
+# first adjudication) followed by 42 backfill re-attestations chosen as
+# the STALEST rows on the driver's books: the 19 queries whose only row is
+# r01 and the 23 oldest r02-latest rows (registration order) — several of
+# which (x03/x05c/x12b-e) sit on code paths rewritten since (shared
+# shingle exchange, _rank_topk, vectorized ANN kernels), so a fresh row is
+# attestation that the rewrites kept them green. All 50 pre-flighted
+# hash-green at sf0.01 this round. File order within modules is unchanged;
+# only the registry's iteration order is rebuilt here.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    # 20 r4-deferred registrations (registration order)
-    "s24_schema_evolution",
-    "g09_qq_binned",
-    "s25_gzip_csv_roundtrip",
-    "g10_maf_spectrum",
-    "g11_hwe_chisq",
-    "w10_first_last_value",
-    "mm05_modality_dispatch",
-    "x63_triangle_counts",
-    "x64_event_debounce",
-    "x65_semantic_dedup",
-    "x66_mad_outliers",
-    "x67_winsorize",
-    "mm06_binary_dedup",
-    "x68_keyword_tfidf",
-    "x69_rolling_distinct",
-    "st15_session_durations",
-    "x70_activity_streaks",
-    "x71_cooccurrence_counts",
-    "x72_cumulative_uniques",
-    "x73_langid_confusion",
-    # 25 round-5 additions
-    "x74_global_rank",
-    "x75_ntile_deciles",
-    "x76_percentile_cut",
-    "x77_weighted_sample",
-    "x78_table_profile",
-    "x79_stopword_discovery",
-    "x80_kcore",
-    "x81_k_anonymity",
-    "x82_cluster_size_histogram",
-    "x83_zipf_slope",
-    "x84_lexical_richness",
-    "x85_source_kl_divergence",
-    "x86_label_centroid_sim",
-    "x87_centroid_outliers",
-    "x88_funnel_latency",
-    "s26_compaction_roundtrip",
-    "x89_gap_fill",
-    "x90_forward_fill",
-    "x91_series_anomalies",
-    "g12_meta_analysis",
-    "g13_genomic_control",
-    "x92_sparse_cosine_pairs",
-    "x93_label_propagation",
-    "x94_hierarchy_rollup",
-    "x95_peak_concurrency",
-    # 5 backfill re-attestations
-    "x39_pagerank_neardup",
-    "x12_bm25_search",
-    "x12g_bm25_indexed",
-    "x41_curriculum_order",
-    "x62_bm25_index_update",
+    # 8 round-6 additions — never adjudicated
+    "x96_dsir_importance",
+    "x97_source_dup_profile",
+    "x98_shingle_novelty",
+    "g14_heterogeneity",
+    "sk03_salted_skew_agg",
+    "x99_leakage_safe_split",
+    "e03_props_key_census",
+    "x100_perplexity_buckets",
+    # 19 backfill: last driver row is r01
+    "s02_schema_only_head0",
+    "p02_projection_rename",
+    "p03_drop_cols",
+    "p05_filter_eq",
+    "p07_filter_date_range",
+    "p12_semi_in_subquery",
+    "o02_multikey_sort",
+    "u01_union_all",
+    "f01_id_parse_regex",
+    "f02_maf_genotype",
+    "f03_pad_concat",
+    "f04_date_parts",
+    "f05_clean_names",
+    "g01_count_reconciliation",
+    "g02_chr_distribution",
+    "g03_fk_orphan_audit",
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    # 23 backfill: oldest r02-latest rows (registration order)
+    "q06_forecast_revenue",
+    "q02s_min_cost_supplier",
+    "q04_order_priority",
+    "x01_dedup_exact",
+    "x02_ngram_jaccard_pairs",
+    "x03_minhash_lsh_pairs",
+    "x04_simhash_pairs",
+    "x05_ann_cosine_topk",
+    "x05c_ann_topk_vectorized",
+    "x10_embedding_neardup",
+    "x09_embedding_stats",
+    "x06_text_stats",
+    "x07_lang_id",
+    "x08_fingerprint",
+    "st05_stream_dedup",
+    "mm01_binary_meta",
+    "mm03_resize_thumbs",
+    "mm04_frame_sample",
+    "c01_corpus_clean",
+    "sk01_salted_join",
+    "x12b_bm25_and",
+    "x12c_bm25_phrase",
+    "x16_hash_split",
 ]
 
 _rest = [n for n in QUERIES if n not in _PRIORITY]

@@ -5174,7 +5174,16 @@ def e03_props_key_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     before a typed from_json schema goes stale. Keys come from parsing
     props as map<string,string> (JVM Jackson, no Python); the event
     total rides as a broadcast 1-row constant. Output is
-    |distinct keys| rows — scan-bounded work, key-grain shuffle."""
+    |distinct keys| rows — scan-bounded work, key-grain shuffle.
+
+    Dirty-input contract: coverage is the fraction of ALL events that
+    carry the key — events whose props is NULL or unparseable JSON
+    yield no keys from from_json (it returns NULL rather than erroring)
+    but still count in the n_events denominator, i.e. parse failures
+    count as key-absent. A strict engine (DuckDB json_keys) would
+    instead error on malformed JSON; the generated dataset has none, so
+    the oracles agree, but a real-data consumer should pre-filter or
+    quarantine malformed payloads if they want them surfaced."""
     e = table(spark, sf_dir, "events")
     keys = e.select(
         F.explode(

@@ -2893,14 +2893,18 @@ def g14_heterogeneity(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = res.groupBy("marker", "study").agg(
         F.avg("beta").alias("beta"), F.avg("se").alias("se")
     )
-    w = 1.0 / (F.col("se") * F.col("se"))
+    # Operation order mirrors the oracle exactly (x/(se*se), not
+    # x*(1/(se*se))): reciprocal-then-multiply differs from direct
+    # division by ~1 ulp, and bit-identity must not lean on the 6-dp
+    # rounding slack.
+    se2 = F.col("se") * F.col("se")
     het = (
         per.groupBy("marker")
         .agg(
             F.count(F.lit(1)).alias("n_studies"),
             (
-                F.sum(F.col("beta") * F.col("beta") * w)
-                - F.pow(F.sum(F.col("beta") * w), 2) / F.sum(w)
+                F.sum(F.col("beta") * F.col("beta") / se2)
+                - F.pow(F.sum(F.col("beta") / se2), 2) / F.sum(F.lit(1.0) / se2)
             ).alias("q"),
         )
         .filter(F.col("n_studies") >= 2)

@@ -400,7 +400,7 @@ def test_perplexity_buckets_reuses_scored_relation(spark):
     final projection through ONE pinned computation — without the
     checkpoint the executed plan held 6 independent corpus scans."""
     plan = _plan(spark, "x100_perplexity_buckets")
-    assert plan.count("FileScan") == 0 or plan.count("FileScan") <= 1, (
+    assert plan.count("FileScan") <= 1, (
         "tokenize+LM pipeline replans per consumer again"
     )
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
