@@ -181,6 +181,12 @@ HEADLINE = [
     "x99_leakage_safe_split",
     "e03_props_key_census",
     "x100_perplexity_buckets",
+    "x101_int8_quant_audit",
+    "x102_kmeans_cluster_profile",
+    "x103_dup_similarity_histogram",
+    "x104_filter_funnel",
+    "e04_last_touch_attribution",
+    "s27_orc_roundtrip",
     # st13 (trending over the live rollup) is correctness-gated, not
     # benched: like st07/st09 its wall time is the micro-batch replay +
     # per-batch dynamic-partition-overwrite commits of the upsert

@@ -32,7 +32,7 @@ Scale notes (the 100 TB contract):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -426,4 +426,79 @@ def bigram_logprob(
             F.avg("logp").alias("avg_logprob"),
             F.min("logp").alias("min_logprob"),
         )
+    )
+
+
+def filter_funnel(
+    df: DataFrame, text_col: str = "text", lang_col: str = "lang"
+) -> DataFrame:
+    """Pipeline-yield funnel report: how many documents each quality gate
+    removes, marginally and cumulatively, in the order the gates run —
+    the table every published corpus reports ("we started with N docs;
+    the length gate cut 3%, the classifier another 11%") and the first
+    thing to diff when a pipeline change silently shifts yield.
+
+    Fixed gate sequence (the c01/c04 stages as a measurement, not a
+    filter): 1 length ∈ [100, 20000] chars, 2 ≥ 30 whitespace tokens,
+    3 classifier prob ≥ 0.4, 4 lang = 'en'. Returns 4 rows:
+    (stage, gate, n_entered, n_failed, n_survived, marginal_fail_rate,
+    cumulative_survival), rates 6-dp.
+
+    Plan shape: the gate booleans are scan-side codegen projections; ONE
+    1-row aggregate computes the total and the 4 conjunction-prefix
+    survivor counts (conditional sums — map-side partial agg, a 5-long
+    shuffle row per task); the 4-row funnel is expanded from that single
+    row with stack(). Nothing re-scans, nothing re-shuffles — at 100 TB
+    this costs exactly one pass over the text column.
+    """
+    from gwasdb_spark.functions.text import n_tokens_ws, quality_classifier_prob
+
+    t = F.col(text_col)
+    g1 = (F.length(t) >= 100) & (F.length(t) <= 20000)
+    g2 = n_tokens_ws(t) >= 30
+    g3 = quality_classifier_prob(t) >= 0.4
+    g4 = F.col(lang_col) == "en"
+
+    def _n(cond) -> Column:
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    agg = df.agg(
+        F.count(F.lit(1)).cast("long").alias("s0"),
+        _n(g1).alias("s1"),
+        _n(g1 & g2).alias("s2"),
+        _n(g1 & g2 & g3).alias("s3"),
+        _n(g1 & g2 & g3 & g4).alias("s4"),
+    )
+    stages = agg.select(
+        F.col("s0"),
+        F.expr(
+            "stack(4, "
+            "1L, 'len_100_20000', s0, s1, "
+            "2L, 'min_30_tokens', s1, s2, "
+            "3L, 'classifier_p40', s2, s3, "
+            "4L, 'lang_en', s3, s4"
+            ") AS (stage, gate, n_entered, n_survived)"
+        ),
+    )
+    return stages.select(
+        "stage",
+        "gate",
+        "n_entered",
+        (F.col("n_entered") - F.col("n_survived")).alias("n_failed"),
+        "n_survived",
+        F.round(
+            F.when(
+                F.col("n_entered") > 0,
+                (F.col("n_entered") - F.col("n_survived")).cast("double")
+                / F.col("n_entered").cast("double"),
+            ).otherwise(0.0),
+            6,
+        ).alias("marginal_fail_rate"),
+        F.round(
+            F.when(
+                F.col("s0") > 0,
+                F.col("n_survived").cast("double") / F.col("s0").cast("double"),
+            ).otherwise(0.0),
+            6,
+        ).alias("cumulative_survival"),
     )

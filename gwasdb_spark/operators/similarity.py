@@ -732,3 +732,101 @@ def mutual_knn_graph(
     return fwd.join(rev, ["id_a", "id_b"]).select(
         "id_a", "id_b", "cosine", "rank_ab", "rank_ba"
     )
+
+
+def int8_quantization_audit(
+    df: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension symmetric int8 quantization audit — the storage
+    decision every 100 TB vector corpus makes (4 B float32 → 1 B int8 is
+    a 4× footprint/IO cut for ANN serving) needs a measured answer to
+    "what does it cost in reconstruction error?".
+
+    Per dimension d: scale_d = max|v_d| over the corpus, code
+    q = round(v / scale · 127), reconstruction v' = q · scale / 127.
+    Returns one row per dimension: (dim, n_values, scale, mean_abs_err,
+    max_abs_err). An all-zero dimension quantizes losslessly (scale 0 →
+    q 0, err 0 — guarded against ANSI divide-by-zero).
+
+    Plan shape: two aggregates over the posexploded (dim, value) stream.
+    Pass 1 reduces to |dims| scale rows (map-side partial agg makes the
+    shuffle |dims| × tasks rows); the scales BROADCAST back onto the
+    stream for the error pass — the join key has |dims| values, so the
+    second shuffle is again |dims| × tasks after partial agg. Nothing
+    wider than (int, double) pairs ever moves; the fold order
+    (v / scale · 127) is fixed so the oracle reproduces it bit-for-bit.
+    """
+    vals = df.select(
+        F.posexplode(F.col(vec_col)).alias("dim", "v")
+    ).select("dim", F.col("v").cast("double").alias("v"))
+    scales = vals.groupBy("dim").agg(F.max(F.abs(F.col("v"))).alias("scale"))
+    q = F.round(F.col("v") / F.col("scale") * F.lit(127.0), 0)
+    recon = q * F.col("scale") / F.lit(127.0)
+    err = F.when(F.col("scale") > 0, F.abs(F.col("v") - recon)).otherwise(0.0)
+    return (
+        vals.join(F.broadcast(scales), "dim")
+        .select("dim", "scale", err.alias("err"))
+        .groupBy("dim", "scale")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_values"),
+            F.avg("err").alias("mean_abs_err"),
+            F.max("err").alias("max_abs_err"),
+        )
+        .select("dim", "n_values", "scale", "mean_abs_err", "max_abs_err")
+    )
+
+
+def nearest_centroid_profile(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Cluster-profile report for a FIXED centroid set: assign every
+    corpus vector to its nearest centroid by cosine and aggregate
+    per-cluster occupancy and cohesion — the k-means assign step (the
+    E-step / the IVF cell-assign) surfaced as an auditable query, used
+    for cluster-balanced sampling and SemDeDup-style curation. Training
+    (the M-step) is `train_ivf_centroids`; this profiles an existing
+    codebook, so it is deterministic and oracle-checkable.
+
+    Assignment ties break on 9-dp-rounded cosine (engines associate the
+    64-term dot differently at ~1e-15; rounding makes the comparison key
+    identical on both) then lowest centroid id. Returns one row per
+    non-empty cluster: (centroid_id, n_assigned, avg_cosine, min_cosine)
+    with the cosines 6-dp rounded.
+
+    Plan shape: centroids BROADCAST (a codebook is small by nature — k
+    rows); the corpus scans once through a k-way scored cross join; the
+    per-vector argmax is a window partitioned by vector id (parallel,
+    no global sort); the final aggregate reduces to ≤ k rows.
+    """
+    c = F.broadcast(
+        centroids.select(
+            F.col(id_col).alias(centroid_id_col),
+            F.col(vec_col).alias("__c_vec"),
+        )
+    )
+    scored = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("__v")
+    ).crossJoin(c).select(
+        id_col,
+        centroid_id_col,
+        F.round(cosine(F.col("__v"), F.col("__c_vec")), 9).alias("cos9"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("cos9"), F.asc(centroid_id_col)
+    )
+    assigned = (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+    )
+    return (
+        assigned.groupBy(centroid_id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_assigned"),
+            F.round(F.avg("cos9"), 6).alias("avg_cosine"),
+            F.round(F.min("cos9"), 6).alias("min_cosine"),
+        )
+    )

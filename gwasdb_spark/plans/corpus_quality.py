@@ -838,3 +838,74 @@ def x100_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.crossJoin(F.broadcast(cuts))
         .select("doc_id", "avg_logprob", bucket.alias("bucket"))
     )
+
+
+@query(
+    "x104_filter_funnel",
+    "X-text,X-quality,X-qa",
+    oracle=r"""
+    WITH feats AS (
+      SELECT lang,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok,
+             CAST(len(regexp_extract_all(lower(text),
+                  '\b(the|and|of|to|a|in|is|that)\b')) AS DOUBLE) AS n_sw,
+             CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+               AS DOUBLE) AS n_punct
+      FROM documents
+    ),
+    g AS (
+      SELECT (n_chars BETWEEN 100 AND 20000) AS g1,
+             n_tok >= 30 AS g2,
+             1.0 / (1.0 + EXP(-(
+               -2.4 + 0.35 * LN(1.0 + CAST(n_chars AS DOUBLE))
+                    + 6.0 * (CASE WHEN n_tok > 0 THEN n_sw / n_tok
+                                  ELSE 0.0 END)
+                    - 8.0 * (CASE WHEN n_chars > 0
+                                  THEN n_punct / CAST(n_chars AS DOUBLE)
+                                  ELSE 0.0 END)))) >= 0.4 AS g3,
+             lang = 'en' AS g4
+      FROM feats
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS s0,
+             CAST(SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+             CAST(SUM(CASE WHEN g1 AND g2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+             CAST(SUM(CASE WHEN g1 AND g2 AND g3 THEN 1 ELSE 0 END)
+               AS BIGINT) AS s3,
+             CAST(SUM(CASE WHEN g1 AND g2 AND g3 AND g4 THEN 1 ELSE 0 END)
+               AS BIGINT) AS s4
+      FROM g
+    ),
+    funnel AS (
+      SELECT CAST(1 AS BIGINT) AS stage, 'len_100_20000' AS gate,
+             s0 AS n_entered, s1 AS n_survived, s0 AS total FROM s
+      UNION ALL SELECT 2, 'min_30_tokens', s1, s2, s0 FROM s
+      UNION ALL SELECT 3, 'classifier_p40', s2, s3, s0 FROM s
+      UNION ALL SELECT 4, 'lang_en', s3, s4, s0 FROM s
+    )
+    SELECT stage, gate, n_entered,
+           n_entered - n_survived AS n_failed, n_survived,
+           ROUND(CASE WHEN n_entered > 0
+                      THEN CAST(n_entered - n_survived AS DOUBLE)
+                           / CAST(n_entered AS DOUBLE)
+                      ELSE 0.0 END, 6) AS marginal_fail_rate,
+           ROUND(CASE WHEN total > 0
+                      THEN CAST(n_survived AS DOUBLE) / CAST(total AS DOUBLE)
+                      ELSE 0.0 END, 6) AS cumulative_survival
+    FROM funnel
+    """,
+)
+def x104_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-yield funnel: per-gate marginal and cumulative document
+    survival through the fixed c01/c04-style gate sequence (length →
+    token count → quality classifier → language) — the yield table every
+    published corpus reports, and the first diff to read when a pipeline
+    change silently shifts output volume. One text-column pass: gate
+    booleans fold into the scan projection, one 1-row aggregate computes
+    the conjunction-prefix survivor counts, stack() expands the 4-row
+    report (operators/quality.py filter_funnel)."""
+    from gwasdb_spark.operators.quality import filter_funnel
+
+    d = table(spark, sf_dir, "documents")
+    return filter_funnel(d, "text", "lang")

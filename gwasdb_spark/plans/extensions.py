@@ -5201,3 +5201,243 @@ def e03_props_key_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_present") / F.col("n_events"), 6).alias("coverage"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 7: vector storage, clustering profile, dedup distribution,
+# event attribution
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x101_int8_quant_audit",
+    "X-sim,X-qa",
+    oracle="""
+    WITH vals AS (
+      SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    scales AS (SELECT dim, MAX(ABS(v)) AS scale FROM vals GROUP BY 1),
+    err AS (
+      SELECT vals.dim, scale,
+             CASE WHEN scale > 0
+                  THEN ABS(v - ROUND(v / scale * 127.0) * scale / 127.0)
+                  ELSE 0.0 END AS err
+      FROM vals JOIN scales USING (dim)
+    )
+    SELECT CAST(dim AS BIGINT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           scale,
+           ROUND(AVG(err), 9) AS mean_abs_err,
+           ROUND(MAX(err), 9) AS max_abs_err
+    FROM err GROUP BY dim, scale
+    """,
+)
+def x101_int8_quant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding-quantization audit: per-DIMENSION symmetric scale
+    (corpus-wide max|v| — the codebook a column-quantized store shares
+    across all vectors) and the reconstruction error the 4× storage/IO
+    cut costs. Complements x43, which is the per-VECTOR encode step
+    (each row carries its own scale); this is the corpus-statistics +
+    error-measurement side that decides whether shared-scale int8 is
+    safe to deploy. Two skinny aggregates over the posexploded
+    (dim, value) stream; the |dims|-row scale table broadcasts back for
+    the error pass (operators/similarity.py int8_quantization_audit)."""
+    from gwasdb_spark.operators.similarity import int8_quantization_audit
+
+    e = table(spark, sf_dir, "embeddings")
+    res = int8_quantization_audit(e, "embedding")
+    return res.select(
+        F.col("dim").cast("long").alias("dim"),
+        "n_values",
+        "scale",
+        F.round("mean_abs_err", 9).alias("mean_abs_err"),
+        F.round("max_abs_err", 9).alias("max_abs_err"),
+    )
+
+
+_X102_COS9 = (
+    "ROUND(" + _COS_SQL.format(a="e.embedding", b="c.cv")
+    + " / (sqrt(" + _COS_SQL.format(a="e.embedding", b="e.embedding")
+    + ") * sqrt(" + _COS_SQL.format(a="c.cv", b="c.cv") + ")), 9)"
+)
+
+
+@query(
+    "x102_kmeans_cluster_profile",
+    "X-sim,X-sample",
+    oracle=f"""
+    WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv
+               FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT e.vec_id, c.centroid_id, {_X102_COS9} AS cos9
+      FROM embeddings e CROSS JOIN c
+    ),
+    assigned AS (
+      SELECT vec_id, centroid_id, cos9,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cos9 DESC, centroid_id) AS rk
+      FROM scored
+    )
+    SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n_assigned,
+           ROUND(AVG(cos9), 6) AS avg_cosine,
+           ROUND(MIN(cos9), 6) AS min_cosine
+    FROM assigned WHERE rk = 1 GROUP BY centroid_id
+    """,
+)
+def x102_kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-profile report over a fixed 8-centroid codebook (vectors
+    id < 8): nearest-centroid assignment by cosine, per-cluster
+    occupancy and cohesion — the k-means E-step / IVF cell-assign
+    surfaced as an auditable query (cluster-balanced sampling and
+    SemDeDup-style curation read exactly this table). Codebook
+    broadcasts; assignment argmax is a per-vector window (parallel);
+    ties break on 9-dp-rounded cosine then centroid id so both engines
+    bucket identically (operators/similarity.py
+    nearest_centroid_profile)."""
+    from gwasdb_spark.operators.similarity import nearest_centroid_profile
+
+    e = table(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < 8)
+    return nearest_centroid_profile(e, cents, "vec_id", "embedding")
+
+
+@query(
+    "x103_dup_similarity_histogram",
+    "X-dedup,X-qa",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(
+               list_transform(
+                 range(1, greatest(len(w) - 2, 0) + 1),
+                 i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS shingles
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+            FROM documents)
+    ),
+    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+    ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    rare AS (SELECT shingle FROM ex GROUP BY shingle HAVING COUNT(*) <= 100),
+    pruned AS (SELECT ex.doc_id, ex.shingle FROM ex JOIN rare USING (shingle)),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+      FROM pruned a JOIN pruned b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared)
+               AS jaccard
+      FROM shared
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) >= 0.05
+    )
+    SELECT CAST(LEAST(FLOOR(jaccard * 10), 9) AS BIGINT) AS sim_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(AVG(jaccard), 6) AS avg_jaccard,
+           ROUND(MAX(jaccard), 6) AS max_jaccard
+    FROM pairs GROUP BY 1
+    """,
+)
+def x103_dup_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate similarity DISTRIBUTION — candidate-pair counts per
+    Jaccard decile above 0.05 — the threshold-sweep report that decides
+    where a dedup pipeline should cut (a bimodal histogram → safe
+    threshold in the valley; mass piled at the cut → the threshold is
+    doing real work and needs review). Reuses x02's exact shingle
+    machinery (shared exchange, ≤100-doc frequency prune bounding the
+    pair blow-up); the histogram adds one ≤10-row aggregate on top, so
+    the sweep costs ONE pass over the pair set rather than re-running
+    dedup per candidate threshold."""
+    d = table(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.05, max_shingle_docs=100
+    )
+    bucket = F.least(F.floor(F.col("jaccard") * 10), F.lit(9)).cast("long")
+    return (
+        pairs.groupBy(bucket.alias("sim_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+            F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+        )
+    )
+
+
+@query(
+    "e04_last_touch_attribution",
+    "X-events,§2.5",
+    oracle="""
+    WITH purch AS (
+      SELECT event_id AS purchase_id, user_id, ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT event_id AS click_id, user_id, ts
+      FROM events WHERE event_type = 'click'
+    ),
+    cand AS (
+      SELECT p.purchase_id, c.click_id, c.ts AS click_ts, p.ts AS p_ts,
+             ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                                ORDER BY c.ts DESC, c.click_id DESC) AS rk
+      FROM purch p JOIN clicks c
+        ON c.user_id = p.user_id
+       AND c.ts <= p.ts
+       AND c.ts >= p.ts - INTERVAL 7 DAY
+    )
+    SELECT p.purchase_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           CAST(COALESCE(w.click_id, -1) AS BIGINT) AS click_id,
+           CAST(COALESCE(date_diff('second', w.click_ts, p.ts), -1)
+                AS BIGINT) AS gap_s
+    FROM purch p
+    LEFT JOIN (SELECT purchase_id, click_id, click_ts FROM cand WHERE rk = 1)
+      w ON w.purchase_id = p.purchase_id
+    """,
+)
+def e04_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase credits the user's most
+    recent click within a 7-day lookback (ties at equal ts → highest
+    click id; no click in window → −1 sentinel). The canonical marketing
+    /product-analytics join, and an as-of join in disguise — built on
+    operators/asof.py's union+window composition, so the cost is ONE
+    shuffle of |purchases|+|clicks| skinny rows hash-partitioned by
+    user, not a per-user pair blow-up. The 7-day window applies as a
+    post-filter on the carried click ts: any in-window click is
+    necessarily more recent than an out-of-window one, so backward-asof
+    + filter ≡ most-recent-in-window."""
+    from gwasdb_spark.operators.asof import asof_join
+
+    e = table(spark, sf_dir, "events")
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id"), F.col("user_id"), F.col("ts")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = asof_join(
+        purch,
+        clicks,
+        ts_col="ts",
+        by_cols=["user_id"],
+        value_cols=["click_id", "click_ts"],
+        tiebreak_col="click_id",
+        direction="backward",
+    )
+    in_window = F.col("asof_click_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS")
+    gap = F.col("ts").cast("long") - F.col("asof_click_ts").cast("long")
+    return joined.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.when(in_window, F.col("asof_click_id"))
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("click_id"),
+        F.when(in_window, gap).otherwise(F.lit(-1)).cast("long").alias("gap_s"),
+    )

@@ -2919,3 +2919,38 @@ def g14_heterogeneity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("i_squared"),
     )
+
+
+@query(
+    "s27_orc_roundtrip",
+    "S8,S9,S-ext",
+    oracle="""
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts
+    FROM documents GROUP BY source
+    """,
+)
+def s27_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar-interchange round-trip through ORC (the fourth sink/source
+    format after parquet, CSV/gzip-CSV, and JSONL): corpus → snappy ORC →
+    typed read-back, digest-aggregated per source to prove byte fidelity
+    through the codec and the second columnar layout. Unlike s25's gzip
+    CSV, ORC IS splittable (stripe-level splits + predicate pushdown via
+    stripe/row-group statistics, same as parquet row groups) — at 100 TB
+    it's a legitimate interchange target rather than a task-parallelism
+    hazard, which is why the writer here doesn't need s25's
+    file-count-controls-parallelism workaround."""
+    from gwasdb_spark.plans.helpers import stage_dir
+
+    d = table(spark, sf_dir, "documents")
+    out = stage_dir("docs_orc")
+    d.write.mode("overwrite").option("compression", "snappy").orc(out)
+    back = spark.read.schema(
+        "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).orc(out)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.count_distinct(F.md5("text")).alias("n_distinct_texts"),
+    )

@@ -1,8 +1,9 @@
 #!/usr/bin/env python
 """sf1-class stress fixtures for the operators a 100 TB run stresses
 hardest (r5 verdict #5b): BM25 serving latency, connected components
-above the driver-path threshold, IVF ANN recall, and MinHash-LSH
-near-dup recall.
+above the driver-path threshold, IVF ANN recall, MinHash-LSH near-dup
+recall, streaming steady-state throughput, the as-of join composition
+(round 7), and the int8 quantization audit (round 7).
 
 The per-round bench (sf0.1) proves plan shapes; these stresses prove the
 SCALE PATHS: each one synthesizes a deterministic input 10-100x the
@@ -12,7 +13,7 @@ star CC, sampled-training IVF, prebuilt-index BM25 serving), and gates
 on a hard correctness/quality invariant before reporting timings —
 a fast-but-wrong stress number is a failure, not a result.
 
-Usage:  python scripts/stress_scale.py [bm25|cc|ivf|neardup|stream|all]
+Usage:  python scripts/stress_scale.py [bm25|cc|ivf|neardup|stream|asof|quant|all]
 
 Prints one JSON line per stress; numbers are recorded in ROADMAP.md
 per round so regressions in the scale paths are visible across rounds.
@@ -450,12 +451,127 @@ def stress_stream(spark) -> dict:
     }
 
 
+
+# ---------------------------------------------------------------------------
+# Stress 6 — as-of attribution at 5M events (100k users x 50 events).
+#
+# The asof composition's scale claim is ONE hash exchange of skinny
+# union'd rows by user — no per-user pair blow-up — which e04 and the
+# GWAS as-of surfaces ride. Analytic fixture: user u has 25 clicks at
+# t0 + i*1000 (id u*64 + 2i) and 25 purchases at t0 + i*1000 + 500
+# (id u*64 + 2i + 1), except purchase i=24 is pushed +8 days so its
+# most recent click falls OUTSIDE the 7-day lookback. Expected, in
+# closed form: purchases i<24 attribute to click 2i with gap exactly
+# 500 s; purchase i=24 is unattributed (-1). Gate: zero rows deviate.
+# ---------------------------------------------------------------------------
+def stress_asof(spark) -> dict:
+    from gwasdb_spark.operators.asof import asof_join
+
+    n_users, per_user, base = 100_000, 25, 1_600_000_000
+    u = (F.col("id") / per_user).cast("long")
+    i = (F.col("id") % per_user).cast("long")
+    clicks = spark.range(n_users * per_user).select(
+        (u * 64 + i * 2).alias("click_id"),
+        u.alias("user_id"),
+        F.timestamp_seconds(F.lit(base) + i * 1000).alias("ts"),
+    ).withColumn("click_ts", F.col("ts"))
+    late = F.when(i == per_user - 1, 8 * 86_400).otherwise(0)
+    purch = spark.range(n_users * per_user).select(
+        (u * 64 + i * 2 + 1).alias("event_id"),
+        u.alias("user_id"),
+        F.timestamp_seconds(F.lit(base) + i * 1000 + 500 + late).alias("ts"),
+        i.alias("i"),
+    )
+
+    t0 = time.perf_counter()
+    joined = asof_join(
+        purch,
+        clicks,
+        ts_col="ts",
+        by_cols=["user_id"],
+        value_cols=["click_id", "click_ts"],
+        tiebreak_col="click_id",
+        direction="backward",
+    )
+    in_window = F.col("asof_click_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS")
+    attributed = F.when(in_window, F.col("asof_click_id")).otherwise(F.lit(-1))
+    gap = F.when(
+        in_window, F.col("ts").cast("long") - F.col("asof_click_ts").cast("long")
+    ).otherwise(F.lit(-1))
+    expect_id = F.when(
+        F.col("i") == per_user - 1, F.lit(-1)
+    ).otherwise(F.col("user_id") * 64 + F.col("i") * 2)
+    expect_gap = F.when(F.col("i") == per_user - 1, F.lit(-1)).otherwise(F.lit(500))
+    res = joined.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(
+                (attributed != expect_id) | (gap != expect_gap), 1
+            ).otherwise(0)
+        ).alias("bad"),
+    ).collect()[0]
+    wall = time.perf_counter() - t0
+    return {
+        "stress": "asof_attribution_5m",
+        "n_events": 2 * n_users * per_user,
+        "n_purchases": int(res["n"]),
+        "mismatches": int(res["bad"]),
+        "wall_sec": round(wall, 3),
+        "ok": int(res["n"]) == n_users * per_user and int(res["bad"]) == 0,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Stress 7 — int8 quantization audit at 200k x 64 (12.8M exploded
+# values, ~400x the bench table). Vectors are pure-codegen synthetics
+# (sin(id*1e-3 + d/10) * (d+1)), so per-dim scales spread over [1, 64]
+# and every value is deterministic. Gate: the audit's own output must
+# satisfy the round-to-nearest INVARIANT — for every dimension,
+# max_abs_err <= scale/254 (+1 ulp slack) and n_values == n — the bound
+# that makes shared-scale int8 safe to deploy. A fast audit that
+# reports a violated bound is a failed stress.
+# ---------------------------------------------------------------------------
+def stress_quant(spark) -> dict:
+    from gwasdb_spark.operators.similarity import int8_quantization_audit
+
+    n_vec, dim = 200_000, 64
+    vecs = spark.range(n_vec).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: F.sin(F.col("id") * 0.001 + d.cast("double") / 10.0)
+            * (d.cast("double") + 1.0),
+        ).alias("embedding")
+    )
+    t0 = time.perf_counter()
+    rows = int8_quantization_audit(vecs, "embedding").collect()
+    wall = time.perf_counter() - t0
+    bad = [
+        r["dim"]
+        for r in rows
+        if r["n_values"] != n_vec
+        or not (r["max_abs_err"] <= r["scale"] / 254.0 * (1 + 1e-9))
+    ]
+    return {
+        "stress": "int8_quant_audit_200k",
+        "n_values": n_vec * dim,
+        "n_dims": len(rows),
+        "max_rel_err": round(
+            max(r["max_abs_err"] / r["scale"] for r in rows if r["scale"] > 0), 6
+        ),
+        "bad_dims": bad,
+        "wall_sec": round(wall, 3),
+        "ok": len(rows) == dim and not bad,
+    }
+
+
 STRESSES = {
     "bm25": stress_bm25,
     "cc": stress_cc,
     "ivf": stress_ivf,
     "neardup": stress_neardup,
     "stream": stress_stream,
+    "asof": stress_asof,
+    "quant": stress_quant,
 }
 
 

@@ -404,3 +404,55 @@ def test_perplexity_buckets_reuses_scored_relation(spark):
         "tokenize+LM pipeline replans per consumer again"
     )
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_int8_quant_scales_broadcast(spark):
+    """x101's per-dim scale table (|dims| rows) must BROADCAST back onto
+    the exploded value stream — a sort-merge join there shuffles the
+    full |corpus|×dims stream by a 64-value key (worst-case skew)."""
+    plan = _plan(spark, "x101_int8_quant_audit")
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan
+
+
+def test_kmeans_profile_codebook_broadcasts(spark):
+    """x102's k-way scored cross join must be a broadcast nested loop of
+    the k-row codebook — never a CartesianProduct exchange of the
+    corpus."""
+    plan = _plan(spark, "x102_kmeans_cluster_profile")
+    assert "BroadcastNestedLoopJoin" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
+def test_dup_histogram_reuses_shingle_exchange(spark):
+    """x103 rides x02's shared shingle exchange: the pipeline (scan +
+    tokenize + hash explode) is computed once for both consumers."""
+    df = QUERIES["x103_dup_similarity_histogram"].fn(spark, SF_DIR)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final
+    reused = [ln for ln in final.splitlines() if "ReusedExchange" in ln]
+    assert any("REPARTITION_BY_COL" in ln for ln in reused), reused
+
+
+def test_filter_funnel_single_scan(spark):
+    """x104 is ONE pass over the text column: gate booleans fold into the
+    scan projection and a single 1-row aggregate feeds the stack() — a
+    second FileScan means a gate re-derived the corpus."""
+    plan = _plan(spark, "x104_filter_funnel")
+    assert plan.count("FileScan") == 1, plan[:2000]
+
+
+def test_last_touch_attribution_single_exchange(spark):
+    """e04's as-of composition must cost ONE hash exchange by user (the
+    union'd window) — a SortMergeJoin or pair blow-up join means the
+    naive theta-join crept back."""
+    plan = _plan(spark, "e04_last_touch_attribution")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    n_exchanges = sum(
+        1
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "user_id" in ln
+    )
+    assert n_exchanges == 1, plan[:2000]
