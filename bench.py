@@ -187,6 +187,9 @@ HEADLINE = [
     "x104_filter_funnel",
     "e04_last_touch_attribution",
     "s27_orc_roundtrip",
+    "g15_prs_score",
+    "x105_source_overlap_matrix",
+    "x106_score_quantile_normalize",
     # st13 (trending over the live rollup) is correctness-gated, not
     # benched: like st07/st09 its wall time is the micro-batch replay +
     # per-batch dynamic-partition-overwrite commits of the upsert

@@ -521,3 +521,51 @@ def keep_best_per_content(
         F.count(F.lit(1)).over(wg).cast("long").alias("n_copies"),
     )
     return ranked.filter(F.col("rk") == 1).drop("rk")
+
+
+def source_overlap_matrix(
+    df: DataFrame, group_col: str = "source", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Pairwise SOURCE-level n-gram Jaccard overlap — the dataset-mixing
+    diagnostic run before blending crawls/dumps into one training mix
+    (two mirrors of the same site show up as a near-1.0 cell; the
+    cross-source counterpart of x02's per-document pairs, answering
+    "which SOURCES duplicate each other" before any doc-grain dedup).
+
+    Grain is the distinct (source, shingle-hash) set, so the self-join
+    fan-out per shingle is bounded by |sources|² — independent of corpus
+    size — and no frequency prune is needed (unlike doc-grain pairs).
+    The distinct relation is computed ONCE (lazy localCheckpoint) and
+    feeds the per-source sizes and both join sides; everything that
+    shuffles is (string-key, long) rows, never text.
+
+    Returns (source_a < source_b, n_shared, jaccard) for pairs sharing
+    at least one shingle; jaccard is an exact integer ratio.
+    """
+    sh = (
+        _exploded_shingle_hashes(
+            df.filter(F.col(group_col).isNotNull()), group_col, text_col, n
+        )
+        .select(F.col("doc").alias(group_col), "sh")
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds sizes AND both join sides
+    )
+    sizes = sh.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(group_col).alias("source_a"), "sh")
+    b = sh.select(F.col(group_col).alias("source_b"), "sh")
+    shared = (
+        a.join(b, "sh")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    sa = sizes.select(F.col(group_col).alias("source_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(group_col).alias("source_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_shared").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_shared")
+    ).cast("double")
+    return (
+        shared.join(sa, "source_a")
+        .join(sb, "source_b")
+        .select("source_a", "source_b", "n_shared", jac.alias("jaccard"))
+    )

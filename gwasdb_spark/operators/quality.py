@@ -460,7 +460,11 @@ def filter_funnel(
     g4 = F.col(lang_col) == "en"
 
     def _n(cond) -> Column:
-        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+        # coalesce: SUM over an empty relation is NULL, and the funnel's
+        # count columns must stay 0 (a monitoring consumer diffs them)
+        return F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)).cast(
+            "long"
+        )
 
     agg = df.agg(
         F.count(F.lit(1)).cast("long").alias("s0"),

@@ -818,8 +818,14 @@ def nearest_centroid_profile(
     w = Window.partitionBy(id_col).orderBy(
         F.desc("cos9"), F.asc(centroid_id_col)
     )
+    # Zero-norm vectors score null against every centroid (vectors.cosine's
+    # ANSI guard) and are DROPPED rather than assigned: engines disagree on
+    # null ordering under DESC (Spark nulls-last, DuckDB nulls-first), so a
+    # null must never reach the argmax. Unassignable is the honest answer
+    # for a degenerate embedding anyway.
     assigned = (
-        scored.withColumn("__rk", F.row_number().over(w))
+        scored.filter(F.col("cos9").isNotNull())
+        .withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") == 1)
     )
     return (

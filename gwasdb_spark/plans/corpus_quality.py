@@ -869,11 +869,14 @@ def x100_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS s0,
-             CAST(SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
-             CAST(SUM(CASE WHEN g1 AND g2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
-             CAST(SUM(CASE WHEN g1 AND g2 AND g3 THEN 1 ELSE 0 END)
-               AS BIGINT) AS s3,
-             CAST(SUM(CASE WHEN g1 AND g2 AND g3 AND g4 THEN 1 ELSE 0 END)
+             CAST(COALESCE(SUM(CASE WHEN g1 THEN 1 ELSE 0 END), 0)
+               AS BIGINT) AS s1,
+             CAST(COALESCE(SUM(CASE WHEN g1 AND g2 THEN 1 ELSE 0 END), 0)
+               AS BIGINT) AS s2,
+             CAST(COALESCE(SUM(CASE WHEN g1 AND g2 AND g3 THEN 1 ELSE 0 END),
+               0) AS BIGINT) AS s3,
+             CAST(COALESCE(
+               SUM(CASE WHEN g1 AND g2 AND g3 AND g4 THEN 1 ELSE 0 END), 0)
                AS BIGINT) AS s4
       FROM g
     ),
@@ -909,3 +912,79 @@ def x104_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return filter_funnel(d, "text", "lang")
+
+
+@query(
+    "x106_score_quantile_normalize",
+    "X-text,X-quality",
+    oracle=r"""
+    WITH feats AS (
+      SELECT doc_id, source,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_tok,
+             CAST(len(regexp_extract_all(lower(text),
+                  '\b(the|and|of|to|a|in|is|that)\b')) AS DOUBLE) AS n_sw,
+             CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+               AS DOUBLE) AS n_punct
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, source,
+             ROUND(1.0 / (1.0 + EXP(-(
+               -2.4 + 0.35 * LN(1.0 + n_chars)
+                    + 6.0 * (CASE WHEN n_tok > 0 THEN n_sw / n_tok
+                                  ELSE 0.0 END)
+                    - 8.0 * (CASE WHEN n_chars > 0 THEN n_punct / n_chars
+                                  ELSE 0.0 END)))), 9) AS quality_prob
+      FROM feats
+    ),
+    ranked AS (
+      SELECT doc_id, source, quality_prob,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY quality_prob, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM scored
+    )
+    SELECT doc_id, source, quality_prob,
+           ROUND(CASE WHEN n > 1
+                      THEN CAST(rn - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+                      ELSE 0.0 END, 9) AS pct_rank
+    FROM ranked
+    """,
+)
+def x106_score_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quantile normalization of the quality score — the
+    calibration step before mixing sources: raw classifier scores are
+    not comparable across domains (code scores differently from prose),
+    so each source's docs are mapped to their within-source quantile
+    [0, 1] and the MIX gates on the quantile, not the raw score
+    (DoReMi/DSIR-adjacent practice). Ranking key is the 9-dp-ROUNDED
+    score + doc id, so both engines order identically even where ln/exp
+    differ at 1 ulp; a single-doc source normalizes to 0. One window
+    partitioned by source (parallel across sources, no global sort) over
+    a scan-side scored projection."""
+    from pyspark.sql.window import Window
+
+    from gwasdb_spark.functions.text import quality_classifier_prob
+
+    d = table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.round(quality_classifier_prob(F.col("text")), 9).alias("quality_prob"),
+    )
+    w = Window.partitionBy("source").orderBy("quality_prob", "doc_id")
+    wn = Window.partitionBy("source")
+    return scored.select(
+        "doc_id",
+        "source",
+        "quality_prob",
+        F.round(
+            F.when(
+                F.count(F.lit(1)).over(wn) > 1,
+                (F.row_number().over(w) - 1).cast("double")
+                / (F.count(F.lit(1)).over(wn) - 1).cast("double"),
+            ).otherwise(0.0),
+            9,
+        ).alias("pct_rank"),
+    )

@@ -5441,3 +5441,47 @@ def e04_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("click_id"),
         F.when(in_window, gap).otherwise(F.lit(-1)).cast("long").alias("gap_s"),
     )
+
+
+@query(
+    "x105_source_overlap_matrix",
+    "X-dedup,X-qa",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT source, shingle FROM (
+        SELECT source,
+               unnest(list_transform(
+                 range(1, greatest(len(w) - 2, 0) + 1),
+                 i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS shingle
+        FROM (SELECT source, string_split_regex(trim(text), '\\s+') AS w
+              FROM documents)
+      )
+    ),
+    sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sh
+              FROM sh GROUP BY 1),
+    shared AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM sh a JOIN sh b
+        ON a.shingle = b.shingle AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_shared,
+           CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared)
+             AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.source = source_a
+    JOIN sizes sb ON sb.source = source_b
+    """,
+)
+def x105_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-level 3-gram Jaccard — which SOURCES duplicate
+    each other (mirrors, re-crawls, syndication) before any doc-grain
+    dedup decides survivors. Distinct (source, shingle-hash) grain
+    bounds the self-join fan-out at |sources|² per shingle regardless of
+    corpus size; the distinct relation is pinned once and feeds sizes +
+    both join sides (operators/dedup.py source_overlap_matrix; the
+    oracle joins shingle STRINGS — collision-free ground truth, x02
+    discipline)."""
+    d = table(spark, sf_dir, "documents")
+    return DD.source_overlap_matrix(d, "source", "text", n=3)

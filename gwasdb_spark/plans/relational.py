@@ -2954,3 +2954,54 @@ def s27_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("total_chars"),
         F.count_distinct(F.md5("text")).alias("n_distinct_texts"),
     )
+
+
+@query(
+    "g15_prs_score",
+    "X-gwas,J1,A2",
+    oracle="""
+    WITH geno AS (
+      SELECT o.o_custkey AS individual,
+             CAST(ROUND((l.l_discount - 0.05) * 100) AS BIGINT) AS beta_c,
+             CAST(l.l_quantity AS BIGINT) % 3 AS dosage
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT individual,
+           CAST(COUNT(*) AS BIGINT) AS n_loci,
+           CAST(SUM(beta_c * dosage) AS DOUBLE) / 100.0 AS prs
+    FROM geno GROUP BY individual
+    """,
+)
+def g15_prs_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygenic-risk-score aggregation — the flagship downstream use of
+    a GWAS warehouse: each individual's score is Σ β_marker × dosage
+    over their genotyped loci. Deterministic mapping in the g10-g14
+    family: individual = o_custkey (fact→orders join), marker effect
+    β from l_discount, allele dosage 0/1/2 from l_quantity mod 3.
+
+    Exactness discipline (helpers module docstring): β becomes integer
+    CENTS before the multiply-accumulate, so the per-individual sum is
+    exact int64 (< 2^53) and ONE final division yields a bit-identical
+    double in both engines regardless of FP summation order — the same
+    trick the revenue queries use, applied to effect sizes.
+
+    Scale: one fact-to-orders equi-join (both SF-proportional — no
+    broadcast hint, AQE decides) followed by an individual-grain
+    aggregate; shuffles carry (individual, 2 longs). At biobank scale
+    (500k individuals × 1M markers) this is the textbook
+    partial-agg-then-exchange plan — dosage rows reduce map-side."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    geno = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").alias("individual"),
+        F.round((F.col("l_discount") - 0.05) * 100)
+        .cast("long")
+        .alias("beta_c"),
+        (F.col("l_quantity").cast("long") % 3).alias("dosage"),
+    )
+    return geno.groupBy("individual").agg(
+        F.count(F.lit(1)).cast("long").alias("n_loci"),
+        (F.sum(F.col("beta_c") * F.col("dosage")).cast("double") / F.lit(100.0)).alias(
+            "prs"
+        ),
+    )

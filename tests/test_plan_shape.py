@@ -456,3 +456,26 @@ def test_last_touch_attribution_single_exchange(spark):
         if "Exchange hashpartitioning" in ln and "user_id" in ln
     )
     assert n_exchanges == 1, plan[:2000]
+
+
+def test_prs_no_forced_broadcast(spark):
+    """g15's fact→orders join: both sides are SF-proportional — a forced
+    broadcast is a driver OOM at biobank scale, so strategy stays with
+    AQE (same rule as q03)."""
+    assert "strategy=broadcast" not in _optimized(spark, "g15_prs_score")
+
+
+def test_source_overlap_pins_distinct_relation(spark):
+    """x105's distinct (source, shingle) relation must be computed ONCE
+    (lazy localCheckpoint) and feed sizes + both join sides — three
+    FileScans means each consumer re-derived the corpus."""
+    plan = _plan(spark, "x105_source_overlap_matrix")
+    assert plan.count("FileScan") <= 1, plan[:2000]
+
+
+def test_quantile_normalize_is_one_scan_no_join(spark):
+    """x106 is a scan-side scored projection + source-partitioned
+    windows: no join, single FileScan."""
+    plan = _plan(spark, "x106_score_quantile_normalize")
+    assert plan.count("FileScan") == 1, plan[:2000]
+    assert "Join" not in plan
