@@ -190,6 +190,8 @@ HEADLINE = [
     "g15_prs_score",
     "x105_source_overlap_matrix",
     "x106_score_quantile_normalize",
+    "x107_matryoshka_audit",
+    "x108_l_diversity",
     # st13 (trending over the live rollup) is correctness-gated, not
     # benched: like st07/st09 its wall time is the micro-batch replay +
     # per-batch dynamic-partition-overwrite commits of the upsert

@@ -5485,3 +5485,78 @@ def x105_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline)."""
     d = table(spark, sf_dir, "documents")
     return DD.source_overlap_matrix(d, "source", "text", n=3)
+
+
+_COS16_SQL = (
+    "list_sum(list_transform(range(1, 17), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+@query(
+    "x107_matryoshka_audit",
+    "X-sim,X-qa",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    full_rank AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+               {_COS_SQL.format(a='qv', b='cv')}
+                 / (sqrt({_COS_SQL.format(a='qv', b='qv')})
+                    * sqrt({_COS_SQL.format(a='cv', b='cv')})) DESC,
+               neighbor_id) AS rank
+      FROM q CROSS JOIN c WHERE query_id != neighbor_id
+    ),
+    trunc_rank AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+               {_COS16_SQL.format(a='qv', b='cv')}
+                 / (sqrt({_COS16_SQL.format(a='qv', b='qv')})
+                    * sqrt({_COS16_SQL.format(a='cv', b='cv')})) DESC,
+               neighbor_id) AS rank
+      FROM q CROSS JOIN c WHERE query_id != neighbor_id
+    )
+    SELECT f.query_id,
+           CAST(COUNT(t.neighbor_id) AS BIGINT) AS n_overlap,
+           CAST(COUNT(t.neighbor_id) AS DOUBLE) / 10.0 AS overlap_frac
+    FROM (SELECT * FROM full_rank WHERE rank <= 10) f
+    LEFT JOIN (SELECT * FROM trunc_rank WHERE rank <= 10) t
+      ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+    GROUP BY f.query_id
+    """,
+)
+def x107_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka/truncated-embedding fidelity audit: for each query,
+    how much of the exact 64-dim cosine top-10 survives when retrieval
+    runs on the FIRST 16 DIMENSIONS only — the measured basis for the
+    truncate-to-serve decision (4× less vector IO and ANN memory, the
+    dimensional sibling of x101's int8 depth cut; MRL-style embeddings
+    make prefixes usable by construction, this measures whether THESE
+    embeddings tolerate it). Two broadcast-query top-k scans (full +
+    sliced) joined on (query, neighbor); output is |queries| rows.
+    At corpus scale the truncated pass reads a 16-float column — the
+    win this audit prices."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    full = brute_force_topk(q, e, "vec_id", "embedding", k=10).select(
+        "query_id", "neighbor_id"
+    )
+    e16 = e.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    q16 = e16.filter(F.col("vec_id") < 5)
+    trunc = brute_force_topk(q16, e16, "vec_id", "embedding", k=10).select(
+        "query_id", F.col("neighbor_id").alias("t_neighbor")
+    )
+    hit = full.join(
+        trunc,
+        (full.query_id == trunc.query_id)
+        & (full.neighbor_id == trunc.t_neighbor),
+        "left",
+    ).select(full.query_id, "t_neighbor")
+    return hit.groupBy("query_id").agg(
+        F.count("t_neighbor").cast("long").alias("n_overlap"),
+        (F.count("t_neighbor").cast("double") / F.lit(10.0)).alias(
+            "overlap_frac"
+        ),
+    )

@@ -1743,3 +1743,46 @@ def x98_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+@query(
+    "x108_l_diversity",
+    "X-qa,X-priv",
+    oracle="""
+    WITH bucketed AS (
+      SELECT lang, CAST(n_chars // 500 AS BIGINT) AS len_bucket, source
+      FROM documents
+    )
+    SELECT lang, len_bucket,
+           CAST(COUNT(*) AS BIGINT) AS group_size,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_distinct_sensitive
+    FROM bucketed
+    GROUP BY 1, 2
+    HAVING COUNT(DISTINCT source) < 8
+    """,
+)
+def x108_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — x81's homogeneity-attack companion: a
+    quasi-identifier group can satisfy k-anonymity (enough members) yet
+    still leak if the SENSITIVE attribute is near-constant inside it
+    (everyone in the group comes from one host → membership reveals the
+    host). Groups on the x81 quasi-identifier (lang, 500-char length
+    bucket) with fewer than l=8 distinct sensitive values (source) are
+    flagged for suppression/generalization before release. One
+    distinct-count aggregate on the QI key — the partial distinct
+    dedupes (QI, source) map-side, so the exchange carries at most
+    |QI groups| × |sources| skinny rows."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "lang",
+            F.expr("n_chars div 500").cast("long").alias("len_bucket"),
+            "source",
+        )
+        .groupBy("lang", "len_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.count_distinct("source").alias("n_distinct_sensitive"),
+        )
+        .filter(F.col("n_distinct_sensitive") < 8)
+    )
