@@ -2,8 +2,9 @@
 """sf1-class stress fixtures for the operators a 100 TB run stresses
 hardest (r5 verdict #5b): BM25 serving latency, connected components
 above the driver-path threshold, IVF ANN recall, MinHash-LSH near-dup
-recall, streaming steady-state throughput, the as-of join composition
-(round 7), and the int8 quantization audit (round 7).
+recall, streaming steady-state throughput, and — added round 7 — the
+as-of join composition, the int8 quantization audit, and salted
+skew aggregation at a 30%-hot key.
 
 The per-round bench (sf0.1) proves plan shapes; these stresses prove the
 SCALE PATHS: each one synthesizes a deterministic input 10-100x the
@@ -13,7 +14,7 @@ star CC, sampled-training IVF, prebuilt-index BM25 serving), and gates
 on a hard correctness/quality invariant before reporting timings —
 a fast-but-wrong stress number is a failure, not a result.
 
-Usage:  python scripts/stress_scale.py [bm25|cc|ivf|neardup|stream|asof|quant|all]
+Usage:  python scripts/stress_scale.py [bm25|cc|ivf|neardup|stream|asof|quant|skew|all]
 
 Prints one JSON line per stress; numbers are recorded in ROADMAP.md
 per round so regressions in the scale paths are visible across rounds.
@@ -564,6 +565,63 @@ def stress_quant(spark) -> dict:
     }
 
 
+# ---------------------------------------------------------------------------
+# Stress 8 — salted skew aggregation at 50M rows with a 30% hot key.
+#
+# The brief's skew mitigation, measured where it matters: one key holds
+# 30% of a 50M-row table. The naive GROUP BY funnels 15M rows through
+# one reducer task; the 16-way deterministic salt spreads them over 16
+# partial aggregates before the final per-key combine. Integer-cents
+# arithmetic makes the two-level result EXACTLY equal to the naive one
+# (associativity is exact in int64), so the gate is bit-equality of
+# every (key, count, sum) row plus an analytic row-count check — the
+# salt may only buy time, never change an answer.
+# ---------------------------------------------------------------------------
+def stress_skew(spark) -> dict:
+    n_rows = 50_000_000
+    base = spark.range(n_rows).select(
+        F.when(F.col("id") % 10 < 3, F.lit(-1))
+        .otherwise(F.col("id") % 100_000)
+        .alias("key"),
+        (F.col("id") % 16).alias("salt"),
+        ((F.col("id") * 37) % 10_000).alias("cents"),
+    )
+
+    t0 = time.perf_counter()
+    naive = base.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("c")
+    ).localCheckpoint()
+    naive_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    salted = (
+        base.groupBy("key", "salt")
+        .agg(F.count(F.lit(1)).alias("n_p"), F.sum("cents").alias("c_p"))
+        .groupBy("key")
+        .agg(F.sum("n_p").alias("n"), F.sum("c_p").alias("c"))
+        .localCheckpoint()
+    )
+    salted_s = time.perf_counter() - t0
+
+    diff = (
+        naive.unionByName(salted)
+        .groupBy("key", "n", "c")
+        .count()
+        .filter(F.col("count") != 2)
+        .count()
+    )
+    hot = {r["key"]: r["n"] for r in naive.filter(F.col("key") == -1).collect()}
+    return {
+        "stress": "salted_skew_agg_50m",
+        "n_rows": n_rows,
+        "hot_key_rows": hot.get(-1),
+        "naive_sec": round(naive_s, 3),
+        "salted_sec": round(salted_s, 3),
+        "mismatched_keys": diff,
+        "ok": diff == 0 and hot.get(-1) == 15_000_000,
+    }
+
+
 STRESSES = {
     "bm25": stress_bm25,
     "cc": stress_cc,
@@ -572,6 +630,7 @@ STRESSES = {
     "stream": stress_stream,
     "asof": stress_asof,
     "quant": stress_quant,
+    "skew": stress_skew,
 }
 
 
