@@ -29,6 +29,11 @@ from gwasdb_spark.plans import scale_ops as _scale_ops  # noqa: F401
 # attestation that the rewrites kept them green. All 50 pre-flighted
 # hash-green at sf0.01 this round. File order within modules is unchanged;
 # only the registry's iteration order is rebuilt here.
+#
+# Round-8 seats: the 11 round-7 additions (s27, e04, g15, x101-x108 —
+# every one already oracle-hash-green at sf0.001 + sf0.01) followed by
+# 39 backfill re-attestations, preferring the remaining r2-latest rows
+# (x17-x24 block onward) then the oldest r3 rows.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
     # 8 round-6 additions — never adjudicated

@@ -5069,20 +5069,27 @@ def x73_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sk03_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Salted two-level aggregation over a deliberately skewed key —
-    THE mitigation for the hot-key reducer at 100 TB (one key holding
-    30% of a 100 TB table pins one task for hours while 999 executors
-    idle). The key is salted with a deterministic 16-way suffix
-    (l_orderkey % 16 — content-derived, no RNG), partially aggregated
-    per (key, salt) — so the hot key's rows land on 16 reducers — then
-    finalized per key. Integer cents arithmetic makes the two-level
-    re-aggregation bit-identical to the oracle's single GROUP BY (the
-    associativity proof is exact, not floating-point).
+    """Salted two-level aggregation over a deliberately skewed key: the
+    key gains a deterministic 16-way suffix (l_orderkey % 16 —
+    content-derived, no RNG), is partially aggregated per (key, salt),
+    then finalized per key. Integer cents arithmetic makes the
+    two-level re-aggregation bit-identical to the oracle's single
+    GROUP BY (the associativity proof is exact, not floating-point).
 
-    AQE's skew handling only splits JOIN partitions; a skewed
-    AGGREGATE key still needs the salt. The demo key funnels every
-    l_suppkey with residue <3 mod 10 (~30% of the table) into one
-    value."""
+    Honesty note on WHEN the salt pays (measured in
+    scripts/stress_scale.py stress_skew): for plain sums/counts,
+    Spark's map-side partial aggregation already reduces every task to
+    one (key, partial) row, so the final exchange is tiny and the naive
+    GROUP BY is skew-free — this query demonstrates the exact-
+    associativity MECHANICS on the cheapest payload. The pattern is
+    load-bearing where partial aggregation cannot pre-reduce: distinct
+    aggregates (the deduped (key, value) stream still funnels the hot
+    key's values to one reducer — there the salt must hash the VALUE so
+    per-salt distinct sets stay disjoint and their sum exact),
+    collect_list/set payloads, and holistic UDAFs. AQE's skew handling
+    splits JOIN partitions only; none of these aggregate shapes get
+    runtime relief. The demo key funnels every l_suppkey with residue
+    <3 mod 10 (~30% of the table) into one value."""
     li = table(spark, sf_dir, "lineitem")
     hot = F.when(F.col("l_suppkey") % 10 < 3, F.lit(-1)).otherwise(
         F.col("l_suppkey")

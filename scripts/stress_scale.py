@@ -566,16 +566,20 @@ def stress_quant(spark) -> dict:
 
 
 # ---------------------------------------------------------------------------
-# Stress 8 — salted skew aggregation at 50M rows with a 30% hot key.
+# Stress 8 — salted DISTINCT aggregation at 50M rows with a 30% hot key.
 #
-# The brief's skew mitigation, measured where it matters: one key holds
-# 30% of a 50M-row table. The naive GROUP BY funnels 15M rows through
-# one reducer task; the 16-way deterministic salt spreads them over 16
-# partial aggregates before the final per-key combine. Integer-cents
-# arithmetic makes the two-level result EXACTLY equal to the naive one
-# (associativity is exact in int64), so the gate is bit-equality of
-# every (key, count, sum) row plus an analytic row-count check — the
-# salt may only buy time, never change an answer.
+# Honesty note (found by this stress's own first runs): for ASSOCIATIVE
+# aggregates (sum/count), Spark's map-side partial aggregation already
+# spreads a hot key — every task pre-reduces to one (key, partial) row,
+# so the final exchange is tiny and salting buys nothing (measured:
+# naive 0.88 s vs salted 1.24 s warm). The hot-key reducer pathology is
+# REAL only where partial aggregation cannot reduce: COUNT(DISTINCT v)
+# with per-row-distinct values ships every (key, value) pair to the
+# key's one reducer — 15M rows through a single task here. The correct
+# mitigation salts by a hash OF THE VALUE, which partitions the value
+# space, so per-(key, salt) distinct counts are disjoint and their SUM
+# is exact — not an approximation. Gate: salted result bit-equal to the
+# naive one on every key, plus the analytic 15M hot-key distinct count.
 # ---------------------------------------------------------------------------
 def stress_skew(spark) -> dict:
     n_rows = 50_000_000
@@ -583,38 +587,39 @@ def stress_skew(spark) -> dict:
         F.when(F.col("id") % 10 < 3, F.lit(-1))
         .otherwise(F.col("id") % 100_000)
         .alias("key"),
-        (F.col("id") % 16).alias("salt"),
-        ((F.col("id") * 37) % 10_000).alias("cents"),
+        F.col("id").alias("value"),  # distinct per row: nothing pre-reduces
     )
 
     t0 = time.perf_counter()
     naive = base.groupBy("key").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("c")
+        F.count_distinct("value").alias("n_distinct")
     ).localCheckpoint()
     naive_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     salted = (
-        base.groupBy("key", "salt")
-        .agg(F.count(F.lit(1)).alias("n_p"), F.sum("cents").alias("c_p"))
+        base.withColumn("salt", F.pmod(F.xxhash64("value"), F.lit(16)))
+        .groupBy("key", "salt")
+        .agg(F.count_distinct("value").alias("n_part"))
         .groupBy("key")
-        .agg(F.sum("n_p").alias("n"), F.sum("c_p").alias("c"))
+        .agg(F.sum("n_part").alias("n_distinct"))
         .localCheckpoint()
     )
     salted_s = time.perf_counter() - t0
 
     diff = (
         naive.unionByName(salted)
-        .groupBy("key", "n", "c")
+        .groupBy("key", "n_distinct")
         .count()
         .filter(F.col("count") != 2)
         .count()
     )
-    hot = {r["key"]: r["n"] for r in naive.filter(F.col("key") == -1).collect()}
+    hot = {r["key"]: r["n_distinct"]
+           for r in naive.filter(F.col("key") == -1).collect()}
     return {
-        "stress": "salted_skew_agg_50m",
+        "stress": "salted_distinct_skew_50m",
         "n_rows": n_rows,
-        "hot_key_rows": hot.get(-1),
+        "hot_key_distinct": hot.get(-1),
         "naive_sec": round(naive_s, 3),
         "salted_sec": round(salted_s, 3),
         "mismatched_keys": diff,
@@ -622,12 +627,17 @@ def stress_skew(spark) -> dict:
     }
 
 
+# `all` order: the stream-throughput gate runs FIRST — it measures
+# keeps-up rate against wall-clock, and running it after the 50M-row
+# batch stresses (saturated heap, hot GC, elevated loadavg) under-reads
+# it by 2-3x (observed: 169k rows/s late in the sequence vs 557k
+# standalone). The batch gates are correctness-gated and load-tolerant.
 STRESSES = {
+    "stream": stress_stream,
     "bm25": stress_bm25,
     "cc": stress_cc,
     "ivf": stress_ivf,
     "neardup": stress_neardup,
-    "stream": stress_stream,
     "asof": stress_asof,
     "quant": stress_quant,
     "skew": stress_skew,
