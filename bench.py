@@ -192,6 +192,8 @@ HEADLINE = [
     "x106_score_quantile_normalize",
     "x107_matryoshka_audit",
     "x108_l_diversity",
+    "x109_correlation_matrix",
+    "e05_event_transitions",
     # st13 (trending over the live rollup) is correctness-gated, not
     # benched: like st07/st09 its wall time is the micro-batch replay +
     # per-batch dynamic-partition-overwrite commits of the upsert

@@ -5567,3 +5567,61 @@ def x107_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overlap_frac"
         ),
     )
+
+
+@query(
+    "e05_event_transitions",
+    "X-events,§2.5",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    t AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(COUNT(*) AS BIGINT) AS n_transitions
+      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT from_type, CAST(SUM(n_transitions) AS DOUBLE) AS n_from
+      FROM t GROUP BY 1
+    )
+    SELECT t.from_type, t.to_type, t.n_transitions,
+           ROUND(t.n_transitions / tot.n_from, 6) AS p_transition
+    FROM t JOIN tot USING (from_type)
+    """,
+)
+def e05_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition census over per-user event streams:
+    counts and conditional probabilities of event_type → next
+    event_type — the path-analysis primitive behind funnel discovery
+    ("what do users actually do after an error?") and synthetic-session
+    generation. One lag window partitioned by user (parallel, no
+    cross-user state), a |types|²-bounded count aggregate, and the
+    per-source totals joined back — at most |types| rows broadcast.
+    Order within a user ties on (ts, event_id), same as x64/st02."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    t = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions")
+    )
+    tot = t.groupBy("from_type").agg(
+        F.sum("n_transitions").cast("double").alias("n_from")
+    )
+    return (
+        t.join(F.broadcast(tot), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            F.round(F.col("n_transitions") / F.col("n_from"), 6).alias(
+                "p_transition"
+            ),
+        )
+    )

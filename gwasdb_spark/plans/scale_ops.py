@@ -1786,3 +1786,88 @@ def x108_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_distinct_sensitive") < 8)
     )
+
+
+@query(
+    "x109_correlation_matrix",
+    "X-qa,A2",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(l_quantity AS DOUBLE) AS quantity,
+             CAST(l_extendedprice AS DOUBLE) AS price,
+             CAST(l_discount AS DOUBLE) AS discount,
+             CAST(l_tax AS DOUBLE) AS tax
+      FROM lineitem
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             SUM(quantity) AS sq, SUM(price) AS sp,
+             SUM(discount) AS sd, SUM(tax) AS st,
+             SUM(quantity * quantity) AS sqq, SUM(price * price) AS spp,
+             SUM(discount * discount) AS sdd, SUM(tax * tax) AS stt,
+             SUM(quantity * price) AS sqp, SUM(quantity * discount) AS sqd,
+             SUM(quantity * tax) AS sqt, SUM(price * discount) AS spd,
+             SUM(price * tax) AS spt, SUM(discount * tax) AS sdt
+      FROM v
+    ),
+    pairs AS (
+      SELECT 'quantity' AS col_a, 'price' AS col_b,
+             sqp AS sxy, sq AS sx, sp AS sy, sqq AS sxx, spp AS syy, n FROM s
+      UNION ALL SELECT 'quantity', 'discount', sqd, sq, sd, sqq, sdd, n FROM s
+      UNION ALL SELECT 'quantity', 'tax', sqt, sq, st, sqq, stt, n FROM s
+      UNION ALL SELECT 'price', 'discount', spd, sp, sd, spp, sdd, n FROM s
+      UNION ALL SELECT 'price', 'tax', spt, sp, st, spp, stt, n FROM s
+      UNION ALL SELECT 'discount', 'tax', sdt, sd, st, sdd, stt, n FROM s
+    )
+    SELECT col_a, col_b,
+           ROUND((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)),
+                 6) AS pearson_r
+    FROM pairs
+    """,
+)
+def x109_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation over the fact table's numeric
+    columns — the data-profiling step (x78's multivariate companion)
+    that catches leaky/duplicated features and informs which columns
+    z-order or bucketing should co-locate. Computed from EXPLICIT
+    moment sums (n, Σx, Σy, Σxy, Σx², Σy²) in ONE single-pass
+    aggregate — not the builtin corr(), whose summation strategy is
+    engine-private — then 6 pair rows expanded from the 1-row moment
+    relation. One scan, one 15-value aggregate row, zero joins; at
+    100 TB the cost is the scan and nothing else. Double sums associate
+    differently across engines at ~1e-10 relative; the 6-dp round
+    absorbs it (same discipline as every avg in the suite)."""
+    li = table(spark, sf_dir, "lineitem")
+    cols = {
+        "quantity": F.col("l_quantity").cast("double"),
+        "price": F.col("l_extendedprice").cast("double"),
+        "discount": F.col("l_discount").cast("double"),
+        "tax": F.col("l_tax").cast("double"),
+    }
+    v = li.select(*[c.alias(k) for k, c in cols.items()])
+    names = list(cols)
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for a in names:
+        aggs.append(F.sum(F.col(a)).alias(f"s_{a}"))
+        aggs.append(F.sum(F.col(a) * F.col(a)).alias(f"s_{a}_{a}"))
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"s_{a}_{b}"))
+    s = v.agg(*aggs)
+    # expand the 1-row moment relation into 6 pair rows with stack()
+    exprs = []
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            r = (
+                f"(n * s_{a}_{b} - s_{a} * s_{b}) / "
+                f"(sqrt(n * s_{a}_{a} - s_{a} * s_{a}) * "
+                f"sqrt(n * s_{b}_{b} - s_{b} * s_{b}))"
+            )
+            exprs.append(f"'{a}', '{b}', round({r}, 6)")
+    stack = (
+        f"stack({len(exprs)}, "
+        + ", ".join(exprs)
+        + ") AS (col_a, col_b, pearson_r)"
+    )
+    return s.select(F.expr(stack))

@@ -479,3 +479,11 @@ def test_quantile_normalize_is_one_scan_no_join(spark):
     plan = _plan(spark, "x106_score_quantile_normalize")
     assert plan.count("FileScan") == 1, plan[:2000]
     assert "Join" not in plan
+
+
+def test_correlation_matrix_single_scan_one_agg(spark):
+    """x109 computes all 6 correlations from ONE moment aggregate over
+    ONE scan — a per-pair corr() formulation would re-scan the fact
+    table 6 times."""
+    plan = _plan(spark, "x109_correlation_matrix")
+    assert plan.count("FileScan") == 1, plan[:2000]
