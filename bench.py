@@ -194,6 +194,8 @@ HEADLINE = [
     "x108_l_diversity",
     "x109_correlation_matrix",
     "e05_event_transitions",
+    "mm07_binary_neardup_pairs",
+    "x110_diversified_topk",
     # st13 (trending over the live rollup) is correctness-gated, not
     # benched: like st07/st09 its wall time is the micro-batch replay +
     # per-batch dynamic-partition-overwrite commits of the upsert

@@ -220,3 +220,71 @@ def dispatch_features(binary_table: DataFrame) -> DataFrame:
             )
 
     return binary_table.mapInPandas(run, schema=DISPATCH_SCHEMA)
+
+
+def byte_shingle_near_pairs(
+    binary_table: DataFrame,
+    gram_bytes: int = 8,
+    stride_bytes: int = 4,
+    threshold: float = 0.3,
+    max_gram_docs: int = 100,
+) -> DataFrame:
+    """Byte-level near-duplicate pairs over opaque binary payloads —
+    mm06's fuzzy sibling: exact digest dedup misses blobs that differ in
+    a few bytes (retagged audio, re-serialized containers, EXIF-touched
+    images), this catches them WITHOUT decoding. Payloads are shingled
+    into overlapping byte 8-grams (stride 4), hashed to 8-byte keys, and
+    pushed through the same bounded-bucket pair pipeline as text dedup:
+    one exchange keyed by gram hash, per-gram doc lists capped at
+    `max_gram_docs` (the quadratic-blowup guard), Jaccard from exact
+    per-doc distinct-gram counts. Shuffles carry (long, long) rows —
+    payload bytes never leave the scan stage.
+
+    Shingling runs on the hex encoding (2 chars/byte) with pure
+    substring arithmetic — array HOFs over a bounded positions sequence;
+    at real media sizes (MBs/blob) move the gram hashing into an Arrow
+    mapInPandas kernel over the raw bytes, which drops in above the same
+    pair pipeline. Returns (id_a < id_b, jaccard >= threshold)."""
+    from gwasdb_spark.operators.dedup import _pairs_from_groups
+
+    g_chars, s_chars = 2 * gram_bytes, 2 * stride_bytes
+    hx = F.hex(F.col("payload"))
+    # stop clamps to 1 (not 0): Spark's sequence() errors on a positive
+    # step with stop < start; the lone out-of-range position yields a
+    # short gram that the length filter below drops, matching the
+    # oracle's empty range() for sub-gram payloads.
+    positions = F.sequence(
+        F.lit(1),
+        F.greatest(F.length(hx) - (g_chars - 1), F.lit(1)),
+        F.lit(s_chars),
+    )
+    grams = F.transform(positions, lambda p: F.substring(hx, p, g_chars))
+    exploded = (
+        binary_table.filter(F.col("doc_id").isNotNull())
+        .select(F.col("doc_id").alias("doc"), F.explode(grams).alias("g"))
+        .filter(F.length("g") == g_chars)
+        .select("doc", F.xxhash64("g").alias("sh"))
+        .repartition("sh")
+    )
+    bounded = (
+        exploded.groupBy("sh")
+        .agg(F.array_sort(F.collect_set("doc")).alias("docs"))
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= max_gram_docs))
+    )
+    shared = (
+        _pairs_from_groups(bounded)
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sizes = exploded.groupBy("doc").agg(F.count_distinct("sh").alias("n_sh"))
+    sa = sizes.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_shared").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_shared")
+    ).cast("double")
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -5625,3 +5625,143 @@ def e05_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "mm07_binary_neardup_pairs",
+    "X-multimodal,X-dedup",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 700000, text || ' v2-tail-marker'
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    hx AS (SELECT doc_id, hex(encode(text)) AS h FROM corpus),
+    grams AS (
+      SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id, substr(h, CAST(p AS INT), 16) AS g
+        FROM (SELECT doc_id, h,
+                     unnest(range(1, greatest(len(h) - 15, 0) + 1, 8)) AS p
+              FROM hx)
+      ) WHERE len(g) = 16
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+              FROM grams GROUP BY 1),
+    rare AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) <= 100),
+    pruned AS (SELECT grams.doc_id, grams.g FROM grams JOIN rare USING (g)),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+      FROM pruned a JOIN pruned b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared)
+             AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) >= 0.3
+    """,
+)
+def mm07_binary_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level near-duplicate pairs over binary media payloads —
+    mm06's fuzzy sibling: catches blobs differing in a few bytes
+    (retagged audio, EXIF-touched images, re-serialized containers)
+    that digest dedup misses, WITHOUT decoding. Near-dups are planted
+    (every 7th payload re-enters with a short tail appended under a
+    fresh id) so the pair branch is always exercised; byte 8-grams at
+    stride 4 feed the same bounded-bucket pair pipeline as text dedup
+    (multimodal/binary.py byte_shingle_near_pairs; oracle joins gram
+    STRINGS — collision-free ground truth)."""
+    from gwasdb_spark.multimodal.binary import (
+        byte_shingle_near_pairs,
+        to_binary_table,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    corpus = d.unionByName(
+        d.filter(F.col("doc_id") % 7 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 700000
+        ).withColumn("text", F.concat(F.col("text"), F.lit(" v2-tail-marker")))
+    )
+    bt = to_binary_table(corpus)
+    return byte_shingle_near_pairs(bt, gram_bytes=8, stride_bytes=4, threshold=0.3)
+
+
+@query(
+    "x110_diversified_topk",
+    "X-sim",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, label, embedding AS cv
+          FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id, label,
+             {_COS_SQL.format(a='qv', b='cv')}
+               / (sqrt({_COS_SQL.format(a='qv', b='qv')})
+                  * sqrt({_COS_SQL.format(a='cv', b='cv')})) AS cos_raw
+      FROM q CROSS JOIN c WHERE query_id != neighbor_id
+    ),
+    capped AS (
+      SELECT query_id, neighbor_id, label, cos_raw,
+             ROW_NUMBER() OVER (PARTITION BY query_id, label
+                                ORDER BY cos_raw DESC, neighbor_id)
+               AS label_rank
+      FROM scored QUALIFY label_rank <= 2
+    )
+    SELECT query_id, neighbor_id, label,
+           CAST(rank AS BIGINT) AS rank, ROUND(cos_raw, 6) AS cosine
+    FROM (
+      SELECT query_id, neighbor_id, label, cos_raw,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_raw DESC, neighbor_id) AS rank
+      FROM capped
+    ) WHERE rank <= 10
+    """,
+)
+def x110_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified retrieval: exact cosine top-10 under a per-LABEL quota
+    of 2 — the result-diversification contract RAG/search serving needs
+    (ten near-identical neighbors from one cluster are nine wasted
+    slots; the quota forces cross-cluster coverage). Two stacked
+    windows, both PARTITIONED (query × label, then query) — no global
+    sort; the label-quota filter shrinks the candidate set before the
+    final rank, so the added cost over x05 is one extra bounded window
+    pass. Queries broadcast; corpus scanned once."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"), "label",
+        F.col("embedding").alias("cv"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id", "label",
+            cosine(F.col("qv"), F.col("cv")).alias("cos_raw"),
+        )
+    )
+    w_label = Window.partitionBy("query_id", "label").orderBy(
+        F.desc("cos_raw"), F.asc("neighbor_id")
+    )
+    capped = (
+        scored.withColumn("label_rank", F.row_number().over(w_label))
+        .filter(F.col("label_rank") <= 2)
+    )
+    w_q = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), F.asc("neighbor_id")
+    )
+    return (
+        capped.withColumn("rank", F.row_number().over(w_q).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id", "neighbor_id", "label", "rank",
+            F.round("cos_raw", 6).alias("cosine"),
+        )
+    )
