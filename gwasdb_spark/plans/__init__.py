@@ -14,6 +14,7 @@ from gwasdb_spark.plans import extensions as _extensions  # noqa: F401
 from gwasdb_spark.plans import tpch_extra as _tpch_extra  # noqa: F401
 from gwasdb_spark.plans import corpus_quality as _corpus_quality  # noqa: F401
 from gwasdb_spark.plans import scale_ops as _scale_ops  # noqa: F401
+from gwasdb_spark.plans import pipeline_ops as _pipeline_ops  # noqa: F401
 
 # ---------------------------------------------------------------------------
 # Registration-order priority.

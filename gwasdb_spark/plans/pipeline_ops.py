@@ -1,0 +1,498 @@
+"""Round-7+ pipeline primitives: runtime-filter joins, governed splits,
+and downstream-analytics aggregates.
+
+- x111: Bloom-prefilter semi join — a REAL Bloom filter (k=3 xxhash64
+  seeds into a 32768-bit bitmap held as a <=512-entry word->mask map)
+  built declaratively from the dim side and broadcast onto the fact
+  scan, so non-matching fact rows die BEFORE the join exchange; the
+  exact semi join afterwards removes false positives, so the result is
+  exact and the DuckDB oracle is the plain semi join. This is the
+  hand-rolled twin of Spark's injected runtime bloom filter
+  (spark.sql.optimizer.runtime.bloomFilter.*), which only arms itself
+  above multi-GB scan thresholds — here the pruning is part of the
+  declared plan and testable at any SF.
+- x112: stratified exact split — per-stratum 80/20 train/test with
+  EXACT per-stratum proportions (ceil(0.8n) via integer math) over a
+  content-addressed md5 order: deterministic, re-runnable, no RNG
+  state; complements x99 (hash split, leakage-safe but only
+  approximately proportional).
+- g16: per-marker case/control odds ratio + 95% Wald CI from one
+  conditional-count pass (the 2x2 table never materializes; four
+  filtered counts per marker), integer cell counts -> one exact
+  cross-product ratio -> ln/exp at the end under 6-dp rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from gwasdb_spark.catalog import table
+from gwasdb_spark.plans.base import query
+
+# Bloom geometry: 32768 bits = 512 x 64-bit words; k=3 seeded hashes.
+_BLOOM_BITS = 32768
+_BLOOM_SEEDS = (1, 2, 3)
+
+
+def _bloom_positions(key, seed: int):
+    """Bit position of `key` under hash-seed `seed` (word, mask) pair."""
+    bit = F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(_BLOOM_BITS))
+    word = (bit / F.lit(64)).cast("int")
+    # F.shiftleft's numBits parameter is Python-int-only; call the SQL
+    # function directly to shift by a per-row column.
+    mask = F.call_function(
+        "shiftleft", F.lit(1).cast("long"), (bit % 64).cast("int")
+    )
+    return word, mask
+
+
+def bloom_build(df: DataFrame, key_col: str) -> DataFrame:
+    """One-row DataFrame holding a Bloom bitmap of df[key_col] as a
+    map<int,long> (word index -> 64-bit mask). Sparse words are simply
+    absent; total size is bounded at 512 entries (~8 KB) no matter how
+    many keys feed it — the fixed-memory property that makes a Bloom
+    broadcastable when the key set itself is not."""
+    words = []
+    for s in _BLOOM_SEEDS:
+        w, m = _bloom_positions(F.col(key_col), s)
+        words.append(F.struct(w.alias("w"), m.alias("m")))
+    per_word = (
+        df.select(F.explode(F.array(*words)).alias("pos"))
+        .groupBy(F.col("pos.w").alias("w"))
+        .agg(F.bit_or("pos.m").alias("m"))
+    )
+    return per_word.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "m"))).alias("bloom")
+    )
+
+
+def bloom_might_contain_sql(bloom_scalar_sql: str, key_sql: str) -> str:
+    """SQL text of the k-seed membership predicate against a scalar
+    subquery holding the bitmap map. Used instead of the Column variant
+    when the consumer must stay a plain Filter on the probe-side scan:
+    a crossJoin(bloom).filter(...) formulation gets rewritten by
+    Catalyst into a join CONDITION and then hoisted above any join
+    that only needs probe-side columns — the prefilter would run
+    AFTER the exact join it was meant to protect. A scalar subquery
+    is not a join, so nothing reorders around it."""
+    checks = []
+    for s in _BLOOM_SEEDS:
+        bit = f"pmod(xxhash64({key_sql}, {s}), {_BLOOM_BITS})"
+        word = f"CAST({bit} DIV 64 AS INT)"
+        mask = f"shiftleft(CAST(1 AS BIGINT), CAST({bit} % 64 AS INT))"
+        checks.append(
+            f"(coalesce(element_at({bloom_scalar_sql}, {word}), "
+            f"CAST(0 AS BIGINT)) & {mask}) != 0"
+        )
+    return "(" + " AND ".join(checks) + ")"
+
+
+def bloom_might_contain(bloom_col, key) -> F.Column:
+    """True iff ALL k seeded bits of `key` are set in the bitmap map.
+    No false negatives by construction; false positives are whatever
+    the (k, m, n) geometry yields and must be removed by an exact join
+    downstream."""
+    checks = []
+    for s in _BLOOM_SEEDS:
+        w, m = _bloom_positions(key, s)
+        hit = (
+            F.coalesce(F.element_at(bloom_col, w), F.lit(0).cast("long"))
+            .bitwiseAND(m)
+            != 0
+        )
+        checks.append(hit)
+    out = checks[0]
+    for c in checks[1:]:
+        out = out & c
+    return out
+
+
+@query(
+    "x111_bloom_prefilter_join",
+    "J9,X-scale",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS revenue
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM customer c
+      WHERE c.c_custkey = o.o_custkey
+        AND c.c_mktsegment = 'BUILDING' AND c.c_acctbal > 7500
+    )
+    GROUP BY 1
+    """,
+)
+def x111_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefilter semi join: revenue by priority for orders whose
+    customer sits in a selective dim slice (BUILDING segment, high
+    balance — ~5% of customers). The dim keys are folded into a
+    32768-bit Bloom bitmap (k=3 xxhash64 seeds, map<word,mask> — fixed
+    ~8 KB regardless of dim cardinality), broadcast onto the fact scan,
+    and non-matching fact rows are dropped BEFORE the semi-join
+    exchange; the exact semi join then removes the (rare) false
+    positives, so the result is exact and the oracle is the plain
+    EXISTS. At 100 TB this is the declared-plan version of Spark's
+    runtime bloom join (which only arms above multi-GB thresholds):
+    the fact shuffle carries only ~bloom-pass rows instead of every
+    order. Money stays in integer cents until one final division."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    dim = c.filter(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 7500)
+    ).select("c_custkey")
+    o.createOrReplaceTempView("_x111_orders")
+    dim.createOrReplaceTempView("_x111_dim")
+    bloom_build(dim, "c_custkey").createOrReplaceTempView("_x111_bloom")
+    # The bloom rides as a SCALAR SUBQUERY, not a cross join: a
+    # crossJoin+filter formulation gets rewritten into a join condition
+    # and hoisted above the semi join (prefilter after the join it
+    # protects — observed, not hypothetical). A subquery filter stays
+    # pinned on the orders scan. Cost: each of the 3 element_at
+    # references parses as its own subquery instance (Spark subqueries
+    # are per-reference; higher-order-function and lateral-view
+    # single-reference forms either reject subqueries or re-hoist the
+    # filter) — 3 small dim-side aggregate jobs, each a fraction of
+    # one fact partition. The topology is what matters at scale.
+    member = bloom_might_contain_sql(
+        "(SELECT bloom FROM _x111_bloom)", "o.o_custkey"
+    )
+    return spark.sql(
+        f"""
+        SELECT o.o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                 AS DOUBLE) / 100.0 AS revenue
+        FROM _x111_orders o
+        WHERE {member}
+          AND EXISTS (SELECT 1 FROM _x111_dim d
+                      WHERE d.c_custkey = o.o_custkey)
+        GROUP BY 1
+        """
+    )
+
+
+@query(
+    "x112_stratified_split",
+    "X-dataset,§2.5",
+    oracle="""
+    WITH ranked AS (
+      SELECT lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN rn <= (4 * n + 4) // 5 THEN 'train' ELSE 'test' END
+             AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM ranked GROUP BY 1, 2
+    """,
+)
+def x112_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified EXACT train/test split: within every stratum (lang),
+    exactly ceil(0.8n) docs go to train — the eval-set construction
+    where per-stratum proportions must hold exactly (a hash split like
+    x99 only hits 80% in expectation, starving rare strata). Order
+    within a stratum is the content-addressed md5(doc_id) — no RNG
+    state, so re-runs and backfills cut identically. ceil(0.8n) is
+    computed in INTEGER math ((4n+4) div 5) so both engines agree at
+    every n. The windows are stratum-PARTITIONED (no global sort);
+    per-stratum ordering is the irreducible cost of an exact quota,
+    and strata are corpus-bounded (languages), so each sort is
+    1/|strata| of the data. For leakage safety compose with x99:
+    bucket by source first, stratify buckets."""
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    wn = Window.partitionBy("lang")
+    ranked = d.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    split = F.when(
+        F.col("rn") <= F.expr("(4 * n + 4) div 5"), F.lit("train")
+    ).otherwise(F.lit("test"))
+    return ranked.groupBy("lang", split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+@query(
+    "mm08_chunk_dedup",
+    "X-multimodal,X-dedup",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 800000, text FROM documents WHERE doc_id % 5 = 0
+    ),
+    hx AS (SELECT doc_id, hex(encode(text)) AS h FROM corpus),
+    chunks AS (
+      SELECT substr(h, CAST(p AS INT), 128) AS chunk
+      FROM (SELECT h, unnest(range(1, len(h) + 1, 128)) AS p FROM hx)
+    ),
+    per_chunk AS (
+      SELECT chunk, CAST(COUNT(*) AS BIGINT) AS n_copies,
+             CAST(len(chunk) // 2 AS BIGINT) AS chunk_bytes
+      FROM chunks GROUP BY 1
+    )
+    SELECT n_copies,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(n_copies * chunk_bytes) AS BIGINT) AS logical_bytes,
+           CAST(SUM(chunk_bytes) AS BIGINT) AS physical_bytes
+    FROM per_chunk GROUP BY 1
+    """,
+)
+def mm08_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed chunk-level storage dedup over binary media
+    payloads — the blob-store compaction audit (how much physical
+    storage does chunk dedup save, and what does the copy-count
+    distribution look like?). Payloads are cut into fixed 64-byte
+    chunks (128 hex chars; trailing partial kept) and grouped by chunk
+    CONTENT; the copy-count histogram reports logical vs physical
+    bytes per duplication level. Whole-payload dups are planted (every
+    5th doc re-enters under a fresh id) so n_copies >= 2 rows always
+    exist. The payload bytes themselves never shuffle — only (chunk,
+    count) pairs after the map-side partial aggregate; at 100 TB the
+    chunk relation is what a CDC-chunked object store would hold, and
+    the same plan runs with content-defined boundaries by swapping the
+    splitter. Oracle joins chunk STRINGS (collision-free ground
+    truth); a real store would key md5(chunk)."""
+    from gwasdb_spark.multimodal.binary import to_binary_table
+
+    d = table(spark, sf_dir, "documents")
+    corpus = d.unionByName(
+        d.filter(F.col("doc_id") % 5 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 800000
+        )
+    )
+    bt = to_binary_table(corpus)
+    hx = bt.select(F.hex(F.col("payload")).alias("h"))
+    chunks = hx.select(
+        F.explode(
+            F.sequence(F.lit(1), F.length("h"), F.lit(128))
+        ).alias("p"),
+        "h",
+    ).select(F.substring(F.col("h"), F.col("p"), F.lit(128)).alias("chunk"))
+    per_chunk = chunks.groupBy("chunk").agg(
+        F.count(F.lit(1)).cast("long").alias("n_copies")
+    ).select(
+        "n_copies",
+        F.expr("length(chunk) div 2").cast("long").alias("chunk_bytes"),
+    )
+    return per_chunk.groupBy("n_copies").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum(F.col("n_copies") * F.col("chunk_bytes"))
+        .cast("long")
+        .alias("logical_bytes"),
+        F.sum("chunk_bytes").cast("long").alias("physical_bytes"),
+    )
+
+
+@query(
+    "e06_rfm_segments",
+    "X-events,A2",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, CAST(strftime(ts, '%Y-%m-%d') AS DATE) AS d,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    anchor AS (SELECT MAX(d) AS d_max FROM p),
+    rfm AS (
+      SELECT user_id,
+             CAST(date_diff('day', MAX(d), (SELECT d_max FROM anchor))
+               AS BIGINT) AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(cents) AS BIGINT) AS monetary_c
+      FROM p GROUP BY 1
+    ),
+    cuts AS (
+      SELECT quantile_cont(CAST(recency_days AS DOUBLE),
+                           0.3333333333333333) AS r1,
+             quantile_cont(CAST(recency_days AS DOUBLE),
+                           0.6666666666666666) AS r2,
+             quantile_cont(CAST(frequency AS DOUBLE),
+                           0.3333333333333333) AS f1,
+             quantile_cont(CAST(frequency AS DOUBLE),
+                           0.6666666666666666) AS f2,
+             quantile_cont(CAST(monetary_c AS DOUBLE),
+                           0.3333333333333333) AS m1,
+             quantile_cont(CAST(monetary_c AS DOUBLE),
+                           0.6666666666666666) AS m2
+      FROM rfm
+    )
+    SELECT CASE WHEN recency_days <= r1 THEN 1
+                WHEN recency_days <= r2 THEN 2 ELSE 3 END AS r_tercile,
+           CASE WHEN frequency <= f1 THEN 1
+                WHEN frequency <= f2 THEN 2 ELSE 3 END AS f_tercile,
+           CASE WHEN monetary_c <= m1 THEN 1
+                WHEN monetary_c <= m2 THEN 2 ELSE 3 END AS m_tercile,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(monetary_c) AS DOUBLE) / 100.0 AS total_monetary
+    FROM rfm CROSS JOIN cuts
+    GROUP BY 1, 2, 3
+    """,
+)
+def e06_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the classic marketing-analytics
+    rollup: per-user Recency (days since last purchase vs the corpus
+    anchor date), Frequency (purchase count), Monetary (exact cents),
+    each cut into terciles, users counted per (R,F,M) cell. One
+    event-table pass to the user grain; the six tercile cuts ride as
+    ONE broadcast 1-row relation into the scan-side CASE (x100's cut
+    discipline — exact `percentile` here, approx_percentile at scale,
+    same plan shape). Cut inputs are integers (days / counts / cents),
+    so both engines interpolate identical doubles bit-for-bit.
+    Timestamps reduce to civil DATES before differencing (day_str
+    convention) to sidestep tz-awareness drift."""
+    e = table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.to_date(F.date_format("ts", "yyyy-MM-dd")).alias("d"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    rfm = p.groupBy("user_id").agg(
+        F.max("d").alias("d_user"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum("cents").cast("long").alias("monetary_c"),
+    )
+    anchor = rfm.agg(F.max("d_user").alias("d_max"))
+    rfm = (
+        rfm.crossJoin(F.broadcast(anchor))
+        .select(
+            F.datediff("d_max", "d_user").cast("long").alias("recency_days"),
+            "frequency",
+            "monetary_c",
+        )
+        # two consumers (cuts + final CASE) of the user-grain relation
+        .localCheckpoint(eager=False)
+    )
+    cuts = rfm.agg(
+        *[
+            F.expr(f"percentile(cast({c} as double), {q})").alias(f"{a}{i}")
+            for c, a in (
+                ("recency_days", "r"),
+                ("frequency", "f"),
+                ("monetary_c", "m"),
+            )
+            for i, q in ((1, "0.3333333333333333"), (2, "0.6666666666666666"))
+        ]
+    )
+    terc = lambda c, a: (  # noqa: E731
+        F.when(F.col(c) <= F.col(f"{a}1"), F.lit(1))
+        .when(F.col(c) <= F.col(f"{a}2"), F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    return (
+        rfm.crossJoin(F.broadcast(cuts))
+        .groupBy(
+            terc("recency_days", "r").alias("r_tercile"),
+            terc("frequency", "f").alias("f_tercile"),
+            terc("monetary_c", "m").alias("m_tercile"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            (F.sum("monetary_c").cast("double") / F.lit(100.0)).alias(
+                "total_monetary"
+            ),
+        )
+    )
+
+
+@query(
+    "g16_case_control_or",
+    "X-gwas,A2",
+    oracle="""
+    WITH g AS (
+      SELECT l_partkey % 500 AS marker,
+             (l_orderkey % 2 = 0) AS is_case,
+             (l_quantity > 25) AS exposed
+      FROM lineitem
+    ),
+    cells AS (
+      SELECT marker,
+             CAST(COUNT(*) FILTER (WHERE is_case AND exposed) AS BIGINT) AS a,
+             CAST(COUNT(*) FILTER (WHERE is_case AND NOT exposed) AS BIGINT) AS b,
+             CAST(COUNT(*) FILTER (WHERE NOT is_case AND exposed) AS BIGINT) AS c,
+             CAST(COUNT(*) FILTER (WHERE NOT is_case AND NOT exposed) AS BIGINT) AS d
+      FROM g GROUP BY 1
+      HAVING a >= 1 AND b >= 1 AND c >= 1 AND d >= 1
+    )
+    SELECT marker, a, b, c, d,
+           ROUND(CAST(a * d AS DOUBLE) / CAST(b * c AS DOUBLE), 6)
+             AS odds_ratio,
+           ROUND(exp(ln(CAST(a * d AS DOUBLE) / CAST(b * c AS DOUBLE))
+                     - 1.96 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)), 6)
+             AS ci_lo,
+           ROUND(exp(ln(CAST(a * d AS DOUBLE) / CAST(b * c AS DOUBLE))
+                     + 1.96 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)), 6)
+             AS ci_hi
+    FROM cells
+    """,
+)
+def g16_case_control_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-marker case/control odds ratio with the 95% Wald CI — the
+    association statistic a GWAS warehouse serves for binary traits
+    (g12-g15 cover the quantitative side). Deterministic mapping in
+    the family's style: marker = partkey mod 500, case status from
+    orderkey parity, exposure (risk allele carrier) from quantity.
+
+    The 2x2 table never materializes: four conditional counts per
+    marker in ONE scan-side aggregate pass (map-side partials, skinny
+    (marker, 4 longs) shuffle — at biobank scale this is a single
+    fact-table pass regardless of marker count). OR = ad/bc computed
+    as one exact int64 cross-product ratio; ln/exp/sqrt run once per
+    OUTPUT row over identical doubles in both engines, with 6-dp
+    rounding absorbing libm's ~1-ulp drift. Markers with an empty cell
+    are excluded (HAVING all four >= 1) rather than Haldane-corrected,
+    so the continuity-correction convention can't diverge."""
+    li = table(spark, sf_dir, "lineitem")
+    g = li.select(
+        (F.col("l_partkey") % 500).alias("marker"),
+        (F.col("l_orderkey") % 2 == 0).alias("is_case"),
+        (F.col("l_quantity") > 25).alias("exposed"),
+    )
+    cnt = lambda c: F.count_if(c).cast("long")  # noqa: E731
+    cells = (
+        g.groupBy("marker")
+        .agg(
+            cnt(F.col("is_case") & F.col("exposed")).alias("a"),
+            cnt(F.col("is_case") & ~F.col("exposed")).alias("b"),
+            cnt(~F.col("is_case") & F.col("exposed")).alias("c"),
+            cnt(~F.col("is_case") & ~F.col("exposed")).alias("d"),
+        )
+        .filter(
+            (F.col("a") >= 1)
+            & (F.col("b") >= 1)
+            & (F.col("c") >= 1)
+            & (F.col("d") >= 1)
+        )
+    )
+    ratio = (F.col("a") * F.col("d")).cast("double") / (
+        F.col("b") * F.col("c")
+    ).cast("double")
+    se = F.sqrt(
+        1.0 / F.col("a") + 1.0 / F.col("b") + 1.0 / F.col("c") + 1.0 / F.col("d")
+    )
+    return cells.select(
+        "marker",
+        "a",
+        "b",
+        "c",
+        "d",
+        F.round(ratio, 6).alias("odds_ratio"),
+        F.round(F.exp(F.log(ratio) - 1.96 * se), 6).alias("ci_lo"),
+        F.round(F.exp(F.log(ratio) + 1.96 * se), 6).alias("ci_hi"),
+    )
