@@ -496,3 +496,324 @@ def g16_case_control_or(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp(F.log(ratio) - 1.96 * se), 6).alias("ci_lo"),
         F.round(F.exp(F.log(ratio) + 1.96 * se), 6).alias("ci_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 2: retrieval fusion, sketches, profiling statistics
+# ---------------------------------------------------------------------------
+
+from gwasdb_spark.plans.extensions import _COS_SQL, _COS16_SQL  # noqa: E402
+
+
+@query(
+    "x114_rrf_fusion",
+    "X-sim",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    full_rank AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+               {_COS_SQL.format(a='qv', b='cv')}
+                 / (sqrt({_COS_SQL.format(a='qv', b='qv')})
+                    * sqrt({_COS_SQL.format(a='cv', b='cv')})) DESC,
+               neighbor_id) AS rank
+      FROM q CROSS JOIN c WHERE query_id != neighbor_id
+      QUALIFY rank <= 20
+    ),
+    trunc_rank AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+               {_COS16_SQL.format(a='qv', b='cv')}
+                 / (sqrt({_COS16_SQL.format(a='qv', b='qv')})
+                    * sqrt({_COS16_SQL.format(a='cv', b='cv')})) DESC,
+               neighbor_id) AS rank
+      FROM q CROSS JOIN c WHERE query_id != neighbor_id
+      QUALIFY rank <= 20
+    ),
+    fused AS (
+      SELECT COALESCE(f.query_id, t.query_id) AS query_id,
+             COALESCE(f.neighbor_id, t.neighbor_id) AS neighbor_id,
+             COALESCE(1.0 / (60 + f.rank), 0.0)
+               + COALESCE(1.0 / (60 + t.rank), 0.0) AS rrf
+      FROM full_rank f FULL OUTER JOIN trunc_rank t
+        ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+    )
+    SELECT query_id, neighbor_id,
+           ROUND(rrf, 9) AS rrf_score,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY rrf DESC, neighbor_id) AS BIGINT)
+             AS fused_rank
+    FROM fused
+    QUALIFY fused_rank <= 10
+    """,
+)
+def x114_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval rankings — the standard
+    hybrid-serving combiner (fuse cheap and expensive rankers without
+    calibrating their scores): RRF(d) = sum over rankers of
+    1/(60 + rank_r(d)). Here the two rankers are the full 64-dim
+    cosine top-20 and the first-16-dims truncated top-20 (x107's
+    cheap pass) — fusing them is exactly the truncate-then-rescue
+    serving pattern. Each ranking is a broadcast-query scan +
+    PARTITIONED window; the fusion join is on (query, neighbor) over
+    two k-bounded relations (|queries| x 20 rows each), so everything
+    after the scans is constant-size. Absent ranks contribute 0 (the
+    standard top-k RRF convention). The rrf sum is two terms in fixed
+    textual order — bit-identical across engines."""
+    from gwasdb_spark.operators.similarity import brute_force_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    full = brute_force_topk(q, e, "vec_id", "embedding", k=20).select(
+        "query_id", "neighbor_id", F.col("rank").alias("rank_full")
+    )
+    e16 = e.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    trunc = brute_force_topk(
+        e16.filter(F.col("vec_id") < 5), e16, "vec_id", "embedding", k=20
+    ).select("query_id", "neighbor_id", F.col("rank").alias("rank_trunc"))
+    fused = (
+        full.join(trunc, ["query_id", "neighbor_id"], "full_outer")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                F.coalesce(1.0 / (60 + F.col("rank_full")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("rank_trunc")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("neighbor_id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("fused_rank") <= 10)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("rrf", 9).alias("rrf_score"),
+            "fused_rank",
+        )
+    )
+
+
+@query(
+    "x115_kmv_distinct_sketch",
+    "X-sketch,A3",
+    oracle="""
+    WITH pairs AS (SELECT DISTINCT event_type, user_id FROM events),
+    hashed AS (
+      SELECT event_type, user_id,
+             CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                       AS BIGINT) AS DOUBLE) / 1152921504606846976.0 AS u
+      FROM pairs
+    ),
+    ranked AS (
+      SELECT event_type, u,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY u, user_id) AS rn
+      FROM hashed
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_exact,
+             MAX(CASE WHEN rn = 64 THEN u END) AS kth
+      FROM ranked GROUP BY 1
+    )
+    SELECT event_type, n_exact,
+           CAST(CASE WHEN kth IS NULL THEN n_exact
+                     ELSE ROUND(63.0 / kth) END AS BIGINT) AS kmv_estimate,
+           ROUND((CAST(CASE WHEN kth IS NULL THEN n_exact
+                            ELSE ROUND(63.0 / kth) END AS DOUBLE)
+                  - n_exact) / n_exact, 6) AS rel_err
+    FROM s
+    """,
+)
+def x115_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch, side-by-side with the
+    exact count it approximates — the calibration report that tells you
+    whether sketch-based COUNT(DISTINCT) is accurate enough to replace
+    the exact shuffle at 100 TB. Unlike HLL (approx_count_distinct,
+    whose register layout is engine-private and un-oracle-able), KMV
+    is fully deterministic given a content-addressed hash: map each
+    key to u = md5-uniform in [0,1), keep the k=64 smallest per group,
+    estimate (k-1)/u_(k); groups with fewer than k keys report exactly.
+    Plan: one distinct on the (group, key) grain (the same shuffle an
+    exact count needs once), then a group-PARTITIONED min-k window over
+    the deduped relation. A production sketch would fold the min-k heap
+    into a map-side aggregate; the declarative form keeps the window,
+    which the plan audit accepts because it is partitioned. Estimate
+    lands within ~1/sqrt(64) = 12.5% — rel_err is the report."""
+    e = table(spark, sf_dir, "events")
+    pairs = e.select("event_type", "user_id").distinct()
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("user_id").cast("string").cast("binary")), 1, 15
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(1152921504606846976.0)
+    )
+    hashed = pairs.select("event_type", "user_id", u.alias("u"))
+    w = Window.partitionBy("event_type").orderBy("u", "user_id")
+    ranked = hashed.withColumn("rn", F.row_number().over(w))
+    s = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact"),
+        F.max(F.when(F.col("rn") == 64, F.col("u"))).alias("kth"),
+    )
+    est = F.when(F.col("kth").isNull(), F.col("n_exact").cast("double")).otherwise(
+        F.round(63.0 / F.col("kth"))
+    )
+    return s.select(
+        "event_type",
+        "n_exact",
+        est.cast("long").alias("kmv_estimate"),
+        F.round(
+            (est.cast("double") - F.col("n_exact")) / F.col("n_exact"), 6
+        ).alias("rel_err"),
+    )
+
+
+@query(
+    "x117_mutual_information",
+    "X-qa,A2",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type AS x, CAST(strftime(ts, '%H') AS INT) AS y,
+             CAST(COUNT(*) AS DOUBLE) AS n_xy
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT SUM(n_xy) AS n FROM cells),
+    mx AS (SELECT x, SUM(n_xy) AS n_x FROM cells GROUP BY 1),
+    my AS (SELECT y, SUM(n_xy) AS n_y FROM cells GROUP BY 1),
+    terms AS (
+      SELECT (c.n_xy / t.n) * LN((c.n_xy * t.n) / (mx.n_x * my.n_y)) AS mi_t,
+             -(mx.n_x / t.n) * LN(mx.n_x / t.n) / COUNT(*) OVER (PARTITION BY c.x) AS hx_t,
+             -(my.n_y / t.n) * LN(my.n_y / t.n) / COUNT(*) OVER (PARTITION BY c.y) AS hy_t
+      FROM cells c
+      JOIN mx ON mx.x = c.x JOIN my ON my.y = c.y CROSS JOIN tot t
+    )
+    SELECT ROUND(SUM(mi_t), 6) AS mi_nats,
+           ROUND(SUM(hx_t), 6) AS h_x,
+           ROUND(SUM(hy_t), 6) AS h_y,
+           ROUND(SUM(mi_t) / sqrt(SUM(hx_t) * SUM(hy_t)), 6) AS nmi
+    FROM terms
+    """,
+)
+def x117_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between two categorical columns (event type x
+    hour-of-day) with both marginal entropies and normalized MI — the
+    dependence-profiling statistic feature selection and leakage
+    screening run over candidate columns (x109's Pearson r only sees
+    linear dependence on numerics; MI catches any association on
+    categoricals). ONE fact pass to the |X|x|Y|-bounded cell relation;
+    marginals and totals re-aggregate the CELLS, never the fact table,
+    and the entropy terms are spread over cell rows (divided by the
+    per-group cell count) so a single SUM pass yields MI, H(x), H(y).
+    Double-sum association drift across engines is absorbed by the
+    suite's 6-dp rounding discipline (same as x85's KL)."""
+    e = table(spark, sf_dir, "events")
+    cells = (
+        e.select(
+            F.col("event_type").alias("x"),
+            F.date_format("ts", "HH").cast("int").alias("y"),
+        )
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("double").alias("n_xy"))
+        .localCheckpoint(eager=False)
+    )
+    tot = cells.agg(F.sum("n_xy").alias("n"))
+    mx = cells.groupBy("x").agg(F.sum("n_xy").alias("n_x"))
+    my = cells.groupBy("y").agg(F.sum("n_xy").alias("n_y"))
+    terms = (
+        cells.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            ((F.col("n_xy") / F.col("n"))
+             * F.log((F.col("n_xy") * F.col("n")) / (F.col("n_x") * F.col("n_y")))
+             ).alias("mi_t"),
+            (-(F.col("n_x") / F.col("n")) * F.log(F.col("n_x") / F.col("n"))
+             / F.count(F.lit(1)).over(Window.partitionBy("x"))).alias("hx_t"),
+            (-(F.col("n_y") / F.col("n")) * F.log(F.col("n_y") / F.col("n"))
+             / F.count(F.lit(1)).over(Window.partitionBy("y"))).alias("hy_t"),
+        )
+    )
+    return terms.agg(
+        F.round(F.sum("mi_t"), 6).alias("mi_nats"),
+        F.round(F.sum("hx_t"), 6).alias("h_x"),
+        F.round(F.sum("hy_t"), 6).alias("h_y"),
+        F.round(
+            F.sum("mi_t") / F.sqrt(F.sum("hx_t") * F.sum("hy_t")), 6
+        ).alias("nmi"),
+    )
+
+
+@query(
+    "x118_weighted_median",
+    "X-qa,A2,§2.5",
+    oracle="""
+    WITH v AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c,
+             CAST(l_quantity AS BIGINT) AS wgt,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    cum AS (
+      SELECT l_returnflag, l_linestatus, price_c, wgt,
+             SUM(wgt) OVER (PARTITION BY l_returnflag, l_linestatus
+                            ORDER BY price_c, l_orderkey, l_linenumber
+                            ROWS UNBOUNDED PRECEDING) AS cum_w,
+             SUM(wgt) OVER (PARTITION BY l_returnflag, l_linestatus) AS tot_w
+      FROM v
+    )
+    SELECT l_returnflag, l_linestatus,
+           CAST(MIN(CASE WHEN 2 * cum_w >= tot_w THEN price_c END)
+             AS DOUBLE) / 100.0 AS weighted_median
+    FROM cum GROUP BY 1, 2
+    """,
+)
+def x118_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median per group (price weighted by quantity, per
+    returnflag x linestatus) — the robust central-tendency statistic
+    plain `percentile` can't produce (it weights rows equally). The
+    lower weighted median is the smallest value whose cumulative
+    weight reaches half the total: one group-PARTITIONED cumulative
+    window over cents/integer weights — the threshold test
+    2*cum >= tot runs in EXACT int64, so there is no FP boundary to
+    drift across engines. Group count here is bounded (flag x status);
+    at 100 TB with very hot groups the two-pass x76-style histogram
+    cut replaces the in-group sort, same output contract."""
+    li = table(spark, sf_dir, "lineitem")
+    v = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+        F.col("l_quantity").cast("long").alias("wgt"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w_cum = (
+        Window.partitionBy("l_returnflag", "l_linestatus")
+        .orderBy("price_c", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("l_returnflag", "l_linestatus")
+    cum = v.select(
+        "l_returnflag",
+        "l_linestatus",
+        "price_c",
+        F.sum("wgt").over(w_cum).alias("cum_w"),
+        F.sum("wgt").over(w_tot).alias("tot_w"),
+    )
+    return cum.groupBy("l_returnflag", "l_linestatus").agg(
+        (
+            F.min(
+                F.when(2 * F.col("cum_w") >= F.col("tot_w"), F.col("price_c"))
+            ).cast("double")
+            / F.lit(100.0)
+        ).alias("weighted_median")
+    )

@@ -221,3 +221,117 @@ def test_e06_terciles_cover_all_users(spark):
     assert int(df["n_users"].sum()) == n_users
     for c in ("r_tercile", "f_tercile", "m_tercile"):
         assert set(df[c].unique()) <= {1, 2, 3}
+
+
+def test_x115_kmv_exact_path_small_group(spark):
+    """Groups with fewer than k=64 distinct keys report exactly
+    (estimate == exact, rel_err == 0)."""
+    rows = [("tiny", i % 10) for i in range(200)] + [
+        ("big", i) for i in range(5000)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, user_id long")
+    df = df.withColumn("ts", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    df = df.withColumn("event_id", F.monotonically_increasing_id())
+    df = df.withColumn("value", F.lit(1.0)).withColumn("props", F.lit("{}"))
+    import tempfile, os
+
+    out = os.path.join(tempfile.gettempdir(), f"kmv_fix_{os.getpid()}")
+    df.write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
+    for t in ("region nation customer supplier part orders lineitem "
+              "documents embeddings").split():
+        pass  # only events is read by the query
+    from gwasdb_spark.plans.base import query_map
+
+    res = {r["event_type"]: r for r in
+           query_map()["x115_kmv_distinct_sketch"](spark, out).collect()}
+    assert res["tiny"]["n_exact"] == 10
+    assert res["tiny"]["kmv_estimate"] == 10
+    assert res["tiny"]["rel_err"] == 0.0
+    big = res["big"]
+    assert big["n_exact"] == 5000
+    # KMV with k=64: within ~3 standard errors (3/sqrt(64) = 37.5%)
+    assert abs(big["kmv_estimate"] - 5000) < 0.375 * 5000
+
+
+def test_x117_mi_identical_and_independent(spark):
+    """MI(x, x) == H(x); MI of independent uniform columns ~ 0."""
+    from pyspark.sql.window import Window as W
+    import math
+
+    # identical: x determines y -> MI == H(x) == ln(4) for 4 uniform types
+    rows = [(t, t) for t in range(4) for _ in range(50)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    cells = df.groupBy("x", "y").agg(F.count(F.lit(1)).cast("double").alias("n_xy"))
+    tot = cells.agg(F.sum("n_xy").alias("n"))
+    mx = cells.groupBy("x").agg(F.sum("n_xy").alias("n_x"))
+    my = cells.groupBy("y").agg(F.sum("n_xy").alias("n_y"))
+    terms = (
+        cells.join(mx, "x").join(my, "y").crossJoin(tot)
+        .select(((F.col("n_xy") / F.col("n"))
+                 * F.log((F.col("n_xy") * F.col("n"))
+                         / (F.col("n_x") * F.col("n_y")))).alias("mi_t"))
+    )
+    (mi,) = terms.agg(F.sum("mi_t")).first()
+    assert abs(mi - math.log(4)) < 1e-9
+
+    # independent: every (x, y) cell equal count -> MI exactly 0
+    rows = [(a, b) for a in range(4) for b in range(6) for _ in range(10)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    cells = df.groupBy("x", "y").agg(F.count(F.lit(1)).cast("double").alias("n_xy"))
+    tot = cells.agg(F.sum("n_xy").alias("n"))
+    mx = cells.groupBy("x").agg(F.sum("n_xy").alias("n_x"))
+    my = cells.groupBy("y").agg(F.sum("n_xy").alias("n_y"))
+    terms = (
+        cells.join(mx, "x").join(my, "y").crossJoin(tot)
+        .select(((F.col("n_xy") / F.col("n"))
+                 * F.log((F.col("n_xy") * F.col("n"))
+                         / (F.col("n_x") * F.col("n_y")))).alias("mi_t"))
+    )
+    (mi,) = terms.agg(F.sum("mi_t")).first()
+    assert abs(mi) < 1e-12
+
+
+def test_x118_weighted_median_hand_fixture(spark):
+    """values 10,20,30 with weights 1,1,10 -> median 30 (weight mass
+    concentrates); equal-weight even count picks the LOWER median."""
+    from pyspark.sql.window import Window as W
+
+    def wmedian(rows):
+        v = spark.createDataFrame(rows, "g string, price_c long, wgt long, k long")
+        w_cum = (W.partitionBy("g").orderBy("price_c", "k")
+                 .rowsBetween(W.unboundedPreceding, W.currentRow))
+        w_tot = W.partitionBy("g")
+        cum = v.select("g", "price_c",
+                       F.sum("wgt").over(w_cum).alias("cum_w"),
+                       F.sum("wgt").over(w_tot).alias("tot_w"))
+        out = cum.groupBy("g").agg(
+            F.min(F.when(2 * F.col("cum_w") >= F.col("tot_w"),
+                         F.col("price_c"))).alias("med"))
+        return {r["g"]: r["med"] for r in out.collect()}
+
+    res = wmedian([("a", 10, 1, 1), ("a", 20, 1, 2), ("a", 30, 10, 3),
+                   ("b", 10, 1, 1), ("b", 20, 1, 2)])
+    assert res["a"] == 30
+    assert res["b"] == 10  # lower weighted median on even split
+
+
+def test_x114_rrf_hand_fixture(spark):
+    """Two 2-item rankings sharing one item: the shared item's RRF is
+    the two-term sum; exclusive items get single terms."""
+    a = spark.createDataFrame(
+        [(1, 100, 1), (1, 101, 2)], "query_id long, neighbor_id long, rank_full long")
+    b = spark.createDataFrame(
+        [(1, 100, 2), (1, 102, 1)], "query_id long, neighbor_id long, rank_trunc long")
+    fused = (
+        a.join(b, ["query_id", "neighbor_id"], "full_outer")
+        .select("neighbor_id",
+                (F.coalesce(1.0 / (60 + F.col("rank_full")), F.lit(0.0))
+                 + F.coalesce(1.0 / (60 + F.col("rank_trunc")), F.lit(0.0))
+                 ).alias("rrf"))
+    )
+    got = {r["neighbor_id"]: r["rrf"] for r in fused.collect()}
+    assert abs(got[100] - (1 / 61 + 1 / 62)) < 1e-12
+    assert abs(got[101] - 1 / 62) < 1e-12
+    assert abs(got[102] - 1 / 61) < 1e-12
+    # shared item outranks both exclusives
+    assert got[100] > max(got[101], got[102])
