@@ -625,3 +625,56 @@ def label_propagation(
             .localCheckpoint()
         )
     return labels
+
+
+def bfs_distances(
+    pairs: DataFrame,
+    seed_pred,
+    max_hops: int = 4,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Multi-source BFS hop distances, level-synchronous: every node of
+    the (symmetrized) edge set satisfying ``seed_pred`` starts at
+    distance 0, and each of the ``max_hops`` rounds expands the current
+    frontier by one equi-join against the pinned edge relation plus one
+    anti-join against the visited set — per-round cost ∝ frontier
+    adjacency, never the graph. The hop budget is FIXED (a reachability
+    radius, not a convergence loop), so the result is a deterministic
+    function of the edge set and expressible as a depth-bounded
+    recursive CTE for oracle checking. Lineage is cut per round (lazy
+    localCheckpoint), the same iteration discipline as
+    label_propagation/kcore. Returns (id, dist) for reached nodes only;
+    ``seed_pred`` is a Column predicate over the node id column ``id``.
+
+    At 100 TB scale the frontier join shuffles (node, hop) rows — the
+    visited set grows monotonically but stays id-only (16 B/row); for
+    graphs whose k-hop closure explodes (social graphs), cap max_hops —
+    cost is Σ |frontier_h| · avg-degree, the irreducible BFS work."""
+    e = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    visited = (
+        e.select(F.col("u").alias("id"))
+        .distinct()
+        .filter(seed_pred)
+        .select("id", F.lit(0).cast("int").alias("dist"))
+        .localCheckpoint(eager=False)
+    )
+    frontier = visited.select("id")
+    for hop in range(1, int(max_hops) + 1):
+        nxt = (
+            frontier.join(e, frontier["id"] == e["u"])
+            .select(F.col("v").alias("id"))
+            .distinct()
+            .join(visited.select("id"), "id", "left_anti")
+            .select("id", F.lit(hop).cast("int").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+        visited = visited.union(nxt).localCheckpoint(eager=False)
+        frontier = nxt.select("id")
+    return visited

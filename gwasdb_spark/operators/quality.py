@@ -506,3 +506,56 @@ def filter_funnel(
             6,
         ).alias("cumulative_survival"),
     )
+
+
+def mann_whitney_auc(
+    df: DataFrame, score_col: str, pos_col: str, id_col: str
+) -> DataFrame:
+    """Tie-corrected Mann-Whitney AUC of ``score_col`` against the 0/1
+    label ``pos_col``, fully distributed and exact: ranks come from
+    `operators.sampling.global_row_number` over (score, id) — range
+    exchange + per-partition offsets, no single-task sort — and a tie
+    group's average rank enters as (min+max)/2 (its ranks are
+    contiguous under the (score, id) total order). The whole rank-sum
+    stays BIGINT via 2·R_pos = Σ n_pos(group)·(min+max):
+
+        AUC = (2·R_pos − n_pos(n_pos+1)) / (2·n_pos·n_neg)
+
+    — one final double division, bit-identical across engines. Returns
+    one row (n_pos, n_neg, auc); auc is NULL on single-class input
+    (rather than a misleading 0 or 1). Callers that need identical tie
+    groups across engines should pre-round the score (x106 discipline)."""
+    from gwasdb_spark.operators.sampling import global_row_number
+
+    s = df.select(
+        F.col(score_col).alias("__score"),
+        F.col(pos_col).cast("long").alias("__pos"),
+        F.col(id_col).alias("__id"),
+    )
+    ranked = global_row_number(
+        s, [F.col("__score").asc(), F.col("__id").asc()], rank_col="__rk"
+    )
+    per_score = ranked.groupBy("__score").agg(
+        F.min("__rk").alias("__mn"),
+        F.max("__rk").alias("__mx"),
+        F.sum("__pos").alias("__np"),
+    )
+    agg = per_score.agg(
+        F.sum("__np").cast("long").alias("n_pos"),
+        F.sum(F.col("__np") * (F.col("__mn") + F.col("__mx")))
+        .cast("long")
+        .alias("__numer2"),
+        F.max("__mx").cast("long").alias("__n"),
+    )
+    n_neg = F.col("__n") - F.col("n_pos")
+    return agg.select(
+        "n_pos",
+        n_neg.alias("n_neg"),
+        F.when(
+            (F.col("n_pos") > 0) & (n_neg > 0),
+            (F.col("__numer2") - F.col("n_pos") * (F.col("n_pos") + 1)).cast(
+                "double"
+            )
+            / (2 * F.col("n_pos") * n_neg).cast("double"),
+        ).alias("auc"),
+    )

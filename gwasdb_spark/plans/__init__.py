@@ -15,6 +15,7 @@ from gwasdb_spark.plans import tpch_extra as _tpch_extra  # noqa: F401
 from gwasdb_spark.plans import corpus_quality as _corpus_quality  # noqa: F401
 from gwasdb_spark.plans import scale_ops as _scale_ops  # noqa: F401
 from gwasdb_spark.plans import pipeline_ops as _pipeline_ops  # noqa: F401
+from gwasdb_spark.plans import eval_ops as _eval_ops  # noqa: F401
 
 # ---------------------------------------------------------------------------
 # Registration-order priority.

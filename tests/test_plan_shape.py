@@ -328,6 +328,11 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "x75_ntile_deciles": (1, "partition stats (#partitions rows)"),
     "x83_zipf_slope": (1, "partition stats (#partitions rows)"),
     "x95_peak_concurrency": (1, "hour-bucket totals"),
+    # Eval ops on the distributed-rank primitive (partition-stat window)
+    # plus their own bounded rollups.
+    "x119_classifier_auc": (1, "partition stats (#partitions rows)"),
+    "x122_lorenz_gini": (2, "partition stats + 10 decile rows"),
+    "x123_bootstrap_ci": (1, "B=200 replicate means"),
 }
 
 
