@@ -22,23 +22,23 @@ from gwasdb_spark.plans import eval_ops as _eval_ops  # noqa: F401
 #
 # The driver's correctness gate records the FIRST 50 registered queries per
 # round. After round 6 every query registered through round 5 holds a green
-# driver row (r01∪…∪r06). Round 7 seats the 8 round-6 additions (their
-# first adjudication) followed by 42 backfill re-attestations chosen as
-# the STALEST rows on the driver's books: the 19 queries whose only row is
-# r01 and the 23 oldest r02-latest rows (registration order) — several of
-# which (x03/x05c/x12b-e) sit on code paths rewritten since (shared
-# shingle exchange, _rank_topk, vectorized ANN kernels), so a fresh row is
-# attestation that the rewrites kept them green. All 50 pre-flighted
-# hash-green at sf0.01 this round. File order within modules is unchanged;
-# only the registry's iteration order is rebuilt here.
+# driver row (r01∪…∪r06). The round-7 session added 38 new registrations
+# (8 early-round: x96-x100/sk03/e03/g14; 30 post-close: s27, e04-e07,
+# g15/g16, mm07/mm08, x101-x123) — a first adjudication is worth more than
+# a re-attestation of an already-green row, so all 38 take the head seats,
+# followed by 12 backfills chosen as the STALEST rows on the driver's
+# books (their only row is r01). All 50 pre-flighted hash-green at sf0.01
+# this round. File order within modules is unchanged; only the registry's
+# iteration order is rebuilt here.
 #
-# Round-8 seats: the 11 round-7 additions (s27, e04, g15, x101-x108 —
-# every one already oracle-hash-green at sf0.001 + sf0.01) followed by
-# 39 backfill re-attestations, preferring the remaining r2-latest rows
-# (x17-x24 block onward) then the oldest r3 rows.
+# Round-8 seats: the remaining 7 r01-only backfills (f05, g01-g03, q01,
+# q03, q05) then the r02-latest rows in registration order (q06 onward —
+# several sit on since-rewritten code paths: shared shingle exchange,
+# _rank_topk, vectorized ANN kernels — so a fresh row attests the
+# rewrites kept them green).
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    # 8 round-6 additions — never adjudicated
+    # 38 round-7 additions — never adjudicated
     "x96_dsir_importance",
     "x97_source_dup_profile",
     "x98_shingle_novelty",
@@ -47,7 +47,37 @@ _PRIORITY = [
     "x99_leakage_safe_split",
     "e03_props_key_census",
     "x100_perplexity_buckets",
-    # 19 backfill: last driver row is r01
+    "s27_orc_roundtrip",
+    "g15_prs_score",
+    "x101_int8_quant_audit",
+    "x102_kmeans_cluster_profile",
+    "x103_dup_similarity_histogram",
+    "e04_last_touch_attribution",
+    "x105_source_overlap_matrix",
+    "x107_matryoshka_audit",
+    "e05_event_transitions",
+    "mm07_binary_neardup_pairs",
+    "x110_diversified_topk",
+    "x104_filter_funnel",
+    "x106_score_quantile_normalize",
+    "x108_l_diversity",
+    "x109_correlation_matrix",
+    "x111_bloom_prefilter_join",
+    "x112_stratified_split",
+    "mm08_chunk_dedup",
+    "e06_rfm_segments",
+    "g16_case_control_or",
+    "x114_rrf_fusion",
+    "x115_kmv_distinct_sketch",
+    "x117_mutual_information",
+    "x118_weighted_median",
+    "x119_classifier_auc",
+    "x120_calibration_report",
+    "x121_bfs_distances",
+    "x122_lorenz_gini",
+    "x123_bootstrap_ci",
+    "e07_transition_entropy",
+    # 12 backfill: last driver row is r01 (stalest on the books)
     "s02_schema_only_head0",
     "p02_projection_rename",
     "p03_drop_cols",
@@ -60,37 +90,6 @@ _PRIORITY = [
     "f02_maf_genotype",
     "f03_pad_concat",
     "f04_date_parts",
-    "f05_clean_names",
-    "g01_count_reconciliation",
-    "g02_chr_distribution",
-    "g03_fk_orphan_audit",
-    "q01_pricing_summary",
-    "q03_shipping_priority",
-    "q05_local_supplier_volume",
-    # 23 backfill: oldest r02-latest rows (registration order)
-    "q06_forecast_revenue",
-    "q02s_min_cost_supplier",
-    "q04_order_priority",
-    "x01_dedup_exact",
-    "x02_ngram_jaccard_pairs",
-    "x03_minhash_lsh_pairs",
-    "x04_simhash_pairs",
-    "x05_ann_cosine_topk",
-    "x05c_ann_topk_vectorized",
-    "x10_embedding_neardup",
-    "x09_embedding_stats",
-    "x06_text_stats",
-    "x07_lang_id",
-    "x08_fingerprint",
-    "st05_stream_dedup",
-    "mm01_binary_meta",
-    "mm03_resize_thumbs",
-    "mm04_frame_sample",
-    "c01_corpus_clean",
-    "sk01_salted_join",
-    "x12b_bm25_and",
-    "x12c_bm25_phrase",
-    "x16_hash_split",
 ]
 
 _rest = [n for n in QUERIES if n not in _PRIORITY]
