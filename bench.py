@@ -196,6 +196,32 @@ HEADLINE = [
     "e05_event_transitions",
     "mm07_binary_neardup_pairs",
     "x110_diversified_topk",
+    # round-7 late additions
+    "x111_bloom_prefilter_join",
+    "x112_stratified_split",
+    "mm08_chunk_dedup",
+    "e06_rfm_segments",
+    "g16_case_control_or",
+    "x114_rrf_fusion",
+    "x115_kmv_distinct_sketch",
+    "x117_mutual_information",
+    "x118_weighted_median",
+    "x119_classifier_auc",
+    "x120_calibration_report",
+    "x121_bfs_distances",
+    "x122_lorenz_gini",
+    "x123_bootstrap_ci",
+    "e07_transition_entropy",
+    "x124_ndcg_at_10",
+    "x125_pr_threshold_sweep",
+    "x126_adamic_adar",
+    "x127_revenue_acf",
+    "x128_benford_audit",
+    "x129_kaplan_meier",
+    "x130_eval_contamination",
+    "x131_cusum_changepoint",
+    "x132_ring_negatives",
+    "e08_interevent_burstiness",
     # st13 (trending over the live rollup) is correctness-gated, not
     # benched: like st07/st09 its wall time is the micro-batch replay +
     # per-batch dynamic-partition-overwrite commits of the upsert

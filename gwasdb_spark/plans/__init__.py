@@ -16,23 +16,27 @@ from gwasdb_spark.plans import corpus_quality as _corpus_quality  # noqa: F401
 from gwasdb_spark.plans import scale_ops as _scale_ops  # noqa: F401
 from gwasdb_spark.plans import pipeline_ops as _pipeline_ops  # noqa: F401
 from gwasdb_spark.plans import eval_ops as _eval_ops  # noqa: F401
+from gwasdb_spark.plans import metrics_ops as _metrics_ops  # noqa: F401
+from gwasdb_spark.plans import curation_ops as _curation_ops  # noqa: F401
 
 # ---------------------------------------------------------------------------
 # Registration-order priority.
 #
 # The driver's correctness gate records the FIRST 50 registered queries per
 # round. After round 6 every query registered through round 5 holds a green
-# driver row (r01∪…∪r06). The round-7 session added 38 new registrations
-# (8 early-round: x96-x100/sk03/e03/g14; 30 post-close: s27, e04-e07,
-# g15/g16, mm07/mm08, x101-x123) — a first adjudication is worth more than
-# a re-attestation of an already-green row, so all 38 take the head seats,
-# followed by 12 backfills chosen as the STALEST rows on the driver's
-# books (their only row is r01). All 50 pre-flighted hash-green at sf0.01
+# driver row (r01∪…∪r06). The round-7 session added 44 new registrations
+# (8 early-round: x96-x100/sk03/e03/g14; 36 post-close: s27, e04-e07,
+# g15/g16, mm07/mm08, x101-x129, no x113/x116) — a first adjudication is
+# worth more than a re-attestation of an already-green row, so all 44
+# take the head seats, followed by 6 backfills chosen as the STALEST rows
+# on the driver's books (their only row is r01). All 50 pre-flighted
+# hash-green at sf0.01
 # this round. File order within modules is unchanged; only the registry's
 # iteration order is rebuilt here.
 #
-# Round-8 seats: the remaining 7 r01-only backfills (f05, g01-g03, q01,
-# q03, q05) then the r02-latest rows in registration order (q06 onward —
+# Round-8 seats: the remaining 13 r01-only backfills (p12, o02, u01,
+# f02-f05, g01-g03, q01, q03, q05) then the r02-latest rows in
+# registration order (q06 onward —
 # several sit on since-rewritten code paths: shared shingle exchange,
 # _rank_topk, vectorized ANN kernels — so a fresh row attests the
 # rewrites kept them green).
@@ -77,19 +81,22 @@ _PRIORITY = [
     "x122_lorenz_gini",
     "x123_bootstrap_ci",
     "e07_transition_entropy",
-    # 12 backfill: last driver row is r01 (stalest on the books)
+    # 6 late round-7 additions (metrics_ops) — never adjudicated
+    "x124_ndcg_at_10",
+    "x125_pr_threshold_sweep",
+    "x126_adamic_adar",
+    "x127_revenue_acf",
+    "x128_benford_audit",
+    "x129_kaplan_meier",
+    # 6 backfill: last driver row is r01 (stalest on the books); the
+    # other six r01-only rows (p12, o02, u01, f02, f03, f04) move to the
+    # round-8 backfill list below.
     "s02_schema_only_head0",
     "p02_projection_rename",
     "p03_drop_cols",
     "p05_filter_eq",
     "p07_filter_date_range",
-    "p12_semi_in_subquery",
-    "o02_multikey_sort",
-    "u01_union_all",
     "f01_id_parse_regex",
-    "f02_maf_genotype",
-    "f03_pad_concat",
-    "f04_date_parts",
 ]
 
 _rest = [n for n in QUERIES if n not in _PRIORITY]

@@ -1,0 +1,399 @@
+"""Training-data curation operators (round 7, batch 5).
+
+The decontamination / sampling / series-diagnostic gaps left after
+eval_ops (x119-x123) and metrics_ops (x124-x129):
+
+- x130: eval-set contamination report — the GPT-3 appendix-C method:
+  13-gram collision rate of every TEST-split document against the
+  train split's shingle set, joined on 60-bit md5 digests so the
+  shuffle carries 8-byte keys, never text.
+- x131: CUSUM change-point scan of daily order revenue in exact
+  integer algebra — n·P_t − t·S never forms the floating mean, so the
+  argmax day is bit-identical across engines.
+- x132: deterministic hash-ring negative sampling — k contrastive
+  negatives per anchor via successor lookup on an md5 ring,
+  implemented as one bucket equi-join + a broadcast 256-row fix-up
+  (never an all-pairs argmin).
+- e08: per-user inter-event burstiness B = (σ−μ)/(σ+μ) with σ from
+  the integer identity m·Σx²−S² — the "is this user a cron job or a
+  human" triage signal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from gwasdb_spark.catalog import table
+from gwasdb_spark.operators.dedup import word_shingles
+from gwasdb_spark.operators.sampling import split_label
+from gwasdb_spark.plans.base import query
+
+# The x16 split CASE, restated for oracles (operators/sampling.py
+# split_label: md5 first nibble, c/d → val, e/f → test, else train).
+_SPLIT_CASE = """
+    CASE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+         WHEN 'c' THEN 'val' WHEN 'd' THEN 'val'
+         WHEN 'e' THEN 'test' WHEN 'f' THEN 'test'
+         ELSE 'train' END
+"""
+
+# Word-13-gram shingle set per doc (DuckDB list algebra), mirroring
+# operators/dedup.py word_shingles(n=13).
+_SHINGLE13_CTE = r"""
+    sh AS (
+      SELECT doc_id,
+             {split} AS split,
+             list_distinct(list_transform(
+               range(1, greatest(len(w) - 12, 0) + 1),
+               i -> array_to_string(list_slice(w, i, i + 12), ' ')))
+               AS shingles
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+            FROM documents)
+    )
+""".format(split=_SPLIT_CASE)
+
+
+@query(
+    "x130_eval_contamination",
+    "X-dedup,X-qa",
+    oracle="WITH "
+    + _SHINGLE13_CTE
+    + """,
+    ex AS (
+      SELECT doc_id, split,
+             CAST('0x' || substr(md5(unnest(shingles)), 1, 15) AS BIGINT)
+               AS h
+      FROM sh
+    ),
+    train_h AS (SELECT DISTINCT h FROM ex WHERE split = 'train'),
+    te AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+             CAST(SUM(CASE WHEN h IN (SELECT h FROM train_h)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+      FROM ex WHERE split = 'test' GROUP BY 1
+    ),
+    base AS (SELECT doc_id FROM sh WHERE split = 'test')
+    SELECT base.doc_id,
+           COALESCE(n_shingles, 0) AS n_shingles,
+           COALESCE(n_contaminated, 0) AS n_contaminated,
+           CASE WHEN COALESCE(n_shingles, 0) > 0
+                THEN ROUND(CAST(n_contaminated AS DOUBLE) / n_shingles, 6)
+                ELSE 0.0 END AS contaminated_frac,
+           COALESCE(n_contaminated, 0) > 0 AS is_contaminated
+    FROM base LEFT JOIN te USING (doc_id)
+    """,
+)
+def x130_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set contamination report — the published GPT-3/PaLM
+    decontamination method: for every TEST-split document, the count
+    and fraction of its distinct word 13-grams that also occur anywhere
+    in the TRAIN split. x99 prevents split leakage by construction
+    (group-aware hashing); this op MEASURES the leakage a doc-level
+    split (x16) actually admits — the audit you run before trusting an
+    eval number. Shape: one tokenize+shingle scan; shingles are md5'd
+    to 60-bit digests at the scan, so the train-side DISTINCT and the
+    semi-join both shuffle 8-byte keys, never 13-word strings (x54's
+    digest discipline; the 2^-60 per-pair false-hit rate is identical
+    in both engines by construction and far below any curation
+    threshold). Train set deduplicates before the join; test side
+    joins per-shingle then re-aggregates per doc. Short docs (<13
+    words) keep a row with frac 0.0 — silence is not cleanliness.
+    Reference decontamination semantics: Brown et al. 2020 App. C."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", split_label(F.col("doc_id")).alias("split"), "text"
+    )
+    h60 = lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+    ex = d.select(
+        "doc_id",
+        "split",
+        F.explode_outer(word_shingles(F.col("text"), 13)).alias("g"),
+    ).select("doc_id", "split", h60(F.col("g").cast("binary")).alias("h"))
+    train_h = (
+        ex.filter(F.col("split") == "train")
+        .filter(F.col("h").isNotNull())
+        .select("h")
+        .distinct()
+    )
+    te = ex.filter(F.col("split") == "test")
+    hits = (
+        te.filter(F.col("h").isNotNull())
+        .join(train_h.withColumn("hit", F.lit(1)), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_contaminated"),
+        )
+    )
+    base = te.select("doc_id").distinct()
+    n_sh = F.coalesce(F.col("n_shingles"), F.lit(0))
+    n_bad = F.coalesce(F.col("n_contaminated"), F.lit(0))
+    return base.join(hits, "doc_id", "left").select(
+        "doc_id",
+        n_sh.alias("n_shingles"),
+        n_bad.alias("n_contaminated"),
+        F.when(
+            n_sh > 0,
+            F.round(n_bad.cast("double") / n_sh.cast("double"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("contaminated_frac"),
+        (n_bad > 0).alias("is_contaminated"),
+    )
+
+
+@query(
+    "x131_cusum_changepoint",
+    "X-series,X-qa",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS HUGEINT)
+               AS x
+      FROM orders GROUP BY 1
+    ),
+    c AS (
+      SELECT day, x,
+             SUM(x) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+             ROW_NUMBER() OVER (ORDER BY day) AS t
+      FROM daily
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(x) AS HUGEINT) AS s
+      FROM daily
+    ),
+    d AS (
+      SELECT day, x, n * p - t * s AS dev FROM c CROSS JOIN tot
+    ),
+    mx AS (SELECT MAX(ABS(dev)) AS mdev FROM d)
+    SELECT strftime(day, '%Y-%m-%d') AS day, CAST(x AS BIGINT) AS revenue_cents,
+           CAST(dev AS BIGINT) AS cusum_n,
+           ABS(dev) = mdev AS is_changepoint
+    FROM d CROSS JOIN mx
+    """,
+)
+def x131_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point scan of daily order revenue: the classic
+    level-shift detector (Page 1954) — D_t = Σ_{i≤t}(x_i − x̄) peaks at
+    the day the series' mean shifts; x91's anomaly op flags POINT
+    outliers, this finds the STRUCTURAL break. All algebra is exact:
+    the mean never materializes — n·P_t − t·S (P_t the prefix sum, S
+    the total, everything integer cents in decimal(38,0)/HUGEINT) is
+    the n-scaled CUSUM, so the argmax day and every reported value are
+    bit-identical across engines; |n·P−t·S| ≤ n·S ≈ 2.4e3 · 2.3e14 at
+    sf100 — BIGINT-safe with 3 decades of headroom, flagged rows tie
+    exactly. The running sum and row index share ONE window spec over
+    the daily relation — calendar-bounded (#days), allowlisted like
+    x72/x127."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("decimal(38,0)")
+        .alias("x")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = daily.select(
+        "day",
+        "x",
+        F.sum("x").over(w).alias("p"),
+        F.row_number().over(Window.orderBy("day")).alias("t"),
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("s"),
+    )
+    d = c.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "x",
+        (F.col("n") * F.col("p") - F.col("t") * F.col("s")).alias("dev"),
+    )
+    mx = d.agg(F.max(F.abs(F.col("dev"))).alias("mdev"))
+    return d.crossJoin(F.broadcast(mx)).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("x").cast("long").alias("revenue_cents"),
+        F.col("dev").cast("long").alias("cusum_n"),
+        (F.abs(F.col("dev")) == F.col("mdev")).alias("is_changepoint"),
+    )
+
+
+@query(
+    "x132_ring_negatives",
+    "X-sample",
+    oracle="""
+    WITH ring AS (
+      SELECT doc_id AS doc,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS r,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+               || ':' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS rkey
+      FROM documents
+    ),
+    probes AS (
+      SELECT d.doc_id AS anchor, t.j AS neg_slot,
+             substr(md5(CAST(d.doc_id AS VARCHAR) || ':'
+                        || CAST(t.j AS VARCHAR)), 1, 15) AS p
+      FROM documents d CROSS JOIN range(0, 4) t(j)
+    ),
+    succ AS (
+      SELECT anchor, neg_slot,
+             COALESCE((SELECT MIN(rkey) FROM ring WHERE r > p),
+                      (SELECT MIN(rkey) FROM ring)) AS skey
+      FROM probes
+    )
+    SELECT anchor, CAST(neg_slot AS INT) AS neg_slot,
+           CAST(substr(skey, 17) AS BIGINT) AS neg_id
+    FROM succ
+    WHERE CAST(substr(skey, 17) AS BIGINT) <> anchor
+    """,
+)
+def x132_ring_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: k=4
+    negatives per anchor document, drawn by consistent hashing — probe
+    position md5(anchor:j) on the md5(doc_id) ring, negative = the
+    ring successor (wrapping). The draw is uniform (md5 spreads the
+    ring), reproducible across runs/engines/batch boundaries with NO
+    RNG state, and stable under corpus growth: inserting a doc only
+    steals the probes that now land before it — every other (anchor,
+    slot) pair keeps its negative (the consistent-hashing property;
+    rand(seed) re-deals everything when row order shifts). Shape: the
+    successor lookup is NEVER an all-pairs argmin — probes equi-join
+    ring members on the 2-hex-char bucket prefix (256 buckets) and
+    take MIN(rkey) among r > p; the ~1/⟨bucket size⟩ of probes whose
+    successor lies past their bucket resolve against a broadcast
+    256-row bucket-minimum table (first non-empty later bucket =
+    MIN over later buckets), and the wraparound against a broadcast
+    1-row global min. Positions stay 15-char lowercase-hex strings —
+    lexicographic = numeric, identical in both engines — and the min
+    key carries ':' + zero-padded doc_id so hash-collision ties break
+    on doc_id, not engine whim. Rare self-successor rows (P = 1/n) are
+    dropped identically by both engines."""
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    r = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 15)
+    ring = d.select(
+        F.col("doc_id").alias("doc"),
+        r.alias("r"),
+        F.concat(
+            r, F.lit(":"), F.lpad(F.col("doc_id").cast("string"), 12, "0")
+        ).alias("rkey"),
+    )
+    slots = spark.range(0, 4).select(F.col("id").cast("int").alias("neg_slot"))
+    probes = d.crossJoin(F.broadcast(slots)).select(
+        F.col("doc_id").alias("anchor"),
+        "neg_slot",
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("neg_slot").cast("string"),
+                ).cast("binary")
+            ),
+            1,
+            15,
+        ).alias("p"),
+    )
+    bucket = lambda c: F.substring(c, 1, 2)
+    # pass 1: successor within the probe's own 256th of the ring
+    p1 = (
+        probes.withColumn("b", bucket(F.col("p")))
+        .join(
+            ring.withColumn("b", bucket(F.col("r"))),
+            "b",
+        )
+        .filter(F.col("r") > F.col("p"))
+        .groupBy("anchor", "neg_slot")
+        .agg(F.min("rkey").alias("k1"))
+    )
+    # pass 2: per-bucket minima (≤256 rows, broadcast) cover probes whose
+    # successor lies in a later bucket; MIN over later buckets IS the
+    # first non-empty one's minimum because rkey sorts by position.
+    bmin = (
+        ring.groupBy(bucket(F.col("r")).alias("b"))
+        .agg(F.min("rkey").alias("bk"))
+    )
+    p2 = (
+        probes.join(
+            F.broadcast(bmin), bucket(F.col("p")) < F.col("b"), "left"
+        )
+        .groupBy("anchor", "neg_slot")
+        .agg(F.min("bk").alias("k2"))
+    )
+    gmin = ring.agg(F.min("rkey").alias("kg"))
+    skey = F.coalesce(F.col("k1"), F.col("k2"), F.col("kg"))
+    out = (
+        probes.select("anchor", "neg_slot")
+        .join(p1, ["anchor", "neg_slot"], "left")
+        .join(p2, ["anchor", "neg_slot"], "left")
+        .crossJoin(F.broadcast(gmin))
+        .select(
+            "anchor",
+            "neg_slot",
+            F.substring(skey, 17, 12).cast("long").alias("neg_id"),
+        )
+    )
+    return out.filter(F.col("neg_id") != F.col("anchor"))
+
+
+@query(
+    "e08_interevent_burstiness",
+    "X-events,X-series",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             date_diff('second',
+                       LAG(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id),
+                       ts) AS gap
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, CAST(COUNT(*) AS HUGEINT) AS m,
+             CAST(SUM(gap) AS HUGEINT) AS sx,
+             CAST(SUM(CAST(gap AS HUGEINT) * gap) AS HUGEINT) AS sxx
+      FROM g WHERE gap IS NOT NULL GROUP BY 1
+    )
+    SELECT user_id, CAST(m AS BIGINT) AS n_gaps,
+           ROUND(CAST(sx AS DOUBLE) / CAST(m AS DOUBLE), 9) AS mean_gap_s,
+           ROUND((sqrt(CAST(m * sxx - sx * sx AS DOUBLE)) - CAST(sx AS DOUBLE))
+                 / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE)) + CAST(sx AS DOUBLE)),
+                 9) AS burstiness
+    FROM s WHERE m >= 2
+    """,
+)
+def e08_interevent_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event-time burstiness B = (σ−μ)/(σ+μ) (Goh &
+    Barabási 2008): B → −1 for metronomic (cron/bot) activity, ≈ 0 for
+    Poisson arrivals, → +1 for extreme burst-silence alternation — the
+    standard bot-vs-human triage signal, complementing x64's debounce
+    (which REMOVES bursts; this MEASURES them). Gaps are integer
+    seconds from one lag() window partitioned per user (parallel, no
+    global state); per-user moments use the integer identity m·Σx²−S²
+    (decimal(38,0)/HUGEINT — Σx² of 30-day second-gaps overflows
+    BIGINT at whale users, not decimal38) so σ and μ share one scale
+    factor m that cancels in B: sqrt is the only inexact step, 9-dp
+    rounded. Note σ here is the population std (the B convention).
+    Users with <2 gaps carry no signal and are dropped."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    g = e.select("user_id", gap.alias("gap")).filter(F.col("gap").isNotNull())
+    s = g.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("m"),
+        F.sum("gap").cast("decimal(38,0)").alias("sx"),
+        F.sum(F.col("gap").cast("decimal(38,0)") * F.col("gap"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+    )
+    disc = F.sqrt((F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+    sxd = F.col("sx").cast("double")
+    return s.filter(F.col("m") >= 2).select(
+        "user_id",
+        F.col("m").cast("long").alias("n_gaps"),
+        F.round(sxd / F.col("m").cast("double"), 9).alias("mean_gap_s"),
+        F.round((disc - sxd) / (disc + sxd), 9).alias("burstiness"),
+    )

@@ -1,0 +1,204 @@
+"""Independent rederivations for the curation operators
+(plans/curation_ops.py): the 13-gram contamination report vs a pure
+python set intersection, the exact-integer CUSUM vs python bigints, the
+hash-ring negative sampler vs a bisect successor walk, and burstiness
+vs python integer moments — different algorithm shapes than both the
+Spark plan and the DuckDB oracle."""
+
+from __future__ import annotations
+
+import bisect
+import hashlib
+import math
+import re
+from collections import defaultdict
+
+import pandas as pd
+
+from tests.conftest import SF_DIR
+
+
+def _md5hex(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def _split_of(doc_id) -> str:
+    nib = _md5hex(str(doc_id))[0]
+    return {"c": "val", "d": "val", "e": "test", "f": "test"}.get(nib, "train")
+
+
+def _docs(spark):
+    from gwasdb_spark.catalog import table
+
+    return table(spark, SF_DIR, "documents").select("doc_id", "text").toPandas()
+
+
+# --------------------------------------------------------------- x130 --
+
+
+def test_contamination_matches_python_sets(spark):
+    from gwasdb_spark.plans import QUERIES
+
+    pdf = _docs(spark)
+    sh = {}
+    for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+        w = re.split(r"\s+", text.strip())
+        grams = {
+            " ".join(w[i : i + 13]) for i in range(max(len(w) - 12, 0))
+        }
+        sh[doc_id] = {int(_md5hex(g)[:15], 16) for g in grams}
+    train = set()
+    for doc_id, hs in sh.items():
+        if _split_of(doc_id) == "train":
+            train |= hs
+    rows = QUERIES["x130_eval_contamination"].fn(spark, SF_DIR).collect()
+    test_ids = {d for d in sh if _split_of(d) == "test"}
+    assert {r["doc_id"] for r in rows} == test_ids
+    n_contam = 0
+    for r in rows:
+        hs = sh[r["doc_id"]]
+        bad = len(hs & train)
+        assert r["n_shingles"] == len(hs)
+        assert r["n_contaminated"] == bad
+        expect_frac = round(bad / len(hs), 6) if hs else 0.0
+        assert r["contaminated_frac"] == expect_frac
+        assert r["is_contaminated"] == (bad > 0)
+        n_contam += bad > 0
+    assert n_contam >= 1  # the corpus's planted near-dups do leak
+
+
+# --------------------------------------------------------------- x131 --
+
+
+def test_cusum_matches_python_bigints(spark):
+    from gwasdb_spark.catalog import table
+    from gwasdb_spark.plans import QUERIES
+
+    o = table(spark, SF_DIR, "orders").select("o_orderdate", "o_totalprice")
+    pdf = o.toPandas()
+    cents = (pdf["o_totalprice"] * 100).round().astype("int64")
+    daily = (
+        pd.DataFrame({"day": pd.to_datetime(pdf["o_orderdate"]), "x": cents})
+        .groupby("day", sort=True)["x"]
+        .sum()
+    )
+    xs = [int(v) for v in daily.to_list()]
+    n, s = len(xs), sum(xs)
+    devs, p = [], 0
+    for t, x in enumerate(xs, start=1):
+        p += x
+        devs.append(n * p - t * s)
+    mdev = max(abs(d) for d in devs)
+    expect = {
+        d.strftime("%Y-%m-%d"): (int(x), dev, abs(dev) == mdev)
+        for d, x, dev in zip(daily.index, xs, devs)
+    }
+    rows = QUERIES["x131_cusum_changepoint"].fn(spark, SF_DIR).collect()
+    assert len(rows) == len(expect)
+    for r in rows:
+        x, dev, flag = expect[r["day"]]
+        assert (r["revenue_cents"], r["cusum_n"], r["is_changepoint"]) == (
+            x,
+            dev,
+            flag,
+        )
+    assert sum(r["is_changepoint"] for r in rows) >= 1
+
+
+# --------------------------------------------------------------- x132 --
+
+
+def test_ring_negatives_match_bisect_walk(spark):
+    from gwasdb_spark.plans import QUERIES
+
+    pdf = _docs(spark)
+    ids = [int(d) for d in pdf["doc_id"]]
+    ring = sorted((_md5hex(str(d))[:15], f"{d:012d}") for d in ids)
+    keys = [r[0] + ":" + r[1] for r in ring]
+    expect = {}
+    for a in ids:
+        for j in range(4):
+            p = _md5hex(f"{a}:{j}")[:15]
+            # successor: first ring position strictly greater, wrapping
+            i = bisect.bisect_right([r[0] for r in ring], p)
+            neg = int(ring[i % len(ring)][1])
+            if neg != a:
+                expect[(a, j)] = neg
+    rows = QUERIES["x132_ring_negatives"].fn(spark, SF_DIR).collect()
+    got = {(r["anchor"], r["neg_slot"]): r["neg_id"] for r in rows}
+    assert got == expect
+    # self-hits exist in principle but are rare; dropped rows ≤ a handful
+    assert len(ids) * 4 - len(got) <= 5
+    # consistency property: the sampler never returns the anchor
+    assert all(neg != a for (a, _), neg in got.items())
+    # spread: negatives are not degenerate (many distinct negatives drawn)
+    assert len(set(got.values())) > len(ids) // 4
+
+
+def test_ring_negatives_stable_under_growth(spark):
+    """Consistent-hashing property: adding one new doc to the ring only
+    reassigns probes whose successor becomes the new doc — every other
+    (anchor, slot) keeps its negative."""
+    from pyspark.sql import functions as F
+
+    from gwasdb_spark.plans import QUERIES
+
+    base = QUERIES["x132_ring_negatives"].fn(spark, SF_DIR)
+    got = {
+        (r["anchor"], r["neg_slot"]): r["neg_id"] for r in base.collect()
+    }
+    # simulate growth in python (the op itself is a pure function of the
+    # id set, so the python walk IS the grown-corpus result)
+    pdf = _docs(spark)
+    ids = [int(d) for d in pdf["doc_id"]]
+    new_id = max(ids) + 1
+    grown = ids + [new_id]
+    ring = sorted((_md5hex(str(d))[:15], f"{d:012d}") for d in grown)
+    rpos = [r[0] for r in ring]
+    moved = 0
+    for (a, j), neg in got.items():
+        p = _md5hex(f"{a}:{j}")[:15]
+        i = bisect.bisect_right(rpos, p)
+        neg2 = int(ring[i % len(ring)][1])
+        if neg2 != neg:
+            assert neg2 == new_id  # the only legal reassignment target
+            moved += 1
+    assert moved <= math.ceil(4 * len(grown) / len(grown))  # ~k probes
+
+
+# ---------------------------------------------------------------- e08 --
+
+
+def test_burstiness_matches_python_moments(spark):
+    from gwasdb_spark.catalog import table
+    from gwasdb_spark.plans import QUERIES
+
+    e = (
+        table(spark, SF_DIR, "events")
+        .select("user_id", "event_id", "ts")
+        .toPandas()
+    )
+    e = e.sort_values(["user_id", "ts", "event_id"])
+    expect = {}
+    for uid, grp in e.groupby("user_id"):
+        secs = (grp["ts"].astype("int64") // 1_000_000_000).to_list()
+        gaps = [b - a for a, b in zip(secs, secs[1:])]
+        m = len(gaps)
+        if m < 2:
+            continue
+        sx = sum(gaps)
+        sxx = sum(g * g for g in gaps)
+        disc = math.sqrt(m * sxx - sx * sx)
+        expect[uid] = (
+            m,
+            round(sx / m, 9),
+            round((disc - sx) / (disc + sx), 9),
+        )
+    rows = QUERIES["e08_interevent_burstiness"].fn(spark, SF_DIR).collect()
+    assert {r["user_id"] for r in rows} == set(expect)
+    for r in rows:
+        m, mean, b = expect[r["user_id"]]
+        assert r["n_gaps"] == m
+        assert abs(r["mean_gap_s"] - mean) < 1e-8
+        assert abs(r["burstiness"] - b) < 1e-8
+        assert -1.0 <= r["burstiness"] <= 1.0

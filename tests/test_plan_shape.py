@@ -303,6 +303,7 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "x12g_bm25_indexed": (1, "k-row TakeOrdered survivors"),
     "x12h_bm25_fielded": (1, "k-row TakeOrdered survivors"),
     "x62_bm25_index_update": (1, "k-row TakeOrdered survivors"),
+    "x124_ndcg_at_10": (1, "k-row TakeOrdered survivors (bm25_topk head)"),
     # RRF: union of already-bounded top-k candidate lists + one bounded
     # retriever rank (operators/search.py rrf_fuse docstring).
     "x32_hybrid_rrf": (2, "bounded top-k candidate lists"),
@@ -333,6 +334,14 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "x119_classifier_auc": (1, "partition stats (#partitions rows)"),
     "x122_lorenz_gini": (2, "partition stats + 10 decile rows"),
     "x123_bootstrap_ci": (1, "B=200 replicate means"),
+    # KM curve: all three cumulative windows run over the per-lifetime
+    # relation — one row per DISTINCT lifetime day, bounded by the
+    # observation window length, never the user count
+    # (plans/metrics_ops.py x129 docstring).
+    "x129_kaplan_meier": (3, "distinct lifetime days (observation window)"),
+    # CUSUM: prefix sum + row index over the daily relation — one row
+    # per DISTINCT order day, calendar-bounded like x72/x127.
+    "x131_cusum_changepoint": (2, "distinct order days (calendar-bounded)"),
 }
 
 
