@@ -569,3 +569,76 @@ def source_overlap_matrix(
         .join(sb, "source_b")
         .select("source_a", "source_b", "n_shared", jac.alias("jaccard"))
     )
+
+
+def contamination_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    split_col: str = "split",
+    n: int = 13,
+    train: str = "train",
+    test: str = "test",
+) -> DataFrame:
+    """Eval-set contamination report (the GPT-3 App. C decontamination
+    method): for every `test`-split row, the count and fraction of its
+    distinct word n-grams that occur anywhere in the `train` split.
+
+    Scale shape: one tokenize+shingle scan; shingles are md5'd to
+    60-bit digests AT THE SCAN so the train-side DISTINCT and the
+    membership join shuffle 8-byte keys, never n-word strings (the
+    digest discipline of span_dedup; the 2^-60 per-pair false-hit rate
+    is engine-identical by construction). Rows shorter than n words
+    keep a report row with frac 0.0 — silence is not cleanliness.
+
+    Returns (id, n_shingles, n_contaminated, contaminated_frac,
+    is_contaminated), one row per test-split input row."""
+    ex = (
+        df.select(
+            F.col(id_col),
+            F.col(split_col).alias("__split"),
+            F.explode_outer(word_shingles(F.col(text_col), n)).alias("__g"),
+        )
+        .select(
+            id_col,
+            "__split",
+            F.conv(
+                F.substring(F.md5(F.col("__g").cast("binary")), 1, 15), 16, 10
+            )
+            .cast("long")
+            .alias("__h"),
+        )
+        # feeds the train-side DISTINCT and the test side: pin so the
+        # tokenize + shingle + md5 explode runs once, not per consumer
+        .localCheckpoint(eager=False)
+    )
+    train_h = (
+        ex.filter(F.col("__split") == train)
+        .filter(F.col("__h").isNotNull())
+        .select("__h")
+        .distinct()
+    )
+    te = ex.filter(F.col("__split") == test)
+    hits = (
+        te.filter(F.col("__h").isNotNull())
+        .join(train_h.withColumn("__hit", F.lit(1)), "__h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_contaminated"),
+        )
+    )
+    base = te.select(id_col).distinct()
+    n_sh = F.coalesce(F.col("n_shingles"), F.lit(0))
+    n_bad = F.coalesce(F.col("n_contaminated"), F.lit(0))
+    return base.join(hits, id_col, "left").select(
+        id_col,
+        n_sh.alias("n_shingles"),
+        n_bad.alias("n_contaminated"),
+        F.when(n_sh > 0, F.round(n_bad.cast("double") / n_sh.cast("double"), 6))
+        .otherwise(F.lit(0.0))
+        .alias("contaminated_frac"),
+        (n_bad > 0).alias("is_contaminated"),
+    )

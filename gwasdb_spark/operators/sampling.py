@@ -301,3 +301,97 @@ def exact_ntile(
         )
         .drop("__rk", "__N", "__q", "__m")
     )
+
+
+def ring_negatives(
+    df: DataFrame, id_col: str, k: int = 4, bucket_chars: int = 4
+) -> DataFrame:
+    """Deterministic negative sampling by consistent hashing: k
+    negatives per anchor id, each the ring successor of probe position
+    md5(anchor:slot) on the md5(id) ring (wrapping). Uniform,
+    reproducible with no RNG state, and stable under corpus growth —
+    inserting an id only steals the probes that now land directly
+    before it (the consistent-hashing property).
+
+    Scale shape: NEVER an all-pairs argmin, and never a quadratic
+    bucket. Probes equi-join ring members on the first `bucket_chars`
+    hex chars of position (16^bucket_chars buckets; default 65536) and
+    take MIN among strictly-later positions — per-bucket fan-out is
+    n_probes · n/16^bucket_chars, tuned O(1) ring members per bucket
+    at the target scale (raise bucket_chars for larger rings). Probes
+    whose successor lies past their bucket resolve via ONE broadcast
+    equi-join against the full bucket SPINE carrying the exclusive
+    suffix-minimum (min position over all strictly-later buckets,
+    precomputed with one ordered window over the fixed-size spine —
+    bounded by construction, not by data); wraparound against a
+    broadcast 1-row global min. Positions are 15-char lowercase-hex
+    strings (lexicographic = numeric, engine-portable); the min key
+    appends ':' + zero-padded id so position-collision ties break on
+    id. Rare self-successor rows (P = 1/n per probe) are dropped.
+
+    Returns (anchor, neg_slot, neg_id)."""
+    d = df.select(F.col(id_col).alias("__id"))
+    r = F.substring(F.md5(F.col("__id").cast("string").cast("binary")), 1, 15)
+    ring = d.select(
+        r.alias("__r"),
+        F.concat(
+            r, F.lit(":"), F.lpad(F.col("__id").cast("string"), 12, "0")
+        ).alias("__rkey"),
+    )
+    spark = df.sparkSession
+    slots = spark.range(0, k).select(F.col("id").cast("int").alias("neg_slot"))
+    probes = d.crossJoin(F.broadcast(slots)).select(
+        F.col("__id").alias("anchor"),
+        "neg_slot",
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("__id").cast("string"),
+                    F.lit(":"),
+                    F.col("neg_slot").cast("string"),
+                ).cast("binary")
+            ),
+            1,
+            15,
+        ).alias("__p"),
+    )
+    bucket = lambda c: F.substring(c, 1, bucket_chars)
+    p1 = (
+        probes.withColumn("__b", bucket(F.col("__p")))
+        .join(ring.withColumn("__b", bucket(F.col("__r"))), "__b")
+        .filter(F.col("__r") > F.col("__p"))
+        .groupBy("anchor", "neg_slot")
+        .agg(F.min("__rkey").alias("__k1"))
+    )
+    # Full bucket spine (FIXED 16^bucket_chars rows — bounded by hex-space
+    # construction, independent of data size) with the EXCLUSIVE suffix
+    # minimum: for bucket b, the min position over all buckets > b.
+    bmin = ring.groupBy(bucket(F.col("__r")).alias("__b")).agg(
+        F.min("__rkey").alias("__bk")
+    )
+    spine = spark.range(16**bucket_chars).select(
+        F.lower(
+            F.lpad(F.conv(F.col("id").cast("string"), 10, 16), bucket_chars, "0")
+        ).alias("__b")  # conv() emits uppercase hex; md5 prefixes are lower
+    )
+    wsuf = Window.orderBy(F.col("__b").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow - 1
+    )
+    suffix = spine.join(bmin, "__b", "left").select(
+        "__b", F.min("__bk").over(wsuf).alias("__k2")
+    )
+    p2 = probes.join(
+        F.broadcast(suffix), bucket(F.col("__p")) == F.col("__b"), "left"
+    ).select("anchor", "neg_slot", "__k2")
+    gmin = ring.agg(F.min("__rkey").alias("__kg"))
+    skey = F.coalesce(F.col("__k1"), F.col("__k2"), F.col("__kg"))
+    out = (
+        p2.join(p1, ["anchor", "neg_slot"], "left")
+        .crossJoin(F.broadcast(gmin))
+        .select(
+            "anchor",
+            "neg_slot",
+            F.substring(skey, 17, 12).cast("long").alias("neg_id"),
+        )
+    )
+    return out.filter(F.col("neg_id") != F.col("anchor"))

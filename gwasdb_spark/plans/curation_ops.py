@@ -26,7 +26,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from gwasdb_spark.catalog import table
-from gwasdb_spark.operators.dedup import word_shingles
 from gwasdb_spark.operators.sampling import split_label
 from gwasdb_spark.plans.base import query
 
@@ -100,49 +99,15 @@ def x130_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold). Train set deduplicates before the join; test side
     joins per-shingle then re-aggregates per doc. Short docs (<13
     words) keep a row with frac 0.0 — silence is not cleanliness.
-    Reference decontamination semantics: Brown et al. 2020 App. C."""
+    Reference decontamination semantics: Brown et al. 2020 App. C.
+    Implementation: operators/dedup.py contamination_report (also
+    stress-gated at 200k docs with planted overlaps)."""
+    from gwasdb_spark.operators.dedup import contamination_report
+
     d = table(spark, sf_dir, "documents").select(
         "doc_id", split_label(F.col("doc_id")).alias("split"), "text"
     )
-    h60 = lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
-    ex = d.select(
-        "doc_id",
-        "split",
-        F.explode_outer(word_shingles(F.col("text"), 13)).alias("g"),
-    ).select("doc_id", "split", h60(F.col("g").cast("binary")).alias("h"))
-    train_h = (
-        ex.filter(F.col("split") == "train")
-        .filter(F.col("h").isNotNull())
-        .select("h")
-        .distinct()
-    )
-    te = ex.filter(F.col("split") == "test")
-    hits = (
-        te.filter(F.col("h").isNotNull())
-        .join(train_h.withColumn("hit", F.lit(1)), "h", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_shingles"),
-            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
-            .cast("long")
-            .alias("n_contaminated"),
-        )
-    )
-    base = te.select("doc_id").distinct()
-    n_sh = F.coalesce(F.col("n_shingles"), F.lit(0))
-    n_bad = F.coalesce(F.col("n_contaminated"), F.lit(0))
-    return base.join(hits, "doc_id", "left").select(
-        "doc_id",
-        n_sh.alias("n_shingles"),
-        n_bad.alias("n_contaminated"),
-        F.when(
-            n_sh > 0,
-            F.round(n_bad.cast("double") / n_sh.cast("double"), 6),
-        )
-        .otherwise(F.lit(0.0))
-        .alias("contaminated_frac"),
-        (n_bad > 0).alias("is_contaminated"),
-    )
+    return contamination_report(d, "doc_id", "text", "split", n=13)
 
 
 @query(
@@ -271,72 +236,13 @@ def x132_ring_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexicographic = numeric, identical in both engines — and the min
     key carries ':' + zero-padded doc_id so hash-collision ties break
     on doc_id, not engine whim. Rare self-successor rows (P = 1/n) are
-    dropped identically by both engines."""
+    dropped identically by both engines. Implementation:
+    operators/sampling.py ring_negatives (also stress-gated at 2M
+    anchors with a full python-bisect checksum)."""
+    from gwasdb_spark.operators.sampling import ring_negatives
+
     d = table(spark, sf_dir, "documents").select("doc_id")
-    r = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 15)
-    ring = d.select(
-        F.col("doc_id").alias("doc"),
-        r.alias("r"),
-        F.concat(
-            r, F.lit(":"), F.lpad(F.col("doc_id").cast("string"), 12, "0")
-        ).alias("rkey"),
-    )
-    slots = spark.range(0, 4).select(F.col("id").cast("int").alias("neg_slot"))
-    probes = d.crossJoin(F.broadcast(slots)).select(
-        F.col("doc_id").alias("anchor"),
-        "neg_slot",
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.col("doc_id").cast("string"),
-                    F.lit(":"),
-                    F.col("neg_slot").cast("string"),
-                ).cast("binary")
-            ),
-            1,
-            15,
-        ).alias("p"),
-    )
-    bucket = lambda c: F.substring(c, 1, 2)
-    # pass 1: successor within the probe's own 256th of the ring
-    p1 = (
-        probes.withColumn("b", bucket(F.col("p")))
-        .join(
-            ring.withColumn("b", bucket(F.col("r"))),
-            "b",
-        )
-        .filter(F.col("r") > F.col("p"))
-        .groupBy("anchor", "neg_slot")
-        .agg(F.min("rkey").alias("k1"))
-    )
-    # pass 2: per-bucket minima (≤256 rows, broadcast) cover probes whose
-    # successor lies in a later bucket; MIN over later buckets IS the
-    # first non-empty one's minimum because rkey sorts by position.
-    bmin = (
-        ring.groupBy(bucket(F.col("r")).alias("b"))
-        .agg(F.min("rkey").alias("bk"))
-    )
-    p2 = (
-        probes.join(
-            F.broadcast(bmin), bucket(F.col("p")) < F.col("b"), "left"
-        )
-        .groupBy("anchor", "neg_slot")
-        .agg(F.min("bk").alias("k2"))
-    )
-    gmin = ring.agg(F.min("rkey").alias("kg"))
-    skey = F.coalesce(F.col("k1"), F.col("k2"), F.col("kg"))
-    out = (
-        probes.select("anchor", "neg_slot")
-        .join(p1, ["anchor", "neg_slot"], "left")
-        .join(p2, ["anchor", "neg_slot"], "left")
-        .crossJoin(F.broadcast(gmin))
-        .select(
-            "anchor",
-            "neg_slot",
-            F.substring(skey, 17, 12).cast("long").alias("neg_id"),
-        )
-    )
-    return out.filter(F.col("neg_id") != F.col("anchor"))
+    return ring_negatives(d, "doc_id", k=4)
 
 
 @query(
@@ -396,4 +302,60 @@ def e08_interevent_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m").cast("long").alias("n_gaps"),
         F.round(sxd / F.col("m").cast("double"), 9).alias("mean_gap_s"),
         F.round((disc - sxd) / (disc + sxd), 9).alias("burstiness"),
+    )
+
+
+@query(
+    "x133_tokenizer_fertility",
+    "X-text,X-qa",
+    oracle=r"""
+    WITH t AS (
+      SELECT source,
+             CAST(length(text) AS BIGINT) AS chars,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS words,
+             CAST(len(regexp_extract_all(text,
+                  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS toks
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(words) AS BIGINT) AS n_words,
+           CAST(SUM(toks) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(toks) AS DOUBLE) / CAST(SUM(words) AS DOUBLE), 9)
+             AS fertility,
+           ROUND(CAST(SUM(chars) AS DOUBLE) / CAST(SUM(toks) AS DOUBLE), 9)
+             AS chars_per_token
+    FROM t GROUP BY 1
+    """,
+)
+def x133_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit per source: tokens-per-word and
+    chars-per-token under the BPE-ish pretokenizer (functions/text.py
+    TOKEN_REGEX) — the pre-training economics check (a source whose
+    fertility is 2x costs 2x the compute per word of signal, the
+    standard multilingual-tokenizer diagnostic). Pure scan-side
+    regexp_count expressions (whole-stage codegen, no UDF) into a
+    |sources|-row aggregate; exact BIGINT sums, two final divisions
+    9-dp rounded (double quotient reassociates nothing, but DuckDB and
+    Spark may fuse differently at higher optimization levels — the
+    round is insurance priced at nothing)."""
+    from gwasdb_spark.functions import text as TX
+
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "source",
+        F.length("text").cast("long").alias("chars"),
+        TX.n_tokens_ws(F.col("text")).alias("words"),
+        TX.n_tokens_bpe(F.col("text")).alias("toks"),
+    )
+    return t.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("words").cast("long").alias("n_words"),
+        F.sum("toks").cast("long").alias("n_tokens"),
+        F.round(
+            F.sum("toks").cast("double") / F.sum("words").cast("double"), 9
+        ).alias("fertility"),
+        F.round(
+            F.sum("chars").cast("double") / F.sum("toks").cast("double"), 9
+        ).alias("chars_per_token"),
     )

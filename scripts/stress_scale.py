@@ -14,7 +14,8 @@ star CC, sampled-training IVF, prebuilt-index BM25 serving), and gates
 on a hard correctness/quality invariant before reporting timings —
 a fast-but-wrong stress number is a failure, not a result.
 
-Usage:  python scripts/stress_scale.py [bm25|cc|ivf|neardup|stream|asof|quant|skew|all]
+Usage:  python scripts/stress_scale.py
+        [bm25|cc|ivf|neardup|stream|asof|quant|skew|contamination|ring|all]
 
 Prints one JSON line per stress; numbers are recorded in ROADMAP.md
 per round so regressions in the scale paths are visible across rounds.
@@ -627,6 +628,130 @@ def stress_skew(spark) -> dict:
     }
 
 
+# ---------------------------------------------------------------------------
+# Stress 9 — 13-gram eval-contamination report at 200k docs (400x the
+# bench documents table). Docs are synthesized in PAIRS sharing identical
+# 40-word texts whose words are unique to the pair, so a test doc's 28
+# shingles are contaminated (all of them) iff its partner landed in the
+# train split — the md5 nibble split makes the expected counts a pure
+# python closed form over the id set. Gate: the report's row count and
+# the exact sums of n_shingles / n_contaminated / is_contaminated must
+# equal the closed form — every planted leak found, zero false hits
+# (a 60-bit digest collision among 2.8M distinct shingles would trip it).
+# ---------------------------------------------------------------------------
+def stress_contamination(spark) -> dict:
+    import hashlib
+
+    from gwasdb_spark.operators.dedup import contamination_report
+    from gwasdb_spark.operators.sampling import split_label
+
+    n_docs, n_words = 200_000, 40
+    n_shingles = n_words - 12  # 28 per doc, all unique to the pair
+
+    def split_of(i: int) -> str:
+        nib = hashlib.md5(str(i).encode()).hexdigest()[0]
+        return {"c": "val", "d": "val", "e": "test", "f": "test"}.get(
+            nib, "train"
+        )
+
+    splits = [split_of(i) for i in range(n_docs)]
+    test_ids = [i for i, s in enumerate(splits) if s == "test"]
+    leaked = [i for i in test_ids if splits[i ^ 1] == "train"]
+
+    text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_words - 1)),
+            lambda j: F.concat(
+                F.lit("w"), (F.col("id") / 2).cast("long"), F.lit("_"), j
+            ),
+        ),
+    )
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        split_label(F.col("id")).alias("split"),
+        text.alias("text"),
+    )
+
+    t0 = time.perf_counter()
+    rep = contamination_report(docs, "doc_id", "text", "split", n=13)
+    agg = rep.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum("n_shingles").alias("sh"),
+        F.sum("n_contaminated").alias("bad"),
+        F.sum(F.col("is_contaminated").cast("long")).alias("docs_bad"),
+    ).collect()[0]
+    wall = time.perf_counter() - t0
+    ok = (
+        int(agg["rows"]) == len(test_ids)
+        and int(agg["sh"]) == n_shingles * len(test_ids)
+        and int(agg["bad"]) == n_shingles * len(leaked)
+        and int(agg["docs_bad"]) == len(leaked)
+    )
+    return {
+        "stress": "contamination_200k",
+        "n_docs": n_docs,
+        "n_test": len(test_ids),
+        "planted_leaks": len(leaked),
+        "found_leaks": int(agg["docs_bad"]),
+        "false_hit_shingles": int(agg["bad"]) - n_shingles * len(leaked),
+        "wall_sec": round(wall, 3),
+        "ok": ok,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Stress 10 — hash-ring negative sampling at 500k anchors x k=4 = 2M
+# probes (1000x the bench documents table). The gate is a FULL python
+# rederivation, not a sample: bisect over the 500k-position ring
+# reproduces every probe's successor, and the Spark result must match
+# on row count plus two independent weighted checksums of neg_id —
+# bucket-boundary bugs (pass-2 fix-up, wraparound) shift thousands of
+# successors and cannot cancel in both weightings.
+# ---------------------------------------------------------------------------
+def stress_ring(spark) -> dict:
+    import bisect
+    import hashlib
+
+    from gwasdb_spark.operators.sampling import ring_negatives
+
+    n, k = 500_000, 4
+    t0 = time.perf_counter()
+    out = ring_negatives(spark.range(n), "id", k=k)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum("neg_id").alias("c1"),
+        F.sum((F.col("anchor") % 997 + 1) * F.col("neg_id")).alias("c2"),
+    ).collect()[0]
+    wall = time.perf_counter() - t0
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()[:15]
+    ring = sorted((md5(str(i)), i) for i in range(n))
+    rpos = [r[0] for r in ring]
+    e_rows = e_c1 = e_c2 = 0
+    for a in range(n):
+        for j in range(k):
+            i = bisect.bisect_right(rpos, md5(f"{a}:{j}"))
+            neg = ring[i % n][1]
+            if neg != a:
+                e_rows += 1
+                e_c1 += neg
+                e_c2 += (a % 997 + 1) * neg
+    ok = (
+        int(agg["rows"]) == e_rows
+        and int(agg["c1"]) == e_c1
+        and int(agg["c2"]) == e_c2
+    )
+    return {
+        "stress": "ring_negatives_500k",
+        "n_anchors": n,
+        "n_probes": n * k,
+        "self_hits_dropped": n * k - e_rows,
+        "wall_sec": round(wall, 3),
+        "ok": ok,
+    }
+
+
 # `all` order: the stream-throughput gate runs FIRST — it measures
 # keeps-up rate against wall-clock, and running it after the 50M-row
 # batch stresses (saturated heap, hot GC, elevated loadavg) under-reads
@@ -641,6 +766,8 @@ STRESSES = {
     "asof": stress_asof,
     "quant": stress_quant,
     "skew": stress_skew,
+    "contamination": stress_contamination,
+    "ring": stress_ring,
 }
 
 

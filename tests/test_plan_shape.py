@@ -342,6 +342,10 @@ GLOBAL_WINDOW_ALLOWLIST = {
     # CUSUM: prefix sum + row index over the daily relation — one row
     # per DISTINCT order day, calendar-bounded like x72/x127.
     "x131_cusum_changepoint": (2, "distinct order days (calendar-bounded)"),
+    # Ring negatives: the suffix-minimum window runs over the FIXED
+    # 16^4-row bucket spine (hex-space construction, data-independent)
+    # — operators/sampling.py ring_negatives.
+    "x132_ring_negatives": (1, "fixed 16^4-bucket ring spine"),
 }
 
 
