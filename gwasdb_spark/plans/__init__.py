@@ -24,19 +24,19 @@ from gwasdb_spark.plans import curation_ops as _curation_ops  # noqa: F401
 #
 # The driver's correctness gate records the FIRST 50 registered queries per
 # round. After round 6 every query registered through round 5 holds a green
-# driver row (r01∪…∪r06). The round-7 session added 44 new registrations
-# (8 early-round: x96-x100/sk03/e03/g14; 36 post-close: s27, e04-e07,
-# g15/g16, mm07/mm08, x101-x129, no x113/x116) — a first adjudication is
-# worth more than a re-attestation of an already-green row, so all 44
-# take the head seats, followed by 6 backfills chosen as the STALEST rows
-# on the driver's books (their only row is r01). All 50 pre-flighted
+# driver row (r01∪…∪r06). The round-7 session added 49 new registrations
+# (8 early-round: x96-x100/sk03/e03/g14; 41 post-close: s27, e04-e08,
+# g15/g16, mm07/mm08, x101-x133, no x113/x116) — a first adjudication is
+# worth more than a re-attestation of an already-green row, so all 49
+# take the head seats, followed by 1 backfill chosen as the STALEST row
+# on the driver's books (its only row is r01). All 50 pre-flighted
 # hash-green at sf0.01
 # this round. File order within modules is unchanged; only the registry's
 # iteration order is rebuilt here.
 #
-# Round-8 seats: the remaining 13 r01-only backfills (p12, o02, u01,
-# f02-f05, g01-g03, q01, q03, q05) then the r02-latest rows in
-# registration order (q06 onward —
+# Round-8 seats: the remaining 18 r01-only backfills (p02, p03, p05,
+# p07, p12, o02, u01, f01-f05, g01-g03, q01, q03, q05) then the
+# r02-latest rows in registration order (q06 onward —
 # several sit on since-rewritten code paths: shared shingle exchange,
 # _rank_topk, vectorized ANN kernels — so a fresh row attests the
 # rewrites kept them green).
@@ -81,22 +81,23 @@ _PRIORITY = [
     "x122_lorenz_gini",
     "x123_bootstrap_ci",
     "e07_transition_entropy",
-    # 6 late round-7 additions (metrics_ops) — never adjudicated
+    # 11 late round-7 additions (metrics_ops + curation_ops) — never
+    # adjudicated
     "x124_ndcg_at_10",
     "x125_pr_threshold_sweep",
     "x126_adamic_adar",
     "x127_revenue_acf",
     "x128_benford_audit",
     "x129_kaplan_meier",
-    # 6 backfill: last driver row is r01 (stalest on the books); the
-    # other six r01-only rows (p12, o02, u01, f02, f03, f04) move to the
+    "x130_eval_contamination",
+    "x131_cusum_changepoint",
+    "x132_ring_negatives",
+    "x133_tokenizer_fertility",
+    "e08_interevent_burstiness",
+    # 1 backfill: the stalest r01-only row; the other eleven r01-only
+    # rows (p02, p03, p05, p07, p12, o02, u01, f01-f04) move to the
     # round-8 backfill list below.
     "s02_schema_only_head0",
-    "p02_projection_rename",
-    "p03_drop_cols",
-    "p05_filter_eq",
-    "p07_filter_date_range",
-    "f01_id_parse_regex",
 ]
 
 _rest = [n for n in QUERIES if n not in _PRIORITY]
