@@ -222,6 +222,9 @@ HEADLINE = [
     "x131_cusum_changepoint",
     "x132_ring_negatives",
     "e08_interevent_burstiness",
+    "x133_tokenizer_fertility",
+    "x134_good_turing",
+    "x135_skyline_docs",
     # st13 (trending over the live rollup) is correctness-gated, not
     # benched: like st07/st09 its wall time is the micro-batch replay +
     # per-batch dynamic-partition-overwrite commits of the upsert

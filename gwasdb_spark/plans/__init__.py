@@ -24,19 +24,19 @@ from gwasdb_spark.plans import curation_ops as _curation_ops  # noqa: F401
 #
 # The driver's correctness gate records the FIRST 50 registered queries per
 # round. After round 6 every query registered through round 5 holds a green
-# driver row (r01∪…∪r06). The round-7 session added 49 new registrations
-# (8 early-round: x96-x100/sk03/e03/g14; 41 post-close: s27, e04-e08,
-# g15/g16, mm07/mm08, x101-x133, no x113/x116) — a first adjudication is
-# worth more than a re-attestation of an already-green row, so all 49
-# take the head seats, followed by 1 backfill chosen as the STALEST row
-# on the driver's books (its only row is r01). All 50 pre-flighted
-# hash-green at sf0.01
-# this round. File order within modules is unchanged; only the registry's
-# iteration order is rebuilt here.
+# driver row (r01∪…∪r06). The round-7 session added 51 new registrations
+# (8 early-round: x96-x100/sk03/e03/g14; 43 post-close: s27, e04-e08,
+# g15/g16, mm07/mm08, x101-x135, no x113/x116) — a first adjudication is
+# worth more than a re-attestation of an already-green row, so 50 of the
+# 51 take every seat (x134_good_turing, the 51st, heads round 8). All 50
+# pre-flighted hash-green at sf0.01 this round. File order within
+# modules is unchanged; only the registry's iteration order is rebuilt
+# here.
 #
-# Round-8 seats: the remaining 18 r01-only backfills (p02, p03, p05,
-# p07, p12, o02, u01, f01-f05, g01-g03, q01, q03, q05) then the
-# r02-latest rows in registration order (q06 onward —
+# Round-8 seats: x134_good_turing first, then the remaining 19
+# r01-only backfills (s02, p02, p03, p05, p07, p12, o02, u01, f01-f05,
+# g01-g03, q01, q03, q05) then the r02-latest rows in registration
+# order (q06 onward —
 # several sit on since-rewritten code paths: shared shingle exchange,
 # _rank_topk, vectorized ANN kernels — so a fresh row attests the
 # rewrites kept them green).
@@ -94,10 +94,12 @@ _PRIORITY = [
     "x132_ring_negatives",
     "x133_tokenizer_fertility",
     "e08_interevent_burstiness",
-    # 1 backfill: the stalest r01-only row; the other eleven r01-only
-    # rows (p02, p03, p05, p07, p12, o02, u01, f01-f04) move to the
-    # round-8 backfill list below.
-    "s02_schema_only_head0",
+    # the skyline operator takes the 50th seat (novel distributed
+    # operator — a driver row is worth more than a backfill
+    # re-attestation); x134_good_turing heads the round-8 seats, then
+    # the twelve r01-only rows (s02, p02, p03, p05, p07, p12, o02,
+    # u01, f01-f04).
+    "x135_skyline_docs",
 ]
 
 _rest = [n for n in QUERIES if n not in _PRIORITY]

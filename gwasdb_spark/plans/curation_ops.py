@@ -17,6 +17,13 @@ eval_ops (x119-x123) and metrics_ops (x124-x129):
 - e08: per-user inter-event burstiness B = (σ−μ)/(σ+μ) with σ from
   the integer identity m·Σx²−S² — the "is this user a cron job or a
   human" triage signal.
+- x133: tokenizer fertility audit (tokens-per-word, chars-per-token)
+  per source under the BPE-ish pretokenizer.
+- x134: Good-Turing unseen-mass estimate per source (f₁/N) — the
+  vocabulary-saturation / crawl-more signal, term-digest shuffles.
+- x135: skyline (Pareto frontier) document selection over
+  (quality, length, fluency) — the distributive two-phase operator
+  in operators/skyline.py.
 """
 
 from __future__ import annotations
@@ -358,4 +365,143 @@ def x133_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum("chars").cast("double") / F.sum("toks").cast("double"), 9
         ).alias("chars_per_token"),
+    )
+
+
+@query(
+    "x134_good_turing",
+    "X-text,X-qa",
+    oracle="""
+    WITH toks AS (
+      SELECT source,
+             CAST('0x' || substr(md5(unnest(
+               string_split_regex(lower(trim(text)), '[^a-z0-9]+'))), 1, 15)
+               AS BIGINT) AS h,
+             unnest(string_split_regex(lower(trim(text)), '[^a-z0-9]+')) AS w
+      FROM documents
+    ),
+    tf AS (
+      SELECT source, h, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks WHERE w <> '' GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+           CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(c) AS DOUBLE) AS unseen_mass
+    FROM tf GROUP BY 1
+    """,
+)
+def x134_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing unseen-mass estimate per source: p₀ = f₁/N (the
+    total probability a fresh token from this source is a word never
+    seen in it) — the corpus-coverage diagnostic behind every smoothed
+    LM and the "is this source's vocabulary saturated?" crawl-more
+    signal (a high f₁/N says additional data still buys new types).
+    Hapax (f₁) and dis legomena (f₂) counts also feed the Turing
+    discount f₂/f₁ a smoother would apply. Shape: one tokenize scan;
+    terms are md5'd to 60-bit digests at the scan so both aggregation
+    shuffles carry (source, 8-byte) keys, never strings (collision
+    behavior engine-identical by construction, the x130 discipline);
+    two stacked hash-aggregates — (source, term-digest) counts, then a
+    |sources|-row frequency-of-frequencies rollup. Every output is an
+    exact BIGINT except the final single division of identical
+    integers (deterministic, no round needed)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), "[^a-z0-9]+")
+        ).alias("w"),
+    ).filter(F.col("w") != "")
+    tf = (
+        toks.select(
+            "source",
+            F.conv(F.substring(F.md5(F.col("w").cast("binary")), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+        .groupBy("source", "h")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return tf.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("long").alias("f2"),
+        (
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("double")
+            / F.sum("c").cast("double")
+        ).alias("unseen_mass"),
+    )
+
+
+@query(
+    "x135_skyline_docs",
+    "X-sample,X-qa",
+    oracle=r"""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(length(text) AS DOUBLE) AS n_chars_d,
+             CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_tok,
+             CAST(len(regexp_extract_all(lower(text),
+                  '\b(the|and|of|to|a|in|is|that)\b')) AS DOUBLE) AS n_sw,
+             CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+               AS DOUBLE) AS n_punct
+      FROM documents
+    ),
+    d AS (
+      SELECT doc_id, n_chars,
+             ROUND(1.0 / (1.0 + EXP(-(
+               -2.4 + 0.35 * LN(1.0 + n_chars_d)
+                    + 6.0 * (CASE WHEN n_tok > 0 THEN n_sw / n_tok
+                                  ELSE 0.0 END)
+                    - 8.0 * (CASE WHEN n_chars_d > 0 THEN n_punct / n_chars_d
+                                  ELSE 0.0 END)))), 9) AS score,
+             CASE WHEN n_tok > 0 THEN n_sw / n_tok ELSE 0.0 END AS sw_ratio
+      FROM f
+    )
+    SELECT a.doc_id, a.score, a.n_chars, a.sw_ratio
+    FROM d a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM d b
+      WHERE b.score >= a.score AND b.n_chars <= a.n_chars
+        AND b.sw_ratio >= a.sw_ratio
+        AND (b.score > a.score OR b.n_chars < a.n_chars
+             OR b.sw_ratio > a.sw_ratio))
+    """,
+)
+def x135_skyline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-frontier document selection — the skyline operator Spark
+    lacks: every document no other document beats simultaneously on
+    quality score (max), length (min), and stopword fluency (max).
+    Multi-objective curation without committing to blend weights: the
+    frontier IS the defensible candidate set, and any weighted scorer's
+    winner is on it. Shape (operators/skyline.py): skyline is
+    distributive, so phase 1 runs a vectorized numpy sort-filter
+    skyline per partition via Arrow mapInPandas (the only full-data
+    pass, zero shuffle), and phase 2 re-runs the same kernel once over
+    the union of local frontiers behind a repartition(1) exchange that
+    carries only survivors (coalesce(1) would pull phase 1 serial —
+    plan-guarded). Dominance keys: the 9-dp-rounded score (x106's
+    tie-grouping discipline) and exact-integer-derived ratios, so both
+    engines see identical frontier membership; exactly-tied vectors all
+    survive (the SQL NOT EXISTS semantics)."""
+    from gwasdb_spark.functions.text import (
+        quality_classifier_prob,
+        stopword_ratio,
+    )
+    from gwasdb_spark.operators.skyline import skyline
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.round(quality_classifier_prob(F.col("text")), 9).alias("score"),
+        F.length("text").cast("long").alias("n_chars"),
+        stopword_ratio(F.col("text")).alias("sw_ratio"),
+    )
+    return skyline(
+        d, [("score", "max"), ("n_chars", "min"), ("sw_ratio", "max")]
     )

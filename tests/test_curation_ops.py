@@ -202,3 +202,120 @@ def test_burstiness_matches_python_moments(spark):
         assert abs(r["mean_gap_s"] - mean) < 1e-8
         assert abs(r["burstiness"] - b) < 1e-8
         assert -1.0 <= r["burstiness"] <= 1.0
+
+
+# --------------------------------------------------------------- x134 --
+
+
+def test_good_turing_matches_python_counter(spark):
+    from collections import Counter
+
+    from gwasdb_spark.catalog import table
+    from gwasdb_spark.plans import QUERIES
+
+    pdf = (
+        table(spark, SF_DIR, "documents")
+        .select("source", "text")
+        .toPandas()
+    )
+    per_source = defaultdict(Counter)
+    for src, text in zip(pdf["source"], pdf["text"]):
+        for w in re.split(r"[^a-z0-9]+", text.strip().lower()):
+            if w:
+                per_source[src][int(_md5hex(w)[:15], 16)] += 1
+    rows = QUERIES["x134_good_turing"].fn(spark, SF_DIR).collect()
+    assert {r["source"] for r in rows} == set(per_source)
+    for r in rows:
+        c = per_source[r["source"]]
+        n = sum(c.values())
+        f1 = sum(1 for v in c.values() if v == 1)
+        f2 = sum(1 for v in c.values() if v == 2)
+        assert (r["n_tokens"], r["n_types"], r["f1"], r["f2"]) == (
+            n,
+            len(c),
+            f1,
+            f2,
+        )
+        assert r["unseen_mass"] == f1 / n
+        assert 0.0 <= r["unseen_mass"] <= 1.0
+
+
+# --------------------------------------------------------------- x135 --
+
+
+def _dominates(a, b, dirs):
+    ge = all(
+        (x >= y) if d == "max" else (x <= y) for x, y, d in zip(a, b, dirs)
+    )
+    gt = any(
+        (x > y) if d == "max" else (x < y) for x, y, d in zip(a, b, dirs)
+    )
+    return ge and gt
+
+
+def test_skyline_hand_fixtures(spark):
+    from gwasdb_spark.operators.skyline import skyline
+
+    rows = [
+        (1, 10.0, 5),   # frontier
+        (2, 10.0, 5),   # exact tie of 1 -> BOTH kept
+        (3, 9.0, 3),    # frontier (shorter)
+        (4, 9.0, 7),    # dominated by 1 (lower score, longer)
+        (5, 11.0, 9),   # frontier (best score)
+        (6, 8.0, 3),    # dominated by 3 (same length, lower score)
+        (7, 7.0, 1),    # frontier (shortest)
+    ]
+    df = spark.createDataFrame(rows, "id long, q double, len long")
+    got = sorted(
+        r["id"]
+        for r in skyline(df, [("q", "max"), ("len", "min")]).collect()
+    )
+    assert got == [1, 2, 3, 5, 7]
+    # single row is always its own frontier
+    one = spark.createDataFrame(rows[:1], "id long, q double, len long")
+    assert [r["id"] for r in skyline(one, [("q", "max"), ("len", "min")]).collect()] == [1]
+    # bad direction rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        skyline(df, [("q", "best")])
+
+
+def test_skyline_matches_bruteforce_and_stays_parallel(spark):
+    from gwasdb_spark.plans import QUERIES
+
+    q = QUERIES["x135_skyline_docs"].fn(spark, SF_DIR)
+    # plan guard: two Arrow kernels with a real exchange between them —
+    # coalesce(1) would fuse phase 1 into the single final task
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 2
+    assert "Exchange" in plan
+    # brute-force dominance over the full dim table
+    from gwasdb_spark.catalog import table
+    from gwasdb_spark.functions.text import (
+        quality_classifier_prob,
+        stopword_ratio,
+    )
+    from pyspark.sql import functions as F
+
+    dims = (
+        table(spark, SF_DIR, "documents")
+        .select(
+            "doc_id",
+            F.round(quality_classifier_prob(F.col("text")), 9).alias("q"),
+            F.length("text").cast("long").alias("len"),
+            stopword_ratio(F.col("text")).alias("sw"),
+        )
+        .collect()
+    )
+    pts = {r["doc_id"]: (r["q"], r["len"], r["sw"]) for r in dims}
+    dirs = ("max", "min", "max")
+    expect = {
+        i
+        for i, a in pts.items()
+        if not any(
+            _dominates(b, a, dirs) for j, b in pts.items() if j != i
+        )
+    }
+    got = {r["doc_id"] for r in q.collect()}
+    assert got == expect and len(got) > 0
