@@ -114,7 +114,6 @@ def test_ring_negatives_match_bisect_walk(spark):
     pdf = _docs(spark)
     ids = [int(d) for d in pdf["doc_id"]]
     ring = sorted((_md5hex(str(d))[:15], f"{d:012d}") for d in ids)
-    keys = [r[0] + ":" + r[1] for r in ring]
     expect = {}
     for a in ids:
         for j in range(4):
