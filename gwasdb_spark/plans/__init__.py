@@ -33,10 +33,10 @@ from gwasdb_spark.plans import curation_ops as _curation_ops  # noqa: F401
 # modules is unchanged; only the registry's iteration order is rebuilt
 # here.
 #
-# Round-8 seats: x134_good_turing first, then the remaining 19
-# r01-only backfills (s02, p02, p03, p05, p07, p12, o02, u01, f01-f05,
-# g01-g03, q01, q03, q05) then the r02-latest rows in registration
-# order (q06 onward —
+# Round-8 seats: x134_good_turing and x136_ann_cell_serve first, then
+# the remaining 19 r01-only backfills (s02, p02, p03, p05, p07, p12,
+# o02, u01, f01-f05, g01-g03, q01, q03, q05) then the r02-latest rows
+# in registration order (q06 onward —
 # several sit on since-rewritten code paths: shared shingle exchange,
 # _rank_topk, vectorized ANN kernels — so a fresh row attests the
 # rewrites kept them green).

@@ -1871,3 +1871,141 @@ def x109_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         + ") AS (col_a, col_b, pearson_r)"
     )
     return s.select(F.expr(stack))
+
+
+@query(
+    "x136_ann_cell_serve",
+    "X-sim,X-serve",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+    cells AS (
+      SELECT vec_id, e,
+             CAST(list_position(e, list_max(e)) AS INT) AS cell
+      FROM v
+    ),
+    q AS (SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id < 5),
+    dims AS (SELECT CAST(d AS INT) AS cell FROM range(1, 65) t(d)),
+    probes AS (
+      SELECT query_id, cell FROM (
+        SELECT q.query_id, dims.cell,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                 ORDER BY CAST(qv[dims.cell] AS DOUBLE) DESC, dims.cell)
+                 AS dim_rank
+        FROM q CROSS JOIN dims
+      ) WHERE dim_rank <= 4
+    ),
+    cand AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id, q.qv, c.e AS cv
+      FROM probes p
+      JOIN cells c ON c.cell = p.cell
+      JOIN q ON q.query_id = p.query_id
+      WHERE c.vec_id <> p.query_id
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(range(1, 65),
+                  i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(range(1, 65),
+                    i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))))
+               AS cos_raw
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+           ROUND(cos_raw, 6) AS cosine
+    FROM (
+      SELECT query_id, neighbor_id, cos_raw,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_raw DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def x136_ann_cell_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN serving against a PERSISTED cell-partitioned vector index —
+    the vector-search sibling of the BM25 build/serve split (x12g) and
+    the marker-probe index (g04): the index is built ONCE to disk as
+    parquet partitioned BY CELL, and each query's serve cost is the
+    probed cells' files only, proven by PartitionFilters in the scan
+    (plan-guarded). Cells here are deterministic axis-argmax buckets
+    (cell = 1-based index of the vector's max component) so the WHOLE
+    serve path — assignment, probe choice, candidate join, rank — is
+    SQL-expressible and hash-checked end-to-end; the learned-centroid
+    variant of the same machinery (train_ivf_centroids/ivf_probe) keeps
+    its recall contracts in tests/test_similarity.py and the 200k-vector
+    stress gate. Probes = the query's top-4 components (nprobe=4 of 64
+    cells ⇒ ~1/16 of the index scanned per query). The 5-query set is a
+    bounded-by-contract collect (the x12g/g04 serving discipline); the
+    probe-cell filter is a literal IN over ≤20 cells, which is what
+    makes the scan prune statically. Cosine in fixed association order,
+    6-dp round (engines associate the 64-term fold differently at
+    ~1e-13); rank ties break on neighbor_id."""
+    import hashlib as _hl
+
+    import numpy as np
+
+    from gwasdb_spark.functions.vectors import cosine
+    from gwasdb_spark.plans.helpers import stage_dir
+
+    e = table(spark, sf_dir, "embeddings")
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:12]
+    base = stage_dir(f"ann_cell_index_{tag}")
+    if not os.path.isdir(base):
+        (
+            e.select(
+                "vec_id",
+                "embedding",
+                F.array_position(
+                    F.col("embedding"), F.array_max(F.col("embedding"))
+                )
+                .cast("int")
+                .alias("cell"),
+            )
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(base)
+        )
+    index = spark.read.parquet(base)
+
+    qrows = e.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
+    probe_rows = []
+    for r in qrows:
+        qv = np.asarray(r["embedding"], dtype=np.float64)
+        # top-4 components, ties by lower dim index (matches the oracle's
+        # ORDER BY value DESC, dim): stable argsort on (-value, index)
+        top = np.lexsort((np.arange(qv.size), -qv))[:4]
+        for c in top:
+            probe_rows.append(
+                (int(r["vec_id"]), [float(x) for x in r["embedding"]], int(c) + 1)
+            )
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, qv array<float>, cell int"
+    )
+    probe_cells = sorted({p[2] for p in probe_rows})
+
+    cand = (
+        index.filter(F.col("cell").isin(probe_cells))  # static prune
+        .join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine(F.col("qv"), F.col("embedding")).alias("cos_raw"),
+    )
+    from pyspark.sql.window import Window as _W
+
+    w = _W.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("cos_raw", 6).alias("cosine"),
+        )
+    )

@@ -505,3 +505,24 @@ def test_correlation_matrix_single_scan_one_agg(spark):
     table 6 times."""
     plan = _plan(spark, "x109_correlation_matrix")
     assert plan.count("FileScan") == 1, plan[:2000]
+
+
+def test_ann_cell_serve_prunes_partitions(spark):
+    """x136's serve scan must read ONLY the probed cells' partitions:
+    the literal IN filter over probe cells has to reach the index scan
+    as a PartitionFilter (the point of partitioning the index BY CELL),
+    and the filter must name at most nprobe x n_queries = 20 of the 64
+    cells — a scan that reads every partition is a flat scan wearing an
+    index's clothes."""
+    import re
+
+    from gwasdb_spark.plans import QUERIES
+
+    df = QUERIES["x136_ann_cell_serve"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, "index scan lost its PartitionFilters"
+    body = m.group(1)
+    assert "cell" in body and body.strip(), body
+    n_cells = len(re.findall(r"\d+", body))
+    assert 0 < n_cells <= 20, f"expected <=20 probed cells, saw {n_cells}"
