@@ -24,9 +24,13 @@ eval_ops (x119-x123) and metrics_ops (x124-x129):
 - x135: skyline (Pareto frontier) document selection over
   (quality, length, fluency) — the distributive two-phase operator
   in operators/skyline.py.
+- st16: streaming decontamination-on-ingest — x130 as a live gate,
+  per-micro-batch digest join against the static train shingle set.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -504,4 +508,124 @@ def x135_skyline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return skyline(
         d, [("score", "max"), ("n_chars", "min"), ("sw_ratio", "max")]
+    )
+
+
+@query(
+    "st16_stream_contamination",
+    "X-stream,X-dedup,X-qa",
+    oracle="WITH "
+    + _SHINGLE13_CTE
+    + """,
+    ex AS (
+      SELECT doc_id, split,
+             CAST('0x' || substr(md5(unnest(shingles)), 1, 15) AS BIGINT)
+               AS h
+      FROM sh
+    ),
+    train_h AS (SELECT DISTINCT h FROM ex WHERE split = 'train'),
+    te AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+             CAST(SUM(CASE WHEN h IN (SELECT h FROM train_h)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+      FROM ex WHERE split = 'test' GROUP BY 1
+    ),
+    base AS (SELECT doc_id FROM sh WHERE split = 'test')
+    SELECT base.doc_id,
+           COALESCE(n_shingles, 0) AS n_shingles,
+           COALESCE(n_contaminated, 0) AS n_contaminated,
+           COALESCE(n_contaminated, 0) > 0 AS is_contaminated
+    FROM base LEFT JOIN te USING (doc_id)
+    """,
+)
+def st16_stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE decontamination-on-ingest — the streaming twin of x130 the
+    way st14 is of x44: eval-candidate documents arrive as a file
+    stream and each micro-batch is shingled (13-grams → 60-bit md5
+    digests, tokens materialized before the gram lambda), left-joined
+    against the STATIC train-split digest set, and appended per-doc to
+    a contamination ledger. Per-batch cost is one equi-join on 8-byte
+    digests ∝ batch size — the train side is a digest projection
+    computed once, never text — so the gate runs at ingest speed
+    instead of as a corpus-wide batch job. The final relation is the
+    per-doc ledger (shingle count, contaminated count, flag),
+    independent of how the file source cut micro-batches because each
+    doc arrives exactly once. Staged under a stable stage_dir path
+    (the s26/x62 discipline — no per-invocation /tmp litter); the
+    checkpoint makes re-runs no-ops, so repeated harness invocations
+    read the same ledger."""
+    import hashlib as _hl
+
+    from gwasdb_spark.operators.dedup import _gram_array
+    from gwasdb_spark.plans.helpers import stage_dir
+
+    d = table(spark, sf_dir, "documents")
+    split = split_label(F.col("doc_id"))
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:12]
+    base = stage_dir(f"stream_contam_{tag}")
+    src = os.path.join(base, "arrivals")
+    sink = os.path.join(base, "ledger")
+
+    h60 = (
+        lambda c: F.conv(F.substring(F.md5(c.cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+    )
+    if not os.path.isdir(src):
+        (
+            d.filter(split == "test")
+            .select("doc_id", "text")
+            .repartition(4)
+            .write.mode("overwrite")
+            .json(src)
+        )
+    train_h = (
+        d.filter(split == "train")
+        .select(
+            F.explode(
+                _gram_array(F.split(F.trim(F.col("text")), r"\s+"), 13)
+            ).alias("g")
+        )
+        .select(h60(F.col("g")).alias("h"))
+        .distinct()
+    )
+
+    def _gate(batch_df, batch_id):
+        tok = batch_df.select(
+            "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("__toks")
+        )
+        ex = tok.select(
+            "doc_id",
+            F.explode_outer(_gram_array(F.col("__toks"), 13)).alias("g"),
+        ).select("doc_id", h60(F.col("g")).alias("h"))
+        hits = (
+            ex.join(train_h.withColumn("hit", F.lit(1)), "h", "left")
+            .groupBy("doc_id")
+            .agg(
+                F.sum(
+                    F.when(F.col("h").isNotNull(), 1).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_shingles"),
+                F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                .cast("long")
+                .alias("n_contaminated"),
+            )
+        )
+        hits.write.mode("append").parquet(sink)
+
+    stream = spark.readStream.schema("doc_id bigint, text string").json(src)
+    q = (
+        stream.writeStream.foreachBatch(_gate)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    led = spark.read.parquet(sink)
+    return led.select(
+        "doc_id",
+        "n_shingles",
+        "n_contaminated",
+        (F.col("n_contaminated") > 0).alias("is_contaminated"),
     )
