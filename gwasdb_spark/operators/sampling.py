@@ -337,7 +337,9 @@ def ring_negatives(
         F.concat(
             r, F.lit(":"), F.lpad(F.col("__id").cast("string"), 12, "0")
         ).alias("__rkey"),
-    )
+        # feeds pass 1, the bucket minima, and the global min — pin so
+        # the id scan + md5 runs once, not once per consumer
+    ).localCheckpoint(eager=False)
     spark = df.sparkSession
     slots = spark.range(0, k).select(F.col("id").cast("int").alias("neg_slot"))
     probes = d.crossJoin(F.broadcast(slots)).select(
@@ -354,7 +356,8 @@ def ring_negatives(
             1,
             15,
         ).alias("__p"),
-    )
+        # feeds pass 1, pass 2, and the output spine
+    ).localCheckpoint(eager=False)
     bucket = lambda c: F.substring(c, 1, bucket_chars)
     p1 = (
         probes.withColumn("__b", bucket(F.col("__p")))

@@ -166,10 +166,16 @@ def x131_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     the daily relation — calendar-bounded (#days), allowlisted like
     x72/x127."""
     o = table(spark, sf_dir, "orders")
-    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
-        .cast("decimal(38,0)")
-        .alias("x")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("decimal(38,0)")
+            .alias("x")
+        )
+        # calendar-bounded (#days rows), feeds the cumulative relation
+        # AND the totals — pin so the orders scan runs once
+        .localCheckpoint(eager=False)
     )
     w = Window.orderBy("day").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -188,7 +194,7 @@ def x131_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "x",
         (F.col("n") * F.col("p") - F.col("t") * F.col("s")).alias("dev"),
-    )
+    ).localCheckpoint(eager=False)  # feeds the argmax AND the output
     mx = d.agg(F.max(F.abs(F.col("dev"))).alias("mdev"))
     return d.crossJoin(F.broadcast(mx)).select(
         F.date_format("day", "yyyy-MM-dd").alias("day"),

@@ -250,6 +250,9 @@ def x125_pr_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n"),
             F.sum("pos").cast("long").alias("np"),
         )
+        # ≤10 rows, feeds BOTH the totals and the sweep — pin so the
+        # corpus scan + scoring runs once, not once per consumer
+        .localCheckpoint(eager=False)
     )
     tot = binned.agg(
         F.sum("n").cast("long").alias("n_all"),
@@ -545,6 +548,9 @@ def x128_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("digit")
         .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+        # 9 rows, feeds the total AND the output join — pin so the
+        # orders scan runs once
+        .localCheckpoint(eager=False)
     )
     tot = obs.agg(F.sum("n_obs").cast("long").alias("n"))
     # Both engines parse the bare literals as DECIMAL — force DOUBLE so
@@ -632,26 +638,33 @@ def x129_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     survival pinned to 0.0 from there on). Counts exact BIGINT; the
     9-dp round absorbs libm ln/exp ulps."""
     e = table(spark, sf_dir, "events")
-    cut = e.agg(
-        (F.max("ts") - F.expr("INTERVAL 12 HOURS")).alias("cut")
-    )
-    users = (
+    # One scan total: the per-user extent relation is pinned and feeds
+    # the global cutoff (max over users' last events == max over events),
+    # the per-lifetime counts, AND the user total — without the pin each
+    # consumer re-scans the events table to rebuild this aggregate.
+    extents = (
         e.groupBy("user_id")
         .agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
-        .crossJoin(F.broadcast(cut))
-        .select(
-            F.datediff(F.to_date("last_ts"), F.to_date("first_ts")).alias(
-                "t"
-            ),
-            F.when(F.col("last_ts") <= F.col("cut"), 1)
-            .otherwise(0)
-            .cast("long")
-            .alias("churn"),
-        )
+        .localCheckpoint(eager=False)
     )
-    per_t = users.groupBy("t").agg(
-        F.sum("churn").cast("long").alias("d"),
-        F.count(F.lit(1)).cast("long").alias("leave_t"),
+    cut = extents.agg(
+        (F.max("last_ts") - F.expr("INTERVAL 12 HOURS")).alias("cut")
+    )
+    users = extents.crossJoin(F.broadcast(cut)).select(
+        F.datediff(F.to_date("last_ts"), F.to_date("first_ts")).alias("t"),
+        F.when(F.col("last_ts") <= F.col("cut"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("churn"),
+    )
+    per_t = (
+        users.groupBy("t")
+        .agg(
+            F.sum("churn").cast("long").alias("d"),
+            F.count(F.lit(1)).cast("long").alias("leave_t"),
+        )
+        # one row per distinct lifetime day, feeds windows AND the total
+        .localCheckpoint(eager=False)
     )
     tot = users.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     prior = Window.orderBy("t").rowsBetween(
