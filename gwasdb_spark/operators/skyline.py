@@ -62,18 +62,22 @@ def _sfs_kernel(
     )
     order = np.lexsort(tuple(-mat[:, i] for i in reversed(range(mat.shape[1]))))
     mat = mat[order]
+    # preallocated frontier buffer (doubling growth): a per-candidate
+    # vstack of the kept set would re-copy O(frontier) memory per row —
+    # quadratic in frontier size, measured minutes vs seconds at 2M rows
+    kept = np.empty((64, mat.shape[1]), dtype="float64")
+    cnt = 0
     kept_idx: list[int] = []
-    kept_rows: list = []
     for i in range(mat.shape[0]):
         x = mat[i]
-        if kept_rows:
-            k = np.vstack(kept_rows)
-            dominated = bool(
-                np.any(np.all(k >= x, axis=1) & np.any(k > x, axis=1))
-            )
-            if dominated:
+        if cnt:
+            k = kept[:cnt]
+            if bool(np.any(np.all(k >= x, axis=1) & np.any(k > x, axis=1))):
                 continue
-        kept_rows.append(x)
+        if cnt == kept.shape[0]:
+            kept = np.concatenate([kept, np.empty_like(kept)])
+        kept[cnt] = x
+        cnt += 1
         kept_idx.append(i)
     return pdf.iloc[order[kept_idx]]
 

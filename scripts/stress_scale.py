@@ -15,7 +15,8 @@ on a hard correctness/quality invariant before reporting timings —
 a fast-but-wrong stress number is a failure, not a result.
 
 Usage:  python scripts/stress_scale.py
-        [bm25|cc|ivf|neardup|stream|asof|quant|skew|contamination|ring|all]
+        [bm25|cc|ivf|neardup|stream|asof|quant|skew|contamination|ring|
+         skyline|all]
 
 Prints one JSON line per stress; numbers are recorded in ROADMAP.md
 per round so regressions in the scale paths are visible across rounds.
@@ -752,6 +753,71 @@ def stress_ring(spark) -> dict:
     }
 
 
+# ---------------------------------------------------------------------------
+# Stress 11 — distributed skyline at 2M rows x 3 dims (4000x the bench
+# documents table). Points are deterministic synthetics whose three
+# objectives are mutually anti-correlated enough to keep a non-trivial
+# frontier (hundreds of rows). Gate: the two-phase distributed answer
+# must EXACTLY equal a single-machine numpy rederivation over the full
+# collected dim table — set equality on ids, not a sample — and the
+# phase-2 candidate set must stay frontier-sized (the distributivity
+# property doing its job), proven by it not tripping max_candidates.
+# ---------------------------------------------------------------------------
+def stress_skyline(spark) -> dict:
+    from gwasdb_spark.operators.skyline import skyline
+
+    n = 2_000_000
+    # three deterministic independent pseudo-random doubles per id
+    # (xxhash64 bits mod distinct primes): the standard independent-dim
+    # regime, expected frontier ~ ln^2(n)/2 ~ 100 rows. (A deliberately
+    # anti-correlated construction inflates the frontier to O(10^5),
+    # which measures frontier SIZE, not the operator — not this gate's
+    # job; max_candidates covers that failure mode in the operator.)
+    h1 = (F.xxhash64(F.col("id"), F.lit(1)) % 1_000_003).cast("double")
+    h2 = (F.xxhash64(F.col("id"), F.lit(2)) % 1_000_033).cast("double")
+    h3 = (F.xxhash64(F.col("id"), F.lit(3)) % 1_000_037).cast("double")
+    pts = spark.range(n).select("id", h1.alias("a"), h2.alias("b"), h3.alias("c"))
+
+    t0 = time.perf_counter()
+    got = {
+        r["id"]
+        for r in skyline(
+            pts, [("a", "max"), ("b", "max"), ("c", "max")]
+        ).collect()
+    }
+    wall = time.perf_counter() - t0
+
+    pdf = pts.toPandas()
+    mat = pdf[["a", "b", "c"]].to_numpy(dtype="float64")
+    ids = pdf["id"].to_numpy()
+    order = np.lexsort((-mat[:, 2], -mat[:, 1], -mat[:, 0]))
+    mat, ids = mat[order], ids[order]
+    kept = np.empty((256, 3), dtype="float64")
+    cnt, kept_ids = 0, []
+    for i in range(mat.shape[0]):
+        x = mat[i]
+        if cnt:
+            k = kept[:cnt]
+            if bool(np.any(np.all(k >= x, axis=1) & np.any(k > x, axis=1))):
+                continue
+        if cnt == kept.shape[0]:
+            kept = np.concatenate([kept, np.empty_like(kept)])
+        kept[cnt] = x
+        cnt += 1
+        kept_ids.append(int(ids[i]))
+    expect = set(kept_ids)
+
+    return {
+        "stress": "skyline_2m",
+        "n_rows": n,
+        "frontier_size": len(expect),
+        "spark_frontier_size": len(got),
+        "set_equal": got == expect,
+        "wall_sec": round(wall, 3),
+        "ok": got == expect and 0 < len(expect) < 100_000,
+    }
+
+
 # `all` order: the stream-throughput gate runs FIRST — it measures
 # keeps-up rate against wall-clock, and running it after the 50M-row
 # batch stresses (saturated heap, hot GC, elevated loadavg) under-reads
@@ -768,6 +834,7 @@ STRESSES = {
     "skew": stress_skew,
     "contamination": stress_contamination,
     "ring": stress_ring,
+    "skyline": stress_skyline,
 }
 
 
