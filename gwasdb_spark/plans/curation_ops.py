@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from gwasdb_spark.catalog import table
-from gwasdb_spark.operators.sampling import split_label
+from gwasdb_spark.operators.sampling import global_row_number, split_label
 from gwasdb_spark.plans.base import query
 
 # The x16 split CASE, restated for oracles (operators/sampling.py
@@ -634,4 +634,177 @@ def st16_stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_shingles",
         "n_contaminated",
         (F.col("n_contaminated") > 0).alias("is_contaminated"),
+    )
+
+
+@query(
+    "e09_markov_stationary",
+    "X-events,X-eval",
+    oracle="""
+    WITH RECURSIVE g AS (
+      SELECT user_id, event_type AS src, ts, event_id,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events
+    ),
+    cells AS (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS c
+      FROM g WHERE dst IS NOT NULL GROUP BY 1, 2
+    ),
+    rowtot AS (SELECT src, SUM(c) AS tot FROM cells GROUP BY 1),
+    p AS (
+      SELECT cells.src, cells.dst,
+             CAST(c AS DOUBLE) / CAST(tot AS DOUBLE) AS w
+      FROM cells JOIN rowtot USING (src)
+    ),
+    states AS (SELECT DISTINCT src AS s FROM cells),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM states),
+    pi(iter, s, r) AS (
+      SELECT 0, s, 1.0 / n FROM states CROSS JOIN nn
+      UNION ALL
+      SELECT q.iter + 1, p.dst, 0.05 / nn.n + 0.95 * SUM(q.r * p.w)
+      FROM pi q JOIN p ON p.src = q.s CROSS JOIN nn
+      WHERE q.iter < 20
+      GROUP BY q.iter, p.dst, nn.n
+    )
+    SELECT s AS event_type, ROUND(r, 9) AS stationary_p
+    FROM pi WHERE iter = 20
+    """,
+)
+def e09_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped stationary distribution of the event-type Markov chain —
+    "where does user attention SETTLE" (e05 gives one-step transition
+    probabilities; this is their fixed point): 20 power-iteration steps
+    of pi' = 0.05/n + 0.95*pi*P from uniform, the x39 PageRank recipe
+    on the behavioral chain (damping makes the iteration well-posed on
+    any empirical matrix). Shape: the transition matrix is bounded by
+    |event types|^2 — a broadcast-scale object by CONTRACT, like
+    ivf_probe's query set — so cells are counted distributed (one scan,
+    one per-user lag window, |types|^2 aggregate), the <=~100-row
+    matrix collects to the driver, and numpy runs the 20 fixed matmuls;
+    per-state sums are <=|types| doubles, so the 9-dp final round
+    absorbs engine-vs-engine association drift exactly as x39's does.
+    The iteration count is FIXED (not convergence-tested) so both
+    engines compute the identical object."""
+    import numpy as np
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cells = (
+        e.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    rows = cells.collect()  # |types|^2-bounded by contract
+    states = sorted({r["src"] for r in rows})
+    idx = {s: i for i, s in enumerate(states)}
+    n = len(states)
+    P = np.zeros((n, n))
+    for r in rows:
+        if r["dst"] in idx:  # dst never seen as src carries no out-mass
+            P[idx[r["src"]], idx[r["dst"]]] = r["c"]
+    tot = P.sum(axis=1, keepdims=True)
+    # rows with no counted transitions cannot occur (src comes from cells)
+    Pn = P / tot
+    pi = np.full(n, 1.0 / n)
+    for _ in range(20):
+        pi = 0.05 / n + 0.95 * (pi @ Pn)
+    out = [(s, float(round(pi[idx[s]], 9))) for s in states]
+    return spark.createDataFrame(out, "event_type string, stationary_p double")
+
+
+@query(
+    "x137_conformal_coverage",
+    "X-eval,X-qa",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             CASE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                  WHEN 'c' THEN 'val' WHEN 'd' THEN 'val'
+                  WHEN 'e' THEN 'test' WHEN 'f' THEN 'test'
+                  ELSE 'train' END AS split,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+             ROUND(1.0 / (1.0 + EXP(-(
+               -2.4 + 0.35 * LN(1.0 + CAST(length(text) AS DOUBLE))
+               + 6.0 * (CASE WHEN len(regexp_extract_all(text, '\\S+')) > 0
+                        THEN CAST(len(regexp_extract_all(lower(text),
+                             '\\b(the|and|of|to|a|in|is|that)\\b')) AS DOUBLE)
+                             / len(regexp_extract_all(text, '\\S+'))
+                        ELSE 0.0 END)
+               - 8.0 * (CASE WHEN length(text) > 0
+                        THEN CAST(len(regexp_extract_all(text,
+                             '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text)
+                        ELSE 0.0 END)))), 9) AS score
+      FROM documents
+    ),
+    cal AS (
+      SELECT 1.0 - score AS a, doc_id,
+             ROW_NUMBER() OVER (ORDER BY 1.0 - score, doc_id) AS rk
+      FROM f WHERE split = 'val' AND pos = 1
+    ),
+    nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM cal),
+    q AS (
+      SELECT a AS qhat FROM cal CROSS JOIN nc
+      WHERE rk = CAST(ceil((n_cal + 1) * 0.9) AS BIGINT)
+    )
+    SELECT doc_id, pos AS is_en, score,
+           (1.0 - score) <= qhat AS in_set
+    FROM f CROSS JOIN q WHERE split = 'test'
+    """,
+)
+def x137_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction for the quality classifier: calibrate
+    the nonconformity a = 1 - P(en) on the VAL split's true-en docs,
+    take q-hat = the ceil((n+1)*0.9)-th smallest a (the finite-sample
+    90% quantile with the +1 correction), and flag every TEST doc whose
+    nonconformity clears it — the distribution-free coverage guarantee
+    (>=90% of true-en test docs land in-set, regardless of how wrong
+    the model is) that a calibrated gate (x120) cannot give. Everything
+    is exact: the quantile INDEX is integer algebra, the rank runs on
+    the 9-dp-rounded score (x106's tie-grouping discipline) with doc_id
+    tiebreak via the distributed global-rank primitive, and q-hat rides
+    the plan as a broadcast 1-row relation — no driver-side math. One
+    corpus scan feeds both splits (pinned)."""
+    from gwasdb_spark.functions.text import quality_classifier_prob
+    from gwasdb_spark.operators.sampling import split_label
+
+    d = table(spark, sf_dir, "documents")
+    f = (
+        d.select(
+            "doc_id",
+            split_label(F.col("doc_id")).alias("split"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("is_en"),
+            F.round(quality_classifier_prob(F.col("text")), 9).alias("score"),
+        )
+        # feeds the calibration rank AND the test-side flagging
+        .localCheckpoint(eager=False)
+    )
+    cal = f.filter((F.col("split") == "val") & (F.col("is_en") == 1)).select(
+        (F.lit(1.0) - F.col("score")).alias("a"), "doc_id"
+    )
+    ranked = global_row_number(
+        cal, [F.col("a").asc(), F.col("doc_id").asc()], rank_col="rk"
+    )
+    nc = cal.agg(F.count(F.lit(1)).cast("long").alias("n_cal"))
+    qhat = (
+        ranked.crossJoin(F.broadcast(nc))
+        .filter(
+            F.col("rk")
+            == F.ceil((F.col("n_cal") + 1) * 0.9).cast("long")
+        )
+        .select(F.col("a").alias("qhat"))
+    )
+    return (
+        f.filter(F.col("split") == "test")
+        .crossJoin(F.broadcast(qhat))
+        .select(
+            "doc_id",
+            "is_en",
+            "score",
+            ((F.lit(1.0) - F.col("score")) <= F.col("qhat")).alias("in_set"),
+        )
     )

@@ -318,3 +318,92 @@ def test_skyline_matches_bruteforce_and_stays_parallel(spark):
     }
     got = {r["doc_id"] for r in q.collect()}
     assert got == expect and len(got) > 0
+
+
+# ---------------------------------------------------------------- e09 --
+
+
+def test_markov_stationary_matches_python_power(spark):
+    from gwasdb_spark.catalog import table
+    from gwasdb_spark.plans import QUERIES
+
+    e = (
+        table(spark, SF_DIR, "events")
+        .select("user_id", "event_id", "event_type", "ts")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    from collections import Counter
+
+    cells = Counter()
+    for _, grp in e.groupby("user_id"):
+        types = grp["event_type"].to_list()
+        for a, b in zip(types, types[1:]):
+            cells[(a, b)] += 1
+    states = sorted({a for a, _ in cells})
+    idx = {s: i for i, s in enumerate(states)}
+    n = len(states)
+    P = [[0.0] * n for _ in range(n)]
+    for (a, b), c in cells.items():
+        if b in idx:
+            P[idx[a]][idx[b]] = c
+    for row in P:
+        tot = sum(row)
+        for j in range(n):
+            row[j] /= tot
+    pi = [1.0 / n] * n
+    for _ in range(20):
+        pi = [
+            0.05 / n + 0.95 * sum(pi[i] * P[i][j] for i in range(n))
+            for j in range(n)
+        ]
+    rows = QUERIES["e09_markov_stationary"].fn(spark, SF_DIR).collect()
+    assert {r["event_type"] for r in rows} == set(states)
+    for r in rows:
+        assert abs(r["stationary_p"] - pi[idx[r["event_type"]]]) < 1e-8
+    # a damped distribution over the full state set sums to ~1
+    assert abs(sum(r["stationary_p"] for r in rows) - 1.0) < 1e-6
+
+
+# --------------------------------------------------------------- x137 --
+
+
+def test_conformal_matches_python_and_covers(spark):
+    import math as _math
+
+    from gwasdb_spark.catalog import table
+    from gwasdb_spark.functions.text import quality_classifier_prob
+    from gwasdb_spark.plans import QUERIES
+    from pyspark.sql import functions as F
+
+    pdf = (
+        table(spark, SF_DIR, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            F.round(quality_classifier_prob(F.col("text")), 9).alias("score"),
+        )
+        .toPandas()
+    )
+    pdf["split"] = pdf["doc_id"].map(_split_of)
+    pdf["a"] = 1.0 - pdf["score"]
+    cal = pdf[(pdf["split"] == "val") & (pdf["lang"] == "en")].sort_values(
+        ["a", "doc_id"]
+    )
+    k = _math.ceil((len(cal) + 1) * 0.9)
+    qhat = cal["a"].iloc[k - 1]
+    rows = QUERIES["x137_conformal_coverage"].fn(spark, SF_DIR).collect()
+    test = pdf[pdf["split"] == "test"].set_index("doc_id")
+    assert len(rows) == len(test)
+    covered = n_en = 0
+    for r in rows:
+        t = test.loc[r["doc_id"]]
+        assert r["is_en"] == int(t["lang"] == "en")
+        assert r["score"] == t["score"]
+        assert r["in_set"] == (t["a"] <= qhat)
+        if r["is_en"]:
+            n_en += 1
+            covered += r["in_set"]
+    # the distribution-free guarantee: >=90% of true-en test docs are
+    # in-set in expectation; allow finite-sample slack
+    assert n_en > 0 and covered / n_en >= 0.8
