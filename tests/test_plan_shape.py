@@ -346,6 +346,10 @@ GLOBAL_WINDOW_ALLOWLIST = {
     # 16^4-row bucket spine (hex-space construction, data-independent)
     # — operators/sampling.py ring_negatives.
     "x132_ring_negatives": (1, "fixed 16^4-bucket ring spine"),
+    # Conformal calibration rank via global_row_number: the only
+    # unpartitioned window is the cumulative offset over per-partition
+    # stat rows (operators/sampling.py), same as x119/x122.
+    "x137_conformal_coverage": (1, "partition stats (#partitions rows)"),
 }
 
 
