@@ -26,6 +26,12 @@ eval_ops (x119-x123) and metrics_ops (x124-x129):
   in operators/skyline.py.
 - st16: streaming decontamination-on-ingest — x130 as a live gate,
   per-micro-batch digest join against the static train shingle set.
+- e09: damped stationary distribution of the event-type Markov chain
+  (x39's PageRank recipe on behavior; |types|²-bounded matrix).
+- x137: split-conformal coverage gate — distribution-free ≥90%
+  coverage from an exact finite-sample quantile index.
+- e10: U-shaped (40-20-40) multi-touch attribution — the per-edge
+  credit ledger, engine-exact with no float accumulation.
 """
 
 from __future__ import annotations
@@ -300,7 +306,11 @@ def e08_interevent_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT at whale users, not decimal38) so σ and μ share one scale
     factor m that cancels in B: sqrt is the only inexact step, 9-dp
     rounded. Note σ here is the population std (the B convention).
-    Users with <2 gaps carry no signal and are dropped."""
+    Users with <2 gaps carry no signal and are dropped. Dirty-input
+    contract: a user whose events all share one timestamp has σ=μ=0 and
+    B = 0/0 = NaN in BOTH engines (IEEE, not an error) — undefined
+    burstiness stays undefined; the generated corpus never produces
+    it (µs-distinct timestamps)."""
     e = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
@@ -807,4 +817,92 @@ def x137_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "score",
             ((F.lit(1.0) - F.col("score")) <= F.col("qhat")).alias("in_set"),
         )
+    )
+
+
+@query(
+    "e10_ushape_attribution",
+    "X-events,X-analytics",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT event_id AS touch_id, user_id, event_type AS channel, ts
+      FROM events WHERE event_type IN ('view', 'click')
+    ),
+    path AS (
+      SELECT p.purchase_id, t.touch_id, t.channel,
+             ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                                ORDER BY t.ts, t.touch_id) AS pos,
+             COUNT(*) OVER (PARTITION BY p.purchase_id) AS n
+      FROM p JOIN t ON t.user_id = p.user_id
+       AND t.ts < p.p_ts AND t.ts >= p.p_ts - INTERVAL 7 DAY
+    )
+    SELECT purchase_id, touch_id, channel,
+           CAST(pos AS BIGINT) AS pos, CAST(n AS BIGINT) AS n_touches,
+           CASE WHEN n = 1 THEN 1.0
+                WHEN n = 2 THEN 0.5
+                WHEN pos = 1 OR pos = n THEN 0.4
+                ELSE 0.2 / CAST(n - 2 AS DOUBLE) END AS credit
+    FROM path
+    """,
+)
+def e10_ushape_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped / 40-20-40) multi-touch attribution —
+    the credit model between e04's last-touch and full linear: each
+    purchase's 7-day touch path (views + clicks) gives 40% to the
+    first touch, 40% to the last, and splits 20% across the middles
+    (single touch → 100%, two touches → 50/50). Output grain is the
+    per-EDGE credit ledger (purchase, touch, credit) — one division
+    per row of identical integers, so every value is engine-exact
+    with NO cross-purchase float accumulation (a per-channel rollup
+    would sum thousands of inexact 0.4s in engine-specific order; the
+    consumer can aggregate at whatever grain it trusts). Shape: one
+    equi-join on user_id with the interval as a post-filter (one user
+    exchange, the e04 discipline; fan-out bounded by per-user
+    purchases × touches, never cross-user), then position/count
+    windows PARTITIONED by purchase. Ties in the path order break on
+    (ts, touch event_id) in both engines."""
+    e = table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    t = e.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("touch_id"),
+        "user_id",
+        F.col("event_type").alias("channel"),
+        "ts",
+    )
+    path = (
+        p.join(t, "user_id")
+        .filter(
+            (F.col("ts") < F.col("p_ts"))
+            & (F.col("ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS"))
+        )
+    )
+    wp = Window.partitionBy("purchase_id")
+    path = path.select(
+        "purchase_id",
+        "touch_id",
+        "channel",
+        F.row_number()
+        .over(wp.orderBy("ts", "touch_id"))
+        .cast("long")
+        .alias("pos"),
+        F.count(F.lit(1)).over(wp).cast("long").alias("n_touches"),
+    )
+    n, pos = F.col("n_touches"), F.col("pos")
+    credit = (
+        F.when(n == 1, F.lit(1.0))
+        .when(n == 2, F.lit(0.5))
+        .when((pos == 1) | (pos == n), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (n - 2).cast("double"))
+    )
+    return path.select(
+        "purchase_id", "touch_id", "channel", "pos", "n_touches",
+        credit.alias("credit"),
     )

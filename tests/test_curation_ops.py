@@ -407,3 +407,65 @@ def test_conformal_matches_python_and_covers(spark):
     # the distribution-free guarantee: >=90% of true-en test docs are
     # in-set in expectation; allow finite-sample slack
     assert n_en > 0 and covered / n_en >= 0.8
+
+
+# ---------------------------------------------------------------- e10 --
+
+
+def test_ushape_attribution_matches_python(spark):
+    from gwasdb_spark.catalog import table
+    from gwasdb_spark.plans import QUERIES
+
+    e = (
+        table(spark, SF_DIR, "events")
+        .select("event_id", "user_id", "event_type", "ts")
+        .toPandas()
+    )
+    purchases = e[e["event_type"] == "purchase"]
+    touches = e[e["event_type"].isin(["view", "click"])]
+    expect = {}
+    for _, p in purchases.iterrows():
+        lo = p["ts"] - pd.Timedelta(days=7)
+        path = touches[
+            (touches["user_id"] == p["user_id"])
+            & (touches["ts"] < p["ts"])
+            & (touches["ts"] >= lo)
+        ].sort_values(["ts", "event_id"])
+        n = len(path)
+        for pos, (_, t) in enumerate(path.iterrows(), start=1):
+            if n == 1:
+                c = 1.0
+            elif n == 2:
+                c = 0.5
+            elif pos in (1, n):
+                c = 0.4
+            else:
+                c = 0.2 / (n - 2)
+            expect[(p["event_id"], t["event_id"])] = (
+                t["event_type"],
+                pos,
+                n,
+                c,
+            )
+    rows = QUERIES["e10_ushape_attribution"].fn(spark, SF_DIR).collect()
+    got = {
+        (r["purchase_id"], r["touch_id"]): (
+            r["channel"],
+            r["pos"],
+            r["n_touches"],
+            r["credit"],
+        )
+        for r in rows
+    }
+    assert set(got) == set(expect)
+    for k, (ch, pos, n, c) in expect.items():
+        gch, gpos, gn, gc = got[k]
+        assert (gch, gpos, gn) == (ch, pos, n)
+        assert abs(gc - c) < 1e-12
+    # per-purchase credits sum to exactly 1 (up to the middle division)
+    from collections import defaultdict as _dd
+
+    per_p = _dd(float)
+    for (pid, _), (_, _, _, c) in expect.items():
+        per_p[pid] += c
+    assert per_p and all(abs(v - 1.0) < 1e-9 for v in per_p.values())
