@@ -52,3 +52,63 @@ def test_skew_report_flags_hot_key(spark):
     assert hot["skew_ratio"] == 2.4  # 80 * 3 keys / 100 rows
     assert hot["suggested_salts"] == 3  # ceil(80 / 30)
     assert rep["warm"]["suggested_salts"] == 1
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """README's 'AQE handles skew' claim, plan-verified: a sort-merge
+    join whose build of one key dwarfs the rest must show skew=true on
+    the SMJ node in the FINAL adaptive plan — AQE split the oversized
+    shuffle partition into parallel sub-tasks instead of letting one
+    task carry the hot key. Thresholds are lowered (scoped to this
+    test, restored after) so the demonstration runs on megabytes; the
+    production path relies on the same rule at its 256 MB default."""
+    import pyspark.sql.functions as F
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "512KB",
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256KB")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        # fact: 30% of 400k rows on ONE key; the payload is md5 hex
+        # (incompressible — a repeated-char payload shrinks below the
+        # skew threshold inside the compressed shuffle) and the final
+        # aggregate READS it so column pruning can't drop it from the
+        # exchange
+        fact = spark.range(400_000).select(
+            F.when(F.col("id") % 10 < 3, F.lit(-1))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.concat(
+                F.md5(F.col("id").cast("string").cast("binary")),
+                F.md5((F.col("id") + 1).cast("string").cast("binary")),
+            ).alias("payload"),
+        )
+        dim = spark.range(1001).select(
+            (F.col("id") - 1).alias("k"), F.col("id").alias("v")
+        )
+        joined = fact.join(dim, "k")
+        # finalize via a GLOBAL aggregate: a same-key groupBy downstream
+        # would require hash partitioning on k, and AQE (correctly)
+        # refuses to split the skewed partition rather than break it —
+        # the documented OptimizeSkewedJoin limitation
+        agg = joined.agg(F.sum(F.length("payload")).alias("n"))
+        agg.collect()
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
