@@ -229,6 +229,7 @@ HEADLINE = [
     "e09_markov_stationary",
     "x137_conformal_coverage",
     "e10_ushape_attribution",
+    "x138_length_controlled_quality",
     # st13 (trending over the live rollup) is correctness-gated, not
     # benched: like st07/st09 its wall time is the micro-batch replay +
     # per-batch dynamic-partition-overwrite commits of the upsert

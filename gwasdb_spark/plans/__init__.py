@@ -35,7 +35,8 @@ from gwasdb_spark.plans import curation_ops as _curation_ops  # noqa: F401
 #
 # Round-8 seats: x134_good_turing, x136_ann_cell_serve,
 # st16_stream_contamination, e09_markov_stationary,
-# x137_conformal_coverage, and e10_ushape_attribution first, then
+# x137_conformal_coverage, e10_ushape_attribution, and
+# x138_length_controlled_quality first, then
 # the remaining 19 r01-only backfills (s02, p02, p03, p05, p07, p12,
 # o02, u01, f01-f05, g01-g03, q01, q03, q05) then the r02-latest rows
 # in registration order (q06 onward —

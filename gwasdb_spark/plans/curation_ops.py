@@ -32,6 +32,9 @@ eval_ops (x119-x123) and metrics_ops (x124-x129):
   coverage from an exact finite-sample quantile index.
 - e10: U-shaped (40-20-40) multi-touch attribution — the per-edge
   credit ledger, engine-exact with no float accumulation.
+- x138: length-controlled quality comparison — per-(source, exact
+  length decile) means, the "better vs just longer" confounder
+  control; cell means exact via int64-scaled scores.
 """
 
 from __future__ import annotations
@@ -905,4 +908,72 @@ def e10_ushape_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return path.select(
         "purchase_id", "touch_id", "channel", "pos", "n_touches",
         credit.alias("credit"),
+    )
+
+
+@query(
+    "x138_length_controlled_quality",
+    "X-quality,X-qa",
+    oracle=r"""
+    WITH f AS (
+      SELECT doc_id, source,
+             CAST(NTILE(10) OVER (ORDER BY length(text), doc_id) AS INT)
+               AS len_decile,
+             ROUND(1.0 / (1.0 + EXP(-(
+               -2.4 + 0.35 * LN(1.0 + CAST(length(text) AS DOUBLE))
+               + 6.0 * (CASE WHEN len(regexp_extract_all(text, '\S+')) > 0
+                        THEN CAST(len(regexp_extract_all(lower(text),
+                             '\b(the|and|of|to|a|in|is|that)\b')) AS DOUBLE)
+                             / len(regexp_extract_all(text, '\S+'))
+                        ELSE 0.0 END)
+               - 8.0 * (CASE WHEN length(text) > 0
+                        THEN CAST(len(regexp_extract_all(text,
+                             '[^A-Za-z0-9\s]')) AS DOUBLE) / length(text)
+                        ELSE 0.0 END)))), 9) AS score
+      FROM documents
+    )
+    SELECT len_decile, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(ROUND(score * 1000000000) AS BIGINT)) AS DOUBLE)
+             / (COUNT(*) * 1e9) AS mean_quality
+    FROM f GROUP BY 1, 2
+    """,
+)
+def x138_length_controlled_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-controlled quality comparison — the confounder control a
+    source-level quality ranking needs: the x59 score REWARDS length
+    (its ln(1+len) term), so a raw per-source mean conflates "writes
+    better" with "writes longer". Stratifying by exact length decile
+    compares sources WITHIN a length band (Simpson's-paradox insurance;
+    x109/x117 quantify association, this removes one known confound).
+    Shape: deciles come from the distributed exact-NTILE primitive
+    (range exchange + per-partition offsets — the only unpartitioned
+    window runs over partition stats, x75's allowlisted shape), then
+    one |sources|x10-bounded aggregate. The cell mean is EXACT: the
+    9-dp scores scale losslessly to int64 (round(score·1e9)), the sum
+    is integer, and one final division of identical integers needs no
+    rounding — a double SUM re-rounded at 9 dp flipped a boundary cell
+    between engines in testing (drift absorption fails when the true
+    mean sits on a half-digit)."""
+    from gwasdb_spark.functions.text import quality_classifier_prob
+    from gwasdb_spark.operators.sampling import exact_ntile
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.length("text").cast("long").alias("len"),
+        F.round(quality_classifier_prob(F.col("text")), 9).alias("score"),
+    )
+    t = exact_ntile(
+        d,
+        10,
+        [F.col("len").asc(), F.col("doc_id").asc()],
+        tile_col="len_decile",
+    )
+    s9 = F.round(F.col("score") * 1e9).cast("long")
+    return t.groupBy("len_decile", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (
+            F.sum(s9).cast("double") / (F.count(F.lit(1)) * F.lit(1e9))
+        ).alias("mean_quality"),
     )

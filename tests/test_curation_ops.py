@@ -469,3 +469,47 @@ def test_ushape_attribution_matches_python(spark):
     for (pid, _), (_, _, _, c) in expect.items():
         per_p[pid] += c
     assert per_p and all(abs(v - 1.0) < 1e-9 for v in per_p.values())
+
+
+# --------------------------------------------------------------- x138 --
+
+
+def test_length_controlled_quality_matches_pandas(spark):
+    from gwasdb_spark.catalog import table
+    from gwasdb_spark.functions.text import quality_classifier_prob
+    from gwasdb_spark.plans import QUERIES
+    from pyspark.sql import functions as F
+
+    pdf = (
+        table(spark, SF_DIR, "documents")
+        .select(
+            "doc_id",
+            "source",
+            F.length("text").cast("long").alias("len"),
+            F.round(quality_classifier_prob(F.col("text")), 9).alias("score"),
+        )
+        .toPandas()
+        .sort_values(["len", "doc_id"])
+        .reset_index(drop=True)
+    )
+    # SQL NTILE semantics: first (N % 10) tiles get one extra row
+    N = len(pdf)
+    q, m = divmod(N, 10)
+    sizes = [q + 1] * m + [q] * (10 - m)
+    tiles = []
+    for t, sz in enumerate(sizes, start=1):
+        tiles += [t] * sz
+    pdf["tile"] = tiles
+    expect = {}
+    for (t, src), grp in pdf.groupby(["tile", "source"]):
+        s9 = (grp["score"] * 1e9).round().astype("int64")
+        expect[(t, src)] = (len(grp), int(s9.sum()) / (len(grp) * 1e9))
+    rows = QUERIES["x138_length_controlled_quality"].fn(spark, SF_DIR).collect()
+    got = {
+        (r["len_decile"], r["source"]): (r["n_docs"], r["mean_quality"])
+        for r in rows
+    }
+    assert set(got) == set(expect)
+    for k, (n, mq) in expect.items():
+        assert got[k][0] == n
+        assert got[k][1] == mq  # exact integer ratio — equality, not approx

@@ -350,6 +350,8 @@ GLOBAL_WINDOW_ALLOWLIST = {
     # unpartitioned window is the cumulative offset over per-partition
     # stat rows (operators/sampling.py), same as x119/x122.
     "x137_conformal_coverage": (1, "partition stats (#partitions rows)"),
+    # Length deciles via exact_ntile (same primitive as x75).
+    "x138_length_controlled_quality": (1, "partition stats (#partitions rows)"),
 }
 
 
