@@ -327,16 +327,30 @@ def ring_negatives(
     broadcast 1-row global min. Positions are 15-char lowercase-hex
     strings (lexicographic = numeric, engine-portable); the min key
     appends ':' + zero-padded id so position-collision ties break on
-    id. Rare self-successor rows (P = 1/n per probe) are dropped.
+    id. Ids must be NON-NEGATIVE int64 — the tiebreak pads to the full
+    19-digit int64 width so lexicographic = numeric for every legal
+    value (lpad silently truncates past its width, and '-' breaks
+    ordering, so negatives fail fast at runtime instead of decoding to
+    a wrong neg_id). Rare self-successor rows (P = 1/n) are dropped.
 
     Returns (anchor, neg_slot, neg_id)."""
     d = df.select(F.col(id_col).alias("__id"))
-    r = F.substring(F.md5(F.col("__id").cast("string").cast("binary")), 1, 15)
+    # Fail fast on negative ids (folded into the key expression so
+    # column pruning can't elide the check).
+    id_str = F.when(
+        F.col("__id") >= 0, F.col("__id").cast("string")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("ring_negatives: id_col must be non-negative, got "),
+                F.col("__id").cast("string"),
+            )
+        )
+    )
+    r = F.substring(F.md5(id_str.cast("binary")), 1, 15)
     ring = d.select(
         r.alias("__r"),
-        F.concat(
-            r, F.lit(":"), F.lpad(F.col("__id").cast("string"), 12, "0")
-        ).alias("__rkey"),
+        F.concat(r, F.lit(":"), F.lpad(id_str, 19, "0")).alias("__rkey"),
         # feeds pass 1, the bucket minima, and the global min — pin so
         # the id scan + md5 runs once, not once per consumer
     ).localCheckpoint(eager=False)
@@ -394,7 +408,7 @@ def ring_negatives(
         .select(
             "anchor",
             "neg_slot",
-            F.substring(skey, 17, 12).cast("long").alias("neg_id"),
+            F.substring(skey, 17, 19).cast("long").alias("neg_id"),
         )
     )
     return out.filter(F.col("neg_id") != F.col("anchor"))

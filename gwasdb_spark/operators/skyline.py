@@ -54,12 +54,19 @@ def _sfs_kernel(
     if pdf.empty:
         return pdf
     # Canonicalize to "larger is better" so dominance is one direction.
-    mat = np.column_stack(
-        [
-            pdf[c].to_numpy(dtype="float64") * (1.0 if s == "max" else -1.0)
-            for c, s in dims
-        ]
-    )
+    # Dominance runs in float64, so integer dims above 2^53 would
+    # collapse to equal doubles and silently flip dominance/tie
+    # decisions — fail fast instead (see the dims contract).
+    cols = []
+    for c, s in dims:
+        v = pdf[c]
+        if pd.api.types.is_integer_dtype(v) and v.abs().max() > 2**53:
+            raise ValueError(
+                f"skyline dim '{c}' holds integers above 2^53 — float64 "
+                "dominance would be lossy; rescale or bucket the dim first"
+            )
+        cols.append(v.to_numpy(dtype="float64") * (1.0 if s == "max" else -1.0))
+    mat = np.column_stack(cols)
     order = np.lexsort(tuple(-mat[:, i] for i in reversed(range(mat.shape[1]))))
     mat = mat[order]
     # preallocated frontier buffer (doubling growth): a per-candidate
@@ -89,10 +96,12 @@ def skyline(
 ) -> DataFrame:
     """Exact skyline of `df` over `dims` = [(column, 'max'|'min'), ...].
 
-    All columns of `df` ride along; dimension columns must be numeric
-    and non-null (filter first — NULL has no place in a dominance
-    order). See module docstring for the two-phase shape and the
-    phase-2 memory contract."""
+    All columns of `df` ride along; dimension columns must be numeric,
+    non-null (filter first — NULL has no place in a dominance order),
+    and within float64's exact-integer range: dominance is computed in
+    float64, so integer dims with |value| > 2^53 fail fast rather than
+    silently comparing equal. See module docstring for the two-phase
+    shape and the phase-2 memory contract."""
     for _, s in dims:
         if s not in ("max", "min"):
             raise ValueError(f"dims direction must be 'max' or 'min', got {s}")

@@ -221,7 +221,7 @@ def x131_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id AS doc,
              substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS r,
              substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
-               || ':' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS rkey
+               || ':' || lpad(CAST(doc_id AS VARCHAR), 19, '0') AS rkey
       FROM documents
     ),
     probes AS (
@@ -253,15 +253,16 @@ def x132_ring_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     slot) pair keeps its negative (the consistent-hashing property;
     rand(seed) re-deals everything when row order shifts). Shape: the
     successor lookup is NEVER an all-pairs argmin — probes equi-join
-    ring members on the 2-hex-char bucket prefix (256 buckets) and
+    ring members on the 4-hex-char bucket prefix (65,536 buckets) and
     take MIN(rkey) among r > p; the ~1/⟨bucket size⟩ of probes whose
     successor lies past their bucket resolve against a broadcast
-    256-row bucket-minimum table (first non-empty later bucket =
-    MIN over later buckets), and the wraparound against a broadcast
-    1-row global min. Positions stay 15-char lowercase-hex strings —
-    lexicographic = numeric, identical in both engines — and the min
-    key carries ':' + zero-padded doc_id so hash-collision ties break
-    on doc_id, not engine whim. Rare self-successor rows (P = 1/n) are
+    65,536-row bucket SPINE carrying the exclusive suffix-minimum
+    (first non-empty later bucket = MIN over later buckets), and the
+    wraparound against a broadcast 1-row global min. Positions stay
+    15-char lowercase-hex strings — lexicographic = numeric, identical
+    in both engines — and the min key carries ':' + doc_id zero-padded
+    to the full 19-digit int64 width so hash-collision ties break on
+    doc_id, not engine whim. Rare self-successor rows (P = 1/n) are
     dropped identically by both engines. Implementation:
     operators/sampling.py ring_negatives (also stress-gated at 2M
     anchors with a full python-bisect checksum)."""
@@ -530,6 +531,64 @@ def x135_skyline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _h60(c):
+    """First 60 bits of md5 as a signed long (engine-portable digest)."""
+    return F.conv(F.substring(F.md5(c.cast("binary")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def contamination_gate(train_h: DataFrame, sink: str):
+    """st16's foreachBatch sink fn: shingle the batch (13-grams →
+    60-bit digests), left-join the static train digest set, and upsert
+    the per-doc ledger rows. IDEMPOTENT under at-least-once retry by
+    construction: the output is partitioned by batch_id and written
+    with dynamic-partition overwrite (the st13 upsert discipline), so
+    a batch retried after a partial write replaces its own partition
+    instead of duplicating rows. Module-level so the retry contract is
+    directly testable (tests/test_streaming.py)."""
+    from gwasdb_spark.operators.dedup import _gram_array
+
+    def _gate(batch_df, batch_id):
+        tok = batch_df.select(
+            "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("__toks")
+        )
+        ex = tok.select(
+            "doc_id",
+            F.explode_outer(_gram_array(F.col("__toks"), 13)).alias("g"),
+        ).select("doc_id", _h60(F.col("g")).alias("h"))
+        hits = (
+            ex.join(train_h.withColumn("hit", F.lit(1)), "h", "left")
+            .groupBy("doc_id")
+            .agg(
+                F.sum(
+                    F.when(F.col("h").isNotNull(), 1).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_shingles"),
+                F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                .cast("long")
+                .alias("n_contaminated"),
+            )
+        )
+        spark_b = batch_df.sparkSession
+        prev = spark_b.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark_b.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                hits.withColumn("batch_id", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(sink)
+            )
+        finally:
+            spark_b.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    return _gate
+
+
 @query(
     "st16_stream_contamination",
     "X-stream,X-dedup,X-qa",
@@ -562,8 +621,10 @@ def st16_stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     way st14 is of x44: eval-candidate documents arrive as a file
     stream and each micro-batch is shingled (13-grams → 60-bit md5
     digests, tokens materialized before the gram lambda), left-joined
-    against the STATIC train-split digest set, and appended per-doc to
-    a contamination ledger. Per-batch cost is one equi-join on 8-byte
+    against the STATIC train-split digest set, and upserted per-doc
+    into a batch_id-partitioned contamination ledger (dynamic-partition
+    overwrite, so an at-least-once foreachBatch retry replaces its own
+    partition instead of duplicating rows). Per-batch cost is one equi-join on 8-byte
     digests ∝ batch size — the train side is a digest projection
     computed once, never text — so the gate runs at ingest speed
     instead of as a corpus-wide batch job. The final relation is the
@@ -581,14 +642,12 @@ def st16_stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     split = split_label(F.col("doc_id"))
     tag = _hl.md5(sf_dir.encode()).hexdigest()[:12]
-    base = stage_dir(f"stream_contam_{tag}")
+    # v2: batch_id-partitioned idempotent ledger (layout change — a
+    # fresh stage dir so pre-v2 append-mode ledgers can't mix in)
+    base = stage_dir(f"stream_contam_v2_{tag}")
     src = os.path.join(base, "arrivals")
     sink = os.path.join(base, "ledger")
 
-    h60 = (
-        lambda c: F.conv(F.substring(F.md5(c.cast("binary")), 1, 15), 16, 10)
-        .cast("long")
-    )
     if not os.path.isdir(src):
         (
             d.filter(split == "test")
@@ -604,37 +663,13 @@ def st16_stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _gram_array(F.split(F.trim(F.col("text")), r"\s+"), 13)
             ).alias("g")
         )
-        .select(h60(F.col("g")).alias("h"))
+        .select(_h60(F.col("g")).alias("h"))
         .distinct()
     )
 
-    def _gate(batch_df, batch_id):
-        tok = batch_df.select(
-            "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("__toks")
-        )
-        ex = tok.select(
-            "doc_id",
-            F.explode_outer(_gram_array(F.col("__toks"), 13)).alias("g"),
-        ).select("doc_id", h60(F.col("g")).alias("h"))
-        hits = (
-            ex.join(train_h.withColumn("hit", F.lit(1)), "h", "left")
-            .groupBy("doc_id")
-            .agg(
-                F.sum(
-                    F.when(F.col("h").isNotNull(), 1).otherwise(0)
-                )
-                .cast("long")
-                .alias("n_shingles"),
-                F.sum(F.coalesce(F.col("hit"), F.lit(0)))
-                .cast("long")
-                .alias("n_contaminated"),
-            )
-        )
-        hits.write.mode("append").parquet(sink)
-
     stream = spark.readStream.schema("doc_id bigint, text string").json(src)
     q = (
-        stream.writeStream.foreachBatch(_gate)
+        stream.writeStream.foreachBatch(contamination_gate(train_h, sink))
         .option("checkpointLocation", os.path.join(base, "ckpt"))
         .trigger(availableNow=True)
         .start()
@@ -665,13 +700,27 @@ def st16_stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM g WHERE dst IS NOT NULL GROUP BY 1, 2
     ),
     rowtot AS (SELECT src, SUM(c) AS tot FROM cells GROUP BY 1),
+    states AS (
+      -- DISTINCT-over-UNION-ALL, not UNION: inside a WITH RECURSIVE
+      -- block DuckDB treats a bare UNION CTE as an iterative one and
+      -- keeps both branches' duplicates
+      SELECT DISTINCT s FROM (
+        SELECT src AS s FROM cells UNION ALL SELECT dst FROM cells
+      )
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM states),
     p AS (
       SELECT cells.src, cells.dst,
              CAST(c AS DOUBLE) / CAST(tot AS DOUBLE) AS w
       FROM cells JOIN rowtot USING (src)
+      UNION ALL
+      -- dangling states (dst-only: no outgoing transitions) get a
+      -- uniform row, the PageRank dangling-node treatment
+      SELECT d.s AS src, st.s AS dst, 1.0 / nn.n AS w
+      FROM (SELECT s FROM states
+            WHERE s NOT IN (SELECT src FROM cells)) d
+      CROSS JOIN states st CROSS JOIN nn
     ),
-    states AS (SELECT DISTINCT src AS s FROM cells),
-    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM states),
     pi(iter, s, r) AS (
       SELECT 0, s, 1.0 / n FROM states CROSS JOIN nn
       UNION ALL
@@ -680,8 +729,12 @@ def st16_stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE q.iter < 20
       GROUP BY q.iter, p.dst, nn.n
     )
-    SELECT s AS event_type, ROUND(r, 9) AS stationary_p
-    FROM pi WHERE iter = 20
+    -- src-only states receive no incoming edges, so the recursive
+    -- step never emits them; their value is exactly the teleport term
+    SELECT st.s AS event_type,
+           ROUND(COALESCE(q.r, 0.05 / nn.n), 9) AS stationary_p
+    FROM states st CROSS JOIN nn
+    LEFT JOIN (SELECT s, r FROM pi WHERE iter = 20) q ON q.s = st.s
     """,
 )
 def e09_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -698,7 +751,16 @@ def e09_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-state sums are <=|types| doubles, so the 9-dp final round
     absorbs engine-vs-engine association drift exactly as x39's does.
     The iteration count is FIXED (not convergence-tested) so both
-    engines compute the identical object."""
+    engines compute the identical object. The state set is
+    distinct(src) ∪ distinct(dst), so terminal-only (dst-only) and
+    entry-only (src-only) event types both survive: dst-only states
+    get the PageRank dangling-node treatment (a uniform outgoing row,
+    so no transition mass is dropped or silently renormalized), and
+    src-only states stay in the output — when one receives no incoming
+    mass at all (no dangling inflow either) the oracle's recursion
+    never emits it, so the final SELECT COALESCEs over the full state
+    set with the teleport term 0.05/n, which is exactly its value at
+    every iteration >= 1."""
     import numpy as np
 
     e = table(spark, sf_dir, "events")
@@ -713,16 +775,16 @@ def e09_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
     rows = cells.collect()  # |types|^2-bounded by contract
-    states = sorted({r["src"] for r in rows})
+    states = sorted({r["src"] for r in rows} | {r["dst"] for r in rows})
     idx = {s: i for i, s in enumerate(states)}
     n = len(states)
     P = np.zeros((n, n))
     for r in rows:
-        if r["dst"] in idx:  # dst never seen as src carries no out-mass
-            P[idx[r["src"]], idx[r["dst"]]] = r["c"]
+        P[idx[r["src"]], idx[r["dst"]]] = r["c"]
     tot = P.sum(axis=1, keepdims=True)
-    # rows with no counted transitions cannot occur (src comes from cells)
-    Pn = P / tot
+    dangling = tot[:, 0] == 0.0  # dst-only states: uniform row
+    Pn = P / np.where(tot == 0.0, 1.0, tot)
+    Pn[dangling, :] = 1.0 / n
     pi = np.full(n, 1.0 / n)
     for _ in range(20):
         pi = 0.05 / n + 0.95 * (pi @ Pn)

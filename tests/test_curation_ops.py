@@ -113,7 +113,7 @@ def test_ring_negatives_match_bisect_walk(spark):
 
     pdf = _docs(spark)
     ids = [int(d) for d in pdf["doc_id"]]
-    ring = sorted((_md5hex(str(d))[:15], f"{d:012d}") for d in ids)
+    ring = sorted((_md5hex(str(d))[:15], f"{d:019d}") for d in ids)
     expect = {}
     for a in ids:
         for j in range(4):
@@ -152,7 +152,7 @@ def test_ring_negatives_stable_under_growth(spark):
     ids = [int(d) for d in pdf["doc_id"]]
     new_id = max(ids) + 1
     grown = ids + [new_id]
-    ring = sorted((_md5hex(str(d))[:15], f"{d:012d}") for d in grown)
+    ring = sorted((_md5hex(str(d))[:15], f"{d:019d}") for d in grown)
     rpos = [r[0] for r in ring]
     moved = 0
     for (a, j), neg in got.items():
@@ -340,17 +340,20 @@ def test_markov_stationary_matches_python_power(spark):
         types = grp["event_type"].to_list()
         for a, b in zip(types, types[1:]):
             cells[(a, b)] += 1
-    states = sorted({a for a, _ in cells})
+    states = sorted({a for a, _ in cells} | {b for _, b in cells})
     idx = {s: i for i, s in enumerate(states)}
     n = len(states)
     P = [[0.0] * n for _ in range(n)]
     for (a, b), c in cells.items():
-        if b in idx:
-            P[idx[a]][idx[b]] = c
+        P[idx[a]][idx[b]] = c
     for row in P:
         tot = sum(row)
-        for j in range(n):
-            row[j] /= tot
+        if tot == 0.0:  # dst-only state: uniform dangling row
+            for j in range(n):
+                row[j] = 1.0 / n
+        else:
+            for j in range(n):
+                row[j] /= tot
     pi = [1.0 / n] * n
     for _ in range(20):
         pi = [
@@ -363,6 +366,63 @@ def test_markov_stationary_matches_python_power(spark):
         assert abs(r["stationary_p"] - pi[idx[r["event_type"]]]) < 1e-8
     # a damped distribution over the full state set sums to ~1
     assert abs(sum(r["stationary_p"] for r in rows) - 1.0) < 1e-6
+
+
+def test_markov_stationary_terminal_and_entry_only_states(spark, tmp_path):
+    """Engine-vs-oracle parity on the corpus shape the sf tables never
+    exercise: 'churn' occurs ONLY as a destination (terminal state,
+    dangling row) and 'landing' ONLY as a source (entry state, no
+    incoming mass). Both engines must emit the full src∪dst state set
+    with no silent mass renormalization (r7 ADVICE item)."""
+    import duckdb
+    import pandas as pd
+
+    from gwasdb_spark.plans import QUERIES
+
+    # landing -> view -> click -> churn ; landing -> view ; view -> click
+    rows = []
+    seqs = [
+        ("u1", ["landing", "view", "click", "churn"]),
+        ("u2", ["landing", "view"]),
+        ("u3", ["view", "click", "churn"]),
+        ("u4", ["view", "click"]),
+    ]
+    eid = 0
+    for uid, types in seqs:
+        for i, t in enumerate(types):
+            rows.append(
+                {
+                    "user_id": uid,
+                    "event_id": eid,
+                    "event_type": t,
+                    "ts": pd.Timestamp("2026-01-01") + pd.Timedelta(minutes=i),
+                }
+            )
+            eid += 1
+    pd.DataFrame(rows).to_parquet(tmp_path / "events.parquet")
+
+    got = {
+        r["event_type"]: r["stationary_p"]
+        for r in QUERIES["e09_markov_stationary"].fn(spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path / 'events.parquet'}')"
+    )
+    want = {
+        t: p for t, p in con.execute(
+            QUERIES["e09_markov_stationary"].oracle
+        ).fetchall()
+    }
+    assert set(got) == set(want) == {"landing", "view", "click", "churn"}
+    for t in want:
+        assert abs(got[t] - want[t]) < 1e-9, (t, got[t], want[t])
+    # full damped chain conserves mass; landing (entry-only) stays in
+    # the output with positive mass (teleport + churn's uniform
+    # dangling inflow)
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+    assert got["landing"] > 0.0
 
 
 # --------------------------------------------------------------- x137 --
@@ -513,3 +573,27 @@ def test_length_controlled_quality_matches_pandas(spark):
     for k, (n, mq) in expect.items():
         assert got[k][0] == n
         assert got[k][1] == mq  # exact integer ratio — equality, not approx
+
+
+def test_skyline_rejects_int_dims_beyond_2_53(spark):
+    """Integer dims above float64's exact range must fail fast, not
+    silently compare equal (r7 ADVICE item)."""
+    import pytest
+
+    from gwasdb_spark.operators.skyline import skyline
+
+    big = 2**53 + 1
+    df = spark.createDataFrame(
+        [(1, big, 1.0), (2, big + 1, 2.0)], "id long, a long, b double"
+    )
+    with pytest.raises(Exception, match="2\\^53"):
+        skyline(df, [("a", "max"), ("b", "max")]).collect()
+    # in-range int64 dims still work
+    ok = skyline(
+        spark.createDataFrame(
+            [(1, 10, 1.0), (2, 5, 2.0), (3, 4, 1.5)],
+            "id long, a long, b double",
+        ),
+        [("a", "max"), ("b", "max")],
+    ).collect()
+    assert sorted(r["id"] for r in ok) == [1, 2]

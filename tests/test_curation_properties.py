@@ -58,7 +58,13 @@ def test_skyline_matches_bruteforce_random(spark, pts):
 
 # ------------------------------------------------------- ring negatives --
 
-_ids = st.sets(st.integers(0, 10_000), min_size=1, max_size=40)
+# Mix small ids with >12-digit and max-int64 ids — the r7 ADVICE bug
+# class was lpad(…, 12) silently truncating wide ids to a wrong neg_id.
+_ids = st.sets(
+    st.one_of(st.integers(0, 10_000), st.integers(10**13, 2**63 - 1)),
+    min_size=1,
+    max_size=40,
+)
 
 
 @SETTINGS
@@ -72,7 +78,7 @@ def test_ring_negatives_matches_bisect_random(spark, ids):
         (r["anchor"], r["neg_slot"]): r["neg_id"]
         for r in ring_negatives(df, "id", k=2).collect()
     }
-    ring = sorted((_md5hex(str(d))[:15], f"{d:012d}") for d in id_list)
+    ring = sorted((_md5hex(str(d))[:15], f"{d:019d}") for d in id_list)
     rpos = [r[0] for r in ring]
     expect = {}
     for a in id_list:
@@ -86,6 +92,19 @@ def test_ring_negatives_matches_bisect_random(spark, ids):
     # single-element rings drop everything (the only successor is self)
     if len(id_list) == 1:
         assert got == {}
+
+
+def test_ring_negatives_rejects_negative_ids(spark):
+    """Negative ids would break both the zero-pad decode and the
+    lexicographic tiebreak — the operator fails fast instead of
+    emitting wrong neg_id values (r7 ADVICE item)."""
+    import pytest
+
+    from gwasdb_spark.operators.sampling import ring_negatives
+
+    df = spark.createDataFrame([(5,), (-3,)], "id long")
+    with pytest.raises(Exception, match="non-negative"):
+        ring_negatives(df, "id", k=1).collect()
 
 
 # -------------------------------------------------------- contamination --

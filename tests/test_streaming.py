@@ -350,3 +350,35 @@ def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
     out = spark.read.parquet(out_dir)
     assert out.count() == ev.count()                      # a processed once
     assert out.select("event_id").distinct().count() == ev.count()
+
+
+def test_contamination_gate_retry_is_idempotent(spark, tmp_path):
+    """st16's foreachBatch sink under the at-least-once failure mode:
+    the same micro-batch delivered twice (retry after a partial write)
+    must leave exactly one copy of its ledger rows — the batch_id
+    partition is overwritten, never blind-appended (r7 ADVICE item)."""
+    from gwasdb_spark.plans.curation_ops import contamination_gate
+
+    sink = str(tmp_path / "ledger")
+    train_h = spark.createDataFrame([(h,) for h in range(5)], "h long")
+    batch = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k l m n o p"), (2, "short doc")],
+        "doc_id bigint, text string",
+    )
+    gate = contamination_gate(train_h, sink)
+    gate(batch, 7)
+    once = sorted(spark.read.parquet(sink).drop("batch_id").collect())
+    gate(batch, 7)  # the retry
+    twice = sorted(spark.read.parquet(sink).drop("batch_id").collect())
+    assert twice == once
+    # a DIFFERENT batch id appends alongside, untouched by the retry
+    other = spark.createDataFrame(
+        [(3, "x y z")], "doc_id bigint, text string"
+    )
+    gate(other, 8)
+    gate(batch, 7)  # retry batch 7 again after batch 8 landed
+    led = spark.read.parquet(sink)
+    assert led.filter(F.col("batch_id") == 8).count() == 1
+    assert sorted(
+        led.filter(F.col("batch_id") == 7).drop("batch_id").collect()
+    ) == once
