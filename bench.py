@@ -230,6 +230,10 @@ HEADLINE = [
     "x137_conformal_coverage",
     "e10_ushape_attribution",
     "x138_length_controlled_quality",
+    "e11_top_paths",
+    "x139_rouge_overlap",
+    "w11_rolling_median",
+    "x140_bpe_learn",
     # st13 (trending over the live rollup) is correctness-gated, not
     # benched: like st07/st09 its wall time is the micro-batch replay +
     # per-batch dynamic-partition-overwrite commits of the upsert
@@ -267,6 +271,25 @@ def main() -> None:
                 _consume(QUERIES[name].fn(spark, warm_dir))
             except Exception:
                 pass
+
+    # Load sentinel (r7 verdict #3): a FIXED code-independent job timed
+    # with the same min-of-3 estimator. Identical code produced maps
+    # ~17% apart in r7 purely from machine-wide load at round close;
+    # the sentinel pins what the machine was doing during THIS run, so
+    # cross-round diffs can separate plan regressions from load. The
+    # job is pure JVM compute over range() — no parquet, no python, no
+    # repo code — so its cost can only move with the machine.
+    def _sentinel_once() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 400_000_000, 1, 32)
+            .selectExpr("sum(id * 3 + (id % 7)) AS s")
+            .write.format("noop").mode("overwrite").save()
+        )
+        return time.perf_counter() - t0
+
+    _sentinel_once()  # warm
+    sentinel = round(min(_sentinel_once() for _ in range(3)), 3)
 
     # min-of-3 per query (r5 verdict #6): scheduler/GC/FS noise showed
     # 0.8 s run-to-run swings on identical code; min over 3 runs is the
@@ -340,6 +363,7 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "aggregation": f"min-of-{runs_per_query}",
+        "sentinel_sec": sentinel,
     }
     if errors:
         payload["errors"] = errors

@@ -18,91 +18,85 @@ from gwasdb_spark.plans import pipeline_ops as _pipeline_ops  # noqa: F401
 from gwasdb_spark.plans import eval_ops as _eval_ops  # noqa: F401
 from gwasdb_spark.plans import metrics_ops as _metrics_ops  # noqa: F401
 from gwasdb_spark.plans import curation_ops as _curation_ops  # noqa: F401
+from gwasdb_spark.plans import mining_ops as _mining_ops  # noqa: F401
 
 # ---------------------------------------------------------------------------
 # Registration-order priority.
 #
 # The driver's correctness gate records the FIRST 50 registered queries per
-# round. After round 6 every query registered through round 5 holds a green
-# driver row (r01∪…∪r06). The round-7 session added 51 new registrations
-# (8 early-round: x96-x100/sk03/e03/g14; 43 post-close: s27, e04-e08,
-# g15/g16, mm07/mm08, x101-x135, no x113/x116) — a first adjudication is
-# worth more than a re-attestation of an already-green row, so 50 of the
-# 51 take every seat (x134_good_turing, the 51st, heads round 8). All 50
-# pre-flighted hash-green at sf0.01 this round. File order within
-# modules is unchanged; only the registry's iteration order is rebuilt
-# here.
-#
-# Round-8 seats: x134_good_turing, x136_ann_cell_serve,
-# st16_stream_contamination, e09_markov_stationary,
-# x137_conformal_coverage, e10_ushape_attribution, and
-# x138_length_controlled_quality first, then
-# the remaining 19 r01-only backfills (s02, p02, p03, p05, p07, p12,
-# o02, u01, f01-f05, g01-g03, q01, q03, q05) then the r02-latest rows
-# in registration order (q06 onward —
-# several sit on since-rewritten code paths: shared shingle exchange,
-# _rank_topk, vectorized ANN kernels — so a fresh row attests the
-# rewrites kept them green).
+# round. Round-8 window (r7 verdict #1/#4): the 7 queries registered after
+# the r7 window was cut take the first seats (first adjudication beats any
+# re-attestation; all 7 judge-pre-verified hash-green at sf0.01 in r7),
+# any NEW round-8 registrations come next, then the 19 rows whose only
+# driver adjudication is r01, then the oldest r02 rows — ordered so the
+# ones sitting on since-rewritten code paths (shared shingle exchange,
+# _rank_topk per-task heaps, vectorized ANN kernels, the c041e29
+# contamination gram-join) re-attest first. The 8 r02 rows that miss the
+# window (c01, mm01, mm03, mm04, q02s, q04, q06, sk01) head round 9.
+# File order within modules is unchanged; only the registry's iteration
+# order is rebuilt here.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    # 38 round-7 additions — never adjudicated
-    "x96_dsir_importance",
-    "x97_source_dup_profile",
-    "x98_shingle_novelty",
-    "g14_heterogeneity",
-    "sk03_salted_skew_agg",
-    "x99_leakage_safe_split",
-    "e03_props_key_census",
-    "x100_perplexity_buckets",
-    "s27_orc_roundtrip",
-    "g15_prs_score",
-    "x101_int8_quant_audit",
-    "x102_kmeans_cluster_profile",
-    "x103_dup_similarity_histogram",
-    "e04_last_touch_attribution",
-    "x105_source_overlap_matrix",
-    "x107_matryoshka_audit",
-    "e05_event_transitions",
-    "mm07_binary_neardup_pairs",
-    "x110_diversified_topk",
-    "x104_filter_funnel",
-    "x106_score_quantile_normalize",
-    "x108_l_diversity",
-    "x109_correlation_matrix",
-    "x111_bloom_prefilter_join",
-    "x112_stratified_split",
-    "mm08_chunk_dedup",
-    "e06_rfm_segments",
-    "g16_case_control_or",
-    "x114_rrf_fusion",
-    "x115_kmv_distinct_sketch",
-    "x117_mutual_information",
-    "x118_weighted_median",
-    "x119_classifier_auc",
-    "x120_calibration_report",
-    "x121_bfs_distances",
-    "x122_lorenz_gini",
-    "x123_bootstrap_ci",
-    "e07_transition_entropy",
-    # 11 late round-7 additions (metrics_ops + curation_ops) — never
-    # adjudicated
-    "x124_ndcg_at_10",
-    "x125_pr_threshold_sweep",
-    "x126_adamic_adar",
-    "x127_revenue_acf",
-    "x128_benford_audit",
-    "x129_kaplan_meier",
-    "x130_eval_contamination",
-    "x131_cusum_changepoint",
-    "x132_ring_negatives",
-    "x133_tokenizer_fertility",
-    "e08_interevent_burstiness",
-    # the skyline operator takes the 50th seat (novel distributed
-    # operator — a driver row is worth more than a backfill
-    # re-attestation); x134_good_turing heads the round-8 seats, then
-    # the twelve r01-only rows (s02, p02, p03, p05, p07, p12, o02,
-    # u01, f01-f04).
-    "x135_skyline_docs",
+    # 7 registered in r7 after its window was cut — never adjudicated
+    "x134_good_turing",
+    "x136_ann_cell_serve",
+    "st16_stream_contamination",
+    "e09_markov_stationary",
+    "x137_conformal_coverage",
+    "e10_ushape_attribution",
+    "x138_length_controlled_quality",
+    # new round-8 registrations (first adjudication) — their 4 seats
+    # push the r02-backfill tail (x08, x16, x18, st05) into the
+    # round-9 heads alongside c01/mm01/mm03/mm04/q02s/q04/q06/sk01
+    "e11_top_paths",
+    "x139_rouge_overlap",
+    "w11_rolling_median",
+    "x140_bpe_learn",
+    # 19 rows whose only driver row is r01
+    "s02_schema_only_head0",
+    "p02_projection_rename",
+    "p03_drop_cols",
+    "p05_filter_eq",
+    "p07_filter_date_range",
+    "p12_semi_in_subquery",
+    "o02_multikey_sort",
+    "u01_union_all",
+    "f01_id_parse_regex",
+    "f02_maf_genotype",
+    "f03_pad_concat",
+    "f04_date_parts",
+    "f05_clean_names",
+    "g01_count_reconciliation",
+    "g02_chr_distribution",
+    "g03_fk_orphan_audit",
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    # 24 oldest (r02-latest) rows, rewritten code paths first
+    "x01_dedup_exact",
+    "x02_ngram_jaccard_pairs",
+    "x03_minhash_lsh_pairs",
+    "x04_simhash_pairs",
+    "x05_ann_cosine_topk",
+    "x05c_ann_topk_vectorized",
+    "x09_embedding_stats",
+    "x10_embedding_neardup",
+    "x12b_bm25_and",
+    "x12c_bm25_phrase",
+    "x12d_bm25_boosted",
+    "x12e_bm25_multiphrase",
+    "x19_contamination",
+    "x17_pack_chunks",
+    "x21_top_terms",
+    "x22_vocabulary",
+    "x23_scrub_boilerplate",
+    "x24_reservoir_per_lang",
+    "x06_text_stats",
+    "x07_lang_id",
+    "x08_fingerprint",
+    "x16_hash_split",
+    "x18_quota_per_lang",
+    "st05_stream_dedup",
 ]
 
 _rest = [n for n in QUERIES if n not in _PRIORITY]

@@ -352,6 +352,9 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "x137_conformal_coverage": (1, "partition stats (#partitions rows)"),
     # Length deciles via exact_ntile (same primitive as x75).
     "x138_length_controlled_quality": (1, "partition stats (#partitions rows)"),
+    # Rolling quantiles over the daily revenue relation — one row per
+    # DISTINCT order day, calendar-bounded like x131/x72.
+    "w11_rolling_median": (1, "distinct order days (calendar-bounded)"),
 }
 
 

@@ -39,6 +39,12 @@ NO_ORACLE_INVARIANTS = {
         ["chr", "pos", "variant_id", "p", "n_clumped"], 22,
         "tests/test_gwas_pipeline.py::test_distance_clump_matches_python_reference",
     ),
+    # data-dependent argmax per iteration — the merge list is pinned by
+    # an exact python rederivation (all 20 rows, equality not approx)
+    "x140_bpe_learn": (
+        ["rank", "left", "right", "merged", "pair_freq"], 20,
+        "tests/test_mining_ops.py::test_bpe_learn_matches_python",
+    ),
 }
 
 
