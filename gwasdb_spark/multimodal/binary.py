@@ -240,29 +240,45 @@ def byte_shingle_near_pairs(
     per-doc distinct-gram counts. Shuffles carry (long, long) rows —
     payload bytes never leave the scan stage.
 
-    Shingling runs on the hex encoding (2 chars/byte) with pure
-    substring arithmetic — array HOFs over a bounded positions sequence;
-    at real media sizes (MBs/blob) move the gram hashing into an Arrow
-    mapInPandas kernel over the raw bytes, which drops in above the same
-    pair pipeline. Returns (id_a < id_b, jaccard >= threshold)."""
+    Shingling slices the RAW bytes (binary substring + xxhash64 — no
+    hex expansion; byte-slice equality is bijective with the oracle's
+    hex-gram equality, so the pair set is identical while the string
+    volume halves); at real media sizes (MBs/blob) move the gram
+    hashing into an Arrow mapInPandas kernel over the raw bytes, which
+    drops in above the same pair pipeline. Returns (id_a < id_b,
+    jaccard >= threshold)."""
     from gwasdb_spark.operators.dedup import _pairs_from_groups
 
-    g_chars, s_chars = 2 * gram_bytes, 2 * stride_bytes
-    hx = F.hex(F.col("payload"))
     # stop clamps to 1 (not 0): Spark's sequence() errors on a positive
     # step with stop < start; the lone out-of-range position yields a
     # short gram that the length filter below drops, matching the
     # oracle's empty range() for sub-gram payloads.
     positions = F.sequence(
         F.lit(1),
-        F.greatest(F.length(hx) - (g_chars - 1), F.lit(1)),
-        F.lit(s_chars),
+        F.greatest(
+            F.octet_length("payload") - (gram_bytes - 1), F.lit(1)
+        ),
+        F.lit(stride_bytes),
     )
-    grams = F.transform(positions, lambda p: F.substring(hx, p, g_chars))
+    grams = F.array_distinct(
+        F.filter(
+            F.transform(
+                positions,
+                lambda p: F.substring(F.col("payload"), p, gram_bytes),
+            ),
+            lambda g: F.octet_length(g) == gram_bytes,
+        )
+    )
+    from gwasdb_spark.operators.dedup import _spread
+
+    # _spread: a few small local files give the scan (and so the gram
+    # slice + explode above it) only that many tasks — the x130 lesson;
+    # no-op at real input scale where the reader already splits.
+    base = _spread(binary_table.filter(F.col("doc_id").isNotNull())).select(
+        F.col("doc_id").alias("doc"), grams.alias("gs")
+    )
     exploded = (
-        binary_table.filter(F.col("doc_id").isNotNull())
-        .select(F.col("doc_id").alias("doc"), F.explode(grams).alias("g"))
-        .filter(F.length("g") == g_chars)
+        base.select("doc", F.explode("gs").alias("g"))
         .select("doc", F.xxhash64("g").alias("sh"))
         .repartition("sh")
     )
@@ -276,7 +292,21 @@ def byte_shingle_near_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
-    sizes = exploded.groupBy("doc").agg(F.count_distinct("sh").alias("n_sh"))
+    # Per-doc distinct-gram counts come straight off the per-row gram
+    # array — NO explode, NO shuffle, no second pass over the exploded
+    # relation (the r7 bench's 4.7 s was dominated by the gram
+    # explode + sh-exchange running once per consumer; this leaves the
+    # pair-bucket branch as the exchange's only consumer). Counting
+    # distinct GRAMS (bytes) rather than distinct hashes also matches
+    # the oracle's ground truth exactly — no 2^-64 collision caveat on
+    # the denominators. The extra scan of the (tiny) payload column is
+    # far cheaper than the 2x gram shuffle it replaces.
+    # Pin the doc-grain counts ((long, int) rows — trivial to hold) so
+    # the gram-array build runs once for this relation, not once per
+    # join side.
+    sizes = base.select("doc", F.size("gs").alias("n_sh")).localCheckpoint(
+        eager=False
+    )
     sa = sizes.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("n_shared").cast("double") / (
