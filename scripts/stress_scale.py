@@ -823,6 +823,87 @@ def stress_skyline(spark) -> dict:
 # batch stresses (saturated heap, hot GC, elevated loadavg) under-reads
 # it by 2-3x (observed: 169k rows/s late in the sequence vs 557k
 # standalone). The batch gates are correctness-gated and load-tolerant.
+# ---------------------------------------------------------------------------
+# Stress 12 — skewed JOIN keys at shuffle scale (r7 verdict #7). sk03
+# proves salted AGGREGATION; a real 100 TB corpus also hits skewed join
+# keys (a hot document id joining its grams/postings). The gate proves
+# the AQE skew-join path at its PRODUCTION defaults — no lowered
+# thresholds: 20M fact rows with 30% on ONE key and a 96-byte
+# incompressible binary payload put the hot key's shuffle partition
+# beyond the default 256 MB skewedPartitionThresholdInBytes (the map
+# statistics under-read raw size roughly 2x here — a 48-byte payload's
+# ~340 MB raw partition is perceived under 256 MB and does NOT
+# trigger; measured, hence 96 bytes), so OptimizeSkewedJoin must split it
+# (skew=true on the SMJ node). Correctness: count plus a modular
+# decimal checksum over (payload, v) must be BIT-EQUAL between the
+# split join and the same join with skew splitting disabled — the
+# split changes the schedule, never the relation. The two documented
+# traps are respected by construction: the payload is md5 binary
+# (incompressible — repeated-char payloads duck under the compressed
+# threshold) and the finalizer is a GLOBAL aggregate (a same-key
+# groupBy downstream would make AQE refuse the split).
+# ---------------------------------------------------------------------------
+def stress_join_skew(spark) -> dict:
+    n = 20_000_000
+    conf = spark.conf
+    saved = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    payload = F.concat(
+        *[
+            F.unhex(F.md5((F.col("id") + i).cast("string").cast("binary")))
+            for i in range(6)
+        ]
+    )
+    fact = spark.range(n).select(
+        F.when(F.col("id") % 10 < 3, F.lit(-1))
+        .otherwise(F.col("id") % 100_000)
+        .alias("k"),
+        payload.alias("payload"),
+    )
+    dim = spark.range(100_001).select(
+        (F.col("id") - 1).alias("k"), F.col("id").alias("v")
+    )
+
+    def run(skew_enabled: bool):
+        conf.set("spark.sql.adaptive.skewJoin.enabled", str(skew_enabled).lower())
+        t0 = time.perf_counter()
+        agg = fact.join(dim, "k").agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(
+                (F.xxhash64("payload", "v") % 1_000_000_007)
+                .cast("decimal(38,0)")
+            ).alias("chk"),
+        )
+        row = agg.collect()[0]
+        wall = time.perf_counter() - t0
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        return row, wall, ("skew=true" in plan)
+
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        plain, plain_s, plain_skewed = run(False)
+        split, split_s, split_skewed = run(True)
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    return {
+        "stress": "join_skew_20m_default_thresholds",
+        "n_rows": n,
+        "rows": int(split["rows"]),
+        "plain_sec": round(plain_s, 3),
+        "split_sec": round(split_s, 3),
+        "skew_split_in_plan": split_skewed,
+        "plain_not_split": not plain_skewed,
+        "checksums_equal": str(plain["chk"]) == str(split["chk"]),
+        "ok": (
+            split_skewed
+            and not plain_skewed
+            and int(plain["rows"]) == n
+            and int(split["rows"]) == n
+            and str(plain["chk"]) == str(split["chk"])
+        ),
+    }
+
+
 STRESSES = {
     "stream": stress_stream,
     "bm25": stress_bm25,
@@ -835,6 +916,7 @@ STRESSES = {
     "contamination": stress_contamination,
     "ring": stress_ring,
     "skyline": stress_skyline,
+    "joinskew": stress_join_skew,
 }
 
 
