@@ -234,6 +234,10 @@ HEADLINE = [
     "x139_rouge_overlap",
     "w11_rolling_median",
     "x140_bpe_learn",
+    "x141_pca_top_component",
+    "g17_manhattan_bins",
+    "e12_cohort_ltv",
+    "x150_bpe_apply",
     # st13 (trending over the live rollup) is correctness-gated, not
     # benched: like st07/st09 its wall time is the micro-batch replay +
     # per-batch dynamic-partition-overwrite commits of the upsert

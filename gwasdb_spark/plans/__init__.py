@@ -52,6 +52,10 @@ _PRIORITY = [
     "x139_rouge_overlap",
     "w11_rolling_median",
     "x140_bpe_learn",
+    "x141_pca_top_component",
+    "g17_manhattan_bins",
+    "e12_cohort_ltv",
+    "x150_bpe_apply",
     # 19 rows whose only driver row is r01
     "s02_schema_only_head0",
     "p02_projection_rename",

@@ -343,3 +343,375 @@ def x140_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, pair_freq long"
     )
+
+
+@query(
+    "x141_pca_top_component",
+    "X-sim,X-qa",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM embeddings),
+    mu AS (SELECT i, SUM(x) / nn.c AS m FROM e CROSS JOIN nn GROUP BY i, nn.c),
+    cells AS (
+      SELECT a.i AS i, b.i AS j, SUM(a.x * b.x) / nn.c - ma.m * mb.m AS v
+      FROM e a JOIN e b USING (vec_id) CROSS JOIN nn
+      JOIN mu ma ON ma.i = a.i JOIN mu mb ON mb.i = b.i
+      GROUP BY a.i, b.i, nn.c, ma.m, mb.m
+    ),
+    dims AS (SELECT i FROM mu),
+    pi(iter, i, val) AS (
+      -- CAST the seed: a bare 0.125 parses as DECIMAL(4,3) (the x128
+      -- lesson) and pins the recursive column's type, silently rounding
+      -- every iterate to 3 decimals
+      SELECT 0, i, CAST(0.125 AS DOUBLE) FROM dims
+      UNION ALL
+      SELECT q.iter + 1, c.i, SUM(c.v * q.val)
+      FROM pi q JOIN cells c ON c.j = q.i
+      WHERE q.iter < 20
+      GROUP BY q.iter, c.i
+    ),
+    w AS (SELECT i, val FROM pi WHERE iter = 20),
+    nrm AS (SELECT sqrt(SUM(val * val)) AS n2 FROM w),
+    cw AS (SELECT c.i, SUM(c.v * w.val) AS cv
+           FROM cells c JOIN w ON w.i = c.j GROUP BY 1),
+    ray AS (SELECT SUM(w.val * cw.cv)
+                   / (SELECT SUM(val * val) FROM w) AS lam
+            FROM w JOIN cw USING (i)),
+    sgn AS (SELECT CASE WHEN (SELECT val FROM w
+                              ORDER BY abs(val) DESC, i LIMIT 1) < 0
+                        THEN -1.0 ELSE 1.0 END AS s)
+    SELECT CAST(w.i AS INT) AS dim,
+           ROUND(s * val / n2, 6) AS loading,
+           ROUND(lam, 6) AS eigenvalue
+    FROM w CROSS JOIN nrm CROSS JOIN ray CROSS JOIN sgn
+    """,
+)
+def x141_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus — the anisotropy
+    audit (Mu & Viswanath 2018: a dominant common direction degrades
+    cosine retrieval; x87's centroid outliers and the whitening every
+    embedding pipeline debates start from exactly this eigenvector).
+
+    Scale shape — the pattern that matters at 100 TB: covariance NEVER
+    materializes per-pair rows. One `mapInPandas` pass emits per-batch
+    partial moments (n, Σx, XᵀX as a dim² array) — #batches rows of
+    4096 doubles — and the 64x64 matrix assembles on the driver (the
+    e09 |types|²-style bounded-collect contract); 20 UN-normalized
+    power iterations run in numpy (start vector 1/8 exactly — no sqrt;
+    un-normalized so the oracle's recursive CTE computes the IDENTICAL
+    object: doubles hold λ^20 comfortably and the final normalize
+    cancels the scale). Sign fixed by the max-|loading| component
+    (ties -> lowest dim), Rayleigh eigenvalue; 6-dp round absorbs
+    engine-vs-engine association drift in the moment sums. The pinned
+    object is the DETERMINISTIC 20-step iterate C^20·v0 and its
+    Rayleigh quotient, identical across engines — on a near-flat
+    spectrum (this synthetic corpus) it only partially rotates toward
+    the top eigenspace, which is fine: the contract is the fixed
+    polynomial, like e09/x39, not a convergence test. The oracle
+    rebuilds covariance by the quadratic per-pair join — fine at
+    sf0.01, exactly what the Spark side must never do."""
+    import numpy as np
+
+    emb = table(spark, sf_dir, "embeddings").select("embedding")
+
+    def partial(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [len(X)],
+                    "s": [X.sum(axis=0).tolist()],
+                    "ss": [(X.T @ X).ravel().tolist()],
+                }
+            )
+
+    parts = emb.mapInPandas(
+        partial, "n long, s array<double>, ss array<double>"
+    ).collect()  # #batches rows of dim^2 doubles — bounded by contract
+    n = sum(r["n"] for r in parts)
+    s = np.sum([r["s"] for r in parts], axis=0)
+    ss = np.sum([r["ss"] for r in parts], axis=0)
+    d = s.shape[0]
+    mu = s / n
+    C = ss.reshape(d, d) / n - np.outer(mu, mu)
+    v = np.full(d, 0.125)
+    for _ in range(20):
+        v = C @ v
+    lam = float(v @ (C @ v) / (v @ v))
+    v = v / np.linalg.norm(v)
+    # deterministic sign: component with max |loading| positive,
+    # ties broken on the lowest dim index
+    k = min(range(d), key=lambda i: (-abs(v[i]), i))
+    if v[k] < 0:
+        v = -v
+    rows = [
+        (i + 1, float(round(v[i], 6)), float(round(lam, 6))) for i in range(d)
+    ]
+    return spark.createDataFrame(
+        rows, "dim int, loading double, eigenvalue double"
+    )
+
+
+@query(
+    "g17_manhattan_bins",
+    "X-gwas,A2",
+    oracle="""
+    WITH
+    ids AS (
+      SELECT (ROW_NUMBER() OVER ()) - 1 AS id
+      FROM lineitem, (VALUES (0), (1), (2), (3)) v(k)
+    ),
+    assoc AS (
+      SELECT CAST(id % 22 + 1 AS INT) AS chr,
+             CAST(1 + (id * 997) % 50000000 AS BIGINT) AS pos,
+             id AS variant_id,
+             CAST((id * 2654435761) % 1000003 AS DOUBLE) / 1000003.0 AS p
+      FROM ids
+    ),
+    b AS (SELECT chr, CAST(pos // 1000000 AS BIGINT) AS mb,
+                 p, variant_id
+          FROM assoc),
+    agg AS (
+      SELECT chr, mb, CAST(COUNT(*) AS BIGINT) AS n_variants,
+             MIN(p) AS min_p
+      FROM b GROUP BY 1, 2
+    ),
+    lead AS (
+      SELECT b.chr, b.mb, MIN(b.variant_id) AS lead_variant
+      FROM b JOIN agg ON b.chr = agg.chr AND b.mb = agg.mb
+                     AND b.p = agg.min_p
+      GROUP BY 1, 2
+    )
+    SELECT agg.chr, agg.mb, n_variants, lead_variant,
+           ROUND(min_p, 9) AS min_p,
+           CASE WHEN min_p > 0 THEN ROUND(-log10(min_p), 6) END AS peak_nlp
+    FROM agg JOIN lead ON agg.chr = lead.chr AND agg.mb = lead.mb
+    """,
+)
+def g17_manhattan_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manhattan-plot pre-aggregation: per (chr, 1 Mb bin) variant
+    count, minimum p, its −log10 peak, and the lead variant — the
+    downsampled relation every GWAS browser actually renders (plotting
+    240k points raw is both slow and unreadable; gwasDB's Shiny plots
+    draw from exactly this shape). One groupBy on (chr, bin) with a
+    struct-min argmin — the lead variant rides the same aggregate as
+    min_p (ties break on variant_id in both engines: struct ordering
+    here, a MIN over the p = min_p slice in the oracle), so no second
+    scan and no join back. Output is #chr x #bins rows — thousands,
+    independent of variant count."""
+    from gwasdb_spark.plans.relational import _synthetic_assoc
+
+    assoc = _synthetic_assoc(spark, sf_dir)
+    agg = (
+        assoc.select(
+            "chr",
+            (F.col("pos") / 1_000_000).cast("long").alias("mb"),
+            "p",
+            "variant_id",
+        )
+        .groupBy("chr", "mb")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_variants"),
+            F.min(F.struct("p", "variant_id")).alias("top"),
+        )
+    )
+    return agg.select(
+        "chr",
+        "mb",
+        "n_variants",
+        F.col("top.variant_id").alias("lead_variant"),
+        F.round("top.p", 9).alias("min_p"),
+        F.when(
+            F.col("top.p") > 0, F.round(-F.log10("top.p"), 6)
+        ).alias("peak_nlp"),
+    )
+
+
+@query(
+    "e12_cohort_ltv",
+    "X-events,X-analytics",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY 1
+    ),
+    cohorts AS (
+      SELECT user_id, date_trunc('week', first_ts) AS cohort, first_ts
+      FROM f
+    ),
+    sizes AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_users
+              FROM cohorts GROUP BY 1),
+    rev AS (
+      SELECT c.cohort,
+             CAST(date_diff('day', c.first_ts, e.ts) // 7 AS BIGINT)
+               AS week_no,
+             CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events e JOIN cohorts c USING (user_id)
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT cohort, week_no, cents,
+             SUM(cents) OVER (PARTITION BY cohort ORDER BY week_no)
+               AS cum_cents
+      FROM rev
+    )
+    SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+           week_no, n_users,
+           CAST(cents AS BIGINT) AS week_revenue_cents,
+           CAST(cum_cents AS BIGINT) AS cum_revenue_cents,
+           ROUND(CAST(cum_cents AS DOUBLE) / 100.0 / n_users, 6)
+             AS ltv_per_user
+    FROM cum JOIN sizes USING (cohort)
+    """,
+)
+def e12_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime value: users grouped by the week of their FIRST
+    event, purchase revenue accumulated per weeks-since-signup — the
+    retention economics x61's cohort counts stop short of (did week-3
+    users keep spending, or just keep clicking?). All money rides as
+    integer cents (exact long sums; ONE final division per output row),
+    the cumulative window is PARTITIONED by cohort (bounded by the
+    observation-window week count per partition), and the events scan
+    feeds both the first-touch aggregate and the revenue aggregate —
+    the per-user first_ts relation is user-grain, joined back on
+    user_id."""
+    e = table(spark, sf_dir, "events")
+    f = e.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    cohorts = f.select(
+        "user_id", F.date_trunc("week", "first_ts").alias("cohort"), "first_ts"
+    )
+    sizes = cohorts.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    rev = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(cohorts, "user_id")
+        .groupBy(
+            "cohort",
+            (F.datediff(F.to_date("ts"), F.to_date("first_ts")) / 7)
+            .cast("long")
+            .alias("week_no"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("week_no")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = rev.select(
+        "cohort", "week_no", "cents", F.sum("cents").over(w).alias("cum_cents")
+    )
+    return cum.join(sizes, "cohort").select(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+        "week_no",
+        "n_users",
+        F.col("cents").alias("week_revenue_cents"),
+        F.col("cum_cents").cast("long").alias("cum_revenue_cents"),
+        F.round(
+            F.col("cum_cents").cast("double") / 100.0 / F.col("n_users"), 6
+        ).alias("ltv_per_user"),
+    )
+
+
+@query(
+    "x150_bpe_apply",
+    "X-text,X-tokenizer",
+    oracle=None,  # tokenization depends on x140's learned merge list
+    # (data-dependent argmax chain) — exact python rederivation in
+    # tests/test_mining_ops.py carries the contract
+)
+def x150_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the x140-learned BPE merges to the whole corpus and report
+    per-source tokenizer fertility — the round trip that makes the
+    learned tokenizer REAL: x133 measures a fixed regex pretokenizer,
+    x140 learns the merges, this encodes every document with them and
+    reports tokens-per-word before (chars+marker) vs after. Shape: the
+    20-rule merge table collects to the driver (20 rows by contract)
+    and rides into ONE Arrow-batched pandas UDF as a closure — the
+    corpus is scanned once, each word encoded by the standard
+    rank-ordered merge loop; per-source aggregation shuffles 3 longs.
+    Fertility = exact integer ratio, one final 9-dp division."""
+    merges = [
+        (r["left"], r["right"])
+        for r in sorted(
+            x140_bpe_learn(spark, sf_dir).collect(), key=lambda r: r["rank"]
+        )
+    ]
+
+    @F.pandas_udf("long")
+    def n_bpe_tokens(texts: pd.Series) -> pd.Series:
+        import re as _re
+
+        cache: dict[str, int] = {}
+
+        def encode_len(word: str) -> int:
+            hit = cache.get(word)
+            if hit is not None:
+                return hit
+            syms = list(word) + ["</w>"]
+            for left, right in merges:
+                out, i, n = [], 0, len(syms)
+                while i < n:
+                    if (
+                        i + 1 < n
+                        and syms[i] == left
+                        and syms[i + 1] == right
+                    ):
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+                if len(syms) == 1:
+                    break
+            cache[word] = len(syms)
+            return len(syms)
+
+        def doc_tokens(t: str) -> int:
+            return sum(
+                encode_len(w) for w in _re.split(r"\s+", t.strip()) if w
+            )
+
+        return texts.map(doc_tokens)
+
+    d = table(spark, sf_dir, "documents")
+    words = F.size(
+        F.filter(
+            F.split(F.trim(F.col("text")), r"\s+"), lambda w: w != F.lit("")
+        )
+    )
+    return (
+        d.select(
+            "source",
+            words.cast("long").alias("n_words"),
+            n_bpe_tokens(F.col("text")).alias("n_tokens"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_words",
+            "n_tokens",
+            F.round(
+                F.col("n_tokens").cast("double") / F.col("n_words"), 9
+            ).alias("fertility"),
+        )
+    )

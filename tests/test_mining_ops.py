@@ -168,3 +168,176 @@ def test_rolling_median_matches_numpy(spark):
         assert r["revenue_cents"] == x
         assert abs(r["med7"] - med) < 1e-6
         assert abs(r["p90_7"] - p90) < 1e-6
+
+
+# --------------------------------------------------------------- x141 --
+
+
+def test_pca_top_component_matches_numpy(spark):
+    from gwasdb_spark.catalog import table
+    from gwasdb_spark.plans import QUERIES
+
+    pdf = table(spark, SF_DIR, "embeddings").select("embedding").toPandas()
+    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    C = np.cov(X, rowvar=False, bias=True)
+    v = np.full(X.shape[1], 0.125)
+    for _ in range(20):
+        v = C @ v
+    lam = float(v @ (C @ v) / (v @ v))
+    v = v / np.linalg.norm(v)
+    k = min(range(len(v)), key=lambda i: (-abs(v[i]), i))
+    if v[k] < 0:
+        v = -v
+    rows = QUERIES["x141_pca_top_component"].fn(spark, SF_DIR).collect()
+    assert len(rows) == X.shape[1]
+    for r in rows:
+        assert abs(r["loading"] - v[r["dim"] - 1]) < 1e-5
+        assert abs(r["eigenvalue"] - lam) < 1e-5
+    # The contract is the deterministic 20-step polynomial iterate
+    # C^20 v0 (identical in both engines), NOT convergence to the true
+    # eigenvector: this corpus's spectrum is near-flat (random-ish
+    # embeddings), so 20 steps only PARTIALLY rotate toward the top
+    # eigenspace. Sanity: the iterate's Rayleigh quotient must beat the
+    # average eigenvalue (it strictly improves from the uniform start),
+    # and the loadings are unit-norm.
+    w_, V_ = np.linalg.eigh(C)
+    got = np.array([r["loading"] for r in sorted(rows, key=lambda r: r["dim"])])
+    lam_got = rows[0]["eigenvalue"]
+    assert lam_got > w_.mean()
+    assert lam_got <= w_.max() + 1e-9
+    assert abs(np.linalg.norm(got) - 1.0) < 1e-4
+
+
+# --------------------------------------------------------------- x150 --
+
+
+def test_bpe_apply_matches_python(spark):
+    from gwasdb_spark.catalog import table
+    from gwasdb_spark.plans import QUERIES
+
+    docs = (
+        table(spark, SF_DIR, "documents")
+        .select("source", "text")
+        .toPandas()
+    )
+    merges = [(l, r) for _, l, r, _, _ in _python_bpe(docs["text"].to_list(), k=20)]
+
+    def encode_len(word):
+        syms = list(word) + ["</w>"]
+        for left, right in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    expect = {}
+    for src, grp in docs.groupby("source"):
+        n_docs = len(grp)
+        n_words = n_tokens = 0
+        for t in grp["text"]:
+            ws = [w for w in re.split(r"\s+", t.strip()) if w]
+            n_words += len(ws)
+            n_tokens += sum(encode_len(w) for w in ws)
+        expect[src] = (n_docs, n_words, n_tokens, round(n_tokens / n_words, 9))
+    rows = QUERIES["x150_bpe_apply"].fn(spark, SF_DIR).collect()
+    got = {
+        r["source"]: (r["n_docs"], r["n_words"], r["n_tokens"], r["fertility"])
+        for r in rows
+    }
+    assert got == expect
+    # merges can only shrink the char+marker baseline
+    for src, (_, n_words, n_tokens, fert) in expect.items():
+        assert fert >= 1.0  # every word is at least one token
+
+
+# ---------------------------------------------------------------- e12 --
+
+
+def test_cohort_ltv_matches_python(spark):
+    from gwasdb_spark.catalog import table
+    from gwasdb_spark.plans import QUERIES
+
+    e = (
+        table(spark, SF_DIR, "events")
+        .select("user_id", "event_type", "ts", "value")
+        .toPandas()
+    )
+    first = e.groupby("user_id")["ts"].min()
+    cohort = first.dt.to_period("W").dt.start_time  # Monday-start weeks
+    sizes = cohort.value_counts()
+    purch = e[e["event_type"] == "purchase"].copy()
+    purch["first_ts"] = purch["user_id"].map(first)
+    purch["cohort"] = purch["user_id"].map(cohort)
+    purch["week_no"] = (
+        (purch["ts"].dt.normalize() - purch["first_ts"].dt.normalize()).dt.days
+        // 7
+    )
+    purch["cents"] = (purch["value"] * 100).round().astype("int64")
+    rev = purch.groupby(["cohort", "week_no"])["cents"].sum().sort_index()
+    expect = {}
+    for (c, w), cents in rev.items():
+        prior = sum(
+            v for (c2, w2), v in rev.items() if c2 == c and w2 <= w
+        )
+        n_users = int(sizes[c])
+        expect[(c.strftime("%Y-%m-%d"), int(w))] = (
+            n_users,
+            int(cents),
+            int(prior),
+            round(prior / 100.0 / n_users, 6),
+        )
+    rows = QUERIES["e12_cohort_ltv"].fn(spark, SF_DIR).collect()
+    got = {
+        (r["cohort_week"], r["week_no"]): (
+            r["n_users"],
+            r["week_revenue_cents"],
+            r["cum_revenue_cents"],
+            r["ltv_per_user"],
+        )
+        for r in rows
+    }
+    assert got == expect
+
+
+# ---------------------------------------------------------------- g17 --
+
+
+def test_manhattan_bins_matches_python(spark):
+    from gwasdb_spark.plans import QUERIES
+
+    import math
+
+    # rederive the synthetic assoc directly from its integer formula
+    from gwasdb_spark.catalog import table
+
+    n = 4 * table(spark, SF_DIR, "lineitem").count()
+    best = {}
+    for vid in range(n):
+        chrom = vid % 22 + 1
+        pos = 1 + (vid * 997) % 50_000_000
+        p = ((vid * 2654435761) % 1000003) / 1000003.0
+        key = (chrom, pos // 1_000_000)
+        cur = best.get(key)
+        if cur is None:
+            best[key] = [1, p, vid]
+        else:
+            cur[0] += 1
+            if p < cur[1] or (p == cur[1] and vid < cur[2]):
+                cur[1], cur[2] = p, vid
+    rows = QUERIES["g17_manhattan_bins"].fn(spark, SF_DIR).collect()
+    assert len(rows) == len(best)
+    for r in rows:
+        nv, mp, lead = best[(r["chr"], r["mb"])]
+        assert r["n_variants"] == nv
+        assert r["lead_variant"] == lead
+        assert abs(r["min_p"] - round(mp, 9)) < 1e-12
+        if mp > 0:
+            assert abs(r["peak_nlp"] - round(-math.log10(mp), 6)) < 1e-9
+        else:
+            assert r["peak_nlp"] is None

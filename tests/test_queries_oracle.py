@@ -45,6 +45,12 @@ NO_ORACLE_INVARIANTS = {
         ["rank", "left", "right", "merged", "pair_freq"], 20,
         "tests/test_mining_ops.py::test_bpe_learn_matches_python",
     ),
+    # tokenization under x140's learned merge chain — same argmax-chain
+    # structure; exact python encode rederivation pins every cell
+    "x150_bpe_apply": (
+        ["source", "n_docs", "n_words", "n_tokens", "fertility"], 1,
+        "tests/test_mining_ops.py::test_bpe_apply_matches_python",
+    ),
 }
 
 
