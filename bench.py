@@ -238,6 +238,9 @@ HEADLINE = [
     "g17_manhattan_bins",
     "e12_cohort_ltv",
     "x150_bpe_apply",
+    "x151_winnowing_fingerprints",
+    "e13_dau_stickiness",
+    "w12_yoy_revenue",
     # st13 (trending over the live rollup) is correctness-gated, not
     # benched: like st07/st09 its wall time is the micro-batch replay +
     # per-batch dynamic-partition-overwrite commits of the upsert

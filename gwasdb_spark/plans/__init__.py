@@ -56,6 +56,9 @@ _PRIORITY = [
     "g17_manhattan_bins",
     "e12_cohort_ltv",
     "x150_bpe_apply",
+    "x151_winnowing_fingerprints",
+    "e13_dau_stickiness",
+    "w12_yoy_revenue",
     # 19 rows whose only driver row is r01
     "s02_schema_only_head0",
     "p02_projection_rename",

@@ -715,3 +715,251 @@ def x150_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fertility"),
         )
     )
+
+
+@query(
+    "x151_winnowing_fingerprints",
+    "X-dedup,X-text",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, greatest(len(w) - 2, 0) + 1),
+               i -> CAST(
+                 CAST('0x' || substr(md5(
+                   w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]), 1, 15)
+                 AS UBIGINT) AS BIGINT)) AS gh
+      FROM t
+    ),
+    fp AS (
+      SELECT doc_id, len(gh) AS n_grams,
+             list_distinct(
+               list_transform(
+                 range(1, greatest(len(gh) - 3, 0) + 1),
+                 p -> list_aggregate(gh[p:p+3], 'min'))) AS fps
+      FROM g
+    ),
+    ex AS (SELECT doc_id, unnest(fps) AS f FROM fp),
+    dup AS (
+      SELECT f FROM ex GROUP BY f HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    sh AS (
+      SELECT ex.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM ex JOIN dup USING (f) GROUP BY 1
+    )
+    SELECT fp.doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(len(fps) AS BIGINT) AS n_fingerprints,
+           COALESCE(sh.n_shared, 0) AS n_shared_fp
+    FROM fp LEFT JOIN sh USING (doc_id)
+    WHERE len(fps) > 0
+    """,
+)
+def x151_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every word 3-gram, slide a
+    window of 4 consecutive gram hashes, keep each window's MINIMUM —
+    the guarantee x08's single rolling hash cannot give: any shared run
+    of >= 6 words between two documents shares at least one selected
+    fingerprint, so local (partial-plagiarism) overlap is detectable
+    from a sparse signature. Output per doc: gram count, distinct
+    fingerprint count, and how many of its fingerprints appear in >= 2
+    docs (the copy signal).
+
+    Shape: grams, window minima, and dedup all happen INSIDE the row
+    via array HOFs (pure codegen, zero shuffle); only the distinct
+    8-byte fingerprints explode into the cross-doc frequency aggregate
+    — signature-sized (~n_grams/4 per doc), not gram-sized. The
+    value-set semantics (distinct window minima) sidestep the
+    tie-position convention, so both engines select identical sets."""
+    d = table(spark, sf_dir, "documents")
+    h60 = lambda c: F.conv(  # noqa: E731
+        F.substring(F.md5(c.cast("binary")), 1, 15), 16, 10
+    ).cast("long")
+    # POSITIONAL gram sequence (duplicates preserved — _gram_array's
+    # array_distinct would collapse repeats and break the windows);
+    # tokens MATERIALIZE in a prior projection so the split doesn't
+    # re-evaluate per element inside the gram lambda (the x130 trap)
+    t0 = d.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("__toks")
+    )
+    tk = F.col("__toks")
+    gh = F.when(
+        F.size(tk) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tk) - 3),
+            lambda i: h60(
+                F.concat_ws(
+                    " ",
+                    F.element_at(tk, i + 1),
+                    F.element_at(tk, i + 2),
+                    F.element_at(tk, i + 3),
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    base = t0.select(F.col("doc_id"), gh.alias("gh")).select(
+        "doc_id",
+        F.size("gh").cast("long").alias("n_grams"),
+        F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.size("gh") - 3, F.lit(0)),
+                    F.lit(1),
+                ),
+                lambda p: F.array_min(F.slice("gh", p, 4)),
+            )
+        ).alias("fps"),
+    ).filter(F.size("fps") > 0)
+    # feeds the cross-doc frequency aggregate AND the per-doc output
+    base = base.localCheckpoint(eager=False)
+    ex = base.select("doc_id", F.explode("fps").alias("f"))
+    dup = (
+        ex.groupBy("f")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("f")
+    )
+    sh = (
+        ex.join(dup, "f")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    return base.join(sh, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.size("fps").cast("long").alias("n_fingerprints"),
+        F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias(
+            "n_shared_fp"
+        ),
+    )
+
+
+@query(
+    "e13_dau_stickiness",
+    "X-events,X-analytics",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    spine AS (SELECT DISTINCT day FROM ud),
+    cover AS (
+      SELECT ud.user_id,
+             ud.day + CAST(k AS INT) AS cover_day, k
+      FROM ud CROSS JOIN range(0, 28) r(k)
+    ),
+    dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+    wau AS (
+      SELECT cover_day AS day,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+      FROM cover WHERE k < 7 GROUP BY 1
+    ),
+    mau AS (
+      SELECT cover_day AS day,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+      FROM cover GROUP BY 1
+    )
+    SELECT strftime(spine.day, '%Y-%m-%d') AS day, dau.dau, wau.wau, mau.mau,
+           ROUND(CAST(dau.dau AS DOUBLE) / wau.wau, 9) AS dau_wau,
+           ROUND(CAST(dau.dau AS DOUBLE) / mau.mau, 9) AS dau_mau
+    FROM spine
+    JOIN dau USING (day) JOIN wau USING (day) JOIN mau USING (day)
+    """,
+)
+def e13_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / MAU and the stickiness ratios (DAU/WAU, DAU/MAU) —
+    the engagement headline every product dashboard opens with.
+    Trailing-window DISTINCT does not decompose into a sliding
+    aggregate, so the scale-correct shape is the COVER-SET join: the
+    (user, day) distinct relation (far smaller than events) explodes
+    each row onto the <= 28 future days it covers — a bounded equi-join
+    fan-out, never a range join and never a per-day rescan — and each
+    cover day counts distinct users. Trailing windows at the series
+    START are partial by construction, identically in both engines.
+    Shuffles carry (date, long) pairs; ratios are one exact division
+    per output row."""
+    e = table(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    # feeds dau, the cover explode, and the spine — pin the events scan
+    ud = ud.localCheckpoint(eager=False)
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    cover = ud.select(
+        "user_id",
+        "day",
+        F.explode(F.sequence(F.lit(0), F.lit(27))).alias("k"),
+    ).select("user_id", F.expr("date_add(day, k)").alias("cover_day"), "k")
+    wau = (
+        cover.filter(F.col("k") < 7)
+        .groupBy(F.col("cover_day").alias("day"))
+        .agg(F.count_distinct("user_id").cast("long").alias("wau"))
+    )
+    mau = cover.groupBy(F.col("cover_day").alias("day")).agg(
+        F.count_distinct("user_id").cast("long").alias("mau")
+    )
+    spine = ud.select("day").distinct()
+    return (
+        spine.join(dau, "day")
+        .join(wau, "day")
+        .join(mau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            "mau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 9).alias(
+                "dau_wau"
+            ),
+            F.round(F.col("dau").cast("double") / F.col("mau"), 9).alias(
+                "dau_mau"
+            ),
+        )
+    )
+
+
+@query(
+    "w12_yoy_revenue",
+    "X-window,X-analytics",
+    oracle="""
+    WITH m AS (
+      SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    )
+    SELECT strftime(month, '%Y-%m') AS month,
+           cents AS revenue_cents,
+           LAG(cents, 12) OVER (ORDER BY month) AS prev_year_cents,
+           ROUND(
+             (cents - LAG(cents, 12) OVER (ORDER BY month))
+             / CAST(LAG(cents, 12) OVER (ORDER BY month) AS DOUBLE), 9)
+             AS yoy_change
+    FROM m
+    """,
+)
+def w12_yoy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year monthly revenue change — the comparison every
+    finance review opens with, exact to the cent: monthly totals as
+    integer cents, the 12-month lookback via ONE lag window over the
+    MONTH relation (calendar-bounded, the x131/w11 allowlist class —
+    never a self-join on orders), and a single 9-dp division per row.
+    First-year months emit NULL change, identically in both engines."""
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("cents", 12).over(w)
+    return m.select(
+        F.date_format("month", "yyyy-MM").alias("month"),
+        F.col("cents").alias("revenue_cents"),
+        prev.alias("prev_year_cents"),
+        F.round(
+            (F.col("cents") - prev) / prev.cast("double"), 9
+        ).alias("yoy_change"),
+    )

@@ -341,3 +341,121 @@ def test_manhattan_bins_matches_python(spark):
             assert abs(r["peak_nlp"] - round(-math.log10(mp), 6)) < 1e-9
         else:
             assert r["peak_nlp"] is None
+
+
+# --------------------------------------------------------------- x151 --
+
+
+def test_winnowing_matches_python(spark):
+    import hashlib
+
+    from gwasdb_spark.plans import QUERIES
+
+    pdf = _docs(spark)
+    fps = {}
+    grams_n = {}
+    for r in pdf.itertuples():
+        ws = re.split(r"\s+", r.text.strip())
+        gh = [
+            int(hashlib.md5(" ".join(ws[i : i + 3]).encode()).hexdigest()[:15], 16)
+            for i in range(max(len(ws) - 2, 0))
+        ]
+        grams_n[r.doc_id] = len(gh)
+        sel = {min(gh[p : p + 4]) for p in range(max(len(gh) - 3, 0))}
+        if sel:
+            fps[r.doc_id] = sel
+    from collections import Counter as _C
+
+    freq = _C()
+    for s in fps.values():
+        for f in s:
+            freq[f] += 1
+    rows = QUERIES["x151_winnowing_fingerprints"].fn(spark, SF_DIR).collect()
+    assert {r["doc_id"] for r in rows} == set(fps)
+    for r in rows:
+        sel = fps[r["doc_id"]]
+        assert r["n_grams"] == grams_n[r["doc_id"]]
+        assert r["n_fingerprints"] == len(sel)
+        assert r["n_shared_fp"] == sum(1 for f in sel if freq[f] >= 2)
+    # the winnowing guarantee on the planted near-dups: some sharing
+    assert any(r["n_shared_fp"] > 0 for r in rows)
+
+
+# ---------------------------------------------------------------- e13 --
+
+
+def test_dau_stickiness_matches_python(spark):
+    from gwasdb_spark.catalog import table
+    from gwasdb_spark.plans import QUERIES
+
+    e = table(spark, SF_DIR, "events").select("user_id", "ts").toPandas()
+    e["day"] = e["ts"].dt.normalize()
+    ud = e[["user_id", "day"]].drop_duplicates()
+    days = sorted(ud["day"].unique())
+    by_day = ud.groupby("day")["user_id"].apply(set)
+    expect = {}
+    for d in days:
+        dau = len(by_day[d])
+        wau = len(
+            set().union(
+                *(by_day[x] for x in days if 0 <= (d - x).days < 7)
+            )
+        )
+        mau = len(
+            set().union(
+                *(by_day[x] for x in days if 0 <= (d - x).days < 28)
+            )
+        )
+        expect[pd.Timestamp(d).strftime("%Y-%m-%d")] = (
+            dau,
+            wau,
+            mau,
+            round(dau / wau, 9),
+            round(dau / mau, 9),
+        )
+    rows = QUERIES["e13_dau_stickiness"].fn(spark, SF_DIR).collect()
+    got = {
+        r["day"]: (r["dau"], r["wau"], r["mau"], r["dau_wau"], r["dau_mau"])
+        for r in rows
+    }
+    assert got == expect
+
+
+# ---------------------------------------------------------------- w12 --
+
+
+def test_yoy_revenue_matches_python(spark):
+    from gwasdb_spark.catalog import table
+    from gwasdb_spark.plans import QUERIES
+
+    o = table(spark, SF_DIR, "orders").select(
+        "o_orderdate", "o_totalprice"
+    ).toPandas()
+    cents = (o["o_totalprice"] * 100).round().astype("int64")
+    monthly = (
+        pd.DataFrame(
+            {
+                "m": pd.to_datetime(o["o_orderdate"]).dt.to_period("M"),
+                "c": cents,
+            }
+        )
+        .groupby("m", sort=True)["c"]
+        .sum()
+    )
+    keys = list(monthly.index)
+    expect = {}
+    for i, k in enumerate(keys):
+        cur = int(monthly.iloc[i])
+        prev = int(monthly.iloc[i - 12]) if i >= 12 else None
+        change = round((cur - prev) / prev, 9) if prev is not None else None
+        expect[str(k)] = (cur, prev, change)
+    rows = QUERIES["w12_yoy_revenue"].fn(spark, SF_DIR).collect()
+    assert len(rows) == len(expect)
+    for r in rows:
+        cur, prev, change = expect[r["month"]]
+        assert r["revenue_cents"] == cur
+        assert r["prev_year_cents"] == prev
+        if change is None:
+            assert r["yoy_change"] is None
+        else:
+            assert abs(r["yoy_change"] - change) < 1e-9

@@ -355,6 +355,9 @@ GLOBAL_WINDOW_ALLOWLIST = {
     # Rolling quantiles over the daily revenue relation — one row per
     # DISTINCT order day, calendar-bounded like x131/x72.
     "w11_rolling_median": (1, "distinct order days (calendar-bounded)"),
+    # 12-month lag over the MONTHLY revenue relation — one row per
+    # distinct order month, calendar-bounded like w11.
+    "w12_yoy_revenue": (1, "distinct order months (calendar-bounded)"),
 }
 
 
