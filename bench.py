@@ -241,6 +241,10 @@ HEADLINE = [
     "x151_winnowing_fingerprints",
     "e13_dau_stickiness",
     "w12_yoy_revenue",
+    "st17_stream_dau",
+    "x152_sliced_auc",
+    "g18_proxy_variant",
+    "mm09_chunk_manifest",
     # st13 (trending over the live rollup) is correctness-gated, not
     # benched: like st07/st09 its wall time is the micro-batch replay +
     # per-batch dynamic-partition-overwrite commits of the upsert

@@ -59,6 +59,10 @@ _PRIORITY = [
     "x151_winnowing_fingerprints",
     "e13_dau_stickiness",
     "w12_yoy_revenue",
+    "st17_stream_dau",
+    "x152_sliced_auc",
+    "g18_proxy_variant",
+    "mm09_chunk_manifest",
     # 19 rows whose only driver row is r01
     "s02_schema_only_head0",
     "p02_projection_rename",

@@ -963,3 +963,319 @@ def w12_yoy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cents") - prev) / prev.cast("double"), 9
         ).alias("yoy_change"),
     )
+
+
+@query(
+    "st17_stream_dau",
+    "X-stream,X-analytics",
+    oracle="""
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+    FROM events GROUP BY 1
+    """,
+)
+def st17_stream_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE streaming DAU — e13's headline metric computed as events
+    arrive instead of as a nightly batch: the file-source stream
+    deduplicates on (user_id, day) with stateful dropDuplicates (the
+    streaming COUNT(DISTINCT) surrogate — distinct aggregates are
+    unsupported in streaming, dedup-then-count is the standard shape),
+    then counts per day. Complete-mode AvailableNow replay must equal
+    the batch oracle exactly. Production: add a watermark so dedup
+    state evicts at the lateness horizon and run append mode — the
+    harness replay keeps complete mode so every day emits without a
+    flush sentinel."""
+    from gwasdb_spark.streaming.events import (
+        read_events_stream,
+        run_available_now,
+    )
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    dau = (
+        stream.select("user_id", F.to_date("ts").alias("day"))
+        .dropDuplicates(["user_id", "day"])
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    )
+    out = run_available_now(dau, "complete")
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"), "dau"
+    )
+
+
+@query(
+    "x152_sliced_auc",
+    "X-quality,X-eval",
+    oracle="""
+    WITH feats AS (
+      SELECT doc_id, lang, source,
+             CAST(length(text) AS DOUBLE) AS n_chars_d,
+             CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) AS n_tok,
+             CAST(len(regexp_extract_all(lower(text),
+                  '\\b(the|and|of|to|a|in|is|that)\\b')) AS DOUBLE) AS n_sw,
+             CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+               AS DOUBLE) AS n_punct
+      FROM documents
+    ),
+    scored AS (
+      SELECT source,
+             ROUND(1.0 / (1.0 + EXP(-(
+               -2.4 + 0.35 * LN(1.0 + n_chars_d)
+                    + 6.0 * (CASE WHEN n_tok > 0 THEN n_sw / n_tok
+                                  ELSE 0.0 END)
+                    - 8.0 * (CASE WHEN n_chars_d > 0 THEN n_punct / n_chars_d
+                                  ELSE 0.0 END)))), 9) AS s9,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM feats
+    ),
+    g AS (
+      SELECT source, s9, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(pos) AS BIGINT) AS npos
+      FROM scored GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT source, s9, n, npos,
+             COALESCE(SUM(n) OVER (PARTITION BY source ORDER BY s9
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM g
+    ),
+    agg AS (
+      SELECT source, SUM(n) AS nn, SUM(npos) AS p,
+             SUM(npos * (2 * cum_before + n + 1)) AS r2
+      FROM c GROUP BY 1
+    )
+    SELECT source, CAST(p AS BIGINT) AS n_pos,
+           CAST(nn - p AS BIGINT) AS n_neg,
+           CASE WHEN p > 0 AND nn - p > 0 THEN
+             ROUND(CAST(r2 - p * (p + 1) AS DOUBLE)
+                   / CAST(2 * p * (nn - p) AS DOUBLE), 9)
+           END AS auc
+    FROM agg
+    """,
+)
+def x152_sliced_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SLICE Mann-Whitney AUC of the quality classifier — the
+    fairness/regression report x119's single global number hides: a
+    gate that ranks well overall can be inverted on one source, and
+    slice-wise AUC is how that is caught. Same tie-corrected integer
+    rank-sum algebra as x119, but ranks never materialize per document:
+    documents aggregate to (source, 9-dp score) groups first, the
+    cumulative count runs over THAT relation (per-source partitioned
+    window, rows bounded by distinct score values — far smaller than
+    docs), and each group contributes npos·(2·cum_before + n + 1) =
+    2·R_pos exactly in BIGINT. One final division per slice; slices
+    with a missing class emit NULL, not a fake 0/1."""
+    from gwasdb_spark.functions.text import quality_classifier_prob
+
+    d = table(spark, sf_dir, "documents")
+    g = (
+        d.select(
+            "source",
+            F.round(quality_classifier_prob(F.col("text")), 9).alias("s9"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+        )
+        .groupBy("source", "s9")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("pos").cast("long").alias("npos"),
+        )
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("s9")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = g.select(
+        "source",
+        "n",
+        "npos",
+        F.coalesce(F.sum("n").over(w), F.lit(0)).alias("cum_before"),
+    )
+    agg = c.groupBy("source").agg(
+        F.sum("n").alias("nn"),
+        F.sum("npos").alias("p"),
+        F.sum(
+            F.col("npos") * (2 * F.col("cum_before") + F.col("n") + 1)
+        ).alias("r2"),
+    )
+    return agg.select(
+        "source",
+        F.col("p").cast("long").alias("n_pos"),
+        (F.col("nn") - F.col("p")).cast("long").alias("n_neg"),
+        F.when(
+            (F.col("p") > 0) & (F.col("nn") - F.col("p") > 0),
+            F.round(
+                (F.col("r2") - F.col("p") * (F.col("p") + 1)).cast("double")
+                / (2 * F.col("p") * (F.col("nn") - F.col("p"))).cast(
+                    "double"
+                ),
+                9,
+            ),
+        ).alias("auc"),
+    )
+
+
+@query(
+    "g18_proxy_variant",
+    "X-gwas,A2",
+    oracle="""
+    WITH
+    ids AS (
+      SELECT (ROW_NUMBER() OVER ()) - 1 AS id
+      FROM lineitem, (VALUES (0), (1), (2), (3)) v(k)
+    ),
+    assoc AS (
+      SELECT CAST(id % 22 + 1 AS INT) AS chr,
+             CAST(1 + (id * 997) % 50000000 AS BIGINT) AS pos,
+             id AS variant_id,
+             CAST((id * 2654435761) % 1000003 AS DOUBLE) / 1000003.0 AS p
+      FROM ids
+    ),
+    q AS (SELECT * FROM assoc WHERE p >= 0.0001 AND p < 0.001),
+    s AS (SELECT * FROM assoc WHERE p < 0.0001),
+    cand AS (
+      SELECT q.variant_id, q.chr, q.pos,
+             s.variant_id AS sv, abs(q.pos - s.pos) AS dist
+      FROM q JOIN s ON q.chr = s.chr
+                   AND abs(q.pos - s.pos) <= 500000
+                   AND q.variant_id <> s.variant_id
+    ),
+    mind AS (SELECT variant_id, MIN(dist) AS dist FROM cand GROUP BY 1),
+    pick AS (
+      SELECT cand.variant_id, cand.dist, MIN(cand.sv) AS proxy_variant
+      FROM cand JOIN mind ON cand.variant_id = mind.variant_id
+                         AND cand.dist = mind.dist
+      GROUP BY 1, 2
+    )
+    SELECT q.variant_id, q.chr, q.pos,
+           pick.proxy_variant, pick.dist AS proxy_distance
+    FROM q LEFT JOIN pick USING (variant_id)
+    """,
+)
+def g18_proxy_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proxy-variant lookup: for every suggestive association
+    (1e-4 <= p < 1e-3) find the NEAREST genome-wide-significant variant
+    (p < 1e-4) within ±500 kb on the same chromosome — the "is this
+    sub-threshold hit shadowing a known signal?" triage every GWAS
+    follow-up runs (distance as the poor man's LD proxy; gwasDB's
+    region views answer exactly this question interactively).
+
+    Scale shape: NEVER a per-chromosome cross join — queries and
+    significant variants bucket into 500 kb bins and each query probes
+    only bins {b-1, b, b+1} (a 3x bounded equi-join fan-out, the same
+    binned-nearest discipline as g08), the +-500 kb filter applies
+    post-join, and the argmin rides ONE struct-min aggregate (distance,
+    then variant_id tiebreak — identical to the oracle's two-step MIN).
+    Queries with no in-range proxy survive the left join with NULLs."""
+    from gwasdb_spark.plans.relational import _synthetic_assoc
+
+    assoc = _synthetic_assoc(spark, sf_dir)
+    # feeds both the query and significant slices — pin the id scan
+    assoc = assoc.localCheckpoint(eager=False)
+    q = assoc.filter((F.col("p") >= 0.0001) & (F.col("p") < 0.001))
+    s = assoc.filter(F.col("p") < 0.0001).select(
+        F.col("chr").alias("s_chr"),
+        F.col("pos").alias("s_pos"),
+        F.col("variant_id").alias("sv"),
+    )
+    binsz = 500_000
+    qb = q.select(
+        "variant_id",
+        "chr",
+        "pos",
+        F.explode(
+            F.array(
+                (F.col("pos") / binsz).cast("long") - 1,
+                (F.col("pos") / binsz).cast("long"),
+                (F.col("pos") / binsz).cast("long") + 1,
+            )
+        ).alias("b"),
+    )
+    sb = s.select(
+        "s_chr", "s_pos", "sv", (F.col("s_pos") / binsz).cast("long").alias("b")
+    )
+    cand = (
+        qb.join(
+            sb,
+            (F.col("chr") == F.col("s_chr")) & (qb["b"] == sb["b"]),
+        )
+        .filter(
+            (F.abs(F.col("pos") - F.col("s_pos")) <= binsz)
+            & (F.col("variant_id") != F.col("sv"))
+        )
+        .select(
+            "variant_id",
+            F.abs(F.col("pos") - F.col("s_pos")).alias("dist"),
+            "sv",
+        )
+        # a significant variant in bin b is seen by query probes b-1/b/b+1
+        # exactly once each — candidates are distinct by construction
+        .groupBy("variant_id")
+        .agg(F.min(F.struct("dist", "sv")).alias("top"))
+    )
+    return q.join(cand, "variant_id", "left").select(
+        "variant_id",
+        "chr",
+        "pos",
+        F.col("top.sv").alias("proxy_variant"),
+        F.col("top.dist").alias("proxy_distance"),
+    )
+
+
+@query(
+    "mm09_chunk_manifest",
+    "X-multimodal",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, lower(hex(encode(text))) AS hx FROM documents
+    )
+    SELECT doc_id,
+           CAST(k AS INT) AS chunk_idx,
+           CAST(k * 4096 AS BIGINT) AS byte_offset,
+           CAST(length(substr(hx, CAST(k * 8192 + 1 AS INT), 8192)) // 2
+             AS BIGINT) AS n_bytes,
+           md5(substr(hx, CAST(k * 8192 + 1 AS INT), 8192)) AS digest
+    FROM b CROSS JOIN range(0, 1024) r(k)
+    WHERE k * 8192 < length(hx)
+    """,
+)
+def mm09_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size chunk manifest for binary media payloads — the
+    storage/upload unit every blob store (and every multimodal training
+    loader doing range reads) keys on: each payload splits into 4 KiB
+    slices, each manifest row carrying (chunk index, byte offset,
+    length, md5 digest). Pure codegen: the chunk positions are an
+    in-row sequence, the slice is a binary substring, and the digest
+    hashes the slice — zero shuffle, zero UDF; the manifest is the
+    scan's natural output. Chunk-grain digests are what make byte-range
+    dedup (mm08), resumable transfer, and per-chunk integrity checks
+    possible without ever reading whole blobs."""
+    from gwasdb_spark.multimodal.binary import to_binary_table
+
+    bt = to_binary_table(table(spark, sf_dir, "documents"))
+    chunk = 4096
+    # Digests hash the lowercase HEX of the byte slice, not the raw
+    # bytes: DuckDB's md5 is VARCHAR-only, and a hex-of-slice digest is
+    # the same integrity identifier either way. The hex string
+    # materializes once per payload BEFORE the chunk explode; at real
+    # blob sizes (MBs) swap this stage for the Arrow mapInPandas kernel
+    # (multimodal/binary.py) — the manifest schema stays identical.
+    hx = bt.select(
+        "doc_id", F.lower(F.hex("payload")).alias("hx")
+    )
+    pos = F.sequence(
+        F.lit(0),
+        F.floor((F.length("hx") - 1) / (2 * chunk)).cast("long"),
+    )
+    ex = hx.select("doc_id", "hx", F.explode(pos).alias("k"))
+    sl = F.expr(
+        f"substring(hx, CAST(k * {2 * chunk} + 1 AS INT), {2 * chunk})"
+    )
+    return ex.select(
+        "doc_id",
+        F.col("k").cast("int").alias("chunk_idx"),
+        (F.col("k") * chunk).cast("long").alias("byte_offset"),
+        (F.length(sl) / 2).cast("long").alias("n_bytes"),
+        F.md5(sl).alias("digest"),
+    )

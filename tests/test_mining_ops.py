@@ -459,3 +459,145 @@ def test_yoy_revenue_matches_python(spark):
             assert r["yoy_change"] is None
         else:
             assert abs(r["yoy_change"] - change) < 1e-9
+
+
+# --------------------------------------------------------------- st17 --
+
+
+def test_stream_dau_equals_batch(spark):
+    from gwasdb_spark.plans import QUERIES
+
+    got = {
+        r["day"]: r["dau"]
+        for r in QUERIES["st17_stream_dau"].fn(spark, SF_DIR).collect()
+    }
+    batch = {
+        r["day"]: r["dau"]
+        for r in QUERIES["e13_dau_stickiness"].fn(spark, SF_DIR).collect()
+    }
+    assert got == batch  # streaming replay == batch distinct count
+
+
+# --------------------------------------------------------------- x152 --
+
+
+def test_sliced_auc_matches_python(spark):
+    from gwasdb_spark.catalog import table
+    from gwasdb_spark.functions.text import quality_classifier_prob
+    from gwasdb_spark.plans import QUERIES
+    from pyspark.sql import functions as F
+
+    pdf = (
+        table(spark, SF_DIR, "documents")
+        .select(
+            "source",
+            F.round(quality_classifier_prob(F.col("text")), 9).alias("s"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+        )
+        .toPandas()
+    )
+    expect = {}
+    for src, grp in pdf.groupby("source"):
+        scores = grp["s"].to_numpy()
+        pos = grp["pos"].to_numpy()
+        npos, nneg = int(pos.sum()), int(len(pos) - pos.sum())
+        if npos == 0 or nneg == 0:
+            expect[src] = (npos, nneg, None)
+            continue
+        # tie-corrected rank-sum (average ranks)
+        order = np.argsort(scores, kind="stable")
+        ranks = np.empty(len(scores))
+        sorted_scores = scores[order]
+        i = 0
+        while i < len(scores):
+            j = i
+            while j < len(scores) and sorted_scores[j] == sorted_scores[i]:
+                j += 1
+            ranks[order[i:j]] = (i + 1 + j) / 2.0  # average of ranks i+1..j
+            i = j
+        rpos = ranks[pos == 1].sum()
+        auc = (rpos - npos * (npos + 1) / 2.0) / (npos * nneg)
+        expect[src] = (npos, nneg, round(auc, 9))
+    rows = QUERIES["x152_sliced_auc"].fn(spark, SF_DIR).collect()
+    got = {r["source"]: (r["n_pos"], r["n_neg"], r["auc"]) for r in rows}
+    assert set(got) == set(expect)
+    for k in expect:
+        assert got[k][0] == expect[k][0] and got[k][1] == expect[k][1]
+        if expect[k][2] is None:
+            assert got[k][2] is None
+        else:
+            assert abs(got[k][2] - expect[k][2]) < 1e-9, (k, got[k], expect[k])
+
+
+# ---------------------------------------------------------------- g18 --
+
+
+def test_proxy_variant_matches_bruteforce(spark):
+    from gwasdb_spark.catalog import table
+    from gwasdb_spark.plans import QUERIES
+
+    n = 4 * table(spark, SF_DIR, "lineitem").count()
+    assoc = []
+    for vid in range(n):
+        p = ((vid * 2654435761) % 1000003) / 1000003.0
+        assoc.append((vid % 22 + 1, 1 + (vid * 997) % 50_000_000, vid, p))
+    sig = [(c, pp, v) for c, pp, v, p in assoc if p < 0.0001]
+    qs = [(c, pp, v) for c, pp, v, p in assoc if 0.0001 <= p < 0.001]
+    by_chr = defaultdict(list)
+    for c, pp, v in sig:
+        by_chr[c].append((pp, v))
+    expect = {}
+    for c, pp, v in qs:
+        best = None
+        for sp, sv in by_chr.get(c, ()):
+            d = abs(pp - sp)
+            if d <= 500_000 and sv != v:
+                k = (d, sv)
+                if best is None or k < best:
+                    best = k
+        expect[v] = best  # None or (dist, proxy)
+    rows = QUERIES["g18_proxy_variant"].fn(spark, SF_DIR).collect()
+    assert {r["variant_id"] for r in rows} == set(expect)
+    for r in rows:
+        b = expect[r["variant_id"]]
+        if b is None:
+            assert r["proxy_variant"] is None and r["proxy_distance"] is None
+        else:
+            assert (r["proxy_distance"], r["proxy_variant"]) == b
+    # populated rows appear exactly when the brute force finds a
+    # neighbor (at sf0.001 the significant set is ~2 variants over
+    # 50 Mb x 22 chromosomes, so all-orphan is the expected outcome)
+    assert sum(r["proxy_variant"] is not None for r in rows) == sum(
+        1 for b in expect.values() if b is not None
+    )
+
+
+# --------------------------------------------------------------- mm09 --
+
+
+def test_chunk_manifest_matches_hashlib(spark):
+    import hashlib
+
+    from gwasdb_spark.plans import QUERIES
+
+    pdf = _docs(spark)
+    expect = {}
+    for r in pdf.itertuples():
+        payload = r.text.encode("utf-8")
+        for k in range((len(payload) + 4095) // 4096):
+            sl = payload[k * 4096 : (k + 1) * 4096]
+            expect[(r.doc_id, k)] = (
+                k * 4096,
+                len(sl),
+                hashlib.md5(sl.hex().encode()).hexdigest(),
+            )
+    rows = QUERIES["mm09_chunk_manifest"].fn(spark, SF_DIR).collect()
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (
+            r["byte_offset"],
+            r["n_bytes"],
+            r["digest"],
+        )
+        for r in rows
+    }
+    assert got == expect
