@@ -4201,7 +4201,27 @@ def st14_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = accepted.withColumn("status", F.lit("accepted")).unionByName(
             dup.withColumn("status", F.lit("dup_corpus"))
         )
-        out.write.mode("append").parquet(sink)
+        # Idempotent under at-least-once retry: a replayed batch
+        # overwrites its own batch_id partition instead of appending a
+        # second copy (the st13/st16 upsert discipline).
+        spark_b = batch_df.sparkSession
+        prev = spark_b.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark_b.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        try:
+            (
+                out.withColumn("batch_id", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(sink)
+            )
+        finally:
+            spark_b.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev
+            )
 
     arrivals = (
         spark.readStream.schema("doc_id bigint, text string").json(src)

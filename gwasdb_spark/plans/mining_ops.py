@@ -801,7 +801,16 @@ def x151_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<long>"))
-    base = t0.select(F.col("doc_id"), gh.alias("gh")).select(
+    # HARD materialization boundary: CollapseProject would inline the
+    # gram-hash construction into EVERY window position's slice()
+    # (deterministic projections collapse), re-hashing the whole gram
+    # array per position — O(n_grams^2) md5 calls per doc, measured
+    # 587 s at sf0.1 vs ~1 s with the boundary. The pinned relation is
+    # (id, long[]) — gram-hash arrays, corpus-scan sized.
+    t1 = t0.select(F.col("doc_id"), gh.alias("gh")).localCheckpoint(
+        eager=False
+    )
+    base = t1.select(
         "doc_id",
         F.size("gh").cast("long").alias("n_grams"),
         F.array_distinct(
