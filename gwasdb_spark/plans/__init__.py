@@ -45,9 +45,11 @@ _PRIORITY = [
     "x137_conformal_coverage",
     "e10_ushape_attribution",
     "x138_length_controlled_quality",
-    # new round-8 registrations (first adjudication) — their 4 seats
-    # push the r02-backfill tail (x08, x16, x18, st05) into the
-    # round-9 heads alongside c01/mm01/mm03/mm04/q02s/q04/q06/sk01
+    # 15 new round-8 registrations (first adjudication beats any
+    # backfill re-attestation) — with the 7 above and the 19 r01 rows
+    # they fill 41 of the 50 seats, so only the first 9 r02 backfills
+    # make this window; the remaining r02 rows (x12b onward) head
+    # round 9 alongside c01/mm01/mm03/mm04/q02s/q04/q06/sk01
     "e11_top_paths",
     "x139_rouge_overlap",
     "w11_rolling_median",
