@@ -283,7 +283,10 @@ def x140_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary — then the winning merge applied to the symbol arrays by
     an Arrow-batched pandas UDF (sequential merge-with-skip is not
     expressible in `transform`). The vocab relation is localCheckpointed
-    each iteration so plan size stays O(1) across the fixed 20 steps.
+    each iteration so plan size stays O(1) across the fixed 20 steps —
+    LAZILY: the next iteration's argmax action materializes it, so no
+    separate job per step, and the 20th (never-consumed) checkpoint
+    costs nothing.
     Ties break lexicographically — deterministic across engines/runs.
 
     Returns (rank, left, right, merged, pair_freq)."""
@@ -338,7 +341,7 @@ def x140_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         vocab = vocab.select(
             _merge_udf(left, right)(F.col("syms")).alias("syms"), "freq"
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
 
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, pair_freq long"
