@@ -720,6 +720,14 @@ def st16_stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT s FROM states
             WHERE s NOT IN (SELECT src FROM cells)) d
       CROSS JOIN states st CROSS JOIN nn
+      UNION ALL
+      -- zero-weight self rows keep EVERY state in the recursive
+      -- working table: without them a src-only state (outgoing edges
+      -- but no incoming) drops out after iteration 1 — its own row is
+      -- COALESCEd back in the final SELECT, but its OUTGOING mass
+      -- (0.95 * teleport * w per successor) silently vanishes from
+      -- every successor from iteration 2 onward
+      SELECT s AS src, s AS dst, 0.0 AS w FROM states
     ),
     pi(iter, s, r) AS (
       SELECT 0, s, 1.0 / n FROM states CROSS JOIN nn
@@ -756,11 +764,12 @@ def e09_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     entry-only (src-only) event types both survive: dst-only states
     get the PageRank dangling-node treatment (a uniform outgoing row,
     so no transition mass is dropped or silently renormalized), and
-    src-only states stay in the output — when one receives no incoming
-    mass at all (no dangling inflow either) the oracle's recursion
-    never emits it, so the final SELECT COALESCEs over the full state
-    set with the teleport term 0.05/n, which is exactly its value at
-    every iteration >= 1."""
+    zero-weight self rows keep every state — src-only ones included —
+    in the oracle's recursive working table, so a src-only state's
+    outgoing mass (0.95 * its teleport value per successor weight)
+    keeps flowing at every iteration instead of vanishing after
+    iteration 1; the final SELECT's COALESCE over the full state set
+    is now pure belt-and-suspenders."""
     import numpy as np
 
     e = table(spark, sf_dir, "events")

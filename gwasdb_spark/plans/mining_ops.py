@@ -813,19 +813,26 @@ def x151_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     t1 = t0.select(F.col("doc_id"), gh.alias("gh")).localCheckpoint(
         eager=False
     )
+    # Window positions exist only when there are >= 4 grams (>= 6 tokens).
+    # The sequence MUST be guarded like gh is: an unguarded
+    # sequence(1, size-3, 1) evaluates sequence(1, 0, 1) on any shorter
+    # doc and Spark aborts the whole query with 'Illegal sequence
+    # boundaries' — one short doc anywhere in the corpus kills the scan,
+    # while the oracle's range() just yields an empty list.
     base = t1.select(
         "doc_id",
         F.size("gh").cast("long").alias("n_grams"),
-        F.array_distinct(
-            F.transform(
-                F.sequence(
-                    F.lit(1),
-                    F.greatest(F.size("gh") - 3, F.lit(0)),
-                    F.lit(1),
-                ),
-                lambda p: F.array_min(F.slice("gh", p, 4)),
-            )
-        ).alias("fps"),
+        F.when(
+            F.size("gh") >= 4,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("gh") - 3, F.lit(1)),
+                    lambda p: F.array_min(F.slice("gh", p, 4)),
+                )
+            ),
+        )
+        .otherwise(F.array().cast("array<long>"))
+        .alias("fps"),
     ).filter(F.size("fps") > 0)
     # feeds the cross-doc frequency aggregate AND the per-doc output
     base = base.localCheckpoint(eager=False)
@@ -1241,6 +1248,15 @@ def g18_proxy_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH b AS (
       SELECT doc_id, lower(hex(encode(text))) AS hx FROM documents
+    ),
+    -- unnest over the LIST range bounded by the payload's own chunk
+    -- count (the table-function range can't take lateral column
+    -- params): no 1024 cap (a >4 MiB payload gets every chunk), and
+    -- an empty payload gets range(0, 0) = [] = no rows
+    ex AS (
+      SELECT doc_id, hx,
+             unnest(range(0, (length(hx) + 8191) // 8192)) AS k
+      FROM b
     )
     SELECT doc_id,
            CAST(k AS INT) AS chunk_idx,
@@ -1248,8 +1264,7 @@ def g18_proxy_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(length(substr(hx, CAST(k * 8192 + 1 AS INT), 8192)) // 2
              AS BIGINT) AS n_bytes,
            md5(substr(hx, CAST(k * 8192 + 1 AS INT), 8192)) AS digest
-    FROM b CROSS JOIN range(0, 1024) r(k)
-    WHERE k * 8192 < length(hx)
+    FROM ex
     """,
 )
 def mm09_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1276,10 +1291,17 @@ def mm09_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     hx = bt.select(
         "doc_id", F.lower(F.hex("payload")).alias("hx")
     )
-    pos = F.sequence(
-        F.lit(0),
-        F.floor((F.length("hx") - 1) / (2 * chunk)).cast("long"),
-    )
+    # Guarded like x151's window sequence: a LENGTH-0 payload makes
+    # sequence(0, floor(-1/8192)) = sequence(0, -1), which Spark expands
+    # with an IMPLICIT step of -1 into [0, -1] — two phantom chunks
+    # (one at byte_offset -4096) where the oracle emits none.
+    pos = F.when(
+        F.length("hx") > 0,
+        F.sequence(
+            F.lit(0),
+            F.floor((F.length("hx") - 1) / (2 * chunk)).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
     ex = hx.select("doc_id", "hx", F.explode(pos).alias("k"))
     sl = F.expr(
         f"substring(hx, CAST(k * {2 * chunk} + 1 AS INT), {2 * chunk})"
