@@ -601,3 +601,38 @@ def test_chunk_manifest_matches_hashlib(spark):
         for r in rows
     }
     assert got == expect
+
+
+# ------------------------------------------------- BPE merge staging --
+
+
+def test_bpe_merge_stage_roundtrip(spark):
+    """x140 writes the learned merge table through to the corpus-keyed
+    stage; x150's loader reads it back identically when warm, and a
+    cold stage re-learns the identical table (train once, tokenize
+    many — the apply job must never re-run the 20-job learn loop)."""
+    import shutil
+
+    from gwasdb_spark.plans import QUERIES
+    from gwasdb_spark.plans.mining_ops import (
+        _bpe_learned_merges,
+        _bpe_merges_stage,
+    )
+
+    import os as _os
+
+    learned = [
+        (r["rank"], r["left"], r["right"], r["merged"], r["pair_freq"])
+        for r in sorted(
+            QUERIES["x140_bpe_learn"].fn(spark, SF_DIR).collect(),
+            key=lambda r: r["rank"],
+        )
+    ]
+    path = _bpe_merges_stage(SF_DIR)
+    assert _os.path.isdir(path), "x140 did not write the merge stage"
+    # warm: read-back is bit-identical to the learn output
+    assert _bpe_learned_merges(spark, SF_DIR) == learned
+    # cold: the loader re-learns the identical table and re-stages it
+    shutil.rmtree(path)
+    assert _bpe_learned_merges(spark, SF_DIR) == learned
+    assert _os.path.isdir(path)
