@@ -374,6 +374,10 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "aggregation": f"min-of-{runs_per_query}",
+        # machine-readable estimator depth — bench_merge.py sums these
+        # across sessions so round_close.py can compare maps at equal
+        # depth (a deeper min is optimistically lower; r8 verdict #4)
+        "runs_per_query": runs_per_query,
         "sentinel_sec": sentinel,
     }
     if errors:

@@ -14,7 +14,18 @@ Run before ending a round. Exits non-zero when:
    phantom regressions (r7's x62) — re-run bench.py on an idle machine
    instead of committing it.
 
-Usage: python scripts/round_close.py   (from anywhere inside the repo)
+Usage:
+  python scripts/round_close.py            gate (artifacts + sentinel drift)
+  python scripts/round_close.py compare [new.json [old.json]]
+      estimator-consistent round-over-round comparison (r8 verdict #4):
+      per-query ratios are SENTINEL-NORMALIZED (divide out the machine-
+      load ratio the two maps' fixed-job sentinels measured) and split
+      by estimator DEPTH — only rows whose min covers the same number of
+      timed runs on both sides are plan-comparable; a deeper min is
+      optimistically lower, so depth-mismatched rows are reported
+      separately with the expected bias direction instead of being read
+      as regressions (r8's 13 phantom >30% rows). Defaults: new =
+      bench_full_latest.json, old = newest committed bench_full_r*.json.
 """
 
 from __future__ import annotations
@@ -80,7 +91,102 @@ def check_sentinel_drift() -> str | None:
     return None
 
 
+def _depths(m: dict) -> dict[str, int]:
+    if "depth" in m:
+        return dict(m["depth"])
+    n = m.get("runs_per_query")
+    if n is None:
+        agg = m.get("aggregation", "")
+        match = re.search(r"min-of-(\d+)", agg)
+        n = int(match.group(1)) if match else 1
+        mruns = re.search(r"min over (\d+) (?:runs|sessions)", agg)
+        if mruns:
+            n *= int(mruns.group(1))
+        elif "session" in agg:
+            # pre-r8 merged maps ('min-of-3 x sessions') accumulated
+            # minima over an UNRECORDED number of sessions — depth is
+            # unknown, only known to exceed one session's worth
+            n = -1  # sentinel: unknown-but-deep
+    return {k: n for k, v in m["queries"].items() if v is not None}
+
+
+def _newest_committed_map(exclude: str | None = None) -> str | None:
+    paths = sorted(
+        glob.glob(os.path.join(REPO, "bench_full_r*.json")),
+        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
+        reverse=True,
+    )
+    for p in paths:
+        if exclude and os.path.abspath(p) == os.path.abspath(exclude):
+            continue
+        return p
+    return None
+
+
+def compare(new_path: str | None, old_path: str | None) -> int:
+    new_path = new_path or os.path.join(REPO, "bench_full_latest.json")
+    old_path = old_path or _newest_committed_map(exclude=new_path)
+    if not old_path or not os.path.isfile(new_path):
+        print("compare: need both maps", file=sys.stderr)
+        return 2
+    new = json.load(open(new_path))
+    old = json.load(open(old_path))
+    s_new, s_old = new.get("sentinel_sec"), old.get("sentinel_sec")
+    load_ratio = (s_new / s_old) if (s_new and s_old) else 1.0
+    d_new, d_old = _depths(new), _depths(old)
+    shared = [
+        k
+        for k, v in new["queries"].items()
+        if v is not None and old["queries"].get(k) is not None
+    ]
+    eq, uneq = [], []
+    for k in shared:
+        raw = new["queries"][k] / old["queries"][k]
+        adj = raw / load_ratio
+        row = (k, raw, adj, d_new.get(k, 0), d_old.get(k, 0))
+        (eq if d_new.get(k) == d_old.get(k) else uneq).append(row)
+    print(
+        f"compare {os.path.basename(new_path)} (sentinel {s_new}) vs "
+        f"{os.path.basename(old_path)} (sentinel {s_old}): "
+        f"load ratio {load_ratio:.3f}, {len(shared)} shared rows, "
+        f"{len(eq)} equal-depth (plan-comparable), {len(uneq)} "
+        "depth-mismatched"
+    )
+    for label, rows in (("EQUAL-DEPTH", eq), ("DEPTH-MISMATCHED", uneq)):
+        if not rows:
+            continue
+        adj_sorted = sorted(r[2] for r in rows)
+        med = adj_sorted[len(adj_sorted) // 2]
+        print(f"\n{label}: median sentinel-normalized ratio {med:.3f}")
+        flagged = [r for r in rows if r[2] > 1.3]
+        for k, raw, adj, dn, do in sorted(flagged, key=lambda r: -r[2]):
+            note = ""
+            if label == "DEPTH-MISMATCHED":
+                if do == -1 or (do > dn and dn != -1):
+                    bias = (
+                        "old map's min is deeper (optimistically low) — "
+                        "expected to read slow here"
+                    )
+                else:
+                    bias = (
+                        "new map's min is deeper — a real regression "
+                        "would be UNDERSTATED here"
+                    )
+                dd = "unknown-deep" if do == -1 else do
+                dnn = "unknown-deep" if dn == -1 else dn
+                note = f" [depth {dnn} vs {dd}: {bias}]"
+            print(f"  {k}: raw {raw:.2f}x, adj {adj:.2f}x{note}")
+        if not flagged:
+            print("  no rows over 1.3x (sentinel-normalized)")
+    return 0
+
+
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "compare":
+        return compare(
+            sys.argv[2] if len(sys.argv) > 2 else None,
+            sys.argv[3] if len(sys.argv) > 3 else None,
+        )
     failures = []
     bad = check_artifacts_tracked()
     if bad:
