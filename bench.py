@@ -245,6 +245,8 @@ HEADLINE = [
     "x152_sliced_auc",
     "g18_proxy_variant",
     "mm09_chunk_manifest",
+    # round-9 additions
+    "mm10_media_headers",
     # st13 (trending over the live rollup) is correctness-gated, not
     # benched: like st07/st09 its wall time is the micro-batch replay +
     # per-batch dynamic-partition-overwrite commits of the upsert

@@ -48,12 +48,122 @@ def to_binary_table(documents: DataFrame) -> DataFrame:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Real image decode — STUB. Wire PIL/torchvision here in a container
-    that ships them; the surrounding Spark plumbing is already correct."""
+    """Real PIXEL decode — STUB. Wire PIL/torchvision here in a container
+    that ships them; the surrounding Spark plumbing is already correct.
+    Header METADATA (format/width/height) needs no decoder — see
+    parse_image_header below, which is real and unstubbed."""
     raise NotImplementedError(
         "media decoding libraries are not available in this container; "
         "use extract_fake_features for the deterministic test path"
     )
+
+
+def parse_image_header(payload: bytes) -> tuple[str, int, int] | None:
+    """(format, width, height) from magic bytes alone — REAL metadata
+    extraction, no decoder library required (pixel work stays gated in
+    decode_image):
+
+    - PNG: 8-byte signature, then the IHDR chunk is mandated first
+      (length + 'IHDR' + width/height as big-endian uint32).
+    - JPEG: walk the segment stream from SOI to the first frame header
+      SOFn (0xC0-0xCF excluding DHT 0xC4, JPG 0xC8, DAC 0xCC); dims are
+      big-endian uint16 after the precision byte. APP0/EXIF/comment
+      segments are skipped by their length fields, so real camera files
+      parse correctly.
+    - GIF: 'GIF87a'/'GIF89a', then the logical-screen size as
+      little-endian uint16s.
+    - BMP: 'BM', then BITMAPINFOHEADER dims as little-endian int32
+      (height may be negative for top-down rows — abs()).
+
+    Returns None for unknown magic or a truncated header."""
+    if payload is None:
+        return None
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        if len(payload) >= 24 and payload[12:16] == b"IHDR":
+            w = int.from_bytes(payload[16:20], "big")
+            h = int.from_bytes(payload[20:24], "big")
+            return ("png", w, h)
+        return None
+    if payload[:2] == b"\xff\xd8":
+        i, n = 2, len(payload)
+        while i + 3 < n:
+            if payload[i] != 0xFF:
+                return None  # desynced segment stream
+            marker = payload[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length
+                continue
+            seglen = int.from_bytes(payload[i + 2 : i + 4], "big")
+            if seglen < 2:
+                return None
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 > n:
+                    return None
+                h = int.from_bytes(payload[i + 5 : i + 7], "big")
+                w = int.from_bytes(payload[i + 7 : i + 9], "big")
+                return ("jpeg", w, h)
+            i += 2 + seglen
+        return None
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        if len(payload) >= 10:
+            w = int.from_bytes(payload[6:8], "little")
+            h = int.from_bytes(payload[8:10], "little")
+            return ("gif", w, h)
+        return None
+    if payload[:2] == b"BM" and len(payload) >= 26:
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = abs(int.from_bytes(payload[22:26], "little", signed=True))
+        return ("bmp", w, h)
+    return None
+
+
+HEADER_SCHEMA = (
+    "doc_id long, format string, width int, height int, parse_status string"
+)
+
+
+def media_headers(binary_table: DataFrame) -> DataFrame:
+    """Arrow-batched header-metadata extraction over binary payloads —
+    the first UNSTUBBED multimodal feature: real format/width/height
+    from the payload's own magic bytes (parse_image_header), in the
+    same mapInPandas plumbing the stubbed decoders use. At 100 TB this
+    is the cheap pre-pass every image pipeline runs before decode:
+    route by format, drop monster dimensions, and partition by size
+    class while reading only the first bytes of each blob."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts: list[str | None] = []
+            ws: list[int | None] = []
+            hs: list[int | None] = []
+            sts: list[str] = []
+            for p in pdf["payload"]:
+                if p is None:
+                    fmts.append(None), ws.append(None), hs.append(None)
+                    sts.append("null_payload")
+                    continue
+                parsed = parse_image_header(bytes(p))
+                if parsed is None:
+                    fmts.append(None), ws.append(None), hs.append(None)
+                    sts.append("unrecognized")
+                else:
+                    fmt, w, h = parsed
+                    fmts.append(fmt), ws.append(w), hs.append(h)
+                    sts.append("ok")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "format": fmts,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "parse_status": sts,
+                }
+            )
+
+    return binary_table.mapInPandas(run, schema=HEADER_SCHEMA)
 
 
 def _fake_feature(payload: bytes) -> list[float]:

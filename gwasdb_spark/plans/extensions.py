@@ -963,6 +963,81 @@ def mm02_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "mm10_media_headers",
+    "X-multimodal",
+    oracle="""
+    SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INT)
+                WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif'
+           END AS format,
+           CAST((doc_id * 7) % 1999 + 1 AS INT) AS width,
+           CAST((doc_id * 13) % 1499 + 1 AS INT) AS height,
+           'ok' AS parse_status
+    FROM documents
+    """,
+)
+def mm10_media_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL (unstubbed) multimodal metadata: format/width/height parsed
+    from the payload's own magic bytes — PNG IHDR (big-endian uint32
+    dims), JPEG SOF frame header reached by walking APP/comment segment
+    lengths, GIF logical-screen size (little-endian uint16) — via
+    multimodal.binary.parse_image_header inside the standard Arrow
+    mapInPandas plumbing (media_headers). No PIL/ffmpeg: header dims
+    are pure byte-slicing; only PIXEL decode stays container-gated.
+
+    The fixture corpus is built IN-PLAN: each doc gets a payload with a
+    byte-correct PNG/JPEG/GIF header (format by doc_id % 3, dims by
+    doc_id arithmetic) assembled from hex literals + the doc's text as
+    opaque body bytes — so builder (JVM hex/unhex expressions) and
+    parser (python byte-walker) are independent implementations, and
+    the oracle pins the round trip with plain arithmetic. Real-file
+    coverage (zlib-CRC PNG, EXIF-segment JPEG, truncated/garbage blobs)
+    lives in tests/test_multimodal.py."""
+    from gwasdb_spark.multimodal.binary import media_headers
+
+    d = table(spark, sf_dir, "documents")
+    w = (F.col("doc_id") * 7) % 1999 + 1
+    h = (F.col("doc_id") * 13) % 1499 + 1
+    w8 = F.lpad(F.hex(w), 8, "0")  # PNG: big-endian uint32
+    h8 = F.lpad(F.hex(h), 8, "0")
+    w4 = F.lpad(F.hex(w), 4, "0")  # JPEG: big-endian uint16
+    h4 = F.lpad(F.hex(h), 4, "0")
+    # GIF wants little-endian uint16: swap the BE hex byte pairs
+    w_le = F.concat(F.substring(w4, 3, 2), F.substring(w4, 1, 2))
+    h_le = F.concat(F.substring(h4, 3, 2), F.substring(h4, 1, 2))
+    body = F.hex(F.encode(F.col("text"), "UTF-8"))
+    png = F.concat(
+        F.lit("89504E470D0A1A0A"),  # signature
+        F.lit("0000000D49484452"),  # IHDR length 13 + type
+        w8, h8,
+        F.lit("0806000000"),  # bit depth 8, RGBA, std methods
+        F.lit("00000000"),  # CRC placeholder (not validated by header parse)
+        body,
+    )
+    jpeg = F.concat(
+        F.lit("FFD8"),  # SOI
+        F.lit("FFE000104A46494600010100004800480000"),  # APP0/JFIF, len 16
+        F.lit("FFC00011" "08"), h4, w4,  # SOF0, len 17, 8-bit precision
+        F.lit("03011100021101031101"),  # 3 components
+        body,
+        F.lit("FFD9"),  # EOI
+    )
+    gif = F.concat(
+        F.lit("474946383961"),  # GIF89a
+        w_le, h_le,
+        F.lit("F70000"),  # packed fields / background / aspect
+        body,
+    )
+    payload = F.unhex(
+        F.when(F.col("doc_id") % 3 == 0, png)
+        .when(F.col("doc_id") % 3 == 1, jpeg)
+        .otherwise(gif)
+    )
+    bt = d.select("doc_id", payload.alias("payload"))
+    return media_headers(bt)
+
+
 # ---------------------------------------------------------------------------
 # Semi-structured (JSON) and iterative graph extensions
 # ---------------------------------------------------------------------------

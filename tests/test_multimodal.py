@@ -73,3 +73,99 @@ def test_null_payload_hardening(spark):
     # null payloads yield no frames; empty payloads yield no frames
     assert sample_frames(bt).filter("doc_id != 2").count() == 0
     assert sample_frames(bt).filter("doc_id = 2").count() == 1
+
+
+def _real_png(width: int, height: int) -> bytes:
+    """A fully VALID minimal PNG (correct CRCs, zlib IDAT) built from the
+    stdlib alone — what an actual file on disk looks like."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = b"".join(b"\x00" + b"\x10\x20\x30" * width for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _real_jpeg(width: int, height: int, progressive: bool = False) -> bytes:
+    """A structurally real JPEG header stream: SOI, APP0/JFIF, a fat APP1
+    (EXIF-shaped) segment the walker must skip by length, a comment, then
+    SOF0 or SOF2 with the dims, and EOI."""
+    import struct
+
+    def seg(marker: int, data: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(data) + 2) + data
+
+    sof = 0xC2 if progressive else 0xC0
+    return (
+        b"\xff\xd8"
+        + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00H\x00H\x00\x00")
+        + seg(0xE1, b"Exif\x00\x00" + b"\xffZ" * 200)  # 0xFF bytes inside
+        + seg(0xFE, b"a comment")
+        + seg(
+            sof,
+            struct.pack(">BHHB", 8, height, width, 3)
+            + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01",
+        )
+        + b"\xff\xd9"
+    )
+
+
+def test_parse_image_header_real_files():
+    from gwasdb_spark.multimodal.binary import parse_image_header
+
+    assert parse_image_header(_real_png(640, 480)) == ("png", 640, 480)
+    assert parse_image_header(_real_jpeg(1024, 768)) == ("jpeg", 1024, 768)
+    # progressive JPEG (SOF2) and EXIF segments full of 0xFF bytes
+    assert parse_image_header(_real_jpeg(31, 17, progressive=True)) == (
+        "jpeg",
+        31,
+        17,
+    )
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little")
+    assert parse_image_header(gif + b"\xf7\x00\x00rest") == ("gif", 320, 200)
+    bmp = (
+        b"BM" + b"\x00" * 16
+        + (800).to_bytes(4, "little")
+        + (-600).to_bytes(4, "little", signed=True)  # top-down rows
+    )
+    assert parse_image_header(bmp) == ("bmp", 800, 600)
+    # truncated / garbage / empty
+    assert parse_image_header(_real_png(9, 9)[:20]) is None
+    assert parse_image_header(b"\xff\xd8\xff") is None  # JPEG cut mid-marker
+    assert parse_image_header(b"not an image at all") is None
+    assert parse_image_header(b"") is None
+    assert parse_image_header(None) is None
+
+
+def test_media_headers_stage_on_real_files(spark):
+    from gwasdb_spark.multimodal.binary import media_headers
+
+    rows = [
+        (1, _real_png(12, 34)),
+        (2, _real_jpeg(56, 78)),
+        (3, b"garbage bytes"),
+        (4, None),
+    ]
+    bt = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in media_headers(bt).collect()}
+    assert (got[1].format, got[1].width, got[1].height, got[1].parse_status) == (
+        "png", 12, 34, "ok"
+    )
+    assert (got[2].format, got[2].width, got[2].height, got[2].parse_status) == (
+        "jpeg", 56, 78, "ok"
+    )
+    assert (got[3].format, got[3].parse_status) == (None, "unrecognized")
+    assert (got[4].format, got[4].parse_status) == (None, "null_payload")
