@@ -247,6 +247,7 @@ HEADLINE = [
     "mm09_chunk_manifest",
     # round-9 additions
     "mm10_media_headers",
+    "x153_ann_index_upsert",
     # st13 (trending over the live rollup) is correctness-gated, not
     # benched: like st07/st09 its wall time is the micro-batch replay +
     # per-batch dynamic-partition-overwrite commits of the upsert

@@ -348,9 +348,16 @@ def x140_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bpe_learn_loop(spark: SparkSession, sf_dir: str) -> list[tuple]:
     """The distributed learn loop itself (see x140_bpe_learn)."""
-    d = table(spark, sf_dir, "documents")
-    vocab = (
-        d.select(
+    return _bpe_merge_iterations(
+        _bpe_word_vocab(table(spark, sf_dir, "documents"))
+    )
+
+
+def _bpe_word_vocab(documents: DataFrame) -> DataFrame:
+    """THE one corpus scan: (symbol-array, freq) word-frequency table.
+    Everything after this touches only the |vocab|-row relation."""
+    return (
+        documents.select(
             F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
         )
         .filter(F.col("w") != "")
@@ -371,8 +378,14 @@ def _bpe_learn_loop(spark: SparkSession, sf_dir: str) -> list[tuple]:
         .localCheckpoint(eager=True)
     )
 
+
+def _bpe_merge_iterations(vocab: DataFrame, n_merges: int = 20) -> list[tuple]:
+    """The per-iteration loop over the vocab relation — its cost is
+    bounded by |vocab|, NOT corpus size (the property the stress gate
+    `scripts/stress_scale.py bpe` asserts by 10x-ing the corpus under a
+    fixed vocabulary and requiring flat iteration wall time)."""
     merges = []
-    for rank in range(1, 21):
+    for rank in range(1, n_merges + 1):
         pair_counts = (
             vocab.select(
                 "freq",

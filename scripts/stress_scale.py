@@ -904,6 +904,236 @@ def stress_join_skew(spark) -> dict:
     }
 
 
+# ---------------------------------------------------------------------------
+# Stress 13 — BPE learn at scale: iteration cost must be VOCAB-bounded.
+#
+# x140's docstring claims the 100 TB property: ONE corpus scan builds the
+# word-frequency table, and every merge iteration after that touches only
+# the |vocab|-row relation — so 10x-ing the corpus under a FIXED
+# vocabulary may 10x the scan but must leave the 20-iteration loop flat.
+# Gate: (a) the learned merges at scale 1 equal an independent python
+# trainer run on the ANALYTIC word-frequency table (exact, all 20 rows);
+# (b) scale-10 merges equal scale-1 merges with pair_freq x10 (scaling
+# every frequency by 10 preserves every argmax and tie); (c) loop wall
+# time ratio (10x corpus / 1x corpus) <= 1.6.
+# ---------------------------------------------------------------------------
+def stress_bpe(spark) -> dict:
+    from gwasdb_spark.plans.mining_ops import (
+        _bpe_merge_iterations,
+        _bpe_word_vocab,
+    )
+
+    V = 6000
+
+    def word(i: int) -> str:
+        digits, x = [], i + 7**4  # 5 base-7 digits -> 5-char words
+        while x:
+            digits.append("abcdefg"[x % 7])
+            x //= 7
+        return "".join(reversed(digits))
+
+    words = [word(i) for i in range(V)]
+    assert len(set(words)) == V
+
+    def python_bpe_from_freqs(freqs: dict[str, int], k: int = 20):
+        syms = {w: tuple(list(w) + ["</w>"]) for w in freqs}
+        merges = []
+        for rank in range(1, k + 1):
+            pc: dict[tuple[str, str], int] = {}
+            for w, f in freqs.items():
+                s = syms[w]
+                for a, b in zip(s, s[1:]):
+                    pc[(a, b)] = pc.get((a, b), 0) + f
+            if not pc:
+                break
+            (left, right), freq = min(
+                pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            merges.append((rank, left, right, left + right, freq))
+            for w, s in syms.items():
+                out, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                syms[w] = tuple(out)
+        return merges
+
+    def corpus(scale: int):
+        # word i appears scale * (1 + 50000 // (i + 1)) times (Zipf-ish;
+        # ~0.44M words at scale 1, ~4.4M at scale 10), emitted in <=5000-
+        # copy text chunks so the scan parallelizes
+        base = spark.createDataFrame(
+            [(w, scale * (1 + 50000 // (i + 1))) for i, w in enumerate(words)],
+            "word string, freq long",
+        )
+        return (
+            base.select(
+                "word",
+                "freq",
+                F.explode(
+                    F.sequence(
+                        F.lit(1), ((F.col("freq") - 1) / 5000 + 1).cast("int")
+                    )
+                ).alias("chunk"),
+            )
+            .select(
+                F.expr(
+                    "repeat(concat(word, ' '), "
+                    "least(5000L, freq - (chunk - 1) * 5000L))"
+                ).alias("text")
+            )
+            .repartition(32)
+        )
+
+    results = {}
+    for scale in (1, 10):
+        t0 = time.perf_counter()
+        vocab = _bpe_word_vocab(corpus(scale))  # eager: the corpus scan
+        t_scan = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        merges = _bpe_merge_iterations(vocab)
+        t_loop = time.perf_counter() - t0
+        results[scale] = {
+            "scan_sec": round(t_scan, 3),
+            "loop_sec": round(t_loop, 3),
+            "merges": merges,
+        }
+
+    expect = python_bpe_from_freqs(
+        {w: (1 + 50000 // (i + 1)) for i, w in enumerate(words)}
+    )
+    exact_1x = results[1]["merges"] == expect
+    scaled_ok = results[10]["merges"] == [
+        (r, l, rt, m, f * 10) for r, l, rt, m, f in results[1]["merges"]
+    ]
+    loop_ratio = round(
+        results[10]["loop_sec"] / results[1]["loop_sec"], 3
+    )
+    return {
+        "stress": "bpe_learn_5M_words",
+        "vocab_words": V,
+        "scan_sec_1x": results[1]["scan_sec"],
+        "scan_sec_10x": results[10]["scan_sec"],
+        "loop_sec_1x": results[1]["loop_sec"],
+        "loop_sec_10x": results[10]["loop_sec"],
+        "loop_ratio_10x": loop_ratio,
+        "merges_exact_vs_python": exact_1x,
+        "merges_scale_invariant": scaled_ok,
+        "ok": exact_1x and scaled_ok and loop_ratio <= 1.6,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Stress 14 — incremental ANN cell-index maintenance at 200k vectors.
+#
+# The x62 LSM discipline applied to IVF cells (r8 verdict #7): an update
+# batch must be absorbed by rewriting ONLY the touched cell partitions,
+# bit-equal to a full rebuild, with every untouched cell's files
+# byte-stable on disk (mtime-checked) — at 100 TB nobody rebuilds the
+# index per ingest batch, and "almost equal" is index corruption. The
+# batch is CELL-CLUSTERED (all current residents of 2 of the 64 cells
+# get replacements landing in one new cell, plus additions into a 4th)
+# — the realistic ingest shape (a crawl slice is topically similar), and
+# the shape where incremental maintenance pays: a batch spread uniformly
+# over every cell touches every partition no matter how it is applied.
+# ---------------------------------------------------------------------------
+def stress_ann_upsert(spark) -> dict:
+    import glob as _glob
+
+    from gwasdb_spark.operators.ann_index import (
+        build_cell_index,
+        read_cell_index,
+        upsert_cell_index,
+    )
+
+    n, dim = 200_000, 64
+    vecs = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: (
+                F.sin(F.col("id") * 0.7 + d.cast("double") * 1.3)
+                + F.cos(F.col("id") * 0.013 * (d.cast("double") + 1.0))
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    base = os.path.join(TMP, "gwasdb_stress_annupsert")
+    t0 = time.perf_counter()
+    build_cell_index(vecs, base)
+    t_build = time.perf_counter() - t0
+
+    mtimes = {
+        p: os.path.getmtime(p)
+        for p in _glob.glob(os.path.join(base, "index", "cell=*", "*.parquet"))
+    }
+
+    # replacements: every resident of cells 1-2 moves to cell 3 (new
+    # embedding peaks at dim index 2); additions land in cell 4
+    residents = read_cell_index(spark, base).filter(
+        F.col("cell").isin([1, 2])
+    )
+    peak_at = lambda i: F.transform(  # noqa: E731
+        F.col("embedding"),
+        lambda x, j: F.when(j == i, F.abs(x) + 10.0)
+        .otherwise(x)
+        .cast("float"),
+    )
+    batch = (
+        residents.select("vec_id", peak_at(2).alias("embedding"))
+        .unionByName(
+            vecs.filter(F.col("vec_id") < 500).select(
+                (F.col("vec_id") + 10_000_000).alias("vec_id"),
+                peak_at(3).alias("embedding"),
+            )
+        )
+        .localCheckpoint(eager=True)  # pin: derives from the index it updates
+    )
+    t0 = time.perf_counter()
+    info = upsert_cell_index(spark, base, batch)
+    t_upsert = time.perf_counter() - t0
+
+    # untouched-cell files must be byte-stable
+    touched_dirs = {
+        os.path.join(base, "index", f"cell={c}")
+        for c in info["touched_cells"]
+    }
+    stale = [
+        p
+        for p, m in mtimes.items()
+        if os.path.dirname(p) not in touched_dirs
+        and (not os.path.exists(p) or os.path.getmtime(p) != m)
+    ]
+
+    # bit-equality vs full rebuild of the logically-updated corpus
+    logical = vecs.join(
+        batch.select("vec_id"), "vec_id", "left_anti"
+    ).unionByName(batch)
+    rebuilt = os.path.join(TMP, "gwasdb_stress_annupsert_rebuild")
+    build_cell_index(logical, rebuilt)
+    a, b = read_cell_index(spark, base), read_cell_index(spark, rebuilt)
+    diff = a.exceptAll(b).count() + b.exceptAll(a).count()
+    return {
+        "stress": "ann_upsert_200k",
+        "n_vectors": n,
+        "n_updates": info["n_updates"],
+        "touched_cells": len(info["touched_cells"]),
+        "build_sec": round(t_build, 3),
+        "upsert_sec": round(t_upsert, 3),
+        "untouched_files_rewritten": len(stale),
+        "diff_rows_vs_rebuild": diff,
+        "ok": (
+            diff == 0
+            and not stale
+            and len(info["touched_cells"]) <= 4
+            and t_upsert < t_build
+        ),
+    }
+
+
 STRESSES = {
     "stream": stress_stream,
     "bm25": stress_bm25,
@@ -917,6 +1147,8 @@ STRESSES = {
     "ring": stress_ring,
     "skyline": stress_skyline,
     "joinskew": stress_join_skew,
+    "bpe": stress_bpe,
+    "annupsert": stress_ann_upsert,
 }
 
 

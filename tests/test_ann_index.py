@@ -1,0 +1,167 @@
+"""Incremental cell-index maintenance contracts (operators/ann_index):
+upsert ≡ full rebuild bit-for-bit, untouched cell partitions stay
+byte-stable on disk (never rewritten), and the upsert is idempotent."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gwasdb_spark.operators.ann_index import (
+    axis_cell,
+    build_cell_index,
+    read_cell_index,
+    upsert_cell_index,
+)
+
+
+def _corpus(spark, n=400, dim=8, seed=7):
+    rng = np.random.default_rng(seed)
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(dim)]) for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _snapshot(df):
+    return sorted(
+        (r["vec_id"], r["cell"], tuple(r["embedding"]))
+        for r in df.collect()
+    )
+
+
+def _file_mtimes(base):
+    return {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(base, "index", "cell=*", "*.parquet"))
+    }
+
+
+def test_upsert_equals_full_rebuild(spark, tmp_path):
+    vecs = _corpus(spark)
+    base = str(tmp_path / "idx")
+    build_cell_index(vecs, base)
+
+    rng = np.random.default_rng(11)
+    batch_rows = [
+        # replacements (ids 0..49 get new embeddings — many change cell)
+        *[(i, [float(x) for x in rng.standard_normal(8)]) for i in range(50)],
+        # additions
+        *[
+            (1000 + i, [float(x) for x in rng.standard_normal(8)])
+            for i in range(10)
+        ],
+    ]
+    batch = spark.createDataFrame(
+        batch_rows, "vec_id long, embedding array<float>"
+    )
+    info = upsert_cell_index(spark, base, batch)
+    assert info["n_updates"] == 60
+
+    # full rebuild over the logically-updated corpus
+    logical = vecs.join(
+        batch.select("vec_id"), "vec_id", "left_anti"
+    ).unionByName(batch)
+    rebuilt = str(tmp_path / "rebuilt")
+    build_cell_index(logical, rebuilt)
+    assert _snapshot(read_cell_index(spark, base)) == _snapshot(
+        read_cell_index(spark, rebuilt)
+    )
+    # manifest agrees with the index
+    man = _snapshot(
+        spark.read.parquet(os.path.join(base, "manifest")).withColumn(
+            "embedding", F.array().cast("array<float>")
+        )
+    )
+    idx = _snapshot(
+        read_cell_index(spark, base).withColumn(
+            "embedding", F.array().cast("array<float>")
+        )
+    )
+    assert man == idx
+
+
+def test_upsert_leaves_untouched_cells_bytestable(spark, tmp_path):
+    vecs = _corpus(spark, n=500)
+    base = str(tmp_path / "idx")
+    build_cell_index(vecs, base)
+    before = _file_mtimes(base)
+
+    # a one-vector batch touches at most 2 cells (its old + new one)
+    new_emb = [9.0] + [0.0] * 7  # forces cell 1
+    batch = spark.createDataFrame(
+        [(3, new_emb)], "vec_id long, embedding array<float>"
+    )
+    info = upsert_cell_index(spark, base, batch)
+    assert len(info["touched_cells"]) <= 2
+
+    after = _file_mtimes(base)
+    touched_dirs = {
+        os.path.join(base, "index", f"cell={c}")
+        for c in info["touched_cells"]
+    }
+    for path, mtime in before.items():
+        if os.path.dirname(path) in touched_dirs:
+            continue
+        assert path in after and after[path] == mtime, (
+            f"untouched cell file rewritten: {path}"
+        )
+
+
+def test_upsert_is_idempotent(spark, tmp_path):
+    vecs = _corpus(spark, n=200)
+    base = str(tmp_path / "idx")
+    build_cell_index(vecs, base)
+    batch = spark.createDataFrame(
+        [(7, [1.0] * 8), (201, [0.5] * 8)], "vec_id long, embedding array<float>"
+    )
+    upsert_cell_index(spark, base, batch)
+    snap1 = _snapshot(read_cell_index(spark, base))
+    upsert_cell_index(spark, base, batch)  # replayed batch
+    assert _snapshot(read_cell_index(spark, base)) == snap1
+
+
+def test_axis_cell_matches_numpy(spark):
+    vecs = _corpus(spark, n=100, seed=3)
+    got = {
+        r["vec_id"]: r["c"]
+        for r in vecs.select(
+            "vec_id", axis_cell(F.col("embedding")).alias("c")
+        ).collect()
+    }
+    for r in vecs.collect():
+        assert got[r["vec_id"]] == int(np.argmax(r["embedding"])) + 1
+
+
+def test_upsert_clears_emptied_cells(spark, tmp_path):
+    """Dynamic partition overwrite writes nothing for a cell whose rows
+    were ALL moved elsewhere — the upsert must still clear its stale
+    files, or deleted rows resurrect on the next read."""
+    from gwasdb_spark.operators.ann_index import read_cell_index
+
+    rows = [
+        (1, [9.0, 0.0, 0.0, 0.0]),  # cell 1
+        (2, [8.0, 1.0, 0.0, 0.0]),  # cell 1
+        (3, [0.0, 9.0, 0.0, 0.0]),  # cell 2
+    ]
+    base = str(tmp_path / "idx")
+    build_cell_index(
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
+        base,
+    )
+    # move BOTH cell-1 residents to cell 4: cell 1 ends up empty
+    batch = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0, 9.0]), (2, [0.0, 0.0, 1.0, 8.0])],
+        "vec_id long, embedding array<float>",
+    )
+    upsert_cell_index(spark, base, batch)
+    got = {
+        r["vec_id"]: r["cell"] for r in read_cell_index(spark, base).collect()
+    }
+    assert got == {1: 4, 2: 4, 3: 2}
+    assert not os.path.isdir(os.path.join(base, "index", "cell=1"))
+    assert not os.path.isdir(os.path.join(base, "manifest", "cell=1"))
