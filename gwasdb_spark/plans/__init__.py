@@ -24,77 +24,24 @@ from gwasdb_spark.plans import mining_ops as _mining_ops  # noqa: F401
 # Registration-order priority.
 #
 # The driver's correctness gate records the FIRST 50 registered queries per
-# round. Round-8 window (r7 verdict #1/#4): the 7 queries registered after
-# the r7 window was cut take the first seats (first adjudication beats any
-# re-attestation; all 7 judge-pre-verified hash-green at sf0.01 in r7),
-# any NEW round-8 registrations come next, then the 19 rows whose only
-# driver adjudication is r01, then the oldest r02 rows — ordered so the
-# ones sitting on since-rewritten code paths (shared shingle exchange,
-# _rank_topk per-task heaps, vectorized ANN kernels, the c041e29
-# contamination gram-join) re-attest first. The 8 r02 rows that miss the
-# window (c01, mm01, mm03, mm04, q02s, q04, q06, sk01) head round 9.
-# File order within modules is unchanged; only the registry's iteration
-# order is rebuilt here.
+# round. Round-9 window (r8 verdict #1): new round-9 registrations first
+# (their only chance at a first adjudication), then the 23 r02-latest rows
+# the verdict named (the r8 window's tail + c01/mm01/mm03/mm04/q02s/q04/
+# q06/sk01) — after those, no registered query's newest driver row predates
+# r03 — then r03-latest backfills fill the remaining seats, bench headliners
+# and rewritten code paths first. File order within modules is unchanged;
+# only the registry's iteration order is rebuilt here.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    # 7 registered in r7 after its window was cut — never adjudicated
-    "x134_good_turing",
-    "x136_ann_cell_serve",
-    "st16_stream_contamination",
-    "e09_markov_stationary",
-    "x137_conformal_coverage",
-    "e10_ushape_attribution",
-    "x138_length_controlled_quality",
-    # 15 new round-8 registrations (first adjudication beats any
-    # backfill re-attestation) — with the 7 above and the 19 r01 rows
-    # they fill 41 of the 50 seats, so only the first 9 r02 backfills
-    # make this window; the remaining r02 rows (x12b onward) head
-    # round 9 alongside c01/mm01/mm03/mm04/q02s/q04/q06/sk01
-    "e11_top_paths",
-    "x139_rouge_overlap",
-    "w11_rolling_median",
-    "x140_bpe_learn",
-    "x141_pca_top_component",
-    "g17_manhattan_bins",
-    "e12_cohort_ltv",
-    "x150_bpe_apply",
-    "x151_winnowing_fingerprints",
-    "e13_dau_stickiness",
-    "w12_yoy_revenue",
-    "st17_stream_dau",
-    "x152_sliced_auc",
-    "g18_proxy_variant",
-    "mm09_chunk_manifest",
-    # 19 rows whose only driver row is r01
-    "s02_schema_only_head0",
-    "p02_projection_rename",
-    "p03_drop_cols",
-    "p05_filter_eq",
-    "p07_filter_date_range",
-    "p12_semi_in_subquery",
-    "o02_multikey_sort",
-    "u01_union_all",
-    "f01_id_parse_regex",
-    "f02_maf_genotype",
-    "f03_pad_concat",
-    "f04_date_parts",
-    "f05_clean_names",
-    "g01_count_reconciliation",
-    "g02_chr_distribution",
-    "g03_fk_orphan_audit",
-    "q01_pricing_summary",
-    "q03_shipping_priority",
-    "q05_local_supplier_volume",
-    # 24 oldest (r02-latest) rows, rewritten code paths first
-    "x01_dedup_exact",
-    "x02_ngram_jaccard_pairs",
-    "x03_minhash_lsh_pairs",
-    "x04_simhash_pairs",
-    "x05_ann_cosine_topk",
-    "x05c_ann_topk_vectorized",
-    "x09_embedding_stats",
-    "x10_embedding_neardup",
-    "x12b_bm25_and",
+    # --- round-9 window (seated per the r8 verdict #1) ---
+    # New round-9 registrations (first adjudication beats any backfill
+    # re-attestation); later round-9 additions are inserted here and
+    # displace the trailing r03 backfills.
+    "mm10_media_headers",
+    "x153_ann_index_upsert",
+    # The 15 r02-latest rows that missed the r8 cut (the r8 window's
+    # own tail, several on rewritten paths: _rank_topk BM25 family, the
+    # c041e29 contamination gram-join, x06-x08 scan projections)
     "x12c_bm25_phrase",
     "x12d_bm25_boosted",
     "x12e_bm25_multiphrase",
@@ -110,6 +57,44 @@ _PRIORITY = [
     "x16_hash_split",
     "x18_quota_per_lang",
     "st05_stream_dedup",
+    # The 8 r02-latest rows the verdict named alongside them — after
+    # these 23, no registered query's newest driver row predates r03
+    "c01_corpus_clean",
+    "mm01_binary_meta",
+    "mm03_resize_thumbs",
+    "mm04_frame_sample",
+    "q02s_min_cost_supplier",
+    "q04_order_priority",
+    "q06_forecast_revenue",
+    "sk01_salted_join",
+    # r03-latest backfills fill the remaining seats: bench headliners
+    # and rewritten paths first (a04 sparse-pivot, e01/mm02 projection
+    # work, the streaming family, the asof composition)
+    "a04_pivot_wide",
+    "e01_json_props",
+    "mm02_fake_features",
+    "p09_regex_filter",
+    "p10_regex_negate",
+    "q07_nation_volume",
+    "q09_product_profit",
+    "q18_large_orders",
+    "st01_hourly_rollup",
+    "st02_sessionize",
+    "st03_stream_hourly_rollup",
+    "st04_stream_sessionize_stateful",
+    "st06_stream_stream_join",
+    "st07_stream_left_outer_join",
+    "st08_stream_sliding_rate",
+    "st09_incremental_rollup_serve",
+    "u02_intersect",
+    "u03_except",
+    "w04_lag_delta",
+    "w05_ntile_rank",
+    "x05g_filtered_topk",
+    "x12f_bm25_proximity",
+    "x13_sketch_aggregates",
+    "x14_asof_join",
+    "x14b_asof_forward",
 ]
 
 _rest = [n for n in QUERIES if n not in _PRIORITY]
