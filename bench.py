@@ -248,6 +248,13 @@ HEADLINE = [
     # round-9 additions
     "mm10_media_headers",
     "x153_ann_index_upsert",
+    "x154_rag_chunking",
+    "x155_temporal_holdout",
+    "e14_new_vs_returning",
+    "e15_variant_json_props",
+    # st18 (streaming ANN ingest) is correctness-gated, not benched:
+    # bounded-replay wall time is micro-batch commit overhead (the
+    # st07/st08/st13 rationale), and its stage makes re-runs no-ops.
     # st13 (trending over the live rollup) is correctness-gated, not
     # benched: like st07/st09 its wall time is the micro-batch replay +
     # per-batch dynamic-partition-overwrite commits of the upsert

@@ -1383,3 +1383,364 @@ def mm09_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length(sl) / 2).cast("long").alias("n_bytes"),
         F.md5(sl).alias("digest"),
     )
+
+
+@query(
+    "x155_temporal_holdout",
+    "X-curation,X-eval",
+    oracle="""
+    WITH r AS (
+      SELECT event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ),
+    s AS (
+      SELECT event_type,
+             CASE WHEN rn = 1 THEN 'val' ELSE 'train' END AS split
+      FROM r
+    )
+    SELECT event_type, split, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY 1, 2
+    """,
+)
+def x155_temporal_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe TEMPORAL holdout split — x99 hashes by SOURCE to
+    stop near-dup leakage across splits; this is the orthogonal split a
+    sequence model needs: each user's LAST event (by event time,
+    event_id tiebreak) is the validation target and everything before
+    it is training history, so the model never trains on anything that
+    happened after a user's own eval point. One per-user ordered window
+    (key-partitioned, never global), then a count aggregate — shuffles
+    carry (type, split, long). Reported per event type so class balance
+    of the heldout slice is visible next to the train mass."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.select(
+            "event_type",
+            F.when(F.row_number().over(w) == 1, F.lit("val"))
+            .otherwise(F.lit("train"))
+            .alias("split"),
+        )
+        .groupBy("event_type", "split")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+
+
+@query(
+    "e14_new_vs_returning",
+    "X-events,X-analytics",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    fd AS (SELECT user_id, MIN(day) AS first_day FROM ud GROUP BY 1)
+    SELECT strftime(ud.day, '%Y-%m-%d') AS day,
+           CAST(SUM(CASE WHEN ud.day = fd.first_day THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_new,
+           CAST(SUM(CASE WHEN ud.day > fd.first_day THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_returning,
+           ROUND(SUM(CASE WHEN ud.day = fd.first_day THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 9) AS new_ratio
+    FROM ud JOIN fd USING (user_id)
+    GROUP BY ud.day
+    """,
+)
+def e14_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users split into NEW (first-ever active day) vs
+    RETURNING — the acquisition-vs-retention decomposition every growth
+    dashboard pairs with e13's DAU. Shape: the (user, day) distinct
+    relation is built once (far smaller than events), each user's
+    first day is a per-user min aggregate, and the day-grain counts
+    come from one equi-join — no per-day rescans, no window over an
+    unbounded set; shuffles carry (long, date) pairs."""
+    e = table(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    ud = ud.localCheckpoint(eager=False)  # feeds fd AND the join
+    fd = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    is_new = (F.col("day") == F.col("first_day")).cast("long")
+    return (
+        ud.join(fd, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum(is_new).cast("long").alias("n_new"),
+            F.sum(1 - is_new).cast("long").alias("n_returning"),
+            F.round(
+                F.sum(is_new).cast("double") / F.count(F.lit(1)), 9
+            ).alias("new_ratio"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_new",
+            "n_returning",
+            "new_ratio",
+        )
+    )
+
+
+@query(
+    "e15_variant_json_props",
+    "X-events,X-text",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT))
+             AS BIGINT) AS n_with_k,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT))
+             AS BIGINT) AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+             AS BIGINT) AS max_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+             AS BIGINT) AS sum_k
+    FROM events GROUP BY event_type
+    """,
+)
+def e15_variant_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VARIANT path through the e01 semantics: props parse ONCE to
+    Spark 4's binary Variant type (`parse_json`) and fields extract with
+    `try_variant_get` — at 100 TB this is the shape that matters,
+    because Variant columns store shredded binary (parse cost paid at
+    ingest, not per query, and field access prunes like a column) where
+    e01's get_json_object re-parses the JSON string in every expression
+    that touches it. Same aggregate contract as e01 so the two paths
+    are directly comparable in the bench; try_variant_get returns NULL
+    on missing/mistyped fields exactly like the oracle's CAST of a
+    missing extract."""
+    e = table(spark, sf_dir, "events")
+    v = e.select(
+        "event_type", F.parse_json(F.col("props")).alias("v")
+    )
+    k = F.try_variant_get(F.col("v"), "$.k", "bigint")
+    return (
+        v.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").cast("long").alias("n_with_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+        )
+    )
+
+
+@query(
+    "x154_rag_chunking",
+    "X-text,X-serve",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(trim(text), '\\S+') AS w
+      FROM documents
+    ),
+    n AS (SELECT doc_id, w, len(w) AS nw FROM t WHERE len(w) > 0),
+    c AS (
+      SELECT doc_id, w, nw,
+             unnest(range(0, CASE WHEN nw <= 50 THEN 1
+                                  ELSE (nw - 11) // 40 + 1 END)) AS k
+      FROM n
+    )
+    SELECT doc_id, CAST(k AS INT) AS chunk_idx,
+           CAST(k * 40 + 1 AS BIGINT) AS start_word,
+           CAST(len(w[CAST(k*40+1 AS INT) : CAST(k*40+50 AS INT)])
+             AS BIGINT) AS n_chunk_words,
+           md5(array_to_string(
+             w[CAST(k*40+1 AS INT) : CAST(k*40+50 AS INT)], ' ')) AS digest
+    FROM c
+    """,
+)
+def x154_rag_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping retrieval chunks — the unit every RAG/embedding
+    pipeline actually indexes: 50-word windows at stride 40 (10-word
+    overlap so no answer span is ever split across a chunk boundary
+    without a copy that contains it whole). The chunk COUNT is closed
+    form — 1 for short docs, else (n_words - 11) // 40 + 1, integer
+    arithmetic identical in both engines — so chunking is an in-row
+    sequence + slice + hash: zero shuffle, zero UDF, and the output
+    rows carry (offsets, lengths, digest), not the text, so a 100 TB
+    corpus emits a manifest, not a second corpus. The tokens
+    materialize behind a localCheckpoint boundary before the per-chunk
+    slices (the x151 CollapseProject lesson: k consumers of an in-row
+    deterministic array re-evaluate its construction k times without
+    one)."""
+    d = table(spark, sf_dir, "documents")
+    size, stride = 50, 40
+    t0 = d.select(
+        "doc_id",
+        F.filter(
+            F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != F.lit("")
+        ).alias("w"),
+    ).filter(F.size("w") > 0)
+    t0 = t0.localCheckpoint(eager=False)
+    n_chunks = F.when(F.size("w") <= size, F.lit(1)).otherwise(
+        ((F.size("w") - 11) / stride).cast("long") + 1
+    )
+    ex = t0.select(
+        "doc_id",
+        "w",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("k"),
+    )
+    sl = F.slice(F.col("w"), (F.col("k") * stride + 1).cast("int"), size)
+    return ex.select(
+        "doc_id",
+        F.col("k").cast("int").alias("chunk_idx"),
+        (F.col("k") * stride + 1).cast("long").alias("start_word"),
+        F.size(sl).cast("long").alias("n_chunk_words"),
+        F.md5(F.concat_ws(" ", sl).cast("binary")).alias("digest"),
+    )
+
+
+@query(
+    "st18_stream_ann_ingest",
+    "X-streaming,X-sim",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id,
+             CASE WHEN vec_id % 10 = 0 THEN list_reverse(embedding)
+                  ELSE embedding END AS e
+      FROM embeddings
+    ),
+    cells AS (
+      SELECT vec_id, e,
+             CAST(list_position(e, list_max(e)) AS INT) AS cell
+      FROM v
+    ),
+    q AS (SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id < 5),
+    dims AS (SELECT CAST(d AS INT) AS cell FROM range(1, 65) t(d)),
+    probes AS (
+      SELECT query_id, cell FROM (
+        SELECT q.query_id, dims.cell,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                 ORDER BY CAST(qv[dims.cell] AS DOUBLE) DESC, dims.cell)
+                 AS dim_rank
+        FROM q CROSS JOIN dims
+      ) WHERE dim_rank <= 4
+    ),
+    cand AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id, q.qv, c.e AS cv
+      FROM probes p
+      JOIN cells c ON c.cell = p.cell
+      JOIN q ON q.query_id = p.query_id
+      WHERE c.vec_id <> p.query_id
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(range(1, 65),
+                  i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(range(1, 65),
+                    i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))))
+               AS cos_raw
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+           ROUND(cos_raw, 6) AS cosine
+    FROM (
+      SELECT query_id, neighbor_id, cos_raw,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_raw DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def st18_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE maintenance of the persisted ANN index — x153's upsert path
+    driven by a STREAM: vector updates (every 10th vector re-embedded,
+    its array reversed) arrive as a parquet file stream one file per
+    micro-batch, and each batch is absorbed by
+    `operators/ann_index.upsert_cell_index` inside foreachBatch — the
+    touched-cells-only rewrite, so ingest cost tracks batch size, never
+    index size. Replay-safe the way st16's ledger is: the upsert is
+    idempotent per batch (replacing a row with the same value is a
+    no-op) and arrival batches are disjoint by vec_id, so at-least-once
+    redelivery in any order converges to the same index. After the
+    AvailableNow replay drains, the query serves x136's probe path
+    against the LIVE index and the oracle recomputes the same top-k
+    over the logically-updated corpus — streaming ingest ≡ batch
+    rebuild, hash-checked."""
+    import hashlib as _hl
+
+    from gwasdb_spark.functions.vectors import cosine
+    from gwasdb_spark.operators.ann_index import (
+        build_cell_index,
+        read_cell_index,
+        upsert_cell_index,
+    )
+
+    import numpy as np
+
+    e = table(spark, sf_dir, "embeddings")
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:12]
+    base = stage_dir(f"stream_ann_{tag}")
+    src = os.path.join(base, "arrivals")
+    idx = os.path.join(base, "index")
+
+    if not os.path.isdir(os.path.join(idx, "index")):
+        build_cell_index(e.select("vec_id", "embedding"), idx)
+    if not os.path.isdir(src):
+        (
+            e.filter(F.col("vec_id") % 10 == 0)
+            .select("vec_id", F.reverse(F.col("embedding")).alias("embedding"))
+            .repartition(4)
+            .write.mode("overwrite")
+            .parquet(src)
+        )
+
+    def _ingest(batch_df, batch_id):
+        upsert_cell_index(
+            batch_df.sparkSession, idx, batch_df.select("vec_id", "embedding")
+        )
+
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    index = read_cell_index(spark, idx)
+    qrows = (
+        index.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
+    )
+    probe_rows = []
+    for r in qrows:
+        qv = np.asarray(r["embedding"], dtype=np.float64)
+        top = np.lexsort((np.arange(qv.size), -qv))[:4]
+        for c in top:
+            probe_rows.append(
+                (int(r["vec_id"]), [float(x) for x in r["embedding"]], int(c) + 1)
+            )
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, qv array<float>, cell int"
+    )
+    probe_cells = sorted({p[2] for p in probe_rows})
+    cand = (
+        index.filter(F.col("cell").isin(probe_cells))
+        .join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine(F.col("qv"), F.col("embedding")).alias("cos_raw"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("cos_raw", 6).alias("cosine"),
+        )
+    )
