@@ -252,6 +252,8 @@ HEADLINE = [
     "x155_temporal_holdout",
     "e14_new_vs_returning",
     "e15_variant_json_props",
+    "g19_credible_sets",
+    "x156_hard_negatives",
     # st18 (streaming ANN ingest) is correctness-gated, not benched:
     # bounded-replay wall time is micro-batch commit overhead (the
     # st07/st08/st13 rationale), and its stage makes re-runs no-ops.

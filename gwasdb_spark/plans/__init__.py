@@ -44,6 +44,8 @@ _PRIORITY = [
     "e14_new_vs_returning",
     "e15_variant_json_props",
     "st18_stream_ann_ingest",
+    "g19_credible_sets",
+    "x156_hard_negatives",
     # The 15 r02-latest rows that missed the r8 cut (the r8 window's
     # own tail, several on rewritten paths: _rank_topk BM25 family, the
     # c041e29 contamination gram-join, x06-x08 scan projections)
@@ -75,8 +77,8 @@ _PRIORITY = [
     # r03-latest backfills fill the remaining seats: bench headliners
     # and rewritten paths first (a04 sparse-pivot, e01/mm02 projection
     # work, the streaming family, the asof composition). The window is
-    # 50 seats — names past 50 (x05g/x12f/x13/x14/x14b) keep the
-    # ordering deterministic and head the round-10 backfill queue.
+    # 50 seats — names past 50 keep the ordering deterministic and head
+    # the round-10 backfill queue.
     "a04_pivot_wide",
     "e01_json_props",
     "mm02_fake_features",

@@ -1744,3 +1744,277 @@ def st18_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos_raw", 6).alias("cosine"),
         )
     )
+
+
+@query(
+    "g19_credible_sets",
+    "X-gwas,A2",
+    oracle="""
+    WITH ids AS (
+      SELECT (ROW_NUMBER() OVER ()) - 1 AS id
+      FROM lineitem, (VALUES (0), (1), (2), (3)) v(k)
+    ),
+    assoc AS (
+      SELECT CAST(id % 22 + 1 AS INT) AS chr,
+             CAST(1 + (id * 997) % 50000000 AS BIGINT) AS pos,
+             id AS variant_id,
+             -ln(CAST((id * 2654435761) % 1000003 + 1 AS DOUBLE)
+                 / 1000004.0) AS z,
+             0.05 + CAST((id * 7919) % 1000 AS DOUBLE) / 10000.0 AS se
+      FROM ids
+    ),
+    loci AS (
+      SELECT chr, CAST(pos // 1000000 AS INT) AS bin, variant_id, z, se
+      FROM assoc
+    ),
+    lead AS (
+      SELECT chr, bin FROM loci GROUP BY 1, 2 HAVING MAX(z) >= 10.0
+    ),
+    cand AS (
+      SELECT loci.chr, loci.bin, variant_id, z, se,
+             0.5 * ln(se * se / (se * se + 0.04))
+               + z * z / 2 * (0.04 / (se * se + 0.04)) AS labf
+      FROM loci JOIN lead USING (chr, bin)
+      WHERE z >= 3.0
+    ),
+    rel AS (
+      SELECT chr, bin, variant_id, z,
+             CAST(round(exp(labf - MAX(labf) OVER (PARTITION BY chr, bin))
+                        * 1e9) AS BIGINT) AS rel_i
+      FROM cand
+    ),
+    ranked AS (
+      SELECT chr, bin, variant_id, z, rel_i,
+             SUM(rel_i) OVER (PARTITION BY chr, bin) AS total_i,
+             SUM(rel_i) OVER (PARTITION BY chr, bin
+                              ORDER BY rel_i DESC, variant_id) AS cum_i,
+             ROW_NUMBER() OVER (PARTITION BY chr, bin
+                                ORDER BY rel_i DESC, variant_id) AS cs_rank
+      FROM rel
+    )
+    SELECT chr, bin, variant_id, ROUND(z, 9) AS z,
+           ROUND(CAST(rel_i AS DOUBLE) / total_i, 9) AS pp,
+           CAST(cs_rank AS BIGINT) AS cs_rank,
+           (cum_i - rel_i) * 100 < 95 * total_i AS in_cs95
+    FROM ranked
+    """,
+)
+def g19_credible_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bayesian fine-mapping credible sets (Wakefield 2009 approximate
+    Bayes factors — the post-GWAS step the reference's clump views feed
+    into): within each 1 Mb locus holding a genome-wide-significant
+    lead (max z >= 10 on the synthetic marker set g18 also uses), every
+    suggestive variant (z >= 3) gets log-ABF = 0.5*ln(se²/(se²+W)) +
+    z²r/2 with shrinkage r = W/(se²+W), posterior inclusion
+    probabilities normalize WITHIN the locus, and the 95% credible set
+    is the smallest PP-descending prefix reaching 0.95. Numeric
+    discipline: ABFs convert to integer nano-units relative to the
+    locus max (log-space first, so a z=13 variant cannot overflow),
+    making the normalizing total, the cumulative sum, and the
+    credible-set membership test ((cum - self)*100 < 95*total) EXACT
+    integer algebra — membership can never flip on a ulp of engine
+    drift. All windows partition by locus (bounded by construction);
+    shuffles carry (chr, bin, long) rows."""
+    # id spine minted via spark.range (the _synthetic_assoc pattern —
+    # NO global window; the oracle's ROW_NUMBER() OVER () is DuckDB's
+    # way of writing the same 0..4n-1 spine)
+    n = 4 * table(spark, sf_dir, "lineitem").count()
+    W_PRIOR = 0.04
+    assoc = spark.range(n).select(
+        (F.col("id") % 22 + 1).cast("int").alias("chr"),
+        (1 + (F.col("id") * 997) % 50000000).cast("long").alias("pos"),
+        F.col("id").alias("variant_id"),
+        (
+            -F.log(
+                ((F.col("id") * 2654435761) % 1000003 + 1).cast("double")
+                / 1000004.0
+            )
+        ).alias("z"),
+        (0.05 + ((F.col("id") * 7919) % 1000).cast("double") / 10000.0).alias(
+            "se"
+        ),
+    )
+    loci = assoc.select(
+        "chr",
+        (F.col("pos") / 1000000).cast("int").alias("bin"),
+        "variant_id",
+        "z",
+        "se",
+    )
+    loci = loci.localCheckpoint(eager=False)  # feeds lead AND cand
+    lead = (
+        loci.groupBy("chr", "bin")
+        .agg(F.max("z").alias("mz"))
+        .filter(F.col("mz") >= 10.0)
+        .select("chr", "bin")
+    )
+    se2 = F.col("se") * F.col("se")
+    cand = (
+        loci.join(lead, ["chr", "bin"])
+        .filter(F.col("z") >= 3.0)
+        .select(
+            "chr",
+            "bin",
+            "variant_id",
+            "z",
+            (
+                0.5 * F.log(se2 / (se2 + W_PRIOR))
+                + F.col("z") * F.col("z") / 2 * (W_PRIOR / (se2 + W_PRIOR))
+            ).alias("labf"),
+        )
+    )
+    wl = Window.partitionBy("chr", "bin")
+    rel = cand.select(
+        "chr",
+        "bin",
+        "variant_id",
+        "z",
+        F.round(F.exp(F.col("labf") - F.max("labf").over(wl)) * 1e9)
+        .cast("long")
+        .alias("rel_i"),
+    )
+    wo = Window.partitionBy("chr", "bin").orderBy(
+        F.col("rel_i").desc(), "variant_id"
+    )
+    ranked = rel.select(
+        "chr",
+        "bin",
+        "variant_id",
+        "z",
+        "rel_i",
+        F.sum("rel_i").over(wl).alias("total_i"),
+        F.sum("rel_i").over(wo).alias("cum_i"),
+        F.row_number().over(wo).cast("long").alias("cs_rank"),
+    )
+    return ranked.select(
+        "chr",
+        "bin",
+        "variant_id",
+        F.round("z", 9).alias("z"),
+        F.round(F.col("rel_i").cast("double") / F.col("total_i"), 9).alias(
+            "pp"
+        ),
+        "cs_rank",
+        ((F.col("cum_i") - F.col("rel_i")) * 100 < 95 * F.col("total_i")).alias(
+            "in_cs95"
+        ),
+    )
+
+
+@query(
+    "x156_hard_negatives",
+    "X-search,X-curation",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id AS doc,
+             unnest(string_split_regex(lower(trim(text)), '[^a-z0-9]+'))
+               AS term
+      FROM documents
+    ),
+    postings AS (
+      SELECT doc, term, COUNT(*) AS tf FROM toks WHERE term <> ''
+      GROUP BY 1, 2
+    ),
+    doclen AS (SELECT doc, SUM(tf) AS dl FROM postings GROUP BY 1),
+    consts AS (
+      SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+             (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) FROM doclen) AS avgdl
+    ),
+    q(term) AS (VALUES ('hash'), ('join'), ('vector')),
+    hit AS (SELECT p.doc, p.term, p.tf FROM postings p JOIN q USING (term)),
+    dfc AS (SELECT term, COUNT(DISTINCT doc) AS df_t FROM hit GROUP BY 1),
+    scored AS (
+      SELECT doc,
+             SUM(ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+                 * (tf * 2.2)
+                 / (tf + 1.2 * (1 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+             ) AS score
+      FROM hit JOIN dfc USING (term) JOIN doclen USING (doc) CROSS JOIN consts
+      GROUP BY doc
+    ),
+    top AS (
+      SELECT doc, score, rank FROM (
+        SELECT doc, score,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc) AS rank
+        FROM scored
+      ) WHERE rank <= 10
+    ),
+    g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(w) - 2, 0) + 1),
+               i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS gs
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+            FROM documents)
+      WHERE doc_id IN (SELECT doc FROM top)
+    ),
+    pos AS (
+      SELECT g.gs AS pos_gs FROM g JOIN top ON top.doc = g.doc_id
+      WHERE top.rank = 1
+    )
+    SELECT top.doc AS doc_id,
+           CAST(top.rank AS BIGINT) AS rank,
+           ROUND(top.score, 6) AS score,
+           ROUND(CAST(len(list_intersect(g.gs, pos.pos_gs)) AS DOUBLE)
+                 / (len(g.gs) + len(pos.pos_gs)
+                    - len(list_intersect(g.gs, pos.pos_gs))), 9)
+             AS jaccard_vs_top,
+           (top.rank > 1
+            AND CAST(len(list_intersect(g.gs, pos.pos_gs)) AS DOUBLE)
+                / (len(g.gs) + len(pos.pos_gs)
+                   - len(list_intersect(g.gs, pos.pos_gs))) < 0.2)
+             AS is_hard_negative
+    FROM top JOIN g ON g.doc_id = top.doc CROSS JOIN pos
+    """,
+)
+def x156_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for retrieval training — the data op behind
+    every dense-embedding fine-tune (DPR, Karpukhin et al. 2020): take
+    a query's BM25 top-k, call the top-1 hit the positive, and keep the
+    other lexically-competitive hits that are NOT near-duplicates of it
+    (3-gram Jaccard < 0.2) as hard negatives — documents the lexical
+    ranker finds plausible but which a semantic model must learn to
+    push away; near-dups of the positive are EXCLUDED because training
+    against them teaches the model to separate paraphrases (the
+    false-negative trap). Shape: x12's pruned-postings BM25 gives the
+    top-k (broadcast term semi-join, per-task heaps), the gram arrays
+    build ONLY for those k docs (left-semi against the k-row hit list),
+    and the Jaccard is a k-row cross join against the single positive —
+    everything after the BM25 aggregate is bounded by k, never corpus."""
+    from gwasdb_spark.operators.dedup import _gram_array
+    from gwasdb_spark.operators.search import bm25_topk
+
+    d = table(spark, sf_dir, "documents")
+    top = bm25_topk(d, ["hash", "join", "vector"], "doc_id", "text", k=10)
+    top = top.localCheckpoint(eager=False)  # feeds grams, pos, and output
+    gr = (
+        d.join(F.broadcast(top.select("doc_id")), "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            _gram_array(F.split(F.trim(F.col("text")), r"\s+"), 3).alias(
+                "gs"
+            ),
+        )
+    )
+    pos = (
+        gr.join(
+            F.broadcast(top.filter(F.col("rank") == 1).select("doc_id")),
+            "doc_id",
+        )
+        .select(F.col("gs").alias("pos_gs"))
+    )
+    inter = F.size(F.array_intersect(F.col("gs"), F.col("pos_gs")))
+    jac = inter.cast("double") / (
+        F.size("gs") + F.size("pos_gs") - inter
+    )
+    return (
+        top.join(gr, "doc_id")
+        .crossJoin(F.broadcast(pos))
+        .select(
+            "doc_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("score", 6).alias("score"),
+            F.round(jac, 9).alias("jaccard_vs_top"),
+            ((F.col("rank") > 1) & (jac < 0.2)).alias("is_hard_negative"),
+        )
+    )
