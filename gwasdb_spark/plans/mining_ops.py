@@ -1452,24 +1452,33 @@ def x155_temporal_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e14_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily active users split into NEW (first-ever active day) vs
     RETURNING — the acquisition-vs-retention decomposition every growth
-    dashboard pairs with e13's DAU. Shape: the (user, day) distinct
-    relation is built once (far smaller than events), each user's
-    first day is a per-user min aggregate, and the day-grain counts
-    come from one equi-join — no per-day rescans, no window over an
-    unbounded set; shuffles carry (long, date) pairs."""
+    dashboard pairs with e13's DAU. Shape: TWO exchanges total — one
+    per-user aggregate collects each user's distinct day SET (map-side
+    partial aggregation dedups (user, day) before anything shuffles,
+    so the exchange carries deduped sets, not events), the first day
+    is array_min over that in-row set (no second per-user pass, no
+    join back), and the day-grain counts re-aggregate the exploded
+    sets. Day sets are calendar-bounded per user by construction."""
     e = table(spark, sf_dir, "events")
-    ud = e.select("user_id", F.to_date("ts").alias("day")).distinct()
-    ud = ud.localCheckpoint(eager=False)  # feeds fd AND the join
-    fd = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
-    is_new = (F.col("day") == F.col("first_day")).cast("long")
+    per_user = (
+        e.select("user_id", F.to_date("ts").alias("day"))
+        .groupBy("user_id")
+        .agg(F.collect_set("day").alias("days"))
+    )
+    flagged = per_user.select(
+        F.explode("days").alias("day"),
+        F.array_min("days").alias("first_day"),
+    ).select(
+        "day",
+        (F.col("day") == F.col("first_day")).cast("long").alias("is_new"),
+    )
     return (
-        ud.join(fd, "user_id")
-        .groupBy("day")
+        flagged.groupBy("day")
         .agg(
-            F.sum(is_new).cast("long").alias("n_new"),
-            F.sum(1 - is_new).cast("long").alias("n_returning"),
+            F.sum("is_new").cast("long").alias("n_new"),
+            F.sum(1 - F.col("is_new")).cast("long").alias("n_returning"),
             F.round(
-                F.sum(is_new).cast("double") / F.count(F.lit(1)), 9
+                F.sum("is_new").cast("double") / F.count(F.lit(1)), 9
             ).alias("new_ratio"),
         )
         .select(
