@@ -299,7 +299,11 @@ def _bpe_learned_merges(spark: SparkSession, sf_dir: str) -> list[tuple]:
             )
     merges = _bpe_learn_loop(spark, sf_dir)
     if merges:
-        spark.createDataFrame(merges, _BPE_MERGE_SCHEMA).coalesce(
+        # repartition(1), NEVER coalesce(1): coalescing a 32-partition
+        # local relation into one task pays ~5 s of scheduler locality
+        # wait per write on this machine (the skyline r7 lesson,
+        # re-measured here: 5.4 s vs 0.6 s for the identical 20 rows)
+        spark.createDataFrame(merges, _BPE_MERGE_SCHEMA).repartition(
             1
         ).write.mode("overwrite").parquet(path)
     return merges
@@ -340,7 +344,8 @@ def x140_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = _bpe_learn_loop(spark, sf_dir)
     df = spark.createDataFrame(merges, _BPE_MERGE_SCHEMA)
     if merges:
-        df.coalesce(1).write.mode("overwrite").parquet(
+        # repartition(1), not coalesce(1) — see _bpe_learned_merges
+        df.repartition(1).write.mode("overwrite").parquet(
             _bpe_merges_stage(sf_dir)
         )
     return df
