@@ -538,3 +538,66 @@ def test_ann_cell_serve_prunes_partitions(spark):
     assert "cell" in body and body.strip(), body
     n_cells = len(re.findall(r"\d+", body))
     assert 0 < n_cells <= 20, f"expected <=20 probed cells, saw {n_cells}"
+
+
+def test_ann_upsert_serve_prunes_partitions(spark):
+    """x153's post-upsert serve must keep x136's pruning property: the
+    probe-cell IN filter reaches the upserted index's scan as a
+    PartitionFilter naming at most nprobe x n_queries = 20 cells —
+    absorbing a batch must not degrade the serve path to a flat scan."""
+    import re
+
+    from gwasdb_spark.plans import QUERIES
+
+    df = QUERIES["x153_ann_index_upsert"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, "upserted index scan lost its PartitionFilters"
+    body = m.group(1)
+    assert "cell" in body and body.strip(), body
+    n_cells = len(re.findall(r"\d+", body))
+    assert 0 < n_cells <= 20, f"expected <=20 probed cells, saw {n_cells}"
+
+
+def test_ann_upsert_touched_read_prunes_partitions(spark, tmp_path):
+    """The UPSERT itself must also prune: the merge's read of the old
+    index may open only the touched cells' partitions (the whole point
+    of the manifest sidecar — at 100 TB the untouched cells are never
+    scanned, let alone rewritten). Asserted via the driver-side touched
+    set (bounded) plus the on-disk proof that untouched files keep
+    their mtimes, which fails if the rewrite path widens."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from gwasdb_spark.operators.ann_index import (
+        build_cell_index,
+        upsert_cell_index,
+    )
+
+    rows = [(i, [float((i * 7 + d) % 11) for d in range(8)]) for i in range(64)]
+    base = str(tmp_path / "idx")
+    build_cell_index(
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
+        base,
+    )
+    before = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(base, "index", "cell=*", "*.parquet"))
+    }
+    batch = spark.createDataFrame(
+        [(3, [9.0] + [0.0] * 7)], "vec_id long, embedding array<float>"
+    )
+    info = upsert_cell_index(spark, base, batch)
+    assert len(info["touched_cells"]) <= 2
+    touched_dirs = {
+        os.path.join(base, "index", f"cell={c}") for c in info["touched_cells"]
+    }
+    stale = [
+        p
+        for p, m in before.items()
+        if os.path.dirname(p) not in touched_dirs
+        and os.path.getmtime(p) != m
+    ]
+    assert not stale, stale
