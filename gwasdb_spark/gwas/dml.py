@@ -8,6 +8,11 @@ statements, with plain parquet (this container) we implement the same
 semantics: read → transform → rewrite. Each op takes and returns DataFrames
 so the rewrite composes into one job; `Warehouse.write` persists it.
 
+For TRANSACTIONAL semantics — atomic exclusive commits, snapshot
+isolation, optimistic concurrency, time travel, vacuum — wrap the table
+in `gwasdb_spark.acid.AcidTable`, whose delete_where/update_set/merge
+apply exactly these functions under a version log (tests/test_acid_table.py).
+
 PK enforcement (composite (kgp_id, study_id), R/gwas_ddl.sql:61) is
 write-time: `merge_upsert` deduplicates on the key exactly like Delta MERGE.
 """
