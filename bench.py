@@ -254,6 +254,7 @@ HEADLINE = [
     "e15_variant_json_props",
     "g19_credible_sets",
     "x156_hard_negatives",
+    "m03_acid_timetravel",
     # st18 (streaming ANN ingest) is correctness-gated, not benched:
     # bounded-replay wall time is micro-batch commit overhead (the
     # st07/st08/st13 rationale), and its stage makes re-runs no-ops.

@@ -2032,3 +2032,104 @@ def x156_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("rank") > 1) & (jac < 0.2)).alias("is_hard_negative"),
         )
     )
+
+
+@query(
+    "m03_acid_timetravel",
+    "X-dml,M1,M2,M3",
+    oracle="""
+    WITH v0 AS (
+      SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      FROM lineitem WHERE l_orderkey < 1000
+    ),
+    v1 AS (SELECT * FROM v0 WHERE NOT (l_quantity < 10)),
+    v2 AS (
+      SELECT l_orderkey, l_linenumber, l_quantity,
+             CASE WHEN l_quantity > 40 THEN l_extendedprice * 2
+                  ELSE l_extendedprice END AS l_extendedprice
+      FROM v1
+    ),
+    v3 AS (
+      SELECT * FROM v2
+      UNION ALL
+      SELECT -CAST(k AS BIGINT), 1, 1.0, 1.0 FROM range(1, 6) r(k)
+    )
+    SELECT 0 AS version, 'create' AS op,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM v0
+    UNION ALL
+    SELECT 1, 'delete', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+    FROM v1
+    UNION ALL
+    SELECT 2, 'update', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+    FROM v2
+    UNION ALL
+    SELECT 3, 'append', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+    FROM v3
+    """,
+)
+def m03_acid_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACID table log made driver-checkable: a lineitem slice
+    becomes an AcidTable, three DML commits land on it (DELETE of
+    sub-10 quantities, UPDATE doubling prices above quantity 40, a
+    5-row blind APPEND), and every version 0-3 is read back BY TIME
+    TRAVEL and summarized — the oracle recomputes each snapshot's
+    (row count, exact cents sum) from the DML algebra, so a hash match
+    proves the log's snapshots are exactly the states the statements
+    committed and that no commit disturbed an earlier version's files.
+    DML is applied resumably off latest_version (a crashed prior
+    invocation finishes, a completed one is a read-only no-op —
+    idempotent like every staged query); sums are exact integer cents
+    (price*2 is exact in binary FP for 2-dp values, so cents commute
+    with the update on both engines)."""
+    import hashlib as _hl
+
+    from gwasdb_spark.acid import AcidTable
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:12]
+    base = stage_dir(f"acid_m03_{tag}")
+    t = AcidTable(spark, base)
+    if t.latest_version() < 0:
+        v0df = table(spark, sf_dir, "lineitem").filter(
+            F.col("l_orderkey") < 1000
+        ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        t = AcidTable.create(spark, base, v0df)
+    if t.latest_version() == 0:
+        t.delete_where(F.col("l_quantity") < 10)
+    if t.latest_version() == 1:
+        t.update_set(
+            F.col("l_quantity") > 40,
+            {"l_extendedprice": F.col("l_extendedprice") * 2},
+        )
+    if t.latest_version() == 2:
+        t.append(
+            spark.createDataFrame(
+                [(-k, 1, 1.0, 1.0) for k in range(1, 6)],
+                "l_orderkey long, l_linenumber int, l_quantity double, "
+                "l_extendedprice double",
+            )
+        )
+    parts = []
+    for v, op in [(0, "create"), (1, "delete"), (2, "update"), (3, "append")]:
+        parts.append(
+            t.read(v).agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+                .cast("long")
+                .alias("sum_cents"),
+            ).select(
+                F.lit(v).cast("int").alias("version"),
+                F.lit(op).alias("op"),
+                "n_rows",
+                "sum_cents",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
