@@ -255,6 +255,7 @@ HEADLINE = [
     "g19_credible_sets",
     "x156_hard_negatives",
     "m03_acid_timetravel",
+    "w13_ohlc_monthly",
     # st18 (streaming ANN ingest) is correctness-gated, not benched:
     # bounded-replay wall time is micro-batch commit overhead (the
     # st07/st08/st13 rationale), and its stage makes re-runs no-ops.

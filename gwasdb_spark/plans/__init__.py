@@ -47,6 +47,7 @@ _PRIORITY = [
     "g19_credible_sets",
     "x156_hard_negatives",
     "m03_acid_timetravel",
+    "w13_ohlc_monthly",
     # The 15 r02-latest rows that missed the r8 cut (the r8 window's
     # own tail, several on rewritten paths: _rank_topk BM25 family, the
     # c041e29 contamination gram-join, x06-x08 scan projections)

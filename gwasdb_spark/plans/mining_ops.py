@@ -2133,3 +2133,61 @@ def m03_acid_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@query(
+    "w13_ohlc_monthly",
+    "X-window,X-analytics",
+    oracle="""
+    WITH o AS (
+      SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+             CAST(o_orderdate AS DATE) AS d, o_orderkey AS k,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    r AS (
+      SELECT month, cents,
+             ROW_NUMBER() OVER (PARTITION BY month ORDER BY d, k)
+               AS rn_open,
+             ROW_NUMBER() OVER (PARTITION BY month ORDER BY d DESC, k DESC)
+               AS rn_close
+      FROM o
+    )
+    SELECT strftime(month, '%Y-%m') AS month,
+           MAX(CASE WHEN rn_open = 1 THEN cents END) AS open_cents,
+           MAX(cents) AS high_cents,
+           MIN(cents) AS low_cents,
+           MAX(CASE WHEN rn_close = 1 THEN cents END) AS close_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM r GROUP BY month
+    """,
+)
+def w13_ohlc_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly OHLC (open/high/low/close) over order values — the
+    candlestick rollup every financial time-series system keys on,
+    done WITHOUT per-group ordered windows: open and close are
+    struct-ordered MIN/MAX aggregates ((date, orderkey, cents) — first
+    two fields give the time order with a deterministic key tiebreak,
+    the third rides along), so the whole query is ONE partial-aggregable
+    exchange where the oracle's two ROW_NUMBER windows would each sort
+    every group. Exact integer cents throughout; at 100 TB this is the
+    difference between a map-side-combined aggregate and two full
+    per-month sorts."""
+    o = table(spark, sf_dir, "orders").select(
+        F.date_format(F.trunc(F.to_date("o_orderdate"), "month"), "yyyy-MM")
+        .alias("month"),
+        F.to_date("o_orderdate").alias("d"),
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return o.groupBy("month").agg(
+        F.min(F.struct("d", "k", "cents")).getField("cents").alias(
+            "open_cents"
+        ),
+        F.max("cents").alias("high_cents"),
+        F.min("cents").alias("low_cents"),
+        F.max(F.struct("d", "k", "cents")).getField("cents").alias(
+            "close_cents"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
