@@ -370,6 +370,15 @@ def main() -> None:
                 continue
             best = None
             for _ in range(runs_per_query):
+                if name == "m03_acid_timetravel":
+                    # Reset the staged AcidTable OUTSIDE the timed span:
+                    # warm, every DML guard is a read-only no-op and the
+                    # row would measure only 4 snapshot aggregates
+                    # (ADVICE r9). Cold, each run times the real
+                    # create + 3 DML commits + 4 time-travel reads.
+                    from gwasdb_spark.plans.mining_ops import m03_reset_stage
+
+                    m03_reset_stage(sf_dir)
                 t0 = time.perf_counter()
                 _consume(QUERIES[name].fn(spark, sf_dir))
                 dt = time.perf_counter() - t0

@@ -216,23 +216,57 @@ class AcidTable:
         )
 
     # --------------------------------------------------------- vacuum --
-    def vacuum(self, keep_last: int = 2) -> list[str]:
+    def vacuum(
+        self, keep_last: int = 2, grace_seconds: float = 3600.0
+    ) -> list[str]:
         """Drop data groups (and manifests) referenced ONLY by versions
         older than the retained tail. Refuses to break any retained
         snapshot by construction: the keep set is the union of retained
-        manifests' groups."""
+        manifests' groups.
+
+        Concurrent-writer safety (ADVICE r9): a group named by NO
+        manifest at all is ambiguous — it is either leaked garbage from
+        a crashed writer or a LIVE in-flight write whose commit has not
+        landed yet; deleting it in the second case corrupts the table
+        the moment that commit links. Like Delta's vacuum retention
+        window, unreferenced groups are only removed once older than
+        `grace_seconds` (newest mtime under the group dir) — any sane
+        grace exceeds a write-then-commit gap by orders of magnitude.
+        Groups named by a pre-cutoff manifest are committed HISTORY and
+        removable at any age (the retained log no longer reaches them).
+        """
+        import time
+
         latest = self.latest_version()
         if latest < 0:
             return []
         cutoff = max(0, latest - keep_last + 1)
         keep: set[str] = set()
-        for v in range(cutoff, latest + 1):
-            keep.update(self._manifest(v)["file_groups"])
+        ever_named: set[str] = set()
+        for v in range(latest + 1):
+            if os.path.exists(self._manifest_path(v)):
+                groups = self._manifest(v)["file_groups"]
+                ever_named.update(groups)
+                if v >= cutoff:
+                    keep.update(groups)
+        now = time.time()
         removed = []
         for g in os.listdir(self._data) if os.path.isdir(self._data) else []:
-            if g not in keep:
-                shutil.rmtree(os.path.join(self._data, g), ignore_errors=True)
-                removed.append(g)
+            if g in keep:
+                continue
+            if g not in ever_named:
+                gdir = os.path.join(self._data, g)
+                try:
+                    newest = max(
+                        os.stat(os.path.join(gdir, f)).st_mtime
+                        for f in [*os.listdir(gdir), "."]
+                    )
+                except OSError:
+                    continue  # racing its own writer's mkdir — skip
+                if now - newest < grace_seconds:
+                    continue  # possibly in-flight: not ours to reap yet
+            shutil.rmtree(os.path.join(self._data, g), ignore_errors=True)
+            removed.append(g)
         for v in range(cutoff):
             p = self._manifest_path(v)
             if os.path.exists(p):

@@ -270,13 +270,37 @@ _BPE_MERGE_SCHEMA = (
 )
 
 
+def _corpus_fingerprint(sf_dir: str) -> str:
+    """Cheap metadata fingerprint of the documents corpus: total bytes
+    + max mtime-ns over the parquet file(s). Pure os.stat — no Spark
+    job. If the parquet at this path is ever REGENERATED, the
+    fingerprint (and so the stage key) changes, so a warm stage can
+    never silently serve a stale tokenizer for new data (ADVICE r9)."""
+    p = os.path.join(sf_dir, "documents.parquet")
+    paths = [p]
+    if os.path.isdir(p):
+        paths = [
+            os.path.join(p, f)
+            for f in os.listdir(p)
+            if f.endswith(".parquet")
+        ] or [p]
+    size, mtime = 0, 0
+    for q in paths:
+        st = os.stat(q)
+        size += st.st_size
+        mtime = max(mtime, st.st_mtime_ns)
+    return f"{size}_{mtime}"
+
+
 def _bpe_merges_stage(sf_dir: str) -> str:
     """Corpus-keyed stage path for the learned merge table (the st16/s26
     sink discipline): learn ONCE per corpus, appliers read the artifact.
-    Keyed by the sf_dir's absolute path so two corpora in one process
-    can never serve each other's tokenizer (the s23 cross-SF lesson)."""
+    Keyed by the sf_dir's absolute path (so two corpora in one process
+    can never serve each other's tokenizer — the s23 cross-SF lesson)
+    AND by a data fingerprint (so a regenerated corpus at the same path
+    invalidates the stage — ADVICE r9)."""
     tag = os.path.abspath(sf_dir).strip(os.sep).replace(os.sep, "_")
-    return stage_dir(f"bpe_merges_{tag}")
+    return stage_dir(f"bpe_merges_{tag}_{_corpus_fingerprint(sf_dir)}")
 
 
 def _bpe_learned_merges(spark: SparkSession, sf_dir: str) -> list[tuple]:
@@ -1522,9 +1546,19 @@ def e15_variant_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     are directly comparable in the bench; try_variant_get returns NULL
     on missing/mistyped fields exactly like the oracle's CAST of a
     missing extract."""
-    e = table(spark, sf_dir, "events")
-    v = e.select(
-        "event_type", F.parse_json(F.col("props")).alias("v")
+    return variant_k_aggregate(table(spark, sf_dir, "events"))
+
+
+def variant_k_aggregate(events: DataFrame) -> DataFrame:
+    """e15's core: props → Variant once, $.k extracted as bigint, agg by
+    event_type. try_parse_json, not parse_json: a malformed props value
+    must become a NULL variant (matching the oracle's
+    json_extract_string, which yields NULL on bad JSON) — parse_json
+    would crash the whole job on one bad row where the oracle degrades
+    gracefully (ADVICE r9; regression-fixtured in
+    tests/test_advice_r9_regressions.py)."""
+    v = events.select(
+        "event_type", F.try_parse_json(F.col("props")).alias("v")
     )
     k = F.try_variant_get(F.col("v"), "$.k", "bigint")
     return (
@@ -1786,8 +1820,8 @@ def st18_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cand AS (
       SELECT loci.chr, loci.bin, variant_id, z, se,
-             0.5 * ln(se * se / (se * se + 0.04))
-               + z * z / 2 * (0.04 / (se * se + 0.04)) AS labf
+             round(0.5 * ln(se * se / (se * se + 0.04))
+               + z * z / 2 * (0.04 / (se * se + 0.04)), 6) AS labf
       FROM loci JOIN lead USING (chr, bin)
       WHERE z >= 3.0
     ),
@@ -1822,8 +1856,10 @@ def g19_credible_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     z²r/2 with shrinkage r = W/(se²+W), posterior inclusion
     probabilities normalize WITHIN the locus, and the 95% credible set
     is the smallest PP-descending prefix reaching 0.95. Numeric
-    discipline: ABFs convert to integer nano-units relative to the
-    locus max (log-space first, so a z=13 variant cannot overflow),
+    discipline: log-ABFs round to 6 dp first (so JVM-vs-libm last-ulp
+    ln() drift cannot reach the quantizer), then convert to integer
+    nano-units relative to the locus max (log-space first, so a z=13
+    variant cannot overflow),
     making the normalizing total, the cumulative sum, and the
     credible-set membership test ((cum - self)*100 < 95*total) EXACT
     integer algebra — membership can never flip on a ulp of engine
@@ -1871,9 +1907,15 @@ def g19_credible_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bin",
             "variant_id",
             "z",
-            (
+            # labf is ln()-built; the JVM's and DuckDB's libm can differ
+            # in the last ulp, and an unrounded labf puts that ulp right
+            # at the 1e9 quantization boundary (ADVICE r9). Rounding to
+            # 6 dp FIRST means both engines hand exp() the identical
+            # double, so the nano-unit integers below agree exactly.
+            F.round(
                 0.5 * F.log(se2 / (se2 + W_PRIOR))
-                + F.col("z") * F.col("z") / 2 * (W_PRIOR / (se2 + W_PRIOR))
+                + F.col("z") * F.col("z") / 2 * (W_PRIOR / (se2 + W_PRIOR)),
+                6,
             ).alias("labf"),
         )
     )
@@ -2034,6 +2076,23 @@ def x156_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m03_stage(sf_dir: str) -> str:
+    """m03's AcidTable location, keyed by corpus (shared with bench.py's
+    stage reset so timed runs measure the DML commits, not a warm
+    no-op re-read — ADVICE r9)."""
+    import hashlib as _hl
+
+    return stage_dir(f"acid_m03_{_hl.md5(sf_dir.encode()).hexdigest()[:12]}")
+
+
+def m03_reset_stage(sf_dir: str) -> None:
+    """Drop m03's staged AcidTable so the next invocation replays the
+    full create + 3-DML + 4-snapshot-read sequence from scratch."""
+    import shutil as _sh
+
+    _sh.rmtree(m03_stage(sf_dir), ignore_errors=True)
+
+
 @query(
     "m03_acid_timetravel",
     "X-dml,M1,M2,M3",
@@ -2087,12 +2146,9 @@ def m03_acid_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     idempotent like every staged query); sums are exact integer cents
     (price*2 is exact in binary FP for 2-dp values, so cents commute
     with the update on both engines)."""
-    import hashlib as _hl
-
     from gwasdb_spark.acid import AcidTable
 
-    tag = _hl.md5(sf_dir.encode()).hexdigest()[:12]
-    base = stage_dir(f"acid_m03_{tag}")
+    base = m03_stage(sf_dir)
     t = AcidTable(spark, base)
     if t.latest_version() < 0:
         v0df = table(spark, sf_dir, "lineitem").filter(
