@@ -256,6 +256,9 @@ HEADLINE = [
     "x156_hard_negatives",
     "m03_acid_timetravel",
     "w13_ohlc_monthly",
+    # round-10 additions
+    "m04_acid_pruned_dml",
+    "x158_acid_changefeed",
     # st18 (streaming ANN ingest) is correctness-gated, not benched:
     # bounded-replay wall time is micro-batch commit overhead (the
     # st07/st08/st13 rationale), and its stage makes re-runs no-ops.
@@ -379,6 +382,10 @@ def main() -> None:
                     from gwasdb_spark.plans.mining_ops import m03_reset_stage
 
                     m03_reset_stage(sf_dir)
+                elif name == "m04_acid_pruned_dml":
+                    from gwasdb_spark.plans.mining_ops import m04_reset_stage
+
+                    m04_reset_stage(sf_dir)
                 t0 = time.perf_counter()
                 _consume(QUERIES[name].fn(spark, sf_dir))
                 dt = time.perf_counter() - t0

@@ -13,10 +13,22 @@ Layout:
     <table>/_log/00000001.json           -- version 1 commit ...
 
 Each commit file is a FULL snapshot manifest: {"version", "op",
-"file_groups": [relative dirs]} — simpler than Delta's add/remove
-actions and right at this metadata scale; swapping the manifest body
-for add/remove deltas (and checkpoint compaction) changes nothing
-below, and is the 100 TB metadata path.
+"file_groups": [relative dirs], "stats": {group: {col: [min, max,
+null_count, row_count]}}} — simpler than Delta's add/remove actions
+and right at this metadata scale; swapping the manifest body for
+add/remove deltas (and checkpoint compaction) changes nothing below,
+and is the 100 TB metadata path.
+
+File skipping (round 10): every written group records per-column
+min/max/null stats in the manifest (the Delta data-skipping / parquet
+footer design). DML with a sargable `acid.predicates.Pred` reads ONLY
+the groups whose stats admit a match — untouched groups are carried
+into the new manifest verbatim, their files never opened, never
+rewritten (mtime-stable, gated in scripts/stress_scale.py). At 100 TB
+this is the difference between a 1-row UPDATE costing one file group
+and costing a full table rewrite. A plain Column predicate still
+works and falls back to the full-snapshot rewrite (soundness over
+speed when the predicate is not statically analyzable).
 
 ACID properties and how they hold:
 - Atomic commit: the manifest is fully written to a temp file, fsynced,
@@ -60,9 +72,31 @@ import uuid
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from gwasdb_spark.acid.predicates import Pred
+
 
 class CommitConflict(Exception):
     """Another writer committed this version first — re-read and retry."""
+
+
+# dtypes whose min/max are meaningful, orderable, and JSON-serializable
+_STATS_TYPES = (
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+    "string", "boolean", "date",
+)
+
+
+def _json_safe(v):
+    import datetime as _dt
+    import decimal as _dec
+
+    if isinstance(v, _dec.Decimal):
+        return float(v)
+    if isinstance(v, _dt.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    return v
 
 
 def _fsync_dir(path: str) -> None:
@@ -113,14 +147,60 @@ class AcidTable:
         return out
 
     # ---------------------------------------------------------- write --
-    def _write_group(self, df: DataFrame) -> str:
-        group = uuid.uuid4().hex
-        df.write.mode("overwrite").parquet(os.path.join(self._data, group))
-        return group
+    def _write_group(self, df: DataFrame) -> tuple[str, dict]:
+        """Write a new immutable file group and return (group, stats).
 
-    def _commit(self, version: int, op: str, groups: list[str]) -> None:
+        Stats come from ONE aggregate over the just-written files (the
+        truthful source — what is actually on disk), the same min/max/
+        null-count triple parquet footers carry; batch-scale cost."""
+        group = uuid.uuid4().hex
+        path = os.path.join(self._data, group)
+        df.write.mode("overwrite").parquet(path)
+        return group, self._group_stats(path)
+
+    def _group_stats(self, path: str) -> dict:
+        back = self.spark.read.parquet(path)
+        cols = [
+            f.name
+            for f in back.schema.fields
+            if f.dataType.typeName() in (
+                "byte", "short", "integer", "long", "float", "double",
+                "string", "boolean", "date", "timestamp", "timestamp_ntz",
+            ) or f.dataType.typeName().startswith("decimal")
+        ]
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for c in cols:
+            aggs += [
+                F.min(c).alias(f"__min_{c}"),
+                F.max(c).alias(f"__max_{c}"),
+                F.count(c).alias(f"__cnt_{c}"),
+            ]
+        row = back.agg(*aggs).collect()[0]  # 1-row bounded collect
+        rows = row["__rows"]
+        return {
+            c: [
+                _json_safe(row[f"__min_{c}"]),
+                _json_safe(row[f"__max_{c}"]),
+                rows - row[f"__cnt_{c}"],
+                rows,
+            ]
+            for c in cols
+        }
+
+    def _commit(
+        self,
+        version: int,
+        op: str,
+        groups: list[str],
+        stats: dict | None = None,
+    ) -> None:
         os.makedirs(self._log, exist_ok=True)
-        body = {"version": version, "op": op, "file_groups": sorted(groups)}
+        body = {
+            "version": version,
+            "op": op,
+            "file_groups": sorted(groups),
+            "stats": stats or {},
+        }
         tmp = os.path.join(self._log, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
             json.dump(body, fh)
@@ -144,8 +224,8 @@ class AcidTable:
         t = cls(spark, path)
         if t.latest_version() >= 0:
             raise FileExistsError(f"table already exists at {path}")
-        group = t._write_group(df)
-        t._commit(0, "create", [group])
+        group, st = t._write_group(df)
+        t._commit(0, "create", [group], {group: st})
         return t
 
     # ----------------------------------------------------------- read --
@@ -161,21 +241,93 @@ class AcidTable:
 
     # ------------------------------------------------------------ dml --
     def _rewrite(self, op: str, transform, max_retries: int = 3) -> int:
-        """Optimistic copy-on-write: read latest snapshot, transform,
-        commit as the next version; on a version race, re-read and
-        re-apply (the transform must be a pure function of the
-        snapshot). Returns the committed version."""
+        """Optimistic copy-on-write over the FULL snapshot: read latest,
+        transform, commit as the next version; on a version race,
+        re-read and re-apply (the transform must be a pure function of
+        the snapshot). Returns the committed version. The pruned path
+        (`_rewrite_pruned`) is preferred whenever the predicate is
+        statically analyzable."""
         for _ in range(max_retries + 1):
             base = self.latest_version()
             out = transform(self.read(base))
-            group = self._write_group(out)
+            group, st = self._write_group(out)
             try:
-                self._commit(base + 1, op, [group])
+                self._commit(base + 1, op, [group], {group: st})
                 return base + 1
             except CommitConflict:
                 shutil.rmtree(
                     os.path.join(self._data, group), ignore_errors=True
                 )
+                continue
+        raise CommitConflict(f"gave up after {max_retries} retries: {op}")
+
+    def _rewrite_pruned(
+        self,
+        op: str,
+        touched_of,
+        transform,
+        max_retries: int = 3,
+        transform_empty_when_unmatched: bool = False,
+    ) -> int:
+        """Touched-only copy-on-write (the x153 ANN-upsert discipline
+        brought to DML): `touched_of(manifest)` names the groups whose
+        stats admit a match; ONLY those are read and transformed into
+        one new group, every other group rides into the new manifest
+        verbatim — files never opened, never rewritten. Sound because
+        DELETE/UPDATE WHERE p is the identity on a group `may_match`
+        proves p cannot touch (predicates.py's contract), and MERGE
+        cannot match a target row outside the source's key box.
+
+        A DML whose predicate prunes EVERY group still commits (a
+        metadata-only version, zero data IO) — SQL UPDATE matching 0
+        rows succeeds, and time travel sees one version per statement.
+        """
+        for _ in range(max_retries + 1):
+            base = self.latest_version()
+            m = self._manifest(base)
+            stats = m.get("stats", {})
+            touched = touched_of(m)
+            untouched = [g for g in m["file_groups"] if g not in touched]
+            new_groups = list(untouched)
+            new_stats = {g: stats[g] for g in untouched if g in stats}
+            written = None
+            if touched or transform_empty_when_unmatched:
+                if touched:
+                    tdf = self.spark.read.parquet(
+                        *[os.path.join(self._data, g) for g in touched]
+                    )
+                else:
+                    # MERGE with no overlapping group still INSERTS the
+                    # unmatched source rows: run the transform over an
+                    # empty target of the table's schema.
+                    tdf = self.read(base).limit(0)
+                out = transform(tdf)
+                written, st = self._write_group(out)
+                if st and next(iter(st.values()))[3] == 0:
+                    # transform emptied every touched row: drop the
+                    # empty group rather than carry a 0-row file
+                    shutil.rmtree(
+                        os.path.join(self._data, written),
+                        ignore_errors=True,
+                    )
+                    written = None
+                else:
+                    new_groups.append(written)
+                    new_stats[written] = st
+            try:
+                self._commit(
+                    base + 1,
+                    f"{op}(pruned {len(touched)}/{len(m['file_groups'])})",
+                    new_groups,
+                    new_stats,
+                )
+                return base + 1
+            except CommitConflict:
+                if written:
+                    shutil.rmtree(
+                        os.path.join(self._data, written),
+                        ignore_errors=True,
+                    )
                 continue
         raise CommitConflict(f"gave up after {max_retries} retries: {op}")
 
@@ -185,10 +337,13 @@ class AcidTable:
         O(batch) at any table size)."""
         for _ in range(4):
             base = self.latest_version()
-            groups = list(self._manifest(base)["file_groups"])
-            new = self._write_group(df)
+            m = self._manifest(base)
+            groups = list(m["file_groups"])
+            stats = dict(m.get("stats", {}))
+            new, st = self._write_group(df)
+            stats[new] = st
             try:
-                self._commit(base + 1, "append", groups + [new])
+                self._commit(base + 1, "append", groups + [new], stats)
                 return base + 1
             except CommitConflict:
                 shutil.rmtree(
@@ -196,23 +351,75 @@ class AcidTable:
                 )
         raise CommitConflict("append retries exhausted")
 
-    def delete_where(self, predicate: Column) -> int:
+    @staticmethod
+    def _touched_by(predicate: Pred):
+        def touched_of(manifest: dict) -> list[str]:
+            stats = manifest.get("stats", {})
+            return [
+                g
+                for g in manifest["file_groups"]
+                # a group with no recorded stats is always touched
+                if predicate.may_match(stats.get(g, {}))
+            ]
+
+        return touched_of
+
+    def delete_where(self, predicate: Column | Pred) -> int:
         from gwasdb_spark.gwas.dml import delete_where
 
+        if isinstance(predicate, Pred):
+            col = predicate.to_column()
+            return self._rewrite_pruned(
+                "delete",
+                self._touched_by(predicate),
+                lambda df: delete_where(df, col),
+            )
         return self._rewrite("delete", lambda df: delete_where(df, predicate))
 
-    def update_set(self, predicate: Column, assignments: dict) -> int:
+    def update_set(
+        self, predicate: Column | Pred, assignments: dict
+    ) -> int:
         from gwasdb_spark.gwas.dml import update_set
 
+        if isinstance(predicate, Pred):
+            col = predicate.to_column()
+            return self._rewrite_pruned(
+                "update",
+                self._touched_by(predicate),
+                lambda df: update_set(df, col, assignments),
+            )
         return self._rewrite(
             "update", lambda df: update_set(df, predicate, assignments)
         )
 
     def merge(self, source: DataFrame, keys: list[str]) -> int:
+        """MERGE (source wins on key collision). Pruned by the source's
+        key bounding box: one batch-scale aggregate computes min/max of
+        every key column over `source`; a target group whose stats are
+        disjoint from that box on ANY key dimension cannot hold a
+        matching row, so it is carried verbatim. Matched rewrites and
+        inserted rows both land in the one new group."""
+        from gwasdb_spark.acid.predicates import And, Between
         from gwasdb_spark.gwas.dml import merge_upsert
 
-        return self._rewrite(
-            "merge", lambda df: merge_upsert(df, source, keys)
+        aggs = []
+        for k in keys:
+            aggs += [F.min(k).alias(f"__lo_{k}"), F.max(k).alias(f"__hi_{k}")]
+        box = source.agg(*aggs).collect()[0]  # 1-row bounded collect
+        bounds = [
+            Between(k, box[f"__lo_{k}"], box[f"__hi_{k}"])
+            for k in keys
+            if box[f"__lo_{k}"] is not None
+        ]
+        if not bounds:  # empty/all-null source box: no target row matches
+            touched_of = lambda m: []  # noqa: E731
+        else:
+            touched_of = self._touched_by(And(*bounds))
+        return self._rewrite_pruned(
+            "merge",
+            touched_of,
+            lambda df: merge_upsert(df, source, keys),
+            transform_empty_when_unmatched=True,
         )
 
     # --------------------------------------------------------- vacuum --

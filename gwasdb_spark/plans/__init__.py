@@ -24,79 +24,34 @@ from gwasdb_spark.plans import mining_ops as _mining_ops  # noqa: F401
 # Registration-order priority.
 #
 # The driver's correctness gate records the FIRST 50 registered queries per
-# round. Round-9 window (r8 verdict #1): new round-9 registrations first
-# (their only chance at a first adjudication), then the 23 r02-latest rows
-# the verdict named (the r8 window's tail + c01/mm01/mm03/mm04/q02s/q04/
-# q06/sk01) — after those, no registered query's newest driver row predates
-# r03 — then r03-latest backfills fill the remaining seats, bench headliners
-# and rewritten code paths first. File order within modules is unchanged;
-# only the registry's iteration order is rebuilt here.
+# round. Round-10 window (r9 verdict #1): new round-10 registrations first
+# (their only chance at a first adjudication), then the r9 window's named
+# tail past seat 50 (u02…x14b — the offset-50 pre-flight queue, already
+# recorded 50/50 green), then r03-latest backfills oldest-first (query age =
+# newest CORRECTNESS_r0N row; after the r9 window no row predates r03), then
+# r04-latest rows keep the order deterministic past seat 50 and head the
+# round-11 queue. mm03 re-seats with the round-10 unstubbed BMP decode and
+# g07 with its new recursive-CTE oracle — both convert a structural
+# no-oracle row. File order within modules is unchanged; only the registry's
+# iteration order is rebuilt here.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    # --- round-9 window (seated per the r8 verdict #1) ---
-    # New round-9 registrations (first adjudication beats any backfill
-    # re-attestation); later round-9 additions are inserted here and
-    # displace the trailing r03 backfills.
-    "mm10_media_headers",
-    "x153_ann_index_upsert",
-    "x154_rag_chunking",
-    "x155_temporal_holdout",
-    "e14_new_vs_returning",
-    "e15_variant_json_props",
-    "st18_stream_ann_ingest",
-    "g19_credible_sets",
-    "x156_hard_negatives",
-    "m03_acid_timetravel",
-    "w13_ohlc_monthly",
-    # The 15 r02-latest rows that missed the r8 cut (the r8 window's
-    # own tail, several on rewritten paths: _rank_topk BM25 family, the
-    # c041e29 contamination gram-join, x06-x08 scan projections)
-    "x12c_bm25_phrase",
-    "x12d_bm25_boosted",
-    "x12e_bm25_multiphrase",
-    "x19_contamination",
-    "x17_pack_chunks",
-    "x21_top_terms",
-    "x22_vocabulary",
-    "x23_scrub_boilerplate",
-    "x24_reservoir_per_lang",
-    "x06_text_stats",
-    "x07_lang_id",
-    "x08_fingerprint",
-    "x16_hash_split",
-    "x18_quota_per_lang",
-    "st05_stream_dedup",
-    # The 8 r02-latest rows the verdict named alongside them — after
-    # these 23, no registered query's newest driver row predates r03
-    "c01_corpus_clean",
-    "mm01_binary_meta",
+    # --- round-10 window ---
+    # New round-10 registrations (first adjudication beats any backfill
+    # re-attestation); later round-10 additions are inserted here and
+    # displace trailing backfills.
+    "m04_acid_pruned_dml",
+    "x157_ann_index_delete",
+    "x158_acid_changefeed",
+    "x159_bpe_batched_learn",
+    "g20_ld_prune",
+    "x160_doc_span_dedup_stats",
+    "w14_session_windows",
+    "e16_funnel_dropoff",
     "mm03_resize_thumbs",
-    "mm04_frame_sample",
-    "q02s_min_cost_supplier",
-    "q04_order_priority",
-    "q06_forecast_revenue",
-    "sk01_salted_join",
-    # r03-latest backfills fill the remaining seats: bench headliners
-    # and rewritten paths first (a04 sparse-pivot, e01/mm02 projection
-    # work, the streaming family, the asof composition). The window is
-    # 50 seats — names past 50 keep the ordering deterministic and head
-    # the round-10 backfill queue.
-    "a04_pivot_wide",
-    "e01_json_props",
-    "mm02_fake_features",
-    "p09_regex_filter",
-    "p10_regex_negate",
-    "q07_nation_volume",
-    "q09_product_profit",
-    "q18_large_orders",
-    "st01_hourly_rollup",
-    "st02_sessionize",
-    "st03_stream_hourly_rollup",
-    "st04_stream_sessionize_stateful",
-    "st06_stream_stream_join",
-    "st07_stream_left_outer_join",
-    "st08_stream_sliding_rate",
-    "st09_incremental_rollup_serve",
+    "g07_distance_clump",
+    # The r9 priority tail past seat 50 (the offset-50 queue the round-9
+    # close pre-flighted 50/50 green)
     "u02_intersect",
     "u03_except",
     "w04_lag_delta",
@@ -106,6 +61,47 @@ _PRIORITY = [
     "x13_sketch_aggregates",
     "x14_asof_join",
     "x14b_asof_forward",
+    # r03-latest backfills (no driver row since r03), oldest debt first
+    "a06_regression_trend",
+    "c02_training_mix",
+    "j09_full_outer",
+    "q08_market_share",
+    "q10_returned_items",
+    "q12_late_priority",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_bracket_revenue",
+    "q22_idle_customers",
+    "s20_jsonl_roundtrip",
+    "x14c_asof_nearest",
+    "x15_value_outliers",
+    "x20_range_join",
+    "x25_repetition_signals",
+    "x26_cap_vocabulary",
+    "x27_length_histogram",
+    "x28_temperature_sample",
+    "x29_dedup_keep_best",
+    "x30_unigram_logprob",
+    "x31_pii_scrub",
+    "x32_hybrid_rrf",
+    "x33_bpe_pair_counts",
+    # r04-latest rows: deterministic order past seat 50; bench headliners
+    # and rewritten paths first — these head the round-11 backfill queue.
+    "p08_locus_window",
+    "j08_export_view",
+    "a05_manual_pivot_join",
+    "x11_dedup_clusters",
+    "x05b_ann_lsh_topk",
+    "x05d_ann_ivf_topk",
+    "x05e_ann_pq_topk",
+    "x10b_embedding_neardup_lsh",
+    "w01_topk_per_group",
+    "m01_dml_roundtrip",
+    "s01_full_scan",
+    "a01_count_global",
+    "a02_groupby_count",
+    "a03_distinct",
 ]
 
 _rest = [n for n in QUERIES if n not in _PRIORITY]

@@ -1134,6 +1134,83 @@ def stress_ann_upsert(spark) -> dict:
     }
 
 
+def stress_acid_dml(spark) -> dict:
+    """File-skipping DML at many-group scale (r9 verdict #2): a 16-group
+    3.2M-row AcidTable takes a selective UPDATE that stats admit into
+    exactly ONE group. Gates: (1) untouched groups' files mtime-stable
+    (never opened, never rewritten), (2) result row-for-row equal to a
+    full-rewrite twin fed the identical statement, (3) pruned wall time
+    beats the full rewrite. At 100 TB the pruned path is the difference
+    between a 1-row UPDATE costing one file group and a table rewrite."""
+    import glob as _glob
+    import shutil as _sh
+
+    from gwasdb_spark.acid import AcidTable
+    from gwasdb_spark.acid import predicates as P
+
+    groups, per = 16, 200_000
+
+    def batch(g):
+        return spark.range(g * per, (g + 1) * per).select(
+            F.col("id"),
+            (F.col("id") % 97).cast("double").alias("val"),
+            F.concat(F.lit("tag"), (F.col("id") % 13)).alias("tag"),
+        )
+
+    paths = {}
+    for name in ("pruned", "full"):
+        base = os.path.join(TMP, f"gwasdb_stress_aciddml_{name}")
+        _sh.rmtree(base, ignore_errors=True)
+        t = AcidTable.create(spark, base, batch(0))
+        for g in range(1, groups):
+            t.append(batch(g))
+        paths[name] = t
+
+    tp, tf = paths["pruned"], paths["full"]
+    mtimes = {
+        p: os.path.getmtime(p)
+        for p in _glob.glob(os.path.join(tp._data, "*", "*.parquet"))
+    }
+    # the statement: bump val for a 1000-id slice inside group 7
+    lo, hi = 7 * per + 1000, 7 * per + 2000
+    pred = P.And(P.Ge("id", lo), P.Lt("id", hi))
+    t0 = time.perf_counter()
+    tp.update_set(pred, {"val": F.col("val") + 1000.0})
+    t_pruned = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    tf.update_set(pred.to_column(), {"val": F.col("val") + 1000.0})
+    t_full = time.perf_counter() - t0
+
+    op = tp._manifest(tp.latest_version())["op"]
+    carried = set(tp._manifest(groups - 1)["file_groups"]) & set(
+        tp._manifest(groups)["file_groups"]
+    )
+    stale = [
+        p
+        for p, m in mtimes.items()
+        if any(f"/{g}/" in p for g in carried)
+        and (not os.path.exists(p) or os.path.getmtime(p) != m)
+    ]
+    a, b = tp.read(), tf.read()
+    diff = a.exceptAll(b).count() + b.exceptAll(a).count()
+    return {
+        "stress": "acid_dml_16group",
+        "n_rows": groups * per,
+        "op": op,
+        "untouched_files_rewritten": len(stale),
+        "diff_rows_vs_full_rewrite": diff,
+        "pruned_sec": round(t_pruned, 3),
+        "full_sec": round(t_full, 3),
+        "ok": (
+            op == f"update(pruned 1/{groups})"
+            and not stale
+            and diff == 0
+            and len(carried) == groups - 1
+            and t_pruned < t_full
+        ),
+    }
+
+
 STRESSES = {
     "stream": stress_stream,
     "bm25": stress_bm25,
@@ -1149,6 +1226,7 @@ STRESSES = {
     "joinskew": stress_join_skew,
     "bpe": stress_bpe,
     "annupsert": stress_ann_upsert,
+    "aciddml": stress_acid_dml,
 }
 
 
