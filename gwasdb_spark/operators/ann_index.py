@@ -145,3 +145,61 @@ def upsert_cell_index(
         "touched_cells": [int(c) for c in touched],
         "n_updates": updates.count(),
     }
+
+
+def delete_from_cell_index(
+    spark: SparkSession, base: str, vec_ids: DataFrame
+) -> dict:
+    """Remove a batch of vec_ids from the index — the PII-takedown path
+    (pairs with x31's scrub: a 100 TB embedding store must honor
+    deletions, not just upserts). Same touched-only discipline as the
+    upsert: the manifest finds the victims' cells, ONLY those
+    partitions are read and rewritten (dynamic partition overwrite),
+    a cell whose last resident leaves is dropped from BOTH index and
+    manifest (the emptied-partition lesson the upsert already
+    learned), and untouched cells' files stay byte-stable. Deleting an
+    absent id is a no-op — idempotent under at-least-once replay
+    (the st16 discipline). Returns {"touched_cells", "n_deleted"}."""
+    import shutil
+
+    ids = vec_ids.select("vec_id")
+    manifest = spark.read.parquet(_manifest_path(base))
+    victims = manifest.join(F.broadcast(ids), "vec_id")
+    touched = sorted(
+        r["cell"] for r in victims.select("cell").distinct().collect()
+    )
+    if not touched:  # nothing to delete anywhere: zero IO
+        return {"touched_cells": [], "n_deleted": 0}
+    n_deleted = victims.count()
+
+    index = spark.read.parquet(_index_path(base))
+    kept = (
+        index.filter(F.col("cell").isin(touched))
+        .join(F.broadcast(ids), "vec_id", "left_anti")
+        .localCheckpoint(eager=True)  # the write replaces its own input
+    )
+    man_kept = (
+        manifest.filter(F.col("cell").isin(touched))
+        .join(F.broadcast(ids), "vec_id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        kept.write.mode("overwrite").partitionBy("cell").parquet(
+            _index_path(base)
+        )
+        man_kept.write.mode("overwrite").partitionBy("cell").parquet(
+            _manifest_path(base)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    surviving = {r["cell"] for r in kept.select("cell").distinct().collect()}
+    for c in touched:
+        if c in surviving:
+            continue
+        for root in (_index_path(base), _manifest_path(base)):
+            part = os.path.join(root, f"cell={c}")
+            if os.path.isdir(part):
+                shutil.rmtree(part)
+    return {"touched_cells": [int(c) for c in touched], "n_deleted": n_deleted}

@@ -2012,6 +2012,146 @@ def x136_ann_cell_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x157_ann_index_delete",
+    "X-sim,X-serve",
+    oracle="""
+    WITH corpus AS (
+      SELECT vec_id, embedding AS e FROM embeddings
+      WHERE vec_id % 17 <> 0
+    ),
+    cells AS (
+      SELECT vec_id, e,
+             CAST(list_position(e, list_max(e)) AS INT) AS cell
+      FROM corpus
+    ),
+    q AS (
+      SELECT vec_id AS query_id, e AS qv FROM corpus
+      WHERE vec_id BETWEEN 1 AND 5
+    ),
+    dims AS (SELECT CAST(d AS INT) AS cell FROM range(1, 65) t(d)),
+    probes AS (
+      SELECT query_id, cell FROM (
+        SELECT q.query_id, dims.cell,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                 ORDER BY CAST(qv[dims.cell] AS DOUBLE) DESC, dims.cell)
+                 AS dim_rank
+        FROM q CROSS JOIN dims
+      ) WHERE dim_rank <= 4
+    ),
+    cand AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id, q.qv, c.e AS cv
+      FROM probes p
+      JOIN cells c ON c.cell = p.cell
+      JOIN q ON q.query_id = p.query_id
+      WHERE c.vec_id <> p.query_id
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(range(1, 65),
+                  i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(range(1, 65),
+                    i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))))
+               AS cos_raw
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+           ROUND(cos_raw, 6) AS cosine
+    FROM (
+      SELECT query_id, neighbor_id, cos_raw,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_raw DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def x157_ann_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETION from the persisted cell-partitioned ANN index (the
+    x153 family's missing op, r9 verdict #6): a takedown batch (every
+    17th vector — the PII-scrub shape that pairs with x31) plus
+    already-absent ids (idempotent no-ops under at-least-once replay)
+    is absorbed by `operators/ann_index.delete_from_cell_index`, which
+    finds the victims' cells via the (vec_id, cell) manifest sidecar
+    and rewrites ONLY those partitions — dynamic partition overwrite,
+    emptied cells dropped from index AND manifest, untouched cells'
+    files byte-stable (mtime-gated in tests + the annupsert stress
+    gate's delete phase). The query then serves the x136 probe path
+    against the shrunken index; the oracle recomputes the same top-k
+    over (corpus minus takedowns) in SQL, so the hash proves
+    delete ≡ rebuild end-to-end. At 100 TB an embedding store that
+    cannot delete cannot host user data — this is the op that makes
+    the index GDPR-viable, at O(touched cells) not O(index)."""
+    import hashlib as _hl
+
+    import numpy as np
+
+    from gwasdb_spark.functions.vectors import cosine
+    from gwasdb_spark.operators.ann_index import (
+        build_cell_index,
+        delete_from_cell_index,
+        read_cell_index,
+    )
+    from gwasdb_spark.plans.helpers import stage_dir
+
+    e = table(spark, sf_dir, "embeddings")
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:12]
+    base = stage_dir(f"ann_delete_{tag}")
+    if not os.path.isdir(os.path.join(base, "index")):
+        build_cell_index(e.select("vec_id", "embedding"), base)
+    takedown = e.filter(F.col("vec_id") % 17 == 0).select("vec_id")
+    absent = e.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 3000000).alias("vec_id")
+    )
+    delete_from_cell_index(spark, base, takedown.unionByName(absent))
+
+    index = read_cell_index(spark, base)
+    qrows = (
+        index.filter(F.col("vec_id").between(1, 5))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    probe_rows = []
+    for r in qrows:
+        qv = np.asarray(r["embedding"], dtype=np.float64)
+        top = np.lexsort((np.arange(qv.size), -qv))[:4]
+        for c in top:
+            probe_rows.append(
+                (int(r["vec_id"]), [float(x) for x in r["embedding"]], int(c) + 1)
+            )
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, qv array<float>, cell int"
+    )
+    probe_cells = sorted({p[2] for p in probe_rows})
+
+    cand = (
+        index.filter(F.col("cell").isin(probe_cells))
+        .join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine(F.col("qv"), F.col("embedding")).alias("cos_raw"),
+    )
+    from pyspark.sql.window import Window as _W
+
+    w = _W.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("cos_raw", 6).alias("cosine"),
+        )
+    )
+
+
+@query(
     "x153_ann_index_upsert",
     "X-sim,X-serve",
     oracle="""

@@ -1116,6 +1116,41 @@ def stress_ann_upsert(spark) -> dict:
     build_cell_index(logical, rebuilt)
     a, b = read_cell_index(spark, base), read_cell_index(spark, rebuilt)
     diff = a.exceptAll(b).count() + b.exceptAll(a).count()
+
+    # --- delete phase (r9 verdict #6): take down every resident of
+    # cell 3 (where the replacements moved) plus a spread of ids —
+    # touched-only rewrite, bit-equal vs rebuild, untouched mtimes
+    from gwasdb_spark.operators.ann_index import delete_from_cell_index
+
+    del_ids = (
+        read_cell_index(spark, base)
+        .filter(F.col("cell") == 3)
+        .select("vec_id")
+        .unionByName(vecs.filter(F.col("vec_id") % 1009 == 0).select("vec_id"))
+        .localCheckpoint(eager=True)  # derives from the index it shrinks
+    )
+    mtimes_d = {
+        p: os.path.getmtime(p)
+        for p in _glob.glob(os.path.join(base, "index", "cell=*", "*.parquet"))
+    }
+    t0 = time.perf_counter()
+    dinfo = delete_from_cell_index(spark, base, del_ids)
+    t_delete = time.perf_counter() - t0
+    touched_d = {
+        os.path.join(base, "index", f"cell={c}")
+        for c in dinfo["touched_cells"]
+    }
+    stale_d = [
+        p
+        for p, m in mtimes_d.items()
+        if os.path.dirname(p) not in touched_d
+        and (not os.path.exists(p) or os.path.getmtime(p) != m)
+    ]
+    rebuilt_d = os.path.join(TMP, "gwasdb_stress_anndelete_rebuild")
+    build_cell_index(logical.join(del_ids, "vec_id", "left_anti"), rebuilt_d)
+    a2, b2 = read_cell_index(spark, base), read_cell_index(spark, rebuilt_d)
+    diff_d = a2.exceptAll(b2).count() + b2.exceptAll(a2).count()
+
     return {
         "stress": "ann_upsert_200k",
         "n_vectors": n,
@@ -1125,11 +1160,19 @@ def stress_ann_upsert(spark) -> dict:
         "upsert_sec": round(t_upsert, 3),
         "untouched_files_rewritten": len(stale),
         "diff_rows_vs_rebuild": diff,
+        "n_deleted": dinfo["n_deleted"],
+        "delete_touched_cells": len(dinfo["touched_cells"]),
+        "delete_sec": round(t_delete, 3),
+        "delete_untouched_files_rewritten": len(stale_d),
+        "delete_diff_rows_vs_rebuild": diff_d,
         "ok": (
             diff == 0
             and not stale
             and len(info["touched_cells"]) <= 4
             and t_upsert < t_build
+            and diff_d == 0
+            and not stale_d
+            and t_delete < t_build
         ),
     }
 

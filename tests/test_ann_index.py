@@ -165,3 +165,65 @@ def test_upsert_clears_emptied_cells(spark, tmp_path):
     assert got == {1: 4, 2: 4, 3: 2}
     assert not os.path.isdir(os.path.join(base, "index", "cell=1"))
     assert not os.path.isdir(os.path.join(base, "manifest", "cell=1"))
+
+
+def test_delete_equals_full_rebuild(spark, tmp_path):
+    from gwasdb_spark.operators.ann_index import delete_from_cell_index
+
+    vecs = _corpus(spark)
+    base = str(tmp_path / "idx_del")
+    build_cell_index(vecs, base)
+    ids = spark.createDataFrame(
+        [(i,) for i in range(0, 400, 13)] + [(9_999_999,)], "vec_id long"
+    )
+    info = delete_from_cell_index(spark, base, ids)
+    assert info["n_deleted"] == len(range(0, 400, 13))  # absent id: no-op
+    rebuilt = str(tmp_path / "idx_del_rebuild")
+    build_cell_index(vecs.join(ids, "vec_id", "left_anti"), rebuilt)
+    a = _snapshot(read_cell_index(spark, base))
+    b = _snapshot(read_cell_index(spark, rebuilt))
+    assert a == b
+    # manifest shrank in lockstep with the index
+    man = spark.read.parquet(os.path.join(base, "manifest"))
+    assert man.count() == len(a)
+    assert man.join(ids, "vec_id").count() == 0
+
+
+def test_delete_leaves_untouched_cells_bytestable(spark, tmp_path):
+    from gwasdb_spark.operators.ann_index import delete_from_cell_index
+
+    vecs = _corpus(spark)
+    base = str(tmp_path / "idx_del2")
+    build_cell_index(vecs, base)
+    # victims: every resident of cell 1 only
+    victims = read_cell_index(spark, base).filter(F.col("cell") == 1)
+    n_victims = victims.count()
+    assert n_victims > 0
+    before = _file_mtimes(base)
+    info = delete_from_cell_index(spark, base, victims.select("vec_id"))
+    assert info["touched_cells"] == [1]
+    assert info["n_deleted"] == n_victims
+    # cell 1 emptied: dropped from index AND manifest
+    assert not os.path.isdir(os.path.join(base, "index", "cell=1"))
+    assert not os.path.isdir(os.path.join(base, "manifest", "cell=1"))
+    for p, m in before.items():
+        if "/cell=1/" in p:
+            continue
+        assert os.path.getmtime(p) == m, f"delete rewrote untouched {p}"
+
+
+def test_delete_is_idempotent_and_empty_batch_is_zero_io(spark, tmp_path):
+    from gwasdb_spark.operators.ann_index import delete_from_cell_index
+
+    vecs = _corpus(spark)
+    base = str(tmp_path / "idx_del3")
+    build_cell_index(vecs, base)
+    ids = spark.createDataFrame([(3,), (77,)], "vec_id long")
+    delete_from_cell_index(spark, base, ids)
+    snap1 = _snapshot(read_cell_index(spark, base))
+    before = _file_mtimes(base)
+    # replay the same batch: victims already gone -> zero IO, same index
+    info = delete_from_cell_index(spark, base, ids)
+    assert info == {"touched_cells": [], "n_deleted": 0}
+    assert _file_mtimes(base) == before
+    assert _snapshot(read_cell_index(spark, base)) == snap1
