@@ -240,25 +240,29 @@ def w11_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _merge_udf(left: str, right: str):
-    """Arrow-batched application of ONE BPE merge rule to the symbol
-    arrays (sequential merge-with-skip — not expressible in
-    `transform`, which cannot consume two positions per step)."""
+def _merge_batch_udf(pairs: list[tuple[str, str]]):
+    """Arrow-batched application of a RANK-ORDERED batch of BPE merge
+    rules to the symbol arrays (sequential merge-with-skip per rule —
+    not expressible in `transform`, which cannot consume two positions
+    per step). Applying the batch rule-by-rule inside one UDF is
+    exactly the sequential global application of each rule (each rule
+    is a per-word transform), for one Spark job instead of |batch|."""
 
     @F.pandas_udf("array<string>")
     def _apply(syms: pd.Series) -> pd.Series:
-        merged = left + right
-
         def m(s):
-            out, i, n = [], 0, len(s)
-            while i < n:
-                if i + 1 < n and s[i] == left and s[i + 1] == right:
-                    out.append(merged)
-                    i += 2
-                else:
-                    out.append(s[i])
-                    i += 1
-            return out
+            for left, right in pairs:
+                merged = left + right
+                out, i, n = [], 0, len(s)
+                while i < n:
+                    if i + 1 < n and s[i] == left and s[i + 1] == right:
+                        out.append(merged)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                s = out
+            return s
 
         return syms.map(m)
 
@@ -408,13 +412,109 @@ def _bpe_word_vocab(documents: DataFrame) -> DataFrame:
     )
 
 
-def _bpe_merge_iterations(vocab: DataFrame, n_merges: int = 20) -> list[tuple]:
-    """The per-iteration loop over the vocab relation — its cost is
-    bounded by |vocab|, NOT corpus size (the property the stress gate
-    `scripts/stress_scale.py bpe` asserts by 10x-ing the corpus under a
-    fixed vocabulary and requiring flat iteration wall time)."""
-    merges = []
-    for rank in range(1, n_merges + 1):
+_BPE_CANDIDATES = 64  # top-N pairs collected per scan (bounded driver list)
+
+
+def _bpe_select_batch(
+    top: list, remaining: int, created: set[str]
+) -> list:
+    """EXACT batched merge selection (r9 verdict #3): from the sorted
+    top-N pair counts, admit the longest PREFIX (no skips) that provably
+    reproduces classic sequential BPE's next picks — the distributed-BPE
+    batching optimization, with the admission rules that make it
+    loss-LESS rather than approximate:
+
+    1. Non-interference with every earlier pick: applying (a,b) can
+       only DESTROY adjacencies of the forms (x,a) [a consumed when
+       followed by b] and (b,y) [b consumed when preceded by a], kill
+       (a,b) itself, and CREATE pairs containing the new token 'ab'.
+       Any other pair's count is untouched — sharing a LEFT symbol
+       ((a,b),(a,c)) or a RIGHT symbol ((x,b),(y,b)) is harmless. So a
+       later pick (c,d) is admitted only if, for every earlier admitted
+       (a_j,b_j): d != a_j and c != b_j — its count is then provably
+       unchanged when its sequential turn comes.
+    2. A pick whose merged string PRE-EXISTS as a vocab symbol (tracked
+       exactly via `created`: initial symbols are single chars plus
+       '</w>' — which seeds the set — and every other multi-char symbol
+       was created by a recorded merge) TERMINATES the batch: applying
+       (a,b) when 'ab' already exists INCREASES counts of pairs
+       containing 'ab' by amounts our stats don't bound, which is only
+       safe once no later in-batch pick can be overtaken — i.e. when
+       the pick is last.
+    3. Strict dominance: every BEYOND-prefix candidate of an interfering
+       form ((x,a_j) or (b_j,y) for some admitted j) must count strictly
+       below the prefix's minimum — pairs the batch CREATES are bounded
+       by exactly those scan-time counts ((x,'ab') <= count(x,a);
+       ('ab',y) <= count(b,y); ('ab','ab') <= count(b,a)), so nothing
+       can rise to tie an admitted pick. Equal-count NON-interfering
+       candidates are safe: the (freq desc, left, right) tie-break
+       already orders them after the prefix.
+    4. Truncation guard: if the candidate list was cut at N, the prefix
+       minimum must strictly exceed the last seen count (unseen pairs
+       can count at most that much).
+
+    With batch=1 the rules are vacuous and this IS classic BPE; the
+    existing exact python-twin parity tests therefore pin the batched
+    path with no spec change. Returns the admitted rows."""
+
+    def interferes(c: str, d: str, picks: list) -> bool:
+        return any(d == a["left"] or c == a["right"] for a in picks)
+
+    admitted: list = []
+    for r in top:
+        if admitted and interferes(r["left"], r["right"], admitted):
+            break  # prefix ends at the first conflict — no skipping
+        admitted.append(r)
+        if r["left"] + r["right"] in created:
+            break  # rule 2: a count-boosting pick must be last
+        if len(admitted) >= remaining:
+            break
+
+    def _violates(k: int) -> bool:
+        fmin = admitted[k - 1]["pair_freq"]
+        if len(top) == _BPE_CANDIDATES and k < len(top):
+            if fmin <= top[-1]["pair_freq"]:
+                return True  # rule 4
+        for a in admitted[:k]:
+            # a same-symbol pick (a,a) creates ('aa','aa') adjacencies
+            # bounded only by floor(f/2) — a form rules 1/3 cannot see
+            # (count(b,a) IS the killed pair itself). Require the prefix
+            # minimum to clear that bound strictly.
+            if a["left"] == a["right"] and a["pair_freq"] // 2 >= fmin:
+                return True
+        for t in top[k:]:
+            if t["pair_freq"] >= fmin and interferes(
+                t["left"], t["right"], admitted[:k]
+            ):
+                return True  # rule 3
+        return False
+
+    k = len(admitted)
+    while k > 1 and _violates(k):
+        k -= 1
+    return admitted[:k]
+
+
+def _bpe_merge_iterations(
+    vocab: DataFrame, n_merges: int = 20, stats: dict | None = None
+) -> list[tuple]:
+    """The scan loop over the vocab relation — cost bounded by |vocab|,
+    NOT corpus size (the stress gate `scripts/stress_scale.py bpe`
+    asserts this by 10x-ing the corpus under a fixed vocabulary and
+    requiring flat iteration wall time). Each scan counts pairs ONCE
+    and admits a provably-sequential-equal BATCH of merges
+    (_bpe_select_batch), so a 30k-merge production vocabulary costs
+    ~30k/B scans instead of 30k — the scheduler-overhead fix the r9
+    verdict flagged as the last scale-suspect plan. Exact parity with
+    classic BPE is pinned by the python-twin tests and the stress
+    gate's batched-vs-analytic merge comparison."""
+    merges: list[tuple] = []
+    # '</w>' is the one multi-char INITIAL symbol — seed it so a merge
+    # whose concatenation collides with the marker terminates its batch
+    created: set[str] = {"</w>"}
+    scans = 0
+    while len(merges) < n_merges:
+        scans += 1
         pair_counts = (
             vocab.select(
                 "freq",
@@ -433,16 +533,31 @@ def _bpe_merge_iterations(vocab: DataFrame, n_merges: int = 20) -> list[tuple]:
         )
         top = pair_counts.orderBy(
             F.col("pair_freq").desc(), "left", "right"
-        ).limit(1).collect()  # 1 row by construction
+        ).limit(_BPE_CANDIDATES).collect()  # bounded driver list
         if not top:
             break
-        left, right, freq = top[0]["left"], top[0]["right"], top[0]["pair_freq"]
-        merges.append((rank, left, right, left + right, int(freq)))
-
+        batch = _bpe_select_batch(top, n_merges - len(merges), created)
+        for r in batch:
+            merges.append(
+                (
+                    len(merges) + 1,
+                    r["left"],
+                    r["right"],
+                    r["left"] + r["right"],
+                    int(r["pair_freq"]),
+                )
+            )
+            created.add(r["left"] + r["right"])
         vocab = vocab.select(
-            _merge_udf(left, right)(F.col("syms")).alias("syms"), "freq"
+            _merge_batch_udf([(r["left"], r["right"]) for r in batch])(
+                F.col("syms")
+            ).alias("syms"),
+            "freq",
         ).localCheckpoint(eager=False)
 
+    if stats is not None:
+        stats["scans"] = scans
+        stats["merges"] = len(merges)
     return merges
 
 

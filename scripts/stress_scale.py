@@ -1013,6 +1013,37 @@ def stress_bpe(spark) -> dict:
     loop_ratio = round(
         results[10]["loop_sec"] / results[1]["loop_sec"], 3
     )
+
+    # --- batched-selection phase (r9 verdict #3): a corpus whose top
+    # pairs are mutually NON-interfering — 10 groups of 50 four-char
+    # words sharing a per-group interior bigram, group sums strictly
+    # decreasing and dominating every per-word pair — must learn its
+    # first 10 merges in ONE scan (>= 8 merges/job), still EXACTLY
+    # equal to the sequential python trainer. On chaining corpora
+    # (English-like, the phases above) batches are smaller by
+    # necessity — early BPE merges genuinely depend on each other —
+    # and parity holds there too (exact_1x re-asserts it on the
+    # batched code path every run).
+    from gwasdb_spark.plans.mining_ops import _bpe_merge_iterations as _iters
+
+    bfreqs: dict[str, int] = {}
+    for g in range(10):
+        q, z = chr(0x4E00 + 2 * g), chr(0x4E00 + 2 * g + 1)
+        for i in range(50):
+            x = chr(0x5000 + 100 * g + i)
+            y = chr(0x7000 + 100 * g + i)
+            bfreqs[x + q + z + y] = 200 - g
+    bcorpus = spark.createDataFrame(
+        [(w, f) for w, f in bfreqs.items()], "word string, freq long"
+    ).select(
+        F.expr("repeat(concat(word, ' '), freq)").alias("text")
+    ).repartition(8)
+    bstats: dict = {}
+    bmerges = _iters(_bpe_word_vocab(bcorpus), n_merges=10, stats=bstats)
+    bexpect = python_bpe_from_freqs(bfreqs, k=10)
+    batch_exact = bmerges == bexpect
+    merges_per_scan = round(bstats["merges"] / bstats["scans"], 2)
+
     return {
         "stress": "bpe_learn_5M_words",
         "vocab_words": V,
@@ -1023,7 +1054,16 @@ def stress_bpe(spark) -> dict:
         "loop_ratio_10x": loop_ratio,
         "merges_exact_vs_python": exact_1x,
         "merges_scale_invariant": scaled_ok,
-        "ok": exact_1x and scaled_ok and loop_ratio <= 1.6,
+        "batched_scans": bstats["scans"],
+        "batched_merges_per_scan": merges_per_scan,
+        "batched_exact_vs_python": batch_exact,
+        "ok": (
+            exact_1x
+            and scaled_ok
+            and loop_ratio <= 1.6
+            and batch_exact
+            and merges_per_scan >= 8
+        ),
     }
 
 
