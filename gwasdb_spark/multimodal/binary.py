@@ -48,14 +48,90 @@ def to_binary_table(documents: DataFrame) -> DataFrame:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Real PIXEL decode — STUB. Wire PIL/torchvision here in a container
-    that ships them; the surrounding Spark plumbing is already correct.
-    Header METADATA (format/width/height) needs no decoder — see
-    parse_image_header below, which is real and unstubbed."""
+    """Real PIXEL decode for COMPRESSED formats — STUB. Wire
+    PIL/torchvision here in a container that ships them; the
+    surrounding Spark plumbing is already correct. Uncompressed BMP
+    needs no codec and decodes for real via decode_bmp below (round
+    10); header METADATA for png/jpeg/gif/bmp parses for real via
+    parse_image_header."""
     raise NotImplementedError(
-        "media decoding libraries are not available in this container; "
-        "use extract_fake_features for the deterministic test path"
+        "compressed-image codecs are not available in this container; "
+        "BMP payloads decode via decode_bmp, everything else uses "
+        "extract_fake_features' deterministic test path"
     )
+
+
+def decode_bmp(payload: bytes) -> np.ndarray | None:
+    """REAL pixel decode of uncompressed 24-bit BITMAPINFOHEADER BMPs —
+    no codec library needed, the pixel data is raw BGR rows: pixel
+    array offset at bytes 10:14, dims at 18:26 (negative height =
+    top-down row order), bit count 24, compression BI_RGB(0) only,
+    rows padded to 4-byte strides, stored bottom-up. Returns an
+    (H, W, 3) uint8 array in RGB channel order, or None when the
+    payload is not a BMP this decoder supports (caller falls back to
+    the stub path)."""
+    if payload is None or len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    off = int.from_bytes(payload[10:14], "little")
+    hdr = int.from_bytes(payload[14:18], "little")
+    if hdr < 40:  # BITMAPCOREHEADER etc. — unsupported
+        return None
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h_raw = int.from_bytes(payload[22:26], "little", signed=True)
+    bits = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if bits != 24 or comp != 0 or w <= 0 or h_raw == 0:
+        return None
+    h = abs(h_raw)
+    stride = ((w * 3 + 3) // 4) * 4
+    if off + stride * h > len(payload):
+        return None  # truncated pixel data
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=off
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if h_raw > 0:  # bottom-up storage: flip to top-down image order
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR file order -> RGB
+
+
+def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Deterministic nearest-neighbor resample: source index =
+    floor(target_index * src / dst) — the classic integer mapping, so
+    both engines of any parity check agree bit-for-bit."""
+    h, w = img.shape[:2]
+    iy = (np.arange(height) * h) // height
+    ix = (np.arange(width) * w) // width
+    return img[iy][:, ix]
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Re-encode an (H, W, 3) RGB uint8 array as an uncompressed 24-bit
+    bottom-up BMP (the exact dialect decode_bmp reads — round-trip
+    tested)."""
+    h, w = img.shape[:2]
+    stride = ((w * 3 + 3) // 4) * 4
+    size = 54 + stride * h
+    head = (
+        b"BM"
+        + size.to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + (stride * h).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little")
+        + (0).to_bytes(4, "little")
+        + (0).to_bytes(4, "little")
+    )
+    bgr = img[:, :, ::-1]
+    pad = b"\x00" * (stride - w * 3)
+    body = b"".join(bgr[y].tobytes() + pad for y in range(h - 1, -1, -1))
+    return head + body
 
 
 def parse_image_header(payload: bytes) -> tuple[str, int, int] | None:
@@ -202,20 +278,29 @@ def extract_fake_features(binary_table: DataFrame) -> DataFrame:
 
 RESIZED_SCHEMA = (
     "doc_id long, media_type string, width int, height int, "
-    "payload binary, decode_status string"
+    "payload binary, decode_status string, pixel_sum long"
 )
 
 FRAME_SCHEMA = "doc_id long, frame_idx long, frame_payload binary"
 
 
 def resize_images(binary_table: DataFrame, width: int = 8, height: int = 8) -> DataFrame:
-    """Image resize over Arrow batches — decode STUBBED (no PIL in this
-    container): emits a deterministic digest-derived thumbnail payload of
-    exactly width*height bytes, so schema, batch shape, and downstream
-    size accounting are real. A production build replaces `_thumb` with
-    decode→resize→re-encode; nothing else changes."""
+    """Image thumbnailing over Arrow batches. TWO paths per payload:
 
-    def _thumb(payload: bytes) -> bytes:
+    - REAL (round 10): an uncompressed 24-bit BMP decodes for real
+      (decode_bmp), nearest-neighbor resamples to (width, height)
+      (resize_nearest — deterministic floor index map), and re-encodes
+      as a valid BMP (encode_bmp). decode_status 'ok_real'; pixel_sum
+      is the exact sum of the thumbnail's RGB bytes — a SQL-computable
+      checksum the mm03 oracle recomputes from the pixel-generation
+      formula, so the decode→resize path is hash-adjudicated.
+    - STUB: compressed formats (no codec in this container) fall back
+      to the deterministic digest-derived payload of width*height
+      bytes; schema, batch shape, and size accounting stay real.
+      decode_status 'ok_fake', pixel_sum NULL. Wire PIL here and the
+      fake branch disappears; nothing else changes."""
+
+    def _fake(payload: bytes) -> bytes:
         need = width * height
         out = b""
         seed = hashlib.sha256(payload).digest()
@@ -224,21 +309,31 @@ def resize_images(binary_table: DataFrame, width: int = 8, height: int = 8) -> D
             seed = hashlib.sha256(seed).digest()
         return out[:need]
 
+    def _one(payload) -> tuple[bytes | None, str, int | None]:
+        if payload is None:
+            return None, "null_payload", None
+        img = decode_bmp(bytes(payload))
+        if img is not None:
+            thumb = resize_nearest(img, width, height)
+            return (
+                encode_bmp(thumb),
+                "ok_real",
+                int(thumb.sum(dtype=np.int64)),
+            )
+        return _fake(bytes(payload)), "ok_fake", None
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            null_mask = pdf["payload"].isna()
+            done = pdf["payload"].map(_one)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
                     "width": np.int32(width),
                     "height": np.int32(height),
-                    "payload": pdf["payload"].map(
-                        lambda p: None if p is None else _thumb(p)
-                    ),
-                    "decode_status": null_mask.map(
-                        lambda m: "null_payload" if m else "ok_fake"
-                    ),
+                    "payload": done.map(lambda t: t[0]),
+                    "decode_status": done.map(lambda t: t[1]),
+                    "pixel_sum": done.map(lambda t: t[2]).astype("object"),
                 }
             )
 

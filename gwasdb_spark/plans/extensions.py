@@ -1268,20 +1268,73 @@ def x49_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("mm03_resize_thumbs", "X-multimodal", oracle=None)
+@query(
+    "mm03_resize_thumbs",
+    "X-multimodal",
+    oracle="""
+    WITH txt AS (
+      SELECT doc_id, 'text/plain' AS media_type, 8 AS width, 8 AS height,
+             64 AS n_bytes, 'ok_fake' AS decode_status,
+             CAST(NULL AS BIGINT) AS pixel_sum
+      FROM documents
+    ),
+    bmp AS (
+      SELECT doc_id + 10000000 AS doc_id, 'image/bmp' AS media_type,
+             8 AS width, 8 AS height, 246 AS n_bytes,
+             'ok_real' AS decode_status,
+             4 * SUM((doc_id + rf * 16 + c * 4 + ch) % 256) AS pixel_sum
+      FROM documents, range(0, 4) t1(rf), range(0, 4) t2(c),
+           range(0, 3) t3(ch)
+      WHERE doc_id % 10 = 0
+      GROUP BY doc_id
+    )
+    SELECT doc_id, media_type, CAST(width AS INT) AS width,
+           CAST(height AS INT) AS height, CAST(n_bytes AS BIGINT) AS n_bytes,
+           decode_status, CAST(pixel_sum AS BIGINT) AS pixel_sum
+    FROM (SELECT * FROM txt UNION ALL SELECT * FROM bmp)
+    """,
+)
 def mm03_resize_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image-resize plumbing (decode stubbed → deterministic 8x8 digest
-    thumbnail): real mapInPandas batch shape, real output schema and size
-    accounting. Rows-only; determinism + exact payload sizes asserted in
-    tests/test_multimodal.py."""
+    """Thumbnailing with a REAL decode path (round 10 — previously the
+    last stubbed query): every 10th document mints an in-plan 4x4
+    24-bit BMP whose pixel bytes follow a SQL-computable formula
+    ((doc_id + row*16 + col*4 + chan) % 256, built with hex/unhex
+    expressions so builder and decoder are independent); resize_images
+    REALLY decodes it (decode_bmp — raw BGR rows, no codec needed),
+    nearest-neighbor upsamples 4x4 -> 8x8 (each source pixel sampled
+    exactly 4x by the floor index map), and re-encodes a valid 246-byte
+    BMP. The output's pixel_sum is the thumbnail's exact RGB byte sum,
+    which the ORACLE recomputes as 4x the generation formula's sum — so
+    decode, resample geometry, and re-encode size accounting are all
+    hash-adjudicated, converting mm03 from a rows-only structural check
+    into an oracle-green query. Text payloads keep the deterministic
+    digest-thumbnail stub path (ok_fake, 64 bytes — no codec for
+    compressed formats in this container; bit-exact numpy parity for
+    the real path is additionally pinned in tests/test_multimodal.py,
+    including padded strides and top-down BMPs the in-plan fixture
+    cannot exercise)."""
     from gwasdb_spark.multimodal.binary import resize_images, to_binary_table
 
     d = table(spark, sf_dir, "documents")
-    out = resize_images(to_binary_table(d), width=8, height=8)
+    pix_hex = F.expr(
+        "concat_ws('', transform(sequence(0, 47), i -> "
+        "lpad(hex((doc_id + (i div 12) * 16 + ((i % 12) div 3) * 4 "
+        "+ (i % 3)) % 256), 2, '0')))"
+    )
+    payload = F.unhex(F.concat(F.lit("424D660000000000000036000000280000000400000004000000010018000000000030000000130B0000130B00000000000000000000"), pix_hex))
+    bmps = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10000000).alias("doc_id"),
+        F.lit("image/bmp").alias("media_type"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.md5(payload).alias("digest"),
+        payload.alias("payload"),
+    )
+    out = resize_images(to_binary_table(d).unionByName(bmps), 8, 8)
     return out.select(
         "doc_id", "media_type", "width", "height",
-        F.octet_length("payload").alias("n_bytes"), "decode_status"
-    ).orderBy("doc_id")
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        "decode_status", "pixel_sum",
+    )
 
 
 @query(

@@ -169,3 +169,123 @@ def test_media_headers_stage_on_real_files(spark):
     )
     assert (got[3].format, got[3].parse_status) == (None, "unrecognized")
     assert (got[4].format, got[4].parse_status) == (None, "null_payload")
+
+
+def _ref_bmp(img):
+    """Pure-python/numpy reference encoder (independent of encode_bmp's
+    byte plumbing): uncompressed 24-bit bottom-up BMP."""
+    import numpy as np
+
+    h, w = img.shape[:2]
+    stride = ((w * 3 + 3) // 4) * 4
+    size = 54 + stride * h
+    head = bytearray(54)
+    head[0:2] = b"BM"
+    head[2:6] = size.to_bytes(4, "little")
+    head[10:14] = (54).to_bytes(4, "little")
+    head[14:18] = (40).to_bytes(4, "little")
+    head[18:22] = w.to_bytes(4, "little")
+    head[22:26] = h.to_bytes(4, "little")
+    head[26:28] = (1).to_bytes(2, "little")
+    head[28:30] = (24).to_bytes(2, "little")
+    head[34:38] = (stride * h).to_bytes(4, "little")
+    head[38:42] = (2835).to_bytes(4, "little")
+    head[42:46] = (2835).to_bytes(4, "little")
+    body = b""
+    for y in range(h - 1, -1, -1):
+        row = img[y, :, ::-1].tobytes()
+        body += row + b"\x00" * (stride - w * 3)
+    return bytes(head) + body
+
+
+def test_bmp_decode_roundtrip_including_padded_strides():
+    import numpy as np
+
+    from gwasdb_spark.multimodal.binary import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(5)
+    for w, h in [(4, 4), (3, 5), (5, 3), (1, 1), (7, 2)]:  # odd widths pad
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        # decode of an INDEPENDENT reference encoding
+        assert np.array_equal(decode_bmp(_ref_bmp(img)), img)
+        # own-encoder round trip
+        assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+
+def test_bmp_decode_topdown_rows():
+    import numpy as np
+
+    from gwasdb_spark.multimodal.binary import decode_bmp
+
+    img = np.arange(4 * 2 * 3, dtype=np.uint8).reshape(2, 4, 3)
+    buf = bytearray(_ref_bmp(img))
+    # flip to top-down: negative height, rows in image order
+    buf[22:26] = (-2).to_bytes(4, "little", signed=True)
+    stride = 12
+    body = b"".join(img[y, :, ::-1].tobytes() for y in range(2))
+    buf[54 : 54 + 2 * stride] = body
+    assert np.array_equal(decode_bmp(bytes(buf)), img)
+
+
+def test_bmp_decode_rejects_unsupported():
+    from gwasdb_spark.multimodal.binary import decode_bmp
+
+    assert decode_bmp(None) is None
+    assert decode_bmp(b"not a bmp") is None
+    assert decode_bmp(b"BM" + b"\x00" * 52) is None  # zero dims
+    # truncated pixel data
+    import numpy as np
+
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    assert decode_bmp(_ref_bmp(img)[:-5]) is None
+
+
+def test_resize_nearest_is_floor_index_map():
+    import numpy as np
+
+    from gwasdb_spark.multimodal.binary import resize_nearest
+
+    img = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    up = resize_nearest(img, 8, 8)
+    for y in range(8):
+        for x in range(8):
+            assert (up[y, x] == img[(y * 4) // 8, (x * 4) // 8]).all()
+    down = resize_nearest(img, 2, 2)
+    assert np.array_equal(down, img[[0, 2]][:, [0, 2]])
+
+
+def test_resize_images_real_path_matches_numpy(spark):
+    """End-to-end Spark parity: a real BMP payload through resize_images
+    must equal the pure-numpy decode->nearest->encode pipeline
+    bit-for-bit, with pixel_sum exact; non-BMP payloads keep the stub
+    contract."""
+    import numpy as np
+
+    from gwasdb_spark.multimodal.binary import (
+        decode_bmp,
+        encode_bmp,
+        resize_images,
+        resize_nearest,
+    )
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, size=(5, 3, 3), dtype=np.uint8)  # padded
+    bmp = _ref_bmp(img)
+    rows = [
+        (1, "image/bmp", len(bmp), "d", bytearray(bmp)),
+        (2, "text/plain", 4, "d", bytearray(b"text")),
+    ]
+    bt = spark.createDataFrame(
+        rows,
+        "doc_id long, media_type string, n_bytes long, digest string, "
+        "payload binary",
+    )
+    out = {r.doc_id: r for r in resize_images(bt, 8, 8).collect()}
+    expect = encode_bmp(resize_nearest(img, 8, 8))
+    assert bytes(out[1].payload) == expect
+    assert out[1].decode_status == "ok_real"
+    assert out[1].pixel_sum == int(
+        resize_nearest(img, 8, 8).sum(dtype=np.int64)
+    )
+    assert out[2].decode_status == "ok_fake"
+    assert len(bytes(out[2].payload)) == 64 and out[2].pixel_sum is None

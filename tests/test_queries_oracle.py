@@ -29,10 +29,9 @@ NO_ORACLE_INVARIANTS = {
     "x13_sketch_aggregates": (
         None, 1, "tests/test_sketches.py (error bounds)",
     ),
-    "mm03_resize_thumbs": (
-        ["doc_id", "media_type", "width", "height", "n_bytes", "decode_status"],
-        1, "tests/test_multimodal.py (determinism + payload sizes)",
-    ),
+    # mm03 graduated to a hash oracle in r10 (real BMP decode->resize
+    # path with a SQL-recomputable pixel_sum); its bit-exact numpy
+    # parity tests remain in test_multimodal.py.
     # x39 graduated to a hash oracle in r5 (fixed-20-iteration recursive
     # CTE); its numpy power-iteration parity test remains in test_graph.py.
     "g07_distance_clump": (
