@@ -1894,15 +1894,45 @@ _ASSOC_SQL = """
     """
 
 
-@query("g07_distance_clump", "X-gwas,§2.12", oracle=None)
+@query(
+    "g07_distance_clump",
+    "X-gwas,§2.12",
+    oracle=f"""
+    WITH RECURSIVE {_ASSOC_SQL},
+    clump AS (
+      SELECT chr,
+             CAST([] AS STRUCT(p DOUBLE, vid BIGINT, pos BIGINT,
+                               n BIGINT)[]) AS leads,
+             list(struct_pack(p := p, vid := variant_id, pos := pos)
+                  ORDER BY p, variant_id) AS rest
+      FROM assoc GROUP BY chr
+      UNION ALL
+      SELECT chr,
+             leads || [struct_pack(
+               p := rest[1].p, vid := rest[1].vid, pos := rest[1].pos,
+               n := len(list_filter(rest,
+                        r -> abs(r.pos - rest[1].pos) <= 100000)))],
+             list_filter(rest, r -> abs(r.pos - rest[1].pos) > 100000)
+      FROM clump WHERE len(rest) > 0
+    )
+    SELECT chr, u.pos AS pos, u.vid AS variant_id, u.p AS p,
+           u.n AS n_clumped
+    FROM (SELECT chr, unnest(leads) AS u FROM clump WHERE len(rest) = 0)
+    """,
+)
 def g07_distance_clump(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy distance-based clumping (plink --clump, LD-free): best-p
     variant leads, ±100 kb suppressed, repeat — per chromosome in
     parallel (gwas/clump.py applyInPandas; the reference's per-chr
-    fan-out X2/X3). Greedy suppression is order-dependent and iterative →
-    no single SQL oracle; exact parity vs a pure-python reference is
-    tested in tests/test_gwas_pipeline.py, and g08 is the SQL-checkable
-    binned variant."""
+    fan-out X2/X3). Greedy suppression is order-dependent and
+    iterative, but it IS expressible as a recursive CTE over per-chr
+    sorted LISTS (round 10, the x11 oracle discipline): the working
+    row carries (leads-so-far, alive-rest sorted by (p, variant_id)),
+    each step promotes rest[1] and filters its ±100 kb window — so the
+    whole greedy trace hash-checks against DuckDB, converting g07 from
+    a rows-only structural check into an oracle-green query. Exact
+    parity vs a pure-python reference remains in
+    tests/test_gwas_pipeline.py; g08 is the windowed binned variant."""
     from gwasdb_spark.gwas.clump import distance_clump
 
     assoc = _synthetic_assoc(spark, sf_dir)

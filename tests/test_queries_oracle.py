@@ -34,10 +34,9 @@ NO_ORACLE_INVARIANTS = {
     # parity tests remain in test_multimodal.py.
     # x39 graduated to a hash oracle in r5 (fixed-20-iteration recursive
     # CTE); its numpy power-iteration parity test remains in test_graph.py.
-    "g07_distance_clump": (
-        ["chr", "pos", "variant_id", "p", "n_clumped"], 22,
-        "tests/test_gwas_pipeline.py::test_distance_clump_matches_python_reference",
-    ),
+    # g07 graduated to a hash oracle in r10 (recursive CTE over per-chr
+    # sorted lists replays the greedy clump exactly); its python parity
+    # test remains in test_gwas_pipeline.py.
     # data-dependent argmax per iteration — the merge list is pinned by
     # an exact python rederivation (all 20 rows, equality not approx)
     "x140_bpe_learn": (

@@ -34,3 +34,63 @@ def test_sketches_within_error_bounds(spark):
         # RANK, not value — approx pNN must land inside a rank bracket
         assert x.p40 <= a.p50 <= x.p60, et
         assert x.p85 <= a.p95 <= x.vmax, et
+
+
+import numpy as np
+import pytest
+
+
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_percentile_approx_exact_twin_below_accuracy(spark, sf_dir):
+    """EXACT-twin pin (r9 verdict #5): percentile_approx(accuracy=10k)
+    degrades to the exact ceil(p*n) nearest-rank statistic whenever a
+    group holds fewer than `accuracy` rows (the quantile summary never
+    compresses, rank error < 1) — x13's groups at sf0.01 are ~2k rows,
+    so its percentile outputs are pinned by EQUALITY, not bands."""
+    approx = {
+        r.event_type: r
+        for r in QUERIES["x13_sketch_aggregates"].fn(spark, sf_dir).collect()
+    }
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    vals = {
+        r.event_type: np.sort(
+            np.array([x for x in r.vs if x is not None], dtype=np.float64)
+        )
+        for r in e.groupBy("event_type")
+        .agg(F.collect_list("value").alias("vs"))
+        .collect()
+    }
+    for et, a in approx.items():
+        v = vals[et]
+        n = len(v)
+        assert n < 10_000, "fixture outgrew the exactness precondition"
+        for p, got in [(0.5, a.p50), (0.95, a.p95), (0.99, a.p99)]:
+            expect = float(v[int(np.ceil(p * n)) - 1])
+            assert got == expect, (et, p, got, expect)
+
+
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_hll_within_3_sigma_and_deterministic(spark, sf_dir):
+    """HLL++ at rsd=0.01 must land within 3 sigma (3%) of exact — a
+    3x-tighter band than the original 5% guard — and be run-to-run
+    DETERMINISTIC (the sketch hashes values, no RNG), so the x13 driver
+    row cannot flap."""
+    q = QUERIES["x13_sketch_aggregates"]
+    a1 = {r.event_type: r.approx_users for r in q.fn(spark, sf_dir).collect()}
+    a2 = {r.event_type: r.approx_users for r in q.fn(spark, sf_dir).collect()}
+    assert a1 == a2
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact = {
+        r.event_type: r.u
+        for r in e.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("u"))
+        .collect()
+    }
+    for et, got in a1.items():
+        assert abs(got - exact[et]) <= max(1, 0.03 * exact[et]), (
+            et, got, exact[et],
+        )
