@@ -259,6 +259,13 @@ HEADLINE = [
     # round-10 additions
     "m04_acid_pruned_dml",
     "x158_acid_changefeed",
+    "x157_ann_index_delete",
+    "g20_ld_prune",
+    "x160_lsh_band_tuning",
+    "w14_session_windows",
+    "e16_funnel_dropoff",
+    "g07_distance_clump",
+    "mm03_resize_thumbs",
     # st18 (streaming ANN ingest) is correctness-gated, not benched:
     # bounded-replay wall time is micro-batch commit overhead (the
     # st07/st08/st13 rationale), and its stage makes re-runs no-ops.

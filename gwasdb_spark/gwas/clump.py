@@ -89,3 +89,29 @@ def distance_clump(
 
         return assoc.groupBy(*keys).applyInPandas(run_extra, schema=schema_extra)
     return assoc.groupBy(*keys).applyInPandas(run, schema=schema)
+
+
+def bp_space_thin(assoc: DataFrame, gap: int = 100_000) -> DataFrame:
+    """Positional marker thinning (plink `--bp-space` shape): scan each
+    chromosome in (pos, variant_id) order and keep a variant only when
+    it sits >= gap past the LAST KEPT one — the backbone-marker-set
+    builder (pruning dense arrays to an evenly spaced subset). The
+    keep decision depends on the last KEPT row, not the previous row,
+    so it is not a lag window; like distance_clump it runs the exact
+    serial pass per chromosome as one Arrow batch group (same memory
+    contract: bounded by the per-chr variant catalog)."""
+    schema = "chr int, pos long, variant_id long, p double"
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["pos", "variant_id"]).reset_index(drop=True)
+        keep: list[int] = []
+        last = None
+        for i, pos in enumerate(pdf["pos"].to_numpy()):
+            if last is None or pos >= last + gap:
+                keep.append(i)
+                last = pos
+        return pdf.loc[keep, ["chr", "pos", "variant_id", "p"]]
+
+    return assoc.select("chr", "pos", "variant_id", "p").groupBy(
+        "chr"
+    ).applyInPandas(run, schema)

@@ -43,13 +43,15 @@ _PRIORITY = [
     "m04_acid_pruned_dml",
     "x157_ann_index_delete",
     "x158_acid_changefeed",
-    "x159_bpe_batched_learn",
     "g20_ld_prune",
-    "x160_doc_span_dedup_stats",
+    "x160_lsh_band_tuning",
     "w14_session_windows",
     "e16_funnel_dropoff",
+    "x140_bpe_learn",
+    "x150_bpe_apply",
     "mm03_resize_thumbs",
     "g07_distance_clump",
+    "x13_sketch_aggregates",
     # The r9 priority tail past seat 50 (the offset-50 queue the round-9
     # close pre-flighted 50/50 green)
     "u02_intersect",

@@ -2640,3 +2640,318 @@ def x158_acid_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@query(
+    "w14_session_windows",
+    "X-window,§2.5",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       IS NULL
+                  OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM x
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000
+                AS BIGINT) AS duration_sec,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_value_cents
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def w14_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH session windows via Spark's native `session_window` (st02's
+    streaming sessionizer has carried this semantics; this is the
+    catalog-query form BI users run): per-user sessions split at
+    >= 30-minute gaps, each emitting (start, event count, duration,
+    exact cents sum). session_window is a built-in GROUPING expression
+    — one shuffle on (user_id, merged window), no per-user Python, no
+    full-stream ordered window — where the oracle does classic
+    gaps-and-islands (lag + running break-count). Boundary semantics
+    pinned by the hash: two events exactly 30 minutes apart are
+    DIFFERENT sessions (Spark merges only when gap < 30 min; the
+    oracle breaks on >= 30 min). Timestamps exit as formatted strings
+    (the engine-portability discipline in plans/helpers.py)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            # micros first, floor-divide once: per-ts unix_timestamp()
+            # would TRUNCATE each endpoint's fraction before the diff
+            # while the oracle diffs fractions then casts — a +-1 s
+            # disagreement on ~1.3% of sessions (found at sf0.01)
+            ((F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+             / F.lit(1000000)).cast("long").alias("duration_sec"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("sum_value_cents"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+        )
+        .select(
+            "user_id", "session_start", "n_events", "duration_sec",
+            "sum_value_cents",
+        )
+    )
+
+
+@query(
+    "e16_funnel_dropoff",
+    "X-events,X-analytics",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, v.t1, MIN(e.ts) AS t2
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+      GROUP BY e.user_id, v.t1
+    ),
+    p AS (
+      SELECT e.user_id, c.t2, MIN(e.ts) AS t3
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY e.user_id, c.t2
+    ),
+    g2 AS (
+      SELECT CAST((epoch_us(t2) - epoch_us(t1)) // 1000000 AS BIGINT)
+               AS gap,
+             ROW_NUMBER() OVER (
+               ORDER BY (epoch_us(t2) - epoch_us(t1)) // 1000000) AS rn,
+             COUNT(*) OVER () AS n
+      FROM c
+    ),
+    g3 AS (
+      SELECT CAST((epoch_us(t3) - epoch_us(t2)) // 1000000 AS BIGINT)
+               AS gap,
+             ROW_NUMBER() OVER (
+               ORDER BY (epoch_us(t3) - epoch_us(t2)) // 1000000) AS rn,
+             COUNT(*) OVER () AS n
+      FROM p
+    )
+    SELECT 1 AS step, 'view' AS event_type,
+           CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_users,
+           CAST(NULL AS BIGINT) AS median_gap_sec
+    UNION ALL
+    SELECT 2, 'click', CAST((SELECT COUNT(*) FROM c) AS BIGINT),
+           (SELECT gap FROM g2 WHERE rn = CAST(ceil(n / 2.0) AS BIGINT))
+    UNION ALL
+    SELECT 3, 'purchase', CAST((SELECT COUNT(*) FROM p) AS BIGINT),
+           (SELECT gap FROM g3 WHERE rn = CAST(ceil(n / 2.0) AS BIGINT))
+    """,
+)
+def e16_funnel_dropoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered funnel dropoff with step latencies: users whose
+    first view precedes a later click precedes a later purchase —
+    x35's cohort funnel counts conversions; this measures WHERE the
+    funnel loses people and how long surviving steps take. Engine
+    shape: three skinny per-user MIN aggregates chained by time-bounded
+    joins (each join input shrinks — the funnel itself prunes), never
+    a window over the full event stream. Step latency medians are
+    EXACT nearest-rank statistics on integer seconds: Spark's
+    percentile_approx(accuracy=10k) equals the ceil(n/2)-rank value
+    outright below 10k rows (the x13 exactness pin), and the oracle
+    picks the same rank explicitly — hash-identical, no band."""
+    e = table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("t1").alias("t1"), F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c.select("user_id", "t2"), "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("t2").alias("t2"), F.min("ts").alias("t3"))
+    )
+    # micros-diff then one floor-divide (the w14 fraction lesson):
+    # per-endpoint second truncation disagrees with the oracle by 1 s
+    gap2 = (
+        (F.unix_micros("t2") - F.unix_micros("t1")) / F.lit(1000000)
+    ).cast("long")
+    gap3 = (
+        (F.unix_micros("t3") - F.unix_micros("t2")) / F.lit(1000000)
+    ).cast("long")
+    s1 = v.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
+        F.lit(1).cast("int").alias("step"),
+        F.lit("view").alias("event_type"),
+        "n_users",
+        F.lit(None).cast("long").alias("median_gap_sec"),
+    )
+    s2 = c.select(gap2.alias("gap")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.percentile_approx("gap", 0.5, 10_000).cast("long").alias(
+            "median_gap_sec"
+        ),
+    ).select(
+        F.lit(2).cast("int").alias("step"),
+        F.lit("click").alias("event_type"),
+        "n_users",
+        "median_gap_sec",
+    )
+    s3 = p.select(gap3.alias("gap")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.percentile_approx("gap", 0.5, 10_000).cast("long").alias(
+            "median_gap_sec"
+        ),
+    ).select(
+        F.lit(3).cast("int").alias("step"),
+        F.lit("purchase").alias("event_type"),
+        "n_users",
+        "median_gap_sec",
+    )
+    return s1.unionByName(s2).unionByName(s3)
+
+
+@query(
+    "x160_lsh_band_tuning",
+    "X-dedup,X-qa",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(
+               list_transform(
+                 range(1, greatest(len(w) - 2, 0) + 1),
+                 i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS shingles
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+            FROM documents)
+    ),
+    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+    ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    rare AS (SELECT shingle FROM ex GROUP BY shingle HAVING COUNT(*) <= 100),
+    pruned AS (SELECT ex.doc_id, ex.shingle FROM ex JOIN rare USING (shingle)),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+      FROM pruned a JOIN pruned b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) AS j
+      FROM shared
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) >= 0.12
+    ),
+    base AS (
+      SELECT j, 1 - j AS a1, 1 - j * j AS a2,
+             1 - (j * j) * (j * j) AS a4,
+             1 - ((j * j) * (j * j)) * ((j * j) * (j * j)) AS a8
+      FROM pairs
+    ),
+    sq1 AS (SELECT a1 * a1 AS b1, a2 * a2 AS b2, a4 * a4 AS b4,
+                   a8 * a8 AS b8 FROM base),
+    sq2 AS (SELECT b1 * b1 AS c1, b2 * b2 AS c2, b4 * b4 AS c4, b8
+            FROM sq1),
+    sq3 AS (SELECT c1 * c1 AS d1, c2 * c2 AS d2, c4, b8 FROM sq2),
+    nano AS (
+      SELECT CAST(round((1 - d1 * d1) * 1e9) AS BIGINT) AS p16_1,
+             CAST(round((1 - d2) * 1e9) AS BIGINT) AS p8_2,
+             CAST(round((1 - c4) * 1e9) AS BIGINT) AS p4_4,
+             CAST(round((1 - b8) * 1e9) AS BIGINT) AS p2_8
+      FROM sq3
+    ),
+    agg AS (
+      SELECT COUNT(*) AS n, SUM(p16_1) AS s16, SUM(p8_2) AS s8,
+             SUM(p4_4) AS s4, SUM(p2_8) AS s2
+      FROM nano
+    )
+    SELECT 16 AS bands, 1 AS rows_per_band, CAST(n AS BIGINT) AS n_pairs,
+           CAST(s16 AS BIGINT) AS expected_caught_nano,
+           ROUND(s16 / n / 1e9, 6) AS expected_recall
+    FROM agg
+    UNION ALL
+    SELECT 8, 2, CAST(n AS BIGINT), CAST(s8 AS BIGINT),
+           ROUND(s8 / n / 1e9, 6) FROM agg
+    UNION ALL
+    SELECT 4, 4, CAST(n AS BIGINT), CAST(s4 AS BIGINT),
+           ROUND(s4 / n / 1e9, 6) FROM agg
+    UNION ALL
+    SELECT 2, 8, CAST(n AS BIGINT), CAST(s2 AS BIGINT),
+           ROUND(s2 / n / 1e9, 6) FROM agg
+    """,
+)
+def x160_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banding tuner: for each (bands b, rows-per-band r)
+    layout of a 16-hash signature, the expected recall of the TRUE
+    near-dup pair set (x02's exact-Jaccard pairs, j >= 0.12) under the
+    S-curve catch probability 1-(1-j^r)^b — the number every dedup
+    deployment computes before picking its LSH layout (x03 runs one
+    point of this grid). Numeric discipline: j is an exact integer
+    ratio, and ALL powers are explicit repeated-squaring
+    MULTIPLICATIONS (never libm pow), so every intermediate double is
+    IEEE-deterministic and bit-identical across engines; per-pair
+    probabilities quantize to integer nano-units BEFORE summing (the
+    g19 discipline), making the aggregate exact. One extra aggregate
+    over the pair relation — the tuner costs one scan of the pairs it
+    tunes for."""
+    from gwasdb_spark.operators import dedup as DD
+
+    d = table(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.12, max_shingle_docs=100
+    )
+    j = F.col("jaccard")
+    jj = j * j
+    a1 = F.lit(1) - j
+    a2 = F.lit(1) - jj
+    a4 = F.lit(1) - jj * jj
+    a8 = F.lit(1) - (jj * jj) * (jj * jj)
+    b1, b2, b4, b8 = a1 * a1, a2 * a2, a4 * a4, a8 * a8
+    c1, c2, c4 = b1 * b1, b2 * b2, b4 * b4
+    d1, d2 = c1 * c1, c2 * c2
+    nano = pairs.select(
+        F.round((F.lit(1) - d1 * d1) * 1e9).cast("long").alias("p16_1"),
+        F.round((F.lit(1) - d2) * 1e9).cast("long").alias("p8_2"),
+        F.round((F.lit(1) - c4) * 1e9).cast("long").alias("p4_4"),
+        F.round((F.lit(1) - b8) * 1e9).cast("long").alias("p2_8"),
+    )
+    agg = nano.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("p16_1").alias("s16"),
+        F.sum("p8_2").alias("s8"),
+        F.sum("p4_4").alias("s4"),
+        F.sum("p2_8").alias("s2"),
+    )
+    parts = []
+    for bands, rows_pb, col in [(16, 1, "s16"), (8, 2, "s8"),
+                                (4, 4, "s4"), (2, 8, "s2")]:
+        parts.append(
+            agg.select(
+                F.lit(bands).cast("int").alias("bands"),
+                F.lit(rows_pb).cast("int").alias("rows_per_band"),
+                F.col("n").cast("long").alias("n_pairs"),
+                F.col(col).cast("long").alias("expected_caught_nano"),
+                F.round(
+                    F.col(col) / F.col("n") / 1e9, 6
+                ).alias("expected_recall"),
+            )
+        )
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionByName(q)
+    return out

@@ -1975,6 +1975,44 @@ def g08_binned_lead_snp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "g20_ld_prune",
+    "X-gwas,§2.12",
+    oracle=f"""
+    WITH RECURSIVE {_ASSOC_SQL},
+    thin AS (
+      SELECT chr,
+             CAST([] AS STRUCT(pos BIGINT, vid BIGINT, p DOUBLE)[]) AS kept,
+             list(struct_pack(pos := pos, vid := variant_id, p := p)
+                  ORDER BY pos, variant_id) AS rest
+      FROM assoc GROUP BY chr
+      UNION ALL
+      SELECT chr, kept || [rest[1]],
+             list_filter(rest, r -> r.pos >= rest[1].pos + 100000)
+      FROM thin WHERE len(rest) > 0
+    )
+    SELECT chr, u.pos AS pos, u.vid AS variant_id, u.p AS p
+    FROM (SELECT chr, unnest(kept) AS u FROM thin WHERE len(rest) = 0)
+    """,
+)
+def g20_ld_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional marker pruning (plink --bp-space, the LD-free sibling
+    of --indep-pairwise): keep one variant per >= 100 kb of kept-to-next
+    spacing, scanning each chromosome in (pos, variant_id) order — the
+    backbone-set builder dense genotyping arrays are thinned with
+    before expensive per-marker models. The keep decision depends on
+    the LAST KEPT variant (not the previous row), so it is a serial
+    per-chr pass (gwas/clump.bp_space_thin, applyInPandas — the g07
+    engine shape), and the ORACLE replays it exactly as a recursive
+    CTE over per-chr pos-sorted lists (the g07/x11 discipline): each
+    step keeps rest[1] and filters rest to pos >= kept + gap. Fully
+    hash-adjudicated greedy state machine."""
+    from gwasdb_spark.gwas.clump import bp_space_thin
+
+    assoc = _synthetic_assoc(spark, sf_dir)
+    return bp_space_thin(assoc, gap=100_000).orderBy("chr", "pos")
+
+
 # ---------------------------------------------------------------------------
 # Headline analytical queries (scale benchmarks; bench.py drives these)
 # ---------------------------------------------------------------------------
