@@ -259,6 +259,7 @@ HEADLINE = [
     # round-10 additions
     "m04_acid_pruned_dml",
     "x158_acid_changefeed",
+    "m05_acid_cluster",
     "x157_ann_index_delete",
     "g20_ld_prune",
     "x160_lsh_band_tuning",
@@ -393,6 +394,10 @@ def main() -> None:
                     from gwasdb_spark.plans.mining_ops import m04_reset_stage
 
                     m04_reset_stage(sf_dir)
+                elif name == "m05_acid_cluster":
+                    from gwasdb_spark.plans.mining_ops import m05_reset_stage
+
+                    m05_reset_stage(sf_dir)
                 t0 = time.perf_counter()
                 _consume(QUERIES[name].fn(spark, sf_dir))
                 dt = time.perf_counter() - t0

@@ -422,6 +422,110 @@ class AcidTable:
             transform_empty_when_unmatched=True,
         )
 
+    # --------------------------------------------------- maintenance --
+    def compact(self, small_rows: int = 100_000) -> int:
+        """Small-file compaction (Delta OPTIMIZE's file-count half):
+        merge every group holding fewer than `small_rows` rows into ONE
+        new group; big groups ride the manifest verbatim (mtime-stable,
+        like every pruned rewrite). Logically a no-op — the committed
+        snapshot reads identically — but a table fed by streaming
+        micro-batch appends (st14/st18 shape) accretes one tiny group
+        per batch, and at 100 TB the scheduler cost of a million tiny
+        files dwarfs the data. Returns the committed version (or the
+        current one when <2 groups qualify — nothing to merge)."""
+        base = self.latest_version()
+        m = self._manifest(base)
+        stats = m.get("stats", {})
+
+        def rows_of(g: str) -> int | None:
+            st = stats.get(g)
+            if not st:
+                return None  # unknown size: leave it alone
+            return next(iter(st.values()))[3]
+
+        small = [
+            g
+            for g in m["file_groups"]
+            if rows_of(g) is not None and rows_of(g) < small_rows
+        ]
+        if len(small) < 2:
+            return base
+        # op surfaces as "compact(pruned k/n)": k merged, n-k untouched
+        return self._rewrite_pruned(
+            "compact",
+            lambda manifest: [g for g in small if g in manifest["file_groups"]],
+            lambda df: df,
+        )
+
+    def cluster_by(self, col: str, n_groups: int = 8) -> int:
+        """Range-cluster the WHOLE table into `n_groups` file groups
+        with non-overlapping `col` stats — the data-layout half of
+        Delta OPTIMIZE ZORDER / liquid clustering, reduced to the one
+        dimension that matters for this engine's skipping: after
+        clustering, a range predicate on `col` prunes to O(1) groups
+        no matter how interleaved the ingest order was. Logically a
+        no-op (same rows); physically a full rewrite (that is the
+        point — pay once, skip forever).
+
+        Mechanics: exact quantile boundaries (approxQuantile with
+        relativeError=0 — deterministic), one staging write partitioned
+        by the computed bucket, then each bucket directory is RENAMED
+        into place as its own file group (one data pass total, no
+        per-bucket rescans). Empty buckets (duplicate-heavy boundaries)
+        are skipped; the op string records the real group count."""
+        base = self.latest_version()
+        snap = self.read(base)
+        qs = [i / n_groups for i in range(1, n_groups)]
+        bounds = sorted(set(snap.approxQuantile(col, qs, 0.0)))
+        bucket = F.lit(0)
+        for i, b in enumerate(bounds):
+            bucket = F.when(F.col(col) > F.lit(b), i + 1).otherwise(bucket)
+        staging = os.path.join(self._data, f".cluster-{uuid.uuid4().hex}")
+        try:
+            snap.withColumn("__bucket", bucket).write.mode(
+                "overwrite"
+            ).partitionBy("__bucket").parquet(staging)
+            new_groups: list[str] = []
+            new_stats: dict = {}
+            for name in sorted(os.listdir(staging)):
+                if not name.startswith("__bucket="):
+                    continue
+                group = uuid.uuid4().hex
+                os.rename(
+                    os.path.join(staging, name),
+                    os.path.join(self._data, group),
+                )
+                st = self._group_stats(os.path.join(self._data, group))
+                if st and next(iter(st.values()))[3] == 0:
+                    shutil.rmtree(
+                        os.path.join(self._data, group), ignore_errors=True
+                    )
+                    continue
+                new_groups.append(group)
+                new_stats[group] = st
+            try:
+                self._commit(
+                    base + 1,
+                    f"cluster({col}, {len(new_groups)})",
+                    new_groups,
+                    new_stats,
+                )
+                return base + 1
+            except CommitConflict:
+                # A rewrite CANNOT blind-retry here: the clustered data
+                # was derived from `base`, and committing it over a
+                # racing writer's version would silently drop their
+                # rows. Clean up and let the caller re-run cluster_by
+                # against the new snapshot (maintenance jobs normally
+                # hold exclusivity anyway).
+                for g in new_groups:
+                    shutil.rmtree(
+                        os.path.join(self._data, g), ignore_errors=True
+                    )
+                raise
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+
     # --------------------------------------------------------- vacuum --
     def vacuum(
         self, keep_last: int = 2, grace_seconds: float = 3600.0

@@ -41,6 +41,7 @@ _PRIORITY = [
     # re-attestation); later round-10 additions are inserted here and
     # displace trailing backfills.
     "m04_acid_pruned_dml",
+    "m05_acid_cluster",
     "x157_ann_index_delete",
     "x158_acid_changefeed",
     "g20_ld_prune",
@@ -60,7 +61,6 @@ _PRIORITY = [
     "w05_ntile_rank",
     "x05g_filtered_topk",
     "x12f_bm25_proximity",
-    "x13_sketch_aggregates",
     "x14_asof_join",
     "x14b_asof_forward",
     # r03-latest backfills (no driver row since r03), oldest debt first

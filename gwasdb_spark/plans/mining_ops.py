@@ -2955,3 +2955,119 @@ def x160_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     for q in parts[1:]:
         out = out.unionByName(q)
     return out
+
+
+def _m05_stage(sf_dir: str) -> str:
+    import hashlib as _hl
+
+    return stage_dir(f"acid_m05_{_hl.md5(sf_dir.encode()).hexdigest()[:12]}")
+
+
+def m05_reset_stage(sf_dir: str) -> None:
+    """Drop m05's staged AcidTable (bench.py resets it outside the
+    timed span — the m03/m04 discipline)."""
+    import shutil as _sh
+
+    _sh.rmtree(_m05_stage(sf_dir), ignore_errors=True)
+
+
+@query(
+    "m05_acid_cluster",
+    "X-dml,X-layout",
+    oracle="""
+    WITH t AS (
+      SELECT MAX(l_orderkey) // 8 AS thresh
+      FROM lineitem WHERE l_orderkey < 6000
+    ),
+    base AS (
+      SELECT l_orderkey, l_quantity, l_extendedprice
+      FROM lineitem WHERE l_orderkey < 6000
+    ),
+    v0 AS (SELECT * FROM base WHERE l_orderkey % 4 = 0),
+    v1 AS (SELECT * FROM base WHERE l_orderkey % 4 <= 1),
+    v2 AS (SELECT * FROM base WHERE l_orderkey % 4 <= 2),
+    v3 AS (SELECT * FROM base),
+    v5 AS (SELECT base.* FROM base, t WHERE l_orderkey > thresh),
+    agg AS (
+      SELECT 0 AS version, 'create' AS op, COUNT(*) AS n,
+             SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+      FROM v0
+      UNION ALL
+      SELECT 1, 'append', COUNT(*),
+             SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) FROM v1
+      UNION ALL
+      SELECT 2, 'append', COUNT(*),
+             SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) FROM v2
+      UNION ALL
+      SELECT 3, 'append', COUNT(*),
+             SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) FROM v3
+      UNION ALL
+      SELECT 4, 'cluster(l_orderkey, 4)', COUNT(*),
+             SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) FROM v3
+      UNION ALL
+      SELECT 5, 'delete(pruned 1/4)', COUNT(*),
+             SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) FROM v5
+    )
+    SELECT version, op, CAST(n AS BIGINT) AS n_rows,
+           CAST(cents AS BIGINT) AS sum_cents
+    FROM agg
+    """,
+)
+def m05_acid_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-layout maintenance made driver-checkable: four appends of
+    INTERLEAVED key slices (l_orderkey % 4) build a table where every
+    file group's key box spans the whole range — stats can prune
+    NOTHING — then `cluster_by("l_orderkey", 4)` rewrites the table
+    into four range-disjoint groups (exact quantile boundaries, one
+    staging pass partitioned by bucket, bucket dirs renamed into place
+    as groups), and a range DELETE that previously would have touched
+    4/4 groups commits as 'delete(pruned 1/4)'. Both the cluster op
+    string and the pruned-delete op string are oracle literals, so the
+    layout optimization's effect on skipping is itself
+    hash-adjudicated; every version's (rows, exact cents) proves
+    clustering is logically a no-op. This is Delta OPTIMIZE ZORDER
+    reduced to the range dimension the engine skips on — at 100 TB
+    you pay one rewrite to make every later selective DML O(1) groups.
+    Resumable off latest_version, idempotent warm."""
+    from gwasdb_spark.acid import AcidTable
+    from gwasdb_spark.acid import predicates as P
+
+    base_path = _m05_stage(sf_dir)
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") < 6000
+    ).select("l_orderkey", "l_quantity", "l_extendedprice")
+    thresh = (
+        li.agg(F.max("l_orderkey")).collect()[0][0] // 8
+    )  # 1-row bounded collect
+    t = AcidTable(spark, base_path)
+    if t.latest_version() < 0:
+        t = AcidTable.create(
+            spark, base_path, li.filter(F.col("l_orderkey") % 4 == 0)
+        )
+    for k in (1, 2, 3):
+        if t.latest_version() == k - 1:
+            t.append(li.filter(F.col("l_orderkey") % 4 == k))
+    if t.latest_version() == 3:
+        t.cluster_by("l_orderkey", 4)
+    if t.latest_version() == 4:
+        t.delete_where(P.Le("l_orderkey", thresh))
+    hist = {h["version"]: h["op"] for h in t.history()}
+    parts = []
+    for v in range(6):
+        parts.append(
+            t.read(v).agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+                .cast("long")
+                .alias("sum_cents"),
+            ).select(
+                F.lit(v).cast("int").alias("version"),
+                F.lit(hist[v]).alias("op"),
+                "n_rows",
+                "sum_cents",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -189,3 +189,67 @@ def test_stats_survive_json_roundtrip(spark, tmp_path):
     assert all(isinstance(v["id"][0], int) for v in m["stats"].values())
     cold.delete_where(P.Lt("id", 50))
     assert _last_op(cold) == "delete(pruned 1/3)"
+
+
+def test_compact_merges_small_groups_only(spark, tmp_path):
+    from gwasdb_spark.acid import AcidTable
+
+    t = AcidTable.create(
+        spark,
+        os.path.join(str(tmp_path), "cmp"),
+        spark.range(0, 100_000).selectExpr("id", "id * 2 AS v"),  # big
+    )
+    for lo in (0, 1, 2):  # three tiny streaming-shaped appends
+        t.append(spark.range(lo * 10, lo * 10 + 10).selectExpr("id", "id AS v"))
+    before = _mtimes(t)
+    big = [
+        g
+        for g, st in t._manifest(3)["stats"].items()
+        if st["id"][3] >= 100_000
+    ]
+    rows_before = sorted(r["id"] for r in t.read().collect())
+    v = t.compact(small_rows=1000)
+    m = t._manifest(v)
+    assert m["op"] == "compact(pruned 3/4)"
+    assert len(m["file_groups"]) == 2  # big + one merged
+    assert set(big) < set(m["file_groups"])
+    for p, mt in before.items():
+        if any(f"/{g}/" in p for g in big):
+            assert os.path.getmtime(p) == mt, "compact rewrote the big group"
+    assert sorted(r["id"] for r in t.read().collect()) == rows_before
+    # idempotent-ish: nothing left to merge
+    assert t.compact(small_rows=1000) == v
+
+
+def test_cluster_by_disjoint_boxes_enable_pruning(spark, tmp_path):
+    from gwasdb_spark.acid import AcidTable
+    from gwasdb_spark.acid import predicates as P
+
+    # interleaved ingest: every group spans the whole id range
+    def slice_mod(k):
+        return spark.range(0, 4000).filter(F.col("id") % 4 == k).selectExpr(
+            "id", "id % 7 AS v"
+        )
+
+    t = AcidTable.create(spark, os.path.join(str(tmp_path), "cl"), slice_mod(0))
+    for k in (1, 2, 3):
+        t.append(slice_mod(k))
+    rows_before = sorted(r["id"] for r in t.read().collect())
+    # pre-cluster: a range delete would touch every group
+    pred = P.Between("id", 100, 200)
+    m3 = t._manifest(3)
+    assert all(
+        pred.may_match(m3["stats"][g]) for g in m3["file_groups"]
+    ), "interleaved ingest must defeat pruning (fixture precondition)"
+    v = t.cluster_by("id", 4)
+    m = t._manifest(v)
+    assert m["op"] == "cluster(id, 4)"
+    assert sorted(r["id"] for r in t.read().collect()) == rows_before
+    boxes = sorted(st["id"][:2] for st in m["stats"].values())
+    for (lo1, hi1), (lo2, hi2) in zip(boxes, boxes[1:]):
+        assert hi1 < lo2, f"overlapping boxes {boxes}"
+    t.delete_where(pred)
+    assert t._manifest(v + 1)["op"] == "delete(pruned 1/4)"
+    assert sorted(r["id"] for r in t.read().collect()) == [
+        i for i in rows_before if not (100 <= i <= 200)
+    ]
