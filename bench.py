@@ -264,6 +264,7 @@ HEADLINE = [
     "g20_ld_prune",
     "x160_lsh_band_tuning",
     "w14_session_windows",
+    "w15_range_frame_revenue",
     "e16_funnel_dropoff",
     "g07_distance_clump",
     "mm03_resize_thumbs",

@@ -47,6 +47,7 @@ _PRIORITY = [
     "g20_ld_prune",
     "x160_lsh_band_tuning",
     "w14_session_windows",
+    "w15_range_frame_revenue",
     "e16_funnel_dropoff",
     "x140_bpe_learn",
     "x150_bpe_apply",

@@ -3071,3 +3071,58 @@ def m05_acid_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@query(
+    "w15_range_frame_revenue",
+    "X-window,§2.5",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT o_orderkey, o_custkey, day,
+           CAST(SUM(cents) OVER (
+             PARTITION BY o_custkey ORDER BY day
+             RANGE BETWEEN 29 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS trailing_30d_cents,
+           CAST(COUNT(*) OVER (
+             PARTITION BY o_custkey ORDER BY day
+             RANGE BETWEEN 29 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS trailing_30d_orders
+    FROM o
+    """,
+)
+def w15_range_frame_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window (the frame type the w-family lacked: w02/w06
+    run ROWS frames, w11 a rolling row count, st08 a streaming slide):
+    per customer, each order's trailing-30-DAY revenue and order count —
+    a VALUE-based frame over the day number, so gaps in the order
+    history widen or shrink the row window (ROWS BETWEEN cannot express
+    this). One shuffle on o_custkey; the frame is per-partition state
+    inside the window exec, no self-join blowup (the naive equivalent
+    is an O(n*30d) range self-join). Day = epoch day number (integer),
+    money = exact cents; ties on day are frame-EQUAL (RANGE includes
+    all peer rows), which both engines define identically."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day")
+        .rangeBetween(-29, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "day",
+        F.sum("cents").over(w).cast("long").alias("trailing_30d_cents"),
+        F.count(F.lit(1)).over(w).cast("long").alias("trailing_30d_orders"),
+    )
