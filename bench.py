@@ -260,6 +260,8 @@ HEADLINE = [
     "m04_acid_pruned_dml",
     "x158_acid_changefeed",
     "m05_acid_cluster",
+    "m06_acid_bloom_skipping",
+    "m07_acid_check_constraints",
     "x157_ann_index_delete",
     "g20_ld_prune",
     "x160_lsh_band_tuning",
@@ -382,23 +384,17 @@ def main() -> None:
                 continue
             best = None
             for _ in range(runs_per_query):
-                if name == "m03_acid_timetravel":
-                    # Reset the staged AcidTable OUTSIDE the timed span:
+                if name.startswith("m0") and name[3:4] == "_":
+                    # Reset a staged AcidTable OUTSIDE the timed span:
                     # warm, every DML guard is a read-only no-op and the
-                    # row would measure only 4 snapshot aggregates
+                    # row would measure only snapshot aggregates
                     # (ADVICE r9). Cold, each run times the real
-                    # create + 3 DML commits + 4 time-travel reads.
-                    from gwasdb_spark.plans.mining_ops import m03_reset_stage
+                    # create + DML commits + time-travel reads.
+                    import gwasdb_spark.plans.mining_ops as _mo
 
-                    m03_reset_stage(sf_dir)
-                elif name == "m04_acid_pruned_dml":
-                    from gwasdb_spark.plans.mining_ops import m04_reset_stage
-
-                    m04_reset_stage(sf_dir)
-                elif name == "m05_acid_cluster":
-                    from gwasdb_spark.plans.mining_ops import m05_reset_stage
-
-                    m05_reset_stage(sf_dir)
+                    reset = getattr(_mo, f"{name[:3]}_reset_stage", None)
+                    if reset is not None:
+                        reset(sf_dir)
                 t0 = time.perf_counter()
                 _consume(QUERIES[name].fn(spark, sf_dir))
                 dt = time.perf_counter() - t0

@@ -2,6 +2,10 @@
 container — see ROADMAP). Public Delta-protocol-shaped: an append-only
 version log of snapshot manifests with atomic, exclusive commits."""
 
-from gwasdb_spark.acid.table_log import AcidTable, CommitConflict
+from gwasdb_spark.acid.table_log import (
+    AcidTable,
+    CheckViolation,
+    CommitConflict,
+)
 
-__all__ = ["AcidTable", "CommitConflict"]
+__all__ = ["AcidTable", "CheckViolation", "CommitConflict"]

@@ -266,6 +266,27 @@ class And(Pred):
         return all(c.may_match(stats) for c in self.children)
 
 
+def required_point_lookups(pred: "Pred") -> list[tuple[str, tuple]]:
+    """(col, candidate-values) pairs every matching row MUST satisfy —
+    the sound extraction for bloom-filter probing. Eq/IsIn contribute
+    directly; And contributes all children's requirements (a conjunct
+    is individually necessary); Or and range forms contribute nothing
+    (a disjunct is not necessary, a range is not enumerable). A group
+    whose bloom proves any required lookup empty holds no matching
+    row."""
+    if isinstance(pred, Eq):
+        return [] if pred.value is None else [(pred.col, (pred.value,))]
+    if isinstance(pred, IsIn):
+        vals = tuple(v for v in pred.values if v is not None)
+        # isin(NULL) never matches a row, so dropping Nones is sound
+        return [(pred.col, vals)] if vals else []
+    if isinstance(pred, And):
+        return [
+            r for c in pred.children for r in required_point_lookups(c)
+        ]
+    return []
+
+
 @dataclass(frozen=True)
 class Or(Pred):
     children: tuple

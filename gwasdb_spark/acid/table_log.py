@@ -52,6 +52,22 @@ ACID properties and how they hold:
   the same interface with a pushed-down touched-file predicate, noted
   where it applies).
 
+Point-lookup skipping (round 10): tables created with `bloom_cols`
+carry a per-group bloom-filter sidecar (acid/bloom.py — the native
+stand-in for Delta bloom indexes / parquet column blooms, both absent
+from this container). After min/max passes, Eq/IsIn conjuncts on a
+bloom column probe the sidecar and prune groups the filter proves
+value-free — the case min/max cannot see: a point DELETE on a key
+whose values interleave across every group.
+
+CHECK constraints (round 10): `create(checks=...)` / `add_check` /
+`drop_check` store {name: SQL boolean expr} in every manifest;
+`_write_group` validates each new group in one aggregate and aborts
+the statement (CheckViolation, no version committed, group removed)
+on any FALSE row — NULL passes, per SQL/Delta CHECK semantics.
+`add_check` validates the whole current snapshot before committing
+its metadata-only version.
+
 Time travel: `read(version=k)` pins any retained snapshot; `history()`
 lists commits; `vacuum(keep_last)` removes data groups unreferenced by
 the retained log tail (and the old manifests), refusing to touch
@@ -72,11 +88,18 @@ import uuid
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gwasdb_spark.acid.predicates import Pred
+from gwasdb_spark.acid import bloom as _bloom
+from gwasdb_spark.acid.predicates import Pred, required_point_lookups
 
 
 class CommitConflict(Exception):
     """Another writer committed this version first — re-read and retry."""
+
+
+class CheckViolation(Exception):
+    """A write produced rows failing a table CHECK constraint; the
+    statement is aborted, the table unchanged (Delta's CHECK
+    semantics: the violating version never commits)."""
 
 
 # dtypes whose min/max are meaningful, orderable, and JSON-serializable
@@ -97,6 +120,24 @@ def _json_safe(v):
     if isinstance(v, _dt.date):
         return v.isoformat()
     return v
+
+
+def _check_violations(df: DataFrame, checks: dict) -> dict:
+    """{name: violating-row-count} for every failing CHECK, one
+    aggregate pass. SQL CHECK semantics: a row violates only when the
+    expression is FALSE — NULL/unknown passes (coalesce to TRUE)."""
+    aggs = [
+        F.sum(
+            (~F.coalesce(F.expr(expr), F.lit(True))).cast("long")
+        ).alias(f"__chk_{i}")
+        for i, expr in enumerate(checks.values())
+    ]
+    row = df.agg(*aggs).collect()[0]  # 1-row bounded collect
+    return {
+        name: int(row[f"__chk_{i}"] or 0)
+        for i, name in enumerate(checks)
+        if row[f"__chk_{i}"]
+    }
 
 
 def _fsync_dir(path: str) -> None:
@@ -147,16 +188,50 @@ class AcidTable:
         return out
 
     # ---------------------------------------------------------- write --
-    def _write_group(self, df: DataFrame) -> tuple[str, dict]:
+    def _write_group(
+        self,
+        df: DataFrame,
+        checks: dict | None = None,
+        bloom_cols: list | None = None,
+    ) -> tuple[str, dict]:
         """Write a new immutable file group and return (group, stats).
 
         Stats come from ONE aggregate over the just-written files (the
         truthful source — what is actually on disk), the same min/max/
-        null-count triple parquet footers carry; batch-scale cost."""
+        null-count triple parquet footers carry; batch-scale cost.
+
+        When the table carries CHECK constraints, the new rows are
+        validated here (one aggregate over the just-written group);
+        any violation removes the group and aborts the statement
+        BEFORE a manifest could name it. When the table carries bloom
+        columns, the group's bloom sidecar is built and written inside
+        the group dir before return (immutable with the group)."""
         group = uuid.uuid4().hex
         path = os.path.join(self._data, group)
         df.write.mode("overwrite").parquet(path)
-        return group, self._group_stats(path)
+        st = self._group_stats(path)
+        rows = next(iter(st.values()))[3] if st else 0
+        if checks and rows:
+            back = self.spark.read.parquet(path)
+            bad = _check_violations(back, checks)
+            if bad:
+                shutil.rmtree(path, ignore_errors=True)
+                raise CheckViolation(
+                    f"CHECK constraint(s) violated, statement aborted: "
+                    + ", ".join(
+                        f"{n} ({c} rows): {checks[n]}"
+                        for n, c in sorted(bad.items())
+                    )
+                )
+        if bloom_cols and rows:
+            back = self.spark.read.parquet(path)
+            elig = _bloom.bloom_eligible_columns(back, bloom_cols)
+            if elig:
+                _bloom.write_sidecar(
+                    path,
+                    {c: _bloom.build_bloom(back, c, rows) for c in elig},
+                )
+        return group, st
 
     def _group_stats(self, path: str) -> dict:
         back = self.spark.read.parquet(path)
@@ -193,6 +268,8 @@ class AcidTable:
         op: str,
         groups: list[str],
         stats: dict | None = None,
+        checks: dict | None = None,
+        bloom_cols: list | None = None,
     ) -> None:
         os.makedirs(self._log, exist_ok=True)
         body = {
@@ -200,6 +277,11 @@ class AcidTable:
             "op": op,
             "file_groups": sorted(groups),
             "stats": stats or {},
+            # table-level metadata rides every manifest (Delta keeps
+            # these in the protocol/metaData actions; a full-snapshot
+            # manifest just carries them forward verbatim)
+            "checks": checks or {},
+            "bloom_cols": sorted(bloom_cols or []),
         }
         tmp = os.path.join(self._log, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
@@ -219,13 +301,25 @@ class AcidTable:
 
     @classmethod
     def create(
-        cls, spark: SparkSession, path: str, df: DataFrame
+        cls,
+        spark: SparkSession,
+        path: str,
+        df: DataFrame,
+        checks: dict | None = None,
+        bloom_cols: list | None = None,
     ) -> "AcidTable":
+        """`checks` = {name: SQL boolean expr} enforced on every write
+        from version 0 on (see add_check for post-hoc addition);
+        `bloom_cols` = columns to carry per-group bloom sidecars for
+        point-lookup skipping (int/string columns only — others are
+        ignored with min/max stats still applying)."""
         t = cls(spark, path)
         if t.latest_version() >= 0:
             raise FileExistsError(f"table already exists at {path}")
-        group, st = t._write_group(df)
-        t._commit(0, "create", [group], {group: st})
+        group, st = t._write_group(df, checks, bloom_cols)
+        t._commit(
+            0, "create", [group], {group: st}, checks, bloom_cols
+        )
         return t
 
     # ----------------------------------------------------------- read --
@@ -249,10 +343,20 @@ class AcidTable:
         statically analyzable."""
         for _ in range(max_retries + 1):
             base = self.latest_version()
+            m = self._manifest(base)
             out = transform(self.read(base))
-            group, st = self._write_group(out)
+            group, st = self._write_group(
+                out, m.get("checks"), m.get("bloom_cols")
+            )
             try:
-                self._commit(base + 1, op, [group], {group: st})
+                self._commit(
+                    base + 1,
+                    op,
+                    [group],
+                    {group: st},
+                    m.get("checks"),
+                    m.get("bloom_cols"),
+                )
                 return base + 1
             except CommitConflict:
                 shutil.rmtree(
@@ -302,7 +406,9 @@ class AcidTable:
                     # empty target of the table's schema.
                     tdf = self.read(base).limit(0)
                 out = transform(tdf)
-                written, st = self._write_group(out)
+                written, st = self._write_group(
+                    out, m.get("checks"), m.get("bloom_cols")
+                )
                 if st and next(iter(st.values()))[3] == 0:
                     # transform emptied every touched row: drop the
                     # empty group rather than carry a 0-row file
@@ -320,6 +426,8 @@ class AcidTable:
                     f"{op}(pruned {len(touched)}/{len(m['file_groups'])})",
                     new_groups,
                     new_stats,
+                    m.get("checks"),
+                    m.get("bloom_cols"),
                 )
                 return base + 1
             except CommitConflict:
@@ -340,10 +448,19 @@ class AcidTable:
             m = self._manifest(base)
             groups = list(m["file_groups"])
             stats = dict(m.get("stats", {}))
-            new, st = self._write_group(df)
+            new, st = self._write_group(
+                df, m.get("checks"), m.get("bloom_cols")
+            )
             stats[new] = st
             try:
-                self._commit(base + 1, "append", groups + [new], stats)
+                self._commit(
+                    base + 1,
+                    "append",
+                    groups + [new],
+                    stats,
+                    m.get("checks"),
+                    m.get("bloom_cols"),
+                )
                 return base + 1
             except CommitConflict:
                 shutil.rmtree(
@@ -351,18 +468,43 @@ class AcidTable:
                 )
         raise CommitConflict("append retries exhausted")
 
-    @staticmethod
-    def _touched_by(predicate: Pred):
+    def _touched_by(self, predicate: Pred):
         def touched_of(manifest: dict) -> list[str]:
             stats = manifest.get("stats", {})
-            return [
-                g
-                for g in manifest["file_groups"]
-                # a group with no recorded stats is always touched
-                if predicate.may_match(stats.get(g, {}))
+            bloom_cols = set(manifest.get("bloom_cols", []))
+            lookups = [
+                (c, vs)
+                for c, vs in required_point_lookups(predicate)
+                if c in bloom_cols
             ]
+            out = []
+            for g in manifest["file_groups"]:
+                # a group with no recorded stats is always touched
+                if not predicate.may_match(stats.get(g, {})):
+                    continue
+                if lookups and not self._bloom_admits(g, lookups):
+                    continue
+                out.append(g)
+            return out
 
         return touched_of
+
+    def _bloom_admits(
+        self, group: str, lookups: list[tuple[str, tuple]]
+    ) -> bool:
+        """Second-stage skip after min/max passes: every required
+        point lookup (Eq/IsIn conjunct on a bloom column) must find at
+        least one candidate value the group's bloom cannot rule out.
+        Missing sidecar or missing column degrades to True (read the
+        group) — same soundness posture as missing stats."""
+        side = _bloom.read_sidecar(os.path.join(self._data, group))
+        for col, values in lookups:
+            b = side.get(col)
+            if not b:
+                continue
+            if not any(_bloom.may_contain(b, v) for v in values):
+                return False
+        return True
 
     def delete_where(self, predicate: Column | Pred) -> int:
         from gwasdb_spark.gwas.dml import delete_where
@@ -422,6 +564,69 @@ class AcidTable:
             transform_empty_when_unmatched=True,
         )
 
+    # -------------------------------------------------- constraints --
+    def checks(self) -> dict:
+        """Active CHECK constraints {name: SQL boolean expr}."""
+        v = self.latest_version()
+        return dict(self._manifest(v).get("checks", {})) if v >= 0 else {}
+
+    def add_check(self, name: str, expr: str, max_retries: int = 3) -> int:
+        """ALTER TABLE ADD CONSTRAINT ... CHECK (expr): validates the
+        CURRENT snapshot first (one aggregate over the table — the same
+        full-scan Delta pays), then commits a metadata-only version;
+        every later write is validated against it in `_write_group`.
+        Raises CheckViolation (no version committed) if existing rows
+        already fail."""
+        for _ in range(max_retries + 1):
+            base = self.latest_version()
+            m = self._manifest(base)
+            checks = dict(m.get("checks", {}))
+            if name in checks:
+                raise ValueError(f"constraint {name!r} already exists")
+            bad = _check_violations(self.read(base), {name: expr})
+            if bad:
+                raise CheckViolation(
+                    f"cannot add {name!r}: {bad[name]} existing rows "
+                    f"violate {expr}"
+                )
+            checks[name] = expr
+            try:
+                self._commit(
+                    base + 1,
+                    f"add_check({name})",
+                    m["file_groups"],
+                    m.get("stats", {}),
+                    checks,
+                    m.get("bloom_cols"),
+                )
+                return base + 1
+            except CommitConflict:
+                continue  # re-validate against the winner's snapshot
+        raise CommitConflict(f"gave up adding check {name!r}")
+
+    def drop_check(self, name: str, max_retries: int = 3) -> int:
+        """Metadata-only constraint removal (no data IO)."""
+        for _ in range(max_retries + 1):
+            base = self.latest_version()
+            m = self._manifest(base)
+            checks = dict(m.get("checks", {}))
+            if name not in checks:
+                raise KeyError(f"no constraint named {name!r}")
+            del checks[name]
+            try:
+                self._commit(
+                    base + 1,
+                    f"drop_check({name})",
+                    m["file_groups"],
+                    m.get("stats", {}),
+                    checks,
+                    m.get("bloom_cols"),
+                )
+                return base + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"gave up dropping check {name!r}")
+
     # --------------------------------------------------- maintenance --
     def compact(self, small_rows: int = 100_000) -> int:
         """Small-file compaction (Delta OPTIMIZE's file-count half):
@@ -474,6 +679,7 @@ class AcidTable:
         per-bucket rescans). Empty buckets (duplicate-heavy boundaries)
         are skipped; the op string records the real group count."""
         base = self.latest_version()
+        meta = self._manifest(base)
         snap = self.read(base)
         qs = [i / n_groups for i in range(1, n_groups)]
         bounds = sorted(set(snap.approxQuantile(col, qs, 0.0)))
@@ -503,12 +709,32 @@ class AcidTable:
                     continue
                 new_groups.append(group)
                 new_stats[group] = st
+                # layout change only (rows already validated at their
+                # original commits — checks need no re-run), but bloom
+                # sidecars are per-group artifacts and must be rebuilt
+                # for the new grouping
+                bcols = meta.get("bloom_cols") or []
+                if bcols:
+                    gpath = os.path.join(self._data, group)
+                    back = self.spark.read.parquet(gpath)
+                    elig = _bloom.bloom_eligible_columns(back, bcols)
+                    rows = next(iter(st.values()))[3] if st else 0
+                    if elig and rows:
+                        _bloom.write_sidecar(
+                            gpath,
+                            {
+                                c: _bloom.build_bloom(back, c, rows)
+                                for c in elig
+                            },
+                        )
             try:
                 self._commit(
                     base + 1,
                     f"cluster({col}, {len(new_groups)})",
                     new_groups,
                     new_stats,
+                    meta.get("checks"),
+                    meta.get("bloom_cols"),
                 )
                 return base + 1
             except CommitConflict:

@@ -42,6 +42,8 @@ _PRIORITY = [
     # displace trailing backfills.
     "m04_acid_pruned_dml",
     "m05_acid_cluster",
+    "m06_acid_bloom_skipping",
+    "m07_acid_check_constraints",
     "x157_ann_index_delete",
     "x158_acid_changefeed",
     "g20_ld_prune",

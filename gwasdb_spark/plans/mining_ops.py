@@ -3126,3 +3126,317 @@ def w15_range_frame_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").over(w).cast("long").alias("trailing_30d_cents"),
         F.count(F.lit(1)).over(w).cast("long").alias("trailing_30d_orders"),
     )
+
+def _m06_stage(sf_dir: str) -> str:
+    import hashlib as _hl
+
+    return stage_dir(f"acid_m06_{_hl.md5(sf_dir.encode()).hexdigest()[:12]}")
+
+
+def m06_reset_stage(sf_dir: str) -> None:
+    """Drop m06's staged AcidTable (bench resets it outside the timed
+    span — the m03/m04/m05 discipline)."""
+    import shutil as _sh
+
+    _sh.rmtree(_m06_stage(sf_dir), ignore_errors=True)
+
+
+@query(
+    "m06_acid_bloom_skipping",
+    "X-dml,X-layout",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ),
+    k AS (
+      SELECT
+        MAX(CASE WHEN o_orderkey % 3 = 0 THEN o_orderkey END) AS m0,
+        MAX(CASE WHEN o_orderkey % 3 = 1 THEN o_orderkey END) AS m1,
+        MAX(CASE WHEN o_orderkey % 3 = 2 THEN o_orderkey END) AS m2,
+        MIN(CASE WHEN o_orderkey % 3 = 2 THEN o_orderkey END) AS k2min
+      FROM base
+    ),
+    v0 AS (SELECT * FROM base WHERE o_orderkey % 3 = 0),
+    v1 AS (SELECT * FROM base WHERE o_orderkey % 3 <= 1),
+    v2 AS (SELECT * FROM base),
+    v3 AS (SELECT base.* FROM base, k WHERE o_orderkey <> m2),
+    v4 AS (
+      SELECT v3.* FROM v3, k WHERE o_orderkey NOT IN (m0, m1)
+    ),
+    v5 AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey = k2min THEN 555.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM v4, k
+    ),
+    agg AS (
+      SELECT 0 AS version, 'create' AS op, COUNT(*) AS n,
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM v0
+      UNION ALL
+      SELECT 1, 'append', COUNT(*),
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT)) FROM v1
+      UNION ALL
+      SELECT 2, 'append', COUNT(*),
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT)) FROM v2
+      UNION ALL
+      SELECT 3, 'delete(pruned 1/3)', COUNT(*),
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT)) FROM v3
+      UNION ALL
+      SELECT 4, 'delete(pruned 2/3)', COUNT(*),
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT)) FROM v4
+      UNION ALL
+      SELECT 5, 'update(pruned 1/2)', COUNT(*),
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT)) FROM v5
+    )
+    SELECT version, op, CAST(n AS BIGINT) AS n_rows,
+           CAST(cents AS BIGINT) AS sum_cents
+    FROM agg
+    """,
+)
+def m06_acid_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter file skipping made driver-checkable (the native
+    stand-in for Delta bloom indexes — no jar in this container; see
+    acid/bloom.py). Three file groups hold INTERLEAVED o_orderkey
+    residues (mod 3), so every group's [min, max] spans the whole key
+    range and min/max stats can prune NOTHING — the worst case for
+    m04's skipping and the exact case blooms exist for. A point DELETE
+    (Eq on the max residue-2 key) must commit 'delete(pruned 1/3)', a
+    two-key IsIn DELETE straddling residues 0 and 1 must commit
+    'delete(pruned 2/3)' (its two touched groups merge into one new
+    group), and a point UPDATE on the min residue-2 key then prunes
+    1/2. Those op strings are oracle literals: if bloom probing ever
+    degrades (sidecar lost, hash drift between the JVM build side and
+    the Python probe side, a false negative), the pruned counts change
+    and the driver hash fails. Every version 0-5 reads back by time
+    travel with exact integer-cents sums.
+
+    At 100 TB this is the skip path for PII/takedown deletes keyed by
+    id on tables NOT clustered by that id — min/max is useless there
+    and rewriting every group per delete is the cost being avoided
+    (pairs with x31 pii scrub and x157 ANN deletes). Probe keys are
+    data-relative (per-residue max/min) so all three groups are
+    non-empty at every SF. Resumable off latest_version."""
+    from gwasdb_spark.acid import AcidTable
+    from gwasdb_spark.acid import predicates as P
+
+    base_path = _m06_stage(sf_dir)
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    res = F.col("o_orderkey") % 3
+    row = o.agg(
+        F.max(F.when(res == 0, F.col("o_orderkey"))).alias("m0"),
+        F.max(F.when(res == 1, F.col("o_orderkey"))).alias("m1"),
+        F.max(F.when(res == 2, F.col("o_orderkey"))).alias("m2"),
+        F.min(F.when(res == 2, F.col("o_orderkey"))).alias("k2min"),
+    ).collect()[0]  # 1-row bounded collect
+    t = AcidTable(spark, base_path)
+    if t.latest_version() < 0:
+        t = AcidTable.create(
+            spark, base_path, o.filter(res == 0), bloom_cols=["o_orderkey"]
+        )
+    if t.latest_version() == 0:
+        t.append(o.filter(res == 1))
+    if t.latest_version() == 1:
+        t.append(o.filter(res == 2))
+    if t.latest_version() == 2:
+        t.delete_where(P.Eq("o_orderkey", row["m2"]))
+    if t.latest_version() == 3:
+        t.delete_where(P.IsIn("o_orderkey", [row["m0"], row["m1"]]))
+    if t.latest_version() == 4:
+        t.update_set(
+            P.Eq("o_orderkey", row["k2min"]),
+            {"o_totalprice": F.lit(555.0)},
+        )
+    hist = {h["version"]: h["op"] for h in t.history()}
+    parts = []
+    for v in range(6):
+        parts.append(
+            t.read(v).agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                .cast("long")
+                .alias("sum_cents"),
+            ).select(
+                F.lit(v).cast("int").alias("version"),
+                # committed op strings carry the engine's real pruned
+                # counts — the oracle pins the expected literals
+                F.lit(hist[v]).alias("op"),
+                "n_rows",
+                "sum_cents",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _m07_stage(sf_dir: str) -> str:
+    import hashlib as _hl
+
+    return stage_dir(f"acid_m07_{_hl.md5(sf_dir.encode()).hexdigest()[:12]}")
+
+
+def m07_reset_stage(sf_dir: str) -> None:
+    """Drop m07's staged AcidTable (bench resets it outside the timed
+    span — the m03..m06 discipline)."""
+    import shutil as _sh
+
+    _sh.rmtree(_m07_stage(sf_dir), ignore_errors=True)
+
+
+@query(
+    "m07_acid_check_constraints",
+    "X-dml,M4",
+    oracle="""
+    WITH t AS (
+      SELECT MAX(l_orderkey) // 2 AS mid
+      FROM lineitem WHERE l_orderkey < 4000
+    ),
+    base AS (
+      SELECT l_orderkey, l_quantity, l_extendedprice
+      FROM lineitem WHERE l_orderkey < 4000
+    ),
+    v0 AS (SELECT base.* FROM base, t WHERE l_orderkey <= mid),
+    v1 AS (SELECT * FROM base),
+    synth AS (
+      SELECT CAST(-1 AS BIGINT) AS l_orderkey, 5.0 AS l_quantity,
+             10.0 AS l_extendedprice
+      UNION ALL
+      SELECT CAST(-2 AS BIGINT), 7.0, 20.0
+    ),
+    v2 AS (SELECT * FROM v1 UNION ALL SELECT * FROM synth),
+    v5 AS (
+      SELECT l_orderkey,
+             CASE WHEN l_orderkey = -1 THEN -5.0 ELSE l_quantity END
+               AS l_quantity,
+             l_extendedprice
+      FROM v2
+    ),
+    agg AS (
+      SELECT 0 AS version, 'create' AS op, COUNT(*) AS n,
+             SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS q
+      FROM v0
+      UNION ALL
+      SELECT 1, 'append', COUNT(*),
+             SUM(CAST(round(l_quantity * 100) AS BIGINT)) FROM v1
+      UNION ALL
+      SELECT 2, 'append', COUNT(*),
+             SUM(CAST(round(l_quantity * 100) AS BIGINT)) FROM v2
+      UNION ALL
+      SELECT 3, 'add_check(price_cap)', COUNT(*),
+             SUM(CAST(round(l_quantity * 100) AS BIGINT)) FROM v2
+      UNION ALL
+      SELECT 4, 'drop_check(qty_nonneg)', COUNT(*),
+             SUM(CAST(round(l_quantity * 100) AS BIGINT)) FROM v2
+      UNION ALL
+      SELECT 5, 'update(pruned 1/3)', COUNT(*),
+             SUM(CAST(round(l_quantity * 100) AS BIGINT)) FROM v5
+    )
+    SELECT version, op, CAST(n AS BIGINT) AS n_rows,
+           CAST(q AS BIGINT) AS sum_qty_units
+    FROM agg
+    """,
+)
+def m07_acid_check_constraints(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CHECK constraints made driver-checkable (Delta's ALTER TABLE ..
+    ADD CONSTRAINT CHECK semantics, native — r9 verdict missing #4).
+    The table is created WITH a constraint (qty_nonneg), and the query
+    itself exercises both rejection paths in-line:
+
+    - a poisoned append (one row with l_quantity = -1) MUST raise
+      CheckViolation and commit nothing — the query raises if it ever
+      passes, so enforcement regressions fail the driver row loudly;
+      only the valid synthetic rows then land as version 2;
+    - add_check(price_cap) validates the whole snapshot, then commits
+      METADATA-ONLY (v3's rows/sums are oracle-pinned equal to v2's);
+    - a poisoned UPDATE (qty - 1000 over the low half) MUST raise and
+      leave the table unchanged;
+    - after drop_check(qty_nonneg), a negative-qty UPDATE commits as
+      v5 — pruned to the 1-group synthetic range by min/max stats
+      ('update(pruned 1/3)' is an oracle literal).
+
+    The version history (op strings, exact row counts, exact
+    centi-qty sums) hash-pins the whole lifecycle: what committed,
+    what was rejected, and that rejected statements left no trace
+    (atomicity). Reference analog: the reference enforces post-load
+    expectations as audit queries (SURVEY §2 M4, gwas/audit.py); this
+    moves them into the write path, where a 100 TB pipeline needs
+    them — a bad batch must abort, not be discovered downstream.
+    Resumable off latest_version, idempotent warm."""
+    from gwasdb_spark.acid import AcidTable, CheckViolation
+    from gwasdb_spark.acid import predicates as P
+
+    base_path = _m07_stage(sf_dir)
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") < 4000
+    ).select("l_orderkey", "l_quantity", "l_extendedprice")
+    mid = li.agg(F.max("l_orderkey")).collect()[0][0] // 2  # bounded
+    synth_schema = (
+        "l_orderkey long, l_quantity double, l_extendedprice double"
+    )
+    t = AcidTable(spark, base_path)
+    if t.latest_version() < 0:
+        t = AcidTable.create(
+            spark,
+            base_path,
+            li.filter(F.col("l_orderkey") <= mid),
+            checks={"qty_nonneg": "l_quantity >= 0"},
+        )
+    if t.latest_version() == 0:
+        t.append(li.filter(F.col("l_orderkey") > mid))
+    if t.latest_version() == 1:
+        poisoned = spark.createDataFrame(
+            [(-1, 5.0, 10.0), (-2, 7.0, 20.0), (-3, -1.0, 30.0)],
+            synth_schema,
+        )
+        try:
+            t.append(poisoned)
+            raise AssertionError("CHECK enforcement regressed: "
+                                 "poisoned append committed")
+        except CheckViolation:
+            pass
+        t.append(
+            spark.createDataFrame(
+                [(-1, 5.0, 10.0), (-2, 7.0, 20.0)], synth_schema
+            )
+        )
+    if t.latest_version() == 2:
+        t.add_check("price_cap", "l_extendedprice <= 10000000.0")
+    if t.latest_version() == 3:
+        try:
+            t.update_set(
+                P.Le("l_orderkey", mid),
+                {"l_quantity": F.col("l_quantity") - F.lit(1000.0)},
+            )
+            raise AssertionError("CHECK enforcement regressed: "
+                                 "poisoned update committed")
+        except CheckViolation:
+            pass
+        t.drop_check("qty_nonneg")
+    if t.latest_version() == 4:
+        t.update_set(P.Eq("l_orderkey", -1), {"l_quantity": F.lit(-5.0)})
+    hist = {h["version"]: h["op"] for h in t.history()}
+    parts = []
+    for v in range(6):
+        parts.append(
+            t.read(v).agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(F.round(F.col("l_quantity") * 100).cast("long"))
+                .cast("long")
+                .alias("sum_qty_units"),
+            ).select(
+                F.lit(v).cast("int").alias("version"),
+                F.lit(hist[v]).alias("op"),
+                "n_rows",
+                "sum_qty_units",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1294,6 +1294,90 @@ def stress_acid_dml(spark) -> dict:
     }
 
 
+def stress_acid_bloom(spark) -> dict:
+    """Bloom-filter skipping at many-group scale (round 10): a 16-group
+    3.2M-row AcidTable whose ids are INTERLEAVED round-robin across
+    groups — every group's [min, max] spans the whole key range, so
+    min/max stats prune NOTHING and only the per-group bloom sidecars
+    can. A point DELETE (Eq on one id) gates: (1) op records
+    'delete(pruned 1/16)' — bloom pruned 15 groups stats could not,
+    (2) untouched groups mtime-stable, (3) result equal to a no-bloom
+    twin fed the identical statement, (4) pruned wall time beats the
+    twin's full-candidate rewrite. At 100 TB this is the PII-takedown
+    path on tables not clustered by the takedown key."""
+    import glob as _glob
+    import shutil as _sh
+
+    from gwasdb_spark.acid import AcidTable
+    from gwasdb_spark.acid import predicates as P
+
+    groups, per = 16, 200_000
+    n = groups * per
+
+    def slice_mod(r):
+        # residue-r slice of [0, n): every group spans ~[r, n-...]
+        return spark.range(0, n).filter(F.col("id") % groups == r).select(
+            F.col("id"), (F.col("id") % 97).cast("double").alias("val")
+        )
+
+    paths = {}
+    for name, bloom_cols in (("bloom", ["id"]), ("plain", None)):
+        base = os.path.join(TMP, f"gwasdb_stress_acidbloom_{name}")
+        _sh.rmtree(base, ignore_errors=True)
+        t = AcidTable.create(
+            spark, base, slice_mod(0), bloom_cols=bloom_cols
+        )
+        for r in range(1, groups):
+            t.append(slice_mod(r))
+        paths[name] = t
+
+    tb, tp = paths["bloom"], paths["plain"]
+    mtimes = {
+        p: os.path.getmtime(p)
+        for p in _glob.glob(os.path.join(tb._data, "*", "*.parquet"))
+    }
+    key = 7 * groups + 7  # residue 7 → exactly one owning group
+    t0 = time.perf_counter()
+    tb.delete_where(P.Eq("id", key))
+    t_bloom = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    tp.delete_where(P.Eq("id", key))
+    t_plain = time.perf_counter() - t0
+
+    op_bloom = tb._manifest(tb.latest_version())["op"]
+    op_plain = tp._manifest(tp.latest_version())["op"]
+    carried = set(tb._manifest(groups - 1)["file_groups"]) & set(
+        tb._manifest(groups)["file_groups"]
+    )
+    stale = [
+        p
+        for p, m in mtimes.items()
+        if any(f"/{g}/" in p for g in carried)
+        and (not os.path.exists(p) or os.path.getmtime(p) != m)
+    ]
+    a, b = tb.read(), tp.read()
+    diff = a.exceptAll(b).count() + b.exceptAll(a).count()
+    return {
+        "stress": "acid_bloom_16group",
+        "n_rows": n,
+        "op_bloom": op_bloom,
+        "op_plain": op_plain,
+        "untouched_files_rewritten": len(stale),
+        "diff_rows_vs_plain_twin": diff,
+        "bloom_delete_sec": round(t_bloom, 3),
+        "plain_delete_sec": round(t_plain, 3),
+        "ok": (
+            op_bloom == f"delete(pruned 1/{groups})"
+            # the twin's stats admit every group (interleaved keys)
+            and op_plain == f"delete(pruned {groups}/{groups})"
+            and not stale
+            and diff == 0
+            and len(carried) == groups - 1
+            and t_bloom < t_plain
+        ),
+    }
+
+
 STRESSES = {
     "stream": stress_stream,
     "bm25": stress_bm25,
@@ -1310,6 +1394,7 @@ STRESSES = {
     "bpe": stress_bpe,
     "annupsert": stress_ann_upsert,
     "aciddml": stress_acid_dml,
+    "acidbloom": stress_acid_bloom,
 }
 
 

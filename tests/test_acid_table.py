@@ -86,12 +86,12 @@ def test_optimistic_retry_wins_next_version(spark, tmp_path):
     raced = {"done": False}
     orig_commit = t._commit
 
-    def racing_commit(version, op, groups, stats=None):
+    def racing_commit(version, op, groups, stats=None, *meta):
         if not raced["done"]:
             raced["done"] = True
             # a concurrent writer lands the same version first
             orig_commit(version, "concurrent_append", t._manifest(version - 1)["file_groups"])
-        return orig_commit(version, op, groups, stats)
+        return orig_commit(version, op, groups, stats, *meta)
 
     t._commit = racing_commit
     v = t.delete_where(F.col("id") == 3)
