@@ -262,6 +262,7 @@ HEADLINE = [
     "m05_acid_cluster",
     "m06_acid_bloom_skipping",
     "m07_acid_check_constraints",
+    "m08_acid_schema_evolution",
     "x157_ann_index_delete",
     "g20_ld_prune",
     "x160_lsh_band_tuning",

@@ -102,6 +102,12 @@ class CheckViolation(Exception):
     semantics: the violating version never commits)."""
 
 
+class SchemaMismatch(Exception):
+    """An append's schema conflicts with the table schema: a shared
+    column changed type, or new columns arrived without
+    merge_schema=True (Delta's mergeSchema opt-in)."""
+
+
 # dtypes whose min/max are meaningful, orderable, and JSON-serializable
 _STATS_TYPES = (
     "tinyint", "smallint", "int", "bigint", "float", "double",
@@ -262,27 +268,37 @@ class AcidTable:
             for c in cols
         }
 
+    @staticmethod
+    def _meta_of(manifest: dict) -> dict:
+        """Table-level metadata carried forward commit-to-commit
+        (Delta keeps these in protocol/metaData actions; a
+        full-snapshot manifest carries them verbatim)."""
+        return {
+            "checks": manifest.get("checks"),
+            "bloom_cols": manifest.get("bloom_cols"),
+            "schema": manifest.get("schema"),
+        }
+
     def _commit(
         self,
         version: int,
         op: str,
         groups: list[str],
         stats: dict | None = None,
-        checks: dict | None = None,
-        bloom_cols: list | None = None,
+        meta: dict | None = None,
     ) -> None:
         os.makedirs(self._log, exist_ok=True)
+        meta = meta or {}
         body = {
             "version": version,
             "op": op,
             "file_groups": sorted(groups),
             "stats": stats or {},
-            # table-level metadata rides every manifest (Delta keeps
-            # these in the protocol/metaData actions; a full-snapshot
-            # manifest just carries them forward verbatim)
-            "checks": checks or {},
-            "bloom_cols": sorted(bloom_cols or []),
+            "checks": meta.get("checks") or {},
+            "bloom_cols": sorted(meta.get("bloom_cols") or []),
         }
+        if meta.get("schema"):
+            body["schema"] = meta["schema"]
         tmp = os.path.join(self._log, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
             json.dump(body, fh)
@@ -318,11 +334,33 @@ class AcidTable:
             raise FileExistsError(f"table already exists at {path}")
         group, st = t._write_group(df, checks, bloom_cols)
         t._commit(
-            0, "create", [group], {group: st}, checks, bloom_cols
+            0,
+            "create",
+            [group],
+            {group: st},
+            {
+                "checks": checks,
+                "bloom_cols": bloom_cols,
+                "schema": df.schema.jsonValue(),
+            },
         )
         return t
 
     # ----------------------------------------------------------- read --
+    def _read_groups(self, manifest: dict, groups: list[str]) -> DataFrame:
+        """Read file groups UNDER THE MANIFEST SCHEMA: groups written
+        before a schema evolution lack the newer columns, and Spark's
+        parquet reader null-fills columns the requested schema has but
+        a file does not — the scalable evolution read (no footer
+        merging; the log is the source of truth, as in Delta)."""
+        paths = [os.path.join(self._data, g) for g in groups]
+        reader = self.spark.read
+        if manifest.get("schema"):
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(manifest["schema"]))
+        return reader.parquet(*paths)
+
     def read(self, version: int | None = None) -> DataFrame:
         """Snapshot read. `version=None` pins the LATEST version once —
         concurrent commits after this call do not move the snapshot."""
@@ -330,8 +368,42 @@ class AcidTable:
         if v < 0:
             raise FileNotFoundError(f"no committed version at {self.path}")
         m = self._manifest(v)
-        paths = [os.path.join(self._data, g) for g in m["file_groups"]]
-        return self.spark.read.parquet(*paths)
+        return self._read_groups(m, m["file_groups"])
+
+    def read_where(
+        self, predicate: Column | Pred, version: int | None = None
+    ) -> DataFrame:
+        """Snapshot read with MANIFEST-level skipping — the serving
+        path's twin of pruned DML. With a sargable Pred, only groups
+        whose min/max stats (and bloom sidecars, for Eq/IsIn on bloom
+        columns) admit a match are even listed to Spark; the row-level
+        filter is then applied on top (stats skipping is group-
+        granular, not exact). At 100 TB a point lookup on a clustered
+        or bloomed key touches O(1) file groups instead of planning a
+        full-table scan; parquet footer pruning inside the surviving
+        groups still applies. A plain Column predicate reads the full
+        snapshot and filters (soundness fallback). An all-pruned
+        lookup returns an empty frame of the table's schema without
+        touching any data file."""
+        v = self.latest_version() if version is None else version
+        if v < 0:
+            raise FileNotFoundError(f"no committed version at {self.path}")
+        if not isinstance(predicate, Pred):
+            return self.read(v).filter(predicate)
+        m = self._manifest(v)
+        touched = self._touched_by(predicate)(m)
+        if not touched:
+            return self.read(v).limit(0)
+        return self._read_groups(m, touched).filter(predicate.to_column())
+
+    def scan_groups(
+        self, predicate: Pred, version: int | None = None
+    ) -> tuple[int, int]:
+        """(groups a read_where(predicate) would open, total groups) —
+        the observable skipping contract, driver/oracle-pinnable."""
+        v = self.latest_version() if version is None else version
+        m = self._manifest(v)
+        return len(self._touched_by(predicate)(m)), len(m["file_groups"])
 
     # ------------------------------------------------------------ dml --
     def _rewrite(self, op: str, transform, max_retries: int = 3) -> int:
@@ -348,15 +420,12 @@ class AcidTable:
             group, st = self._write_group(
                 out, m.get("checks"), m.get("bloom_cols")
             )
+            meta = self._meta_of(m)
+            # a full rewrite's output IS the new table — record its
+            # true schema (DML transforms preserve it in practice)
+            meta["schema"] = out.schema.jsonValue()
             try:
-                self._commit(
-                    base + 1,
-                    op,
-                    [group],
-                    {group: st},
-                    m.get("checks"),
-                    m.get("bloom_cols"),
-                )
+                self._commit(base + 1, op, [group], {group: st}, meta)
                 return base + 1
             except CommitConflict:
                 shutil.rmtree(
@@ -397,9 +466,9 @@ class AcidTable:
             written = None
             if touched or transform_empty_when_unmatched:
                 if touched:
-                    tdf = self.spark.read.parquet(
-                        *[os.path.join(self._data, g) for g in touched]
-                    )
+                    # manifest-schema read: pre-evolution groups
+                    # null-fill newer columns
+                    tdf = self._read_groups(m, touched)
                 else:
                     # MERGE with no overlapping group still INSERTS the
                     # unmatched source rows: run the transform over an
@@ -426,8 +495,7 @@ class AcidTable:
                     f"{op}(pruned {len(touched)}/{len(m['file_groups'])})",
                     new_groups,
                     new_stats,
-                    m.get("checks"),
-                    m.get("bloom_cols"),
+                    self._meta_of(m),
                 )
                 return base + 1
             except CommitConflict:
@@ -439,27 +507,74 @@ class AcidTable:
                 continue
         raise CommitConflict(f"gave up after {max_retries} retries: {op}")
 
-    def append(self, df: DataFrame) -> int:
+    @staticmethod
+    def _evolve(df: DataFrame, table_schema, merge_schema: bool):
+        """Reshape an append batch to the table schema, evolving it
+        when allowed. Returns (reshaped df, new schema). Rules (the
+        public Delta mergeSchema contract): shared columns must keep
+        their exact type (no implicit casts — a silent widening
+        corrupts stats comparability); missing table columns null-fill;
+        NEW batch columns require merge_schema=True and are appended
+        to the schema (older groups null-fill them at read)."""
+        from pyspark.sql.types import StructType
+
+        by_name = {f.name: f for f in df.schema.fields}
+        sel, out_fields = [], []
+        for f in table_schema.fields:
+            g = by_name.pop(f.name, None)
+            if g is None:
+                sel.append(F.lit(None).cast(f.dataType).alias(f.name))
+            elif g.dataType != f.dataType:
+                raise SchemaMismatch(
+                    f"column {f.name!r}: table has "
+                    f"{f.dataType.simpleString()}, append batch has "
+                    f"{g.dataType.simpleString()}"
+                )
+            else:
+                sel.append(F.col(f.name))
+            out_fields.append(f)
+        if by_name:
+            if not merge_schema:
+                raise SchemaMismatch(
+                    "append batch adds columns "
+                    f"{sorted(by_name)} — pass merge_schema=True"
+                )
+            for f in df.schema.fields:  # preserve batch order for new
+                if f.name in by_name:
+                    sel.append(F.col(f.name))
+                    out_fields.append(f)
+        return df.select(*sel), StructType(out_fields)
+
+    def append(self, df: DataFrame, merge_schema: bool = False) -> int:
         """Blind append: a NEW file group + manifest extension — existing
         groups are never read or rewritten (the one DML op that stays
-        O(batch) at any table size)."""
+        O(batch) at any table size). `merge_schema=True` lets the batch
+        add columns: the manifest schema widens, existing groups
+        null-fill the new columns at read time, zero data IO
+        (Delta's mergeSchema evolution)."""
         for _ in range(4):
             base = self.latest_version()
             m = self._manifest(base)
             groups = list(m["file_groups"])
             stats = dict(m.get("stats", {}))
+            meta = self._meta_of(m)
+            out = df
+            if meta.get("schema"):
+                from pyspark.sql.types import StructType
+
+                out, new_schema = self._evolve(
+                    df, StructType.fromJson(meta["schema"]), merge_schema
+                )
+                meta["schema"] = new_schema.jsonValue()
+            # (a legacy manifest without a schema keeps legacy reads —
+            # first-file schema — rather than guessing one here)
             new, st = self._write_group(
-                df, m.get("checks"), m.get("bloom_cols")
+                out, m.get("checks"), m.get("bloom_cols")
             )
             stats[new] = st
             try:
                 self._commit(
-                    base + 1,
-                    "append",
-                    groups + [new],
-                    stats,
-                    m.get("checks"),
-                    m.get("bloom_cols"),
+                    base + 1, "append", groups + [new], stats, meta
                 )
                 return base + 1
             except CommitConflict:
@@ -590,14 +705,15 @@ class AcidTable:
                     f"violate {expr}"
                 )
             checks[name] = expr
+            meta = self._meta_of(m)
+            meta["checks"] = checks
             try:
                 self._commit(
                     base + 1,
                     f"add_check({name})",
                     m["file_groups"],
                     m.get("stats", {}),
-                    checks,
-                    m.get("bloom_cols"),
+                    meta,
                 )
                 return base + 1
             except CommitConflict:
@@ -613,14 +729,15 @@ class AcidTable:
             if name not in checks:
                 raise KeyError(f"no constraint named {name!r}")
             del checks[name]
+            meta = self._meta_of(m)
+            meta["checks"] = checks
             try:
                 self._commit(
                     base + 1,
                     f"drop_check({name})",
                     m["file_groups"],
                     m.get("stats", {}),
-                    checks,
-                    m.get("bloom_cols"),
+                    meta,
                 )
                 return base + 1
             except CommitConflict:
@@ -733,8 +850,7 @@ class AcidTable:
                     f"cluster({col}, {len(new_groups)})",
                     new_groups,
                     new_stats,
-                    meta.get("checks"),
-                    meta.get("bloom_cols"),
+                    self._meta_of(meta),
                 )
                 return base + 1
             except CommitConflict:

@@ -44,6 +44,7 @@ _PRIORITY = [
     "m05_acid_cluster",
     "m06_acid_bloom_skipping",
     "m07_acid_check_constraints",
+    "m08_acid_schema_evolution",
     "x157_ann_index_delete",
     "x158_acid_changefeed",
     "g20_ld_prune",

@@ -3440,3 +3440,171 @@ def m07_acid_check_constraints(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+def _m08_stage(sf_dir: str) -> str:
+    import hashlib as _hl
+
+    return stage_dir(f"acid_m08_{_hl.md5(sf_dir.encode()).hexdigest()[:12]}")
+
+
+def m08_reset_stage(sf_dir: str) -> None:
+    """Drop m08's staged AcidTable (bench resets it outside the timed
+    span — the m03..m07 discipline)."""
+    import shutil as _sh
+
+    _sh.rmtree(_m08_stage(sf_dir), ignore_errors=True)
+
+
+@query(
+    "m08_acid_schema_evolution",
+    "X-dml,S17",
+    oracle="""
+    WITH t AS (
+      SELECT MAX(o_orderkey) // 2 AS mid,
+             MAX(o_orderkey) // 4 AS tdel,
+             MAX(o_orderkey) AS mx
+      FROM orders
+    ),
+    base AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+    ),
+    v0 AS (SELECT base.* FROM base, t WHERE o_orderkey <= mid),
+    v1lo AS (SELECT base.* FROM base, t WHERE o_orderkey <= mid),
+    v1hi AS (SELECT base.* FROM base, t WHERE o_orderkey > mid),
+    v2lo AS (SELECT v1lo.* FROM v1lo, t WHERE o_orderkey > tdel),
+    agg AS (
+      SELECT 0 AS version, 'create' AS op, COUNT(*) AS n,
+             0 AS n_flag,
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM v0
+      UNION ALL
+      SELECT 1, 'append',
+             (SELECT COUNT(*) FROM v1lo) + (SELECT COUNT(*) FROM v1hi),
+             (SELECT COUNT(*) FROM v1hi),
+             (SELECT SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+              FROM base)
+      UNION ALL
+      SELECT 2, 'delete(pruned 1/2)',
+             (SELECT COUNT(*) FROM v2lo) + (SELECT COUNT(*) FROM v1hi),
+             (SELECT COUNT(*) FROM v1hi),
+             (SELECT SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+              FROM v2lo)
+             + (SELECT SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                FROM v1hi)
+      UNION ALL
+      SELECT 99, 'read_where(scanned 1/2)', COUNT(*), COUNT(*),
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+      FROM base, t WHERE o_orderkey = mx
+    )
+    SELECT version, op, CAST(n AS BIGINT) AS n_rows,
+           CAST(n_flag AS BIGINT) AS n_flag, CAST(cents AS BIGINT)
+             AS sum_cents
+    FROM agg
+    """,
+)
+def m08_acid_schema_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Schema evolution + serving-path skipping made driver-checkable.
+    Version 0 holds the low key half with (o_orderkey, o_totalprice);
+    the high half then arrives WITH A NEW COLUMN (o_flag) via
+    append(merge_schema=True) — a metadata-only widening: the old
+    group's files are never rewritten and null-fill o_flag at read
+    (n_flag counts prove exactly which rows carry it). A plain append
+    with an unexpected column MUST raise SchemaMismatch and commit
+    nothing — the query raises if that enforcement ever regresses. A
+    pruned DELETE then touches only the PRE-evolution group and its
+    rewrite must keep the wide schema (v2's n_flag is oracle-pinned
+    unchanged). Finally the sentinel version-99 row records
+    `read_where` — manifest-level skipping on the SERVING path: the
+    max-key point lookup lists 1 of 2 groups to Spark ('scanned 1/2'
+    is an oracle literal via scan_groups) and returns exactly the
+    max order's row and cents.
+
+    Time travel keeps each version's own schema (v0 reads back
+    without o_flag — its n_flag is a pinned 0). At 100 TB, evolution
+    as metadata is the difference between adding a feature column to
+    a petabyte table in milliseconds vs a full rewrite; read_where is
+    the difference between a point lookup planning 1 file group vs
+    enumerating them all. Resumable off latest_version."""
+    from gwasdb_spark.acid import AcidTable
+    from gwasdb_spark.acid import predicates as P
+    from gwasdb_spark.acid.table_log import SchemaMismatch
+
+    base_path = _m08_stage(sf_dir)
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    mx = o.agg(F.max("o_orderkey")).collect()[0][0]  # bounded
+    mid, tdel = mx // 2, mx // 4
+    t = AcidTable(spark, base_path)
+    if t.latest_version() < 0:
+        t = AcidTable.create(
+            spark,
+            base_path,
+            o.filter(F.col("o_orderkey") <= mid).select(
+                "o_orderkey", "o_totalprice"
+            ),
+        )
+    if t.latest_version() == 0:
+        hi = o.filter(F.col("o_orderkey") > mid).select(
+            "o_orderkey",
+            "o_totalprice",
+            F.col("o_orderpriority").alias("o_flag"),
+        )
+        try:
+            t.append(hi)  # no opt-in: must be rejected
+            raise AssertionError(
+                "schema enforcement regressed: widening append "
+                "committed without merge_schema"
+            )
+        except SchemaMismatch:
+            pass
+        t.append(hi, merge_schema=True)
+    if t.latest_version() == 1:
+        t.delete_where(P.Le("o_orderkey", tdel))
+    hist = {h["version"]: h["op"] for h in t.history()}
+    parts = []
+    for v in range(3):
+        snap = t.read(v)
+        flag_cnt = (
+            F.count("o_flag") if "o_flag" in snap.columns
+            else F.lit(0)
+        )
+        parts.append(
+            snap.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                flag_cnt.cast("long").alias("n_flag"),
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                .cast("long")
+                .alias("sum_cents"),
+            ).select(
+                F.lit(v).cast("int").alias("version"),
+                F.lit(hist[v]).alias("op"),
+                "n_rows",
+                "n_flag",
+                "sum_cents",
+            )
+        )
+    # sentinel row: the serving path's group-skipping contract
+    lookup = P.Eq("o_orderkey", mx)
+    scanned, total = t.scan_groups(lookup)
+    parts.append(
+        t.read_where(lookup).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count("o_flag").cast("long").alias("n_flag"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("sum_cents"),
+        ).select(
+            F.lit(99).cast("int").alias("version"),
+            F.lit(f"read_where(scanned {scanned}/{total})").alias("op"),
+            "n_rows",
+            "n_flag",
+            "sum_cents",
+        )
+    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
