@@ -43,6 +43,7 @@ __all__ = [
     "unigram_logprob",
     "pii_scrub",
     "span_dedup",
+    "exact_substring_spans",
     "bigram_logprob",
 ]
 
@@ -380,6 +381,117 @@ def span_dedup(
             ),
             F.lit(""),
         ).alias("cleaned_text"),
+    )
+
+
+def exact_substring_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 40,
+) -> DataFrame:
+    """ExactSubstr duplicate-span detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    sliding ``window``-character substring is checked for a second
+    occurrence ANYWHERE in the corpus (including the same document);
+    per document, the flagged window positions are merged into maximal
+    duplicated character spans — the regions an ExactSubstr pass would
+    cut before training.
+
+    Columns: id, n_chars, n_dup_spans, dup_chars, dup_char_frac.
+    Documents shorter than the window carry zero spans.
+
+    This is the distributed stand-in for the suffix-array construction
+    the single-node reference tooling uses: a suffix array needs the
+    whole corpus in one address space, while the hashed-window form is
+    embarrassingly parallel and detects exactly the same >= ``window``
+    duplicated regions (a duplicated region of length m >= window flags
+    exactly its m - window + 1 interior window positions, which merge
+    back into one maximal span).
+
+    Scale (the 100 TB contract):
+    - The only corpus-sized shuffle carries (xxhash64 digest) +
+      (id, pos) — 24 bytes per character position, never window text
+      (which would be a ``window``x write amplification). Occurrence
+      counting is digest-only under the 2^-60 collision contract
+      (x130's discipline): a collision flags one clean window as
+      duplicated, it never drops data and never crashes.
+    - The window-position stream is pinned with a lazy localCheckpoint
+      because it feeds both the occurrence count and the join-back;
+      without the pin the corpus would be re-scanned and re-hashed.
+    - Interval merging is a per-document window (lag + running sum of
+      break flags) — doc-bounded state, no global ordering. Because
+      all intervals share one length, the running-max-end of classic
+      gaps-and-islands reduces to lag(pos): ends are monotone in pos.
+    - Everything up to the final fraction is exact integer algebra, so
+      oracle hash parity is partitioning-independent.
+    """
+    L = int(window)
+    base = df.select(
+        id_col,
+        F.col(text_col).alias("__t"),
+        F.length(text_col).cast("long").alias("n_chars"),
+    )
+    grams = (
+        base.where(F.col("n_chars") >= L)
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.lit(1).cast("long"), F.col("n_chars") - L + 1)
+            ).alias("pos"),
+            "__t",
+        )
+        .select(
+            id_col,
+            "pos",
+            F.xxhash64(
+                F.col("__t").substr(F.col("pos").cast("int"), F.lit(L))
+            ).alias("h"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    dup_h = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .where(F.col("n_occ") > 1)
+        .select("h")
+    )
+    dup = grams.join(dup_h, "h").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = (
+        dup.withColumn("prev", F.lag("pos").over(w))
+        .withColumn(
+            "is_new",
+            F.when(
+                F.col("prev").isNull() | (F.col("pos") > F.col("prev") + L), 1
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("is_new").over(w))
+    )
+    spans = islands.groupBy(id_col, "island").agg(
+        F.min("pos").alias("s"), (F.max("pos") + L - 1).alias("e")
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("dup_chars"),
+    )
+    return (
+        base.select(id_col, "n_chars")
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_chars",
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.coalesce("dup_chars", F.lit(0)).cast("long").alias("dup_chars"),
+            F.round(
+                F.when(
+                    F.col("n_chars") > 0,
+                    F.coalesce("dup_chars", F.lit(0)).cast("double")
+                    / F.col("n_chars"),
+                ).otherwise(F.lit(0.0)),
+                9,
+            ).alias("dup_char_frac"),
+        )
     )
 
 

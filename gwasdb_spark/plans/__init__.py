@@ -52,6 +52,7 @@ _PRIORITY = [
     "w14_session_windows",
     "w15_range_frame_revenue",
     "e16_funnel_dropoff",
+    "x161_exact_substring_spans",
     "x140_bpe_learn",
     "x150_bpe_apply",
     "mm03_resize_thumbs",

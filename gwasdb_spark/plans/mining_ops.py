@@ -3608,3 +3608,63 @@ def m08_acid_schema_evolution(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@query(
+    "x161_exact_substring_spans",
+    "X-dedup,X-quality",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, CAST(u.pos AS BIGINT) AS pos,
+             substr(text, CAST(u.pos AS INT), 40) AS gram
+      FROM documents,
+           LATERAL unnest(range(1, greatest(length(text) - 39, 0) + 1))
+             AS u(pos)
+    ),
+    occ AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) > 1),
+    dup AS (SELECT g.doc_id, g.pos FROM g JOIN occ USING (gram)),
+    brk AS (
+      SELECT doc_id, pos,
+             CASE WHEN LAG(pos) OVER w IS NULL
+                    OR pos > LAG(pos) OVER w + 40 THEN 1 ELSE 0 END AS is_new
+      FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM brk
+    ),
+    spans AS (
+      SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + 39 AS e
+      FROM isl GROUP BY 1, 2
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+             CAST(SUM(e - s + 1) AS BIGINT) AS dup_chars
+      FROM spans GROUP BY 1
+    )
+    SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+           COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
+           COALESCE(p.dup_chars, 0) AS dup_chars,
+           ROUND(CASE WHEN length(d.text) > 0
+                 THEN CAST(COALESCE(p.dup_chars, 0) AS DOUBLE)
+                      / length(d.text)
+                 ELSE 0.0 END, 9) AS dup_char_frac
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def x161_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup audit (Lee et al. 2022): maximal character
+    spans whose every 40-char sliding window occurs at least twice in
+    the corpus — the regions an exact-substring dedup pass would cut.
+    The suffix-array formulation of the single-node tooling is replaced
+    by hashed sliding windows + per-doc interval merge: identical
+    >= 40-char duplicate regions, but embarrassingly parallel (the one
+    corpus-sized shuffle carries 8-byte digests, never window text).
+    Oracle groups by the literal gram text; the Spark side's
+    digest-only grouping rides the 2^-60 collision contract
+    (operators/quality.py exact_substring_spans)."""
+    from gwasdb_spark.operators.quality import exact_substring_spans
+
+    d = table(spark, sf_dir, "documents")
+    return exact_substring_spans(d, "doc_id", "text", window=40)
