@@ -53,6 +53,7 @@ _PRIORITY = [
     "w15_range_frame_revenue",
     "e16_funnel_dropoff",
     "x161_exact_substring_spans",
+    "x162_countmin_heavy_hitters",
     "x140_bpe_learn",
     "x150_bpe_apply",
     "mm03_resize_thumbs",

@@ -817,3 +817,129 @@ def x118_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(100.0)
         ).alias("weighted_median")
     )
+
+
+@query(
+    "x162_countmin_heavy_hitters",
+    "X-sketch,X-text",
+    oracle=r"""
+    WITH t AS (
+      SELECT token FROM (
+        SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        FROM documents
+      ) WHERE token <> ''
+    ),
+    occ AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_count
+            FROM t GROUP BY 1),
+    hits AS (
+      SELECT p.r,
+             CAST(CAST('0x' || substr(
+                    md5(CAST(p.r AS VARCHAR) || ':' || t.token), 1, 15)
+                  AS BIGINT) % 512 AS BIGINT) AS b
+      FROM t CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r) p
+    ),
+    counters AS (SELECT r, b, CAST(COUNT(*) AS BIGINT) AS c
+                 FROM hits GROUP BY 1, 2),
+    probes AS (
+      SELECT o.token, o.exact_count, p.r,
+             CAST(CAST('0x' || substr(
+                    md5(CAST(p.r AS VARCHAR) || ':' || o.token), 1, 15)
+                  AS BIGINT) % 512 AS BIGINT) AS b
+      FROM occ o CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r) p
+    ),
+    est AS (
+      SELECT token, exact_count, MIN(c) AS est_count
+      FROM probes JOIN counters USING (r, b) GROUP BY 1, 2
+    )
+    SELECT token, CAST(est_count AS BIGINT) AS est_count, exact_count,
+           CAST(est_count - exact_count AS BIGINT) AS overestimate
+    FROM est ORDER BY est_count DESC, token LIMIT 20
+    """,
+)
+def x162_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters, side-by-side with the exact
+    counts it approximates — x115's calibration-report pattern for the
+    frequency (not distinct-count) sketch. A d=4 x w=512 counter grid:
+    each token occurrence increments one bucket per row (bucket =
+    md5-uniform of "row:token" mod 512 — content-addressed, so the
+    sketch is bit-identical on any engine, unlike engine-private
+    approx_count sketches); a token's estimate is the MIN over its 4
+    row counters, which can only over-count (collision mass is always
+    additive) — `overestimate` is the calibration column.
+
+    Plan: the counter build folds the token stream into <= 2048 groups
+    with map-side partial aggregation — the shuffle after combine is
+    O(partitions x 2048), independent of corpus size, which is the
+    whole point of the sketch: at 100 TB the counter grid is still 16 KB
+    and MERGEABLE across partitions, files, or streaming micro-batches
+    (per-partition grids sum element-wise). The probe side joins the
+    vocabulary's 4 probe rows against the broadcast 2048-row grid and
+    takes MIN per token; the top-20 report is a TakeOrdered head, never
+    a global sort."""
+    d = table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+        )
+        .filter(F.col("token") != "")
+    )
+
+    def bucket(row: int, c) -> object:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{row}:"), c).cast("binary")), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 512
+        )
+
+    hits = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("r"), bucket(i, F.col("token")).alias("b")
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("rb")
+    ).select("rb.r", "rb.b")
+    counters = hits.groupBy("r", "b").agg(F.count(F.lit(1)).alias("c"))
+    vocab = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_count")
+    )
+    probes = vocab.select(
+        "token",
+        "exact_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("r"), bucket(i, F.col("token")).alias("b")
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("rb"),
+    ).select("token", "exact_count", "rb.r", "rb.b")
+    est = (
+        probes.join(F.broadcast(counters), ["r", "b"])
+        .groupBy("token", "exact_count")
+        .agg(F.min("c").cast("long").alias("est_count"))
+    )
+    return (
+        est.orderBy(F.desc("est_count"), F.asc("token"))
+        .limit(20)
+        .select(
+            "token",
+            "est_count",
+            "exact_count",
+            (F.col("est_count") - F.col("exact_count"))
+            .cast("long")
+            .alias("overestimate"),
+        )
+    )
