@@ -271,6 +271,9 @@ HEADLINE = [
     "e16_funnel_dropoff",
     "g07_distance_clump",
     "mm03_resize_thumbs",
+    "x161_exact_substring_spans",
+    "x162_countmin_heavy_hitters",
+    "m09_acid_zorder",
     # st18 (streaming ANN ingest) is correctness-gated, not benched:
     # bounded-replay wall time is micro-batch commit overhead (the
     # st07/st08/st13 rationale), and its stage makes re-runs no-ops.

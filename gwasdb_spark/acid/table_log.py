@@ -803,11 +803,74 @@ class AcidTable:
         bucket = F.lit(0)
         for i, b in enumerate(bounds):
             bucket = F.when(F.col(col) > F.lit(b), i + 1).otherwise(bucket)
+        return self._relayout(
+            snap.withColumn("__bucket", bucket),
+            lambda n: f"cluster({col}, {n})",
+            base,
+            meta,
+        )
+
+    def cluster_by_zorder(
+        self, cols: list[str], n_groups: int = 16, tiles: int = 16
+    ) -> int:
+        """Multi-dimensional Z-order clustering — the full form of what
+        `cluster_by` does for one dimension. Each clustering column is
+        quantized to `tiles` rank tiles (exact quantile boundaries, all
+        columns in ONE approxQuantile pass), the per-column tile ids are
+        BIT-INTERLEAVED into a Z-value (Morton code — nearby points in
+        any dimension get nearby Z-values), and the table is rewritten
+        into `n_groups` Z-range file groups. After the rewrite a box
+        predicate on ANY subset of the clustering columns prunes by the
+        per-group min/max stats: the Morton curve keeps each group's
+        bounding box compact in every interleaved dimension, instead of
+        compact in one and full-range in the rest (the 1-D clustering
+        failure mode for multi-column probes). Same guarantees as
+        cluster_by: logically a no-op, one staging pass, version race
+        aborts rather than blind-retrying. This is Delta OPTIMIZE
+        ZORDER's layout, native over the parquet log."""
+        base = self.latest_version()
+        meta = self._manifest(base)
+        snap = self.read(base)
+        bits = max(1, (int(tiles) - 1).bit_length())
+        qs = [i / tiles for i in range(1, tiles)]
+        all_bounds = snap.approxQuantile(list(cols), qs, 0.0)
+        tile_exprs = []
+        for col, raw in zip(cols, all_bounds):
+            bounds = sorted(set(raw))
+            t = F.lit(0)
+            for i, b in enumerate(bounds):
+                t = F.when(F.col(col) > F.lit(b), i + 1).otherwise(t)
+            tile_exprs.append(t.cast("long"))
+        z = F.lit(0).cast("long")
+        for i in range(bits):
+            for j, t in enumerate(tile_exprs):
+                z = z + F.shiftleft(
+                    F.shiftright(t, i).bitwiseAND(F.lit(1)),
+                    i * len(cols) + j,
+                )
+        zdf = snap.withColumn("__z", z)
+        zq = [i / n_groups for i in range(1, n_groups)]
+        zbounds = sorted(set(zdf.approxQuantile("__z", zq, 0.0)))
+        bucket = F.lit(0)
+        for i, b in enumerate(zbounds):
+            bucket = F.when(F.col("__z") > F.lit(b), i + 1).otherwise(bucket)
+        return self._relayout(
+            zdf.withColumn("__bucket", bucket).drop("__z"),
+            lambda n: f"zorder({','.join(cols)}, {n})",
+            base,
+            meta,
+        )
+
+    def _relayout(self, bucketed, op_of, base: int, meta: dict) -> int:
+        """Shared full-rewrite layout mechanics: stage `bucketed`
+        (carrying a __bucket column) partitioned by bucket, rename each
+        bucket directory into place as a file group, recompute stats and
+        bloom sidecars, commit. `op_of(n_groups)` names the commit."""
         staging = os.path.join(self._data, f".cluster-{uuid.uuid4().hex}")
         try:
-            snap.withColumn("__bucket", bucket).write.mode(
-                "overwrite"
-            ).partitionBy("__bucket").parquet(staging)
+            bucketed.write.mode("overwrite").partitionBy("__bucket").parquet(
+                staging
+            )
             new_groups: list[str] = []
             new_stats: dict = {}
             for name in sorted(os.listdir(staging)):
@@ -847,7 +910,7 @@ class AcidTable:
             try:
                 self._commit(
                     base + 1,
-                    f"cluster({col}, {len(new_groups)})",
+                    op_of(len(new_groups)),
                     new_groups,
                     new_stats,
                     self._meta_of(meta),

@@ -45,6 +45,7 @@ _PRIORITY = [
     "m06_acid_bloom_skipping",
     "m07_acid_check_constraints",
     "m08_acid_schema_evolution",
+    "m09_acid_zorder",
     "x157_ann_index_delete",
     "x158_acid_changefeed",
     "g20_ld_prune",

@@ -253,3 +253,54 @@ def test_cluster_by_disjoint_boxes_enable_pruning(spark, tmp_path):
     assert sorted(r["id"] for r in t.read().collect()) == [
         i for i in rows_before if not (100 <= i <= 200)
     ]
+
+
+def test_zorder_prunes_on_both_dimensions(spark, tmp_path):
+    """cluster_by_zorder keeps every group's bounding box compact in
+    BOTH interleaved dimensions: a probe on the SECOND column alone —
+    the 1-D clustering failure mode, where x-clustered groups carry
+    full-range y stats — must scan fewer groups than the 1-D layout,
+    and the layout change must be logically a no-op."""
+    from gwasdb_spark.acid import AcidTable
+    from gwasdb_spark.acid import predicates as P
+
+    # 64x64 grid; interleaved ingest defeats pruning in both twins
+    def slice_mod(k):
+        return (
+            spark.range(0, 4096)
+            .filter(F.col("id") % 4 == k)
+            .selectExpr("id % 64 AS x", "id div 64 AS y", "id AS payload")
+        )
+
+    linear = AcidTable.create(
+        spark, os.path.join(str(tmp_path), "lin"), slice_mod(0)
+    )
+    zord = AcidTable.create(
+        spark, os.path.join(str(tmp_path), "zo"), slice_mod(0)
+    )
+    for k in (1, 2, 3):
+        linear.append(slice_mod(k))
+        zord.append(slice_mod(k))
+    rows_before = sorted(r["payload"] for r in zord.read().collect())
+
+    linear.cluster_by("x", 16)
+    v = zord.cluster_by_zorder(["x", "y"], n_groups=16, tiles=16)
+    m = zord._manifest(v)
+    assert m["op"].startswith("zorder(x,y,")
+    assert sorted(r["payload"] for r in zord.read().collect()) == rows_before
+
+    probe = P.Between("y", 8, 15)  # orthogonal to the 1-D cluster key
+    lin_scanned, lin_total = linear.scan_groups(probe)
+    zo_scanned, zo_total = zord.scan_groups(probe)
+    assert lin_scanned == lin_total, "1-D layout cannot prune on y"
+    assert zo_scanned < zo_total, "z-order must prune on y"
+    assert zo_scanned < lin_scanned
+
+    # a 2-D box delete is pruned, exact, and leaves the complement intact
+    box = P.And(P.Between("x", 0, 63), P.Between("y", 8, 15))
+    zord.delete_where(box)
+    op = zord._manifest(zord.latest_version())["op"]
+    scanned = int(op.split("pruned ")[1].split("/")[0])
+    assert scanned < zo_total
+    kept = sorted(r["payload"] for r in zord.read().collect())
+    assert kept == [p for p in rows_before if not (8 <= p // 64 <= 15)]
