@@ -55,6 +55,7 @@ _PRIORITY = [
     "e16_funnel_dropoff",
     "x161_exact_substring_spans",
     "x162_countmin_heavy_hitters",
+    "st19_late_data_watermark",
     "x140_bpe_learn",
     "x150_bpe_apply",
     "mm03_resize_thumbs",

@@ -3792,3 +3792,98 @@ def m09_acid_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@query(
+    "st19_late_data_watermark",
+    "X-stream,\u00a72.10",
+    oracle="""
+    WITH a AS (SELECT ts FROM events WHERE ts >= TIMESTAMP '2024-01-20'),
+    m AS (SELECT ts FROM events
+          WHERE ts >= TIMESTAMP '2024-01-19' AND ts < TIMESTAMP '2024-01-20'),
+    b AS (SELECT ts FROM events WHERE ts < TIMESTAMP '2024-01-19'),
+    wm AS (SELECT MAX(ts) - INTERVAL 300 HOUR AS w FROM a),
+    acc AS (
+      SELECT date_trunc('hour', ts) AS h FROM a
+      UNION ALL
+      SELECT date_trunc('hour', ts) AS h FROM m
+      UNION ALL
+      SELECT date_trunc('hour', b.ts) AS h FROM b, wm
+      WHERE date_trunc('hour', b.ts) + INTERVAL 1 HOUR > wm.w
+    )
+    SELECT strftime(h, '%Y-%m-%d %H:00:00') AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM acc GROUP BY 1
+    """,
+)
+def st19_late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE watermark late-data semantics, adjudicated exactly: the
+    events table is replayed as THREE deterministic micro-batches —
+    the on-time tail (ts >= Jan 20) first, a mid slice (Jan 19), then
+    every older row as one late batch — through a 300-hour watermarked
+    hourly count in UPDATE mode. Spark >= 3.4 carries TWO watermarks
+    per batch: late-event FILTERING uses the PREVIOUS batch's
+    watermark while state EVICTION uses the current one (the
+    single-watermark mental model silently drops nothing on a
+    two-batch replay — measured, not guessed: a two-batch run showed
+    numRowsDroppedByWatermark=0 with post-batch state already
+    evicted). The mid batch exists to promote the on-time batch's
+    watermark (max on-time ts - 300 h, ~Jan 18 12:00) into the
+    late-event filter for batch three, which then splits BOTH ways:
+    late rows whose hour window ends after the watermark are ACCEPTED
+    and update their window; older windows are DROPPED. The oracle
+    replays the exact rule (drop iff window_end <= watermark) in SQL,
+    so the engine's late-data boundary is itself hash-checked.
+    Update-mode memory rows are per-batch emissions; counts are
+    monotone, so max() per window recovers the final state (st04's
+    discipline). Batch order is forced by file mtimes (the file
+    source processes oldest-first); state stays O(open windows within
+    the horizon) — the bounded-state contract that makes streaming
+    aggregation viable at sustained ingest scale."""
+    import shutil as _sh
+
+    from gwasdb_spark.streaming.events import run_available_now
+
+    e = table(spark, sf_dir, "events").select("event_id", "ts")
+    src = stage_dir(
+        f"st19_src_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    if not os.path.isdir(os.path.join(src, "ready")):
+        _sh.rmtree(src, ignore_errors=True)
+        feed = os.path.join(src, "feed")
+        os.makedirs(feed)
+        slices = [
+            ("00_ontime.parquet", F.col("ts") >= "2024-01-20 00:00:00"),
+            (
+                "01_mid.parquet",
+                (F.col("ts") >= "2024-01-19 00:00:00")
+                & (F.col("ts") < "2024-01-20 00:00:00"),
+            ),
+            ("02_late.parquet", F.col("ts") < "2024-01-19 00:00:00"),
+        ]
+        for i, (name, pred) in enumerate(slices):
+            tmp = os.path.join(src, f"tmp_{i}")
+            e.filter(pred).coalesce(1).write.parquet(tmp)
+            part = [p for p in os.listdir(tmp) if p.endswith(".parquet")][0]
+            dst = os.path.join(feed, name)
+            os.rename(os.path.join(tmp, part), dst)
+            mtime = 1_000_000_000.0 + 100 * i
+            os.utime(dst, (mtime, mtime))
+            _sh.rmtree(tmp, ignore_errors=True)
+        os.makedirs(os.path.join(src, "ready"))
+    feed = os.path.join(src, "feed")
+    schema = spark.read.parquet(feed).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    counts = (
+        stream.withWatermark("ts", "300 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    out = run_available_now(counts, "update")
+    return out.groupBy(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:00:00").alias("hour")
+    ).agg(F.max("n").cast("long").alias("n_events"))
