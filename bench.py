@@ -274,6 +274,10 @@ HEADLINE = [
     "x161_exact_substring_spans",
     "x162_countmin_heavy_hitters",
     "m09_acid_zorder",
+    "x163_bm25_index_delete",
+    # st19 (watermark late-data) is correctness-gated, not benched: its
+    # bounded 3-micro-batch replay measures per-batch state-store commit
+    # overhead, the st07/st08/st13/st18 exclusion rationale.
     # st18 (streaming ANN ingest) is correctness-gated, not benched:
     # bounded-replay wall time is micro-batch commit overhead (the
     # st07/st08/st13 rationale), and its stage makes re-runs no-ops.

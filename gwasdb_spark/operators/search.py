@@ -405,6 +405,13 @@ def bm25_topk_indexed(
     )
     doclen = spark.read.parquet(f"{index_dir}/doclen")
     consts = spark.read.parquet(f"{index_dir}/consts")
+    tomb = _read_tombstones(spark, index_dir)
+    if tomb is not None:
+        # tombstoned docs vanish from hits AND from df(t): a takedown
+        # must not keep depressing surviving docs' idf. The tombstone
+        # relation is doc-grain and broadcast — O(deletes), not corpus.
+        hit = hit.join(F.broadcast(tomb), "doc", "left_anti")
+        doclen = doclen.join(F.broadcast(tomb), "doc", "left_anti")
     dfc = hit.groupBy("term").agg(F.count_distinct("doc").alias("df_t"))
     idf = F.log(
         (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5) + 1.0
@@ -491,3 +498,98 @@ def update_text_index(
     spark.createDataFrame(
         [(n_docs, float(avgdl))], "n_docs double, avgdl double"
     ).write.mode("overwrite").parquet(f"{index_dir}/consts")
+
+
+def _read_tombstones(spark, index_dir: str):
+    """The tombstone relation (single `doc` column) if any delete batch
+    has committed, else None (zero cost on a delete-free index)."""
+    import os
+
+    path = f"{index_dir}/tombstones"
+    if not os.path.isdir(path):
+        return None
+    return spark.read.parquet(path).select("doc")
+
+
+def delete_from_text_index(
+    doc_ids: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+) -> int:
+    """LSM tombstone deletes for the inverted index — the takedown path
+    (PII removal, DMCA, opt-out) that pairs with `update_text_index`'s
+    appends, the BM25 twin of the ANN index's delete batches
+    (operators/ann_index.py delete_from_cell_index). Deletes land as a
+    doc-grain tombstone segment; no posting file is rewritten (postings
+    for a hot takedown doc may sit in EVERY term segment — a physical
+    rewrite would be a full index rewrite, the LSM anti-pattern). The
+    serving path anti-joins hits and doclen against the broadcast
+    tombstone set, and the scoring constants are re-pointed at the
+    surviving corpus (n_docs -= batch, avgdl over surviving doclen) so
+    idf/length normalization behave as if the docs never existed.
+    `compact_text_index` later makes the removal physical.
+
+    Idempotent: the batch is intersected with the index's doclen ids
+    and anti-joined against existing tombstones, so replaying a delete
+    (at-least-once delivery) is a no-op — n_docs cannot double-shrink.
+    Cost ∝ |batch| + one doc-grain aggregate; returns the number of
+    docs newly tombstoned. Durability caveat matches
+    update_text_index: the tombstone append and consts overwrite are
+    two commits (stale consts until the second lands; never missing or
+    duplicated tombstones)."""
+    spark = doc_ids.sparkSession
+    ids = doc_ids.select(F.col(id_col).alias("doc")).distinct()
+    existing = spark.read.parquet(f"{index_dir}/doclen").select("doc")
+    victims = ids.join(existing, "doc")
+    tomb = _read_tombstones(spark, index_dir)
+    if tomb is not None:
+        victims = victims.join(tomb, "doc", "left_anti")
+    victims = victims.localCheckpoint(eager=True)
+    n = victims.count()
+    if n == 0:
+        return 0
+    victims.write.mode("append").parquet(f"{index_dir}/tombstones")
+    old = spark.read.parquet(f"{index_dir}/consts").collect()[0]
+    survivors = spark.read.parquet(f"{index_dir}/doclen").join(
+        spark.read.parquet(f"{index_dir}/tombstones").select("doc"),
+        "doc",
+        "left_anti",
+    )
+    avgdl = survivors.agg(
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl")
+    ).collect()[0]["avgdl"]
+    spark.createDataFrame(
+        [(float(old["n_docs"]) - n, float(avgdl))],
+        "n_docs double, avgdl double",
+    ).write.mode("overwrite").parquet(f"{index_dir}/consts")
+    return n
+
+
+def compact_text_index(spark, index_dir: str) -> None:
+    """Fold accumulated tombstones into the physical layout: rewrite
+    postings and doclen without the tombstoned docs (term sort order
+    preserved, so row-group pruning is unchanged), then drop the
+    tombstone segment. Consts are already survivor-accurate (delete
+    adjusts them eagerly) and are not touched. This is the merge half
+    of the LSM policy — run it when the tombstone set grows past the
+    broadcast budget; a delete-free index is a no-op."""
+    import os
+    import shutil
+
+    tomb = _read_tombstones(spark, index_dir)
+    if tomb is None:
+        return
+    tomb = tomb.localCheckpoint(eager=True)
+    for rel, order in (("postings", "term"), ("doclen", None)):
+        live = spark.read.parquet(f"{index_dir}/{rel}").join(
+            F.broadcast(tomb), "doc", "left_anti"
+        )
+        if order:
+            live = live.repartitionByRange(8, order).sortWithinPartitions(
+                order
+            )
+        tmp = f"{index_dir}/{rel}.compact"
+        live.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(f"{index_dir}/{rel}")
+        os.rename(tmp, f"{index_dir}/{rel}")
+    shutil.rmtree(f"{index_dir}/tombstones")

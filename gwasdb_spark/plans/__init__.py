@@ -56,6 +56,7 @@ _PRIORITY = [
     "x161_exact_substring_spans",
     "x162_countmin_heavy_hitters",
     "st19_late_data_watermark",
+    "x163_bm25_index_delete",
     "x140_bpe_learn",
     "x150_bpe_apply",
     "mm03_resize_thumbs",

@@ -3887,3 +3887,102 @@ def st19_late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy(
         F.date_format(F.col("w.start"), "yyyy-MM-dd HH:00:00").alias("hour")
     ).agg(F.max("n").cast("long").alias("n_events"))
+
+
+@query(
+    "x163_bm25_index_delete",
+    "X-text,X-search,X-dml",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id AS doc,
+             unnest(string_split_regex(lower(trim(text)), '[^a-z0-9]+')) AS term
+      FROM documents
+    ),
+    postings0 AS (
+      SELECT doc, term, COUNT(*) AS tf FROM toks WHERE term <> ''
+      GROUP BY 1, 2
+    ),
+    doclen0 AS (SELECT doc, SUM(tf) AS dl FROM postings0 GROUP BY 1),
+    removed AS (SELECT doc FROM doclen0 WHERE doc % 17 = 3),
+    postings AS (
+      SELECT * FROM postings0
+      WHERE doc NOT IN (SELECT doc FROM removed)
+    ),
+    doclen AS (
+      SELECT * FROM doclen0 WHERE doc NOT IN (SELECT doc FROM removed)
+    ),
+    consts AS (
+      SELECT (SELECT COUNT(*) FROM documents)
+               - (SELECT COUNT(*) FROM removed) AS n_docs,
+             (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) FROM doclen) AS avgdl
+    ),
+    q(term) AS (VALUES ('hash'), ('join'), ('vector')),
+    hit AS (SELECT p.doc, p.term, p.tf FROM postings p JOIN q USING (term)),
+    dfc AS (SELECT term, COUNT(DISTINCT doc) AS df_t FROM hit GROUP BY 1),
+    scored AS (
+      SELECT doc,
+             SUM(ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+                 * (tf * 2.2)
+                 / (tf + 1.2 * (1 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+             ) AS score
+      FROM hit JOIN dfc USING (term) JOIN doclen USING (doc) CROSS JOIN consts
+      GROUP BY doc
+    ),
+    topk AS (
+      SELECT doc AS doc_id, ROUND(score, 6) AS score,
+             CAST(rank AS BIGINT) AS rank
+      FROM (
+        SELECT doc, score,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc) AS rank
+        FROM scored
+      ) WHERE rank <= 10
+    )
+    SELECT 'tombstoned' AS phase, * FROM topk
+    UNION ALL
+    SELECT 'compacted', * FROM topk
+    """,
+)
+def x163_bm25_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index takedowns, proven equal to a survivor-only
+    rebuild in BOTH LSM states: a takedown batch (every 17th doc)
+    lands as doc-grain tombstones (no posting file rewritten — a hot
+    doc's postings sit in every term segment, so physical rewrite-on-
+    delete is the LSM anti-pattern), the SAME query must then rank
+    exactly as an index that never contained the victims (tombstoned
+    phase: serve-time anti-join + survivor-accurate n_docs/avgdl/idf),
+    and after compact_text_index folds the tombstones into a physical
+    rewrite (compacted phase) the answer must not move. The BM25 twin
+    of x157's ANN takedowns — PII/DMCA removal is a first-class
+    operation of any 100 TB serving index. Idempotent warm: replayed
+    deletes are anti-joined into no-ops, a compacted index has no
+    victims left to tombstone (operators/search.py
+    delete_from_text_index / compact_text_index)."""
+    import hashlib as _hl
+
+    from gwasdb_spark.operators.search import (
+        bm25_topk_indexed,
+        build_text_index,
+        compact_text_index,
+        delete_from_text_index,
+    )
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:12]
+    idx = os.path.join(stage_dir(f"bm25_del_{tag}"), "index")
+    d = table(spark, sf_dir, "documents")
+    if not os.path.isdir(os.path.join(idx, "consts")):
+        build_text_index(d, idx)
+    delete_from_text_index(
+        d.filter(F.col("doc_id") % 17 == 3).select("doc_id"), idx
+    )
+    terms = ["hash", "join", "vector"]
+    q1 = (
+        bm25_topk_indexed(spark, idx, terms, "doc_id", k=10)
+        .select(F.lit("tombstoned").alias("phase"), "*")
+        # materialize before compaction rewrites the files this plan reads
+        .localCheckpoint(eager=True)
+    )
+    compact_text_index(spark, idx)
+    q2 = bm25_topk_indexed(spark, idx, terms, "doc_id", k=10).select(
+        F.lit("compacted").alias("phase"), "*"
+    )
+    return q1.unionByName(q2)
