@@ -57,6 +57,7 @@ _PRIORITY = [
     "x162_countmin_heavy_hitters",
     "st19_late_data_watermark",
     "x163_bm25_index_delete",
+    "j12_scd2_pit_join",
     "x140_bpe_learn",
     "x150_bpe_apply",
     "mm03_resize_thumbs",

@@ -3986,3 +3986,95 @@ def x163_bm25_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("compacted").alias("phase"), "*"
     )
     return q1.unionByName(q2)
+
+
+@query(
+    "j12_scd2_pit_join",
+    "J-ext,M2-ext",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey, c_mktsegment AS segment,
+             '1995-01-01' AS valid_from,
+             CAST(NULL AS VARCHAR) AS valid_to
+      FROM customer
+    ),
+    chg AS (
+      SELECT c_custkey, 'UPGRADED' AS segment, '1998-06-01' AS eff
+      FROM customer
+      WHERE c_custkey % 10 = 3 AND c_mktsegment <> 'UPGRADED'
+    ),
+    snap AS (
+      SELECT b.c_custkey, b.segment, b.valid_from, c.eff AS valid_to
+      FROM base b JOIN chg c USING (c_custkey)
+      UNION ALL
+      SELECT * FROM base
+      WHERE c_custkey NOT IN (SELECT c_custkey FROM chg)
+      UNION ALL
+      SELECT c_custkey, segment, eff, CAST(NULL AS VARCHAR) FROM chg
+    ),
+    f AS (
+      SELECT o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS day,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    j AS (
+      SELECT s.segment, substr(f.day, 1, 4) AS order_year, f.cents
+      FROM f JOIN snap s ON s.c_custkey = f.o_custkey
+        AND f.day >= s.valid_from
+        AND f.day < COALESCE(s.valid_to, '9999-12-31')
+    )
+    SELECT segment, order_year, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM j GROUP BY 1, 2
+    """,
+)
+def j12_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join against an SCD2 dimension — the
+    leakage-safe enrichment every training-data and warehouse pipeline
+    needs: each order joins the customer-segment VERSION that was
+    valid ON ITS ORDER DATE (versions built by operators/scd.py
+    scd2_apply: every 10th customer upgrades effective 1998-06-01), so
+    facts before the change see the old attribute and facts after see
+    the new one — joining the current snapshot instead would leak
+    future attributes into past rows. Plan shape: equi-join on the
+    dimension key plus the interval predicate; fan-out is bounded by
+    versions-per-key (2 here, small always), so the join stays a
+    plain keyed shuffle at 100 TB — no interval index needed when
+    version counts are bounded. Validity bounds and order days compare
+    as ISO date strings, identical in both engines."""
+    from gwasdb_spark.operators.scd import scd2_apply
+
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    dim = c.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1995-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    changes = c.filter(
+        (F.col("c_custkey") % 10 == 3) & (F.col("c_mktsegment") != "UPGRADED")
+    ).select(
+        "c_custkey",
+        F.lit("UPGRADED").alias("segment"),
+        F.lit("1998-06-01").alias("eff"),
+    )
+    snap = scd2_apply(dim, changes, ["c_custkey"], ["segment"], eff_col="eff")
+    f = o.select(
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    j = f.join(
+        snap,
+        (F.col("o_custkey") == F.col("c_custkey"))
+        & (F.col("day") >= F.col("valid_from"))
+        & (F.col("day") < F.coalesce(F.col("valid_to"), F.lit("9999-12-31"))),
+    )
+    return j.groupBy(
+        "segment", F.substring("day", 1, 4).alias("order_year")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )
