@@ -1378,6 +1378,75 @@ def stress_acid_bloom(spark) -> dict:
     }
 
 
+
+
+# ---------------------------------------------------------------------------
+# Stress — ExactSubstr spans at 10x corpus (50k docs, ~15M window rows).
+#
+# x161's scale question: the corpus-sized digest shuffle and the per-doc
+# interval merge must stay exact when the window stream is 10x the bench
+# and duplicated regions sit at arbitrary offsets. Gate: every planted
+# 80-char motif is recovered as EXACTLY one maximal span of exactly 80
+# chars at its known offset, and the unique filler produces ZERO false
+# spans (the 2^-60 digest-collision contract, observed not assumed).
+# ---------------------------------------------------------------------------
+def stress_exactsubstr(spark) -> dict:
+    import pandas as pd
+
+    from gwasdb_spark.operators.quality import exact_substring_spans
+
+    n_docs = 50_000
+    rng = np.random.default_rng(16161)
+    # unique filler: 300 hex chars per doc (16^40 window space - the
+    # motif uses 'Z', outside the hex alphabet, so it cannot occur by
+    # accident)
+    filler = [
+        bytes(rng.integers(0, 256, 150, dtype=np.uint8)).hex()
+        for _ in range(n_docs)
+    ]
+    motif = "Z" * 80
+    texts, offsets = [], []
+    for i, f in enumerate(filler):
+        if i % 10 == 0:
+            off = 37 + (i % 50)
+            texts.append(f[:off] + motif + f[off:])
+            offsets.append(off)
+        else:
+            texts.append(f)
+            offsets.append(-1)
+    pdf = pd.DataFrame(
+        {"doc_id": range(n_docs), "text": texts, "off": offsets}
+    )
+    d = spark.createDataFrame(pdf[["doc_id", "text"]]).repartition(32)
+    t0 = time.time()
+    out = exact_substring_spans(d, "doc_id", "text", window=40).toPandas()
+    dt = time.time() - t0
+    out = out.merge(pdf[["doc_id", "off"]], on="doc_id")
+    planted = out[out["off"] >= 0]
+    clean = out[out["off"] < 0]
+    # boundary windows (39 Z's + one hex char) ALSO repeat across the
+    # 5000 planted docs - 16 possible flank chars, pigeonhole - so the
+    # TRUE maximal duplicated span extends a few chars past the motif:
+    # exactly one span, >= the motif, bounded by the flank-collision
+    # depth (log16 5000 ~ 3 per side; 24 is a generous hard cap)
+    ok = (
+        bool((planted["n_dup_spans"] == 1).all())
+        and bool((planted["dup_chars"] >= 80).all())
+        and bool((planted["dup_chars"] <= 104).all())
+        and bool((clean["n_dup_spans"] == 0).all())
+        and bool((clean["dup_chars"] == 0).all())
+        and len(planted) == n_docs // 10
+    )
+    return {
+        "stress": "exactsubstr",
+        "ok": ok,
+        "n_docs": n_docs,
+        "n_planted": int(len(planted)),
+        "false_spans": int(clean["n_dup_spans"].sum()),
+        "wall_s": round(dt, 2),
+    }
+
+
 STRESSES = {
     "stream": stress_stream,
     "bm25": stress_bm25,
@@ -1395,6 +1464,7 @@ STRESSES = {
     "annupsert": stress_ann_upsert,
     "aciddml": stress_acid_dml,
     "acidbloom": stress_acid_bloom,
+    "exactsubstr": stress_exactsubstr,
 }
 
 
