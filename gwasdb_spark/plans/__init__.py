@@ -58,6 +58,7 @@ _PRIORITY = [
     "st19_late_data_watermark",
     "x163_bm25_index_delete",
     "j12_scd2_pit_join",
+    "g21_ldsc_slope",
     "x140_bpe_learn",
     "x150_bpe_apply",
     "mm03_resize_thumbs",

@@ -4078,3 +4078,118 @@ def j12_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.sum("cents").cast("long").alias("sum_cents"),
     )
+
+
+@query(
+    "g21_ldsc_slope",
+    "X-gwas,A2",
+    oracle="""
+    WITH per AS (
+      SELECT l_partkey AS marker,
+             l_partkey % 22 AS chr,
+             (l_partkey * 9973) % 1000000 AS pos,
+             SUM(CAST(round(l_discount * 100) AS BIGINT) - 5) AS num,
+             SUM(CAST(round(l_tax * 100) AS BIGINT) + 1) AS den
+      FROM lineitem GROUP BY 1, 2, 3
+    ),
+    scored AS (
+      SELECT chr, pos,
+             CAST(round((CAST(num AS DOUBLE) / den)
+                        * (CAST(num AS DOUBLE) / den) * 1e9) AS BIGINT)
+               AS chi2_nano,
+             CAST(COUNT(*) OVER (
+               PARTITION BY chr ORDER BY pos
+               RANGE BETWEEN 100000 PRECEDING AND 100000 FOLLOWING
+             ) AS BIGINT) AS ld
+      FROM per
+    ),
+    sums AS (
+      SELECT chr, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(ld) AS sx, SUM(chi2_nano) AS sy,
+             SUM(ld * chi2_nano) AS sxy, SUM(ld * ld) AS sxx
+      FROM scored GROUP BY 1
+    )
+    SELECT chr, n AS n_markers,
+           ROUND(CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                 ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                      / (n * sxx - sx * sx) / 1e9 END, 9) AS slope,
+           ROUND(CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                 ELSE CAST(sy * sxx - sx * sxy AS DOUBLE)
+                      / (n * sxx - sx * sx) / 1e9 END, 9) AS intercept,
+           ROUND(CAST(sy AS DOUBLE) / n / 1e9, 9) AS mean_chi2
+    FROM sums
+    """,
+)
+def g21_ldsc_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LD-score-regression slope per chromosome (Bulik-Sullivan 2015's
+    diagnostic, the polygenicity-vs-confounding split g13's genomic
+    control cannot make): each marker's chi-square statistic regressed
+    on its LD score (here the positional proxy the g07/g18 family uses:
+    neighbors within +-100 kb on the same chromosome — a RANGE-framed
+    per-chr window, value-based so tied positions are frame-equal in
+    both engines). Inflation that RISES with LD -> polygenic signal
+    (slope); uniform inflation -> confounding (intercept). GWAS grain
+    mapped onto lineitem like g10-g14 (marker = l_partkey, z built from
+    exact integer cent/tax sums). Numeric discipline: chi2 quantizes to
+    integer nano-units per marker BEFORE any aggregation (the g19
+    rule), LD scores are integers, so every regression sum is exact
+    integer algebra and the slope is one deterministic division.
+    Plan: one (marker) aggregate, one per-chr window, one per-chr
+    aggregate — shuffles carry 4 longs per marker, never lineitem
+    rows."""
+    li = table(spark, sf_dir, "lineitem")
+    per = li.groupBy(
+        F.col("l_partkey").alias("marker"),
+        (F.col("l_partkey") % 22).alias("chr"),
+        ((F.col("l_partkey") * 9973) % 1000000).alias("pos"),
+    ).agg(
+        F.sum(F.round(F.col("l_discount") * 100).cast("long") - 5).alias("num"),
+        F.sum(F.round(F.col("l_tax") * 100).cast("long") + 1).alias("den"),
+    )
+    z = F.col("num").cast("double") / F.col("den")
+    w = (
+        Window.partitionBy("chr")
+        .orderBy("pos")
+        .rangeBetween(-100000, 100000)
+    )
+    scored = per.select(
+        "chr",
+        "pos",
+        F.round(z * z * 1e9).cast("long").alias("chi2_nano"),
+        F.count(F.lit(1)).over(w).cast("long").alias("ld"),
+    )
+    sums = scored.groupBy("chr").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("ld").alias("sx"),
+        F.sum("chi2_nano").alias("sy"),
+        F.sum(F.col("ld") * F.col("chi2_nano")).alias("sxy"),
+        F.sum(F.col("ld") * F.col("ld")).alias("sxx"),
+    )
+    det = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return sums.select(
+        "chr",
+        F.col("n").alias("n_markers"),
+        F.round(
+            F.when(
+                det != 0,
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                .cast("double")
+                / det
+                / 1e9,
+            ),
+            9,
+        ).alias("slope"),
+        F.round(
+            F.when(
+                det != 0,
+                (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy"))
+                .cast("double")
+                / det
+                / 1e9,
+            ),
+            9,
+        ).alias("intercept"),
+        F.round(F.col("sy").cast("double") / F.col("n") / 1e9, 9).alias(
+            "mean_chi2"
+        ),
+    )
