@@ -412,3 +412,52 @@ def ring_negatives(
         )
     )
     return out.filter(F.col("neg_id") != F.col("anchor"))
+
+
+def global_cumsum(
+    df: DataFrame,
+    weight_col: str,
+    order_by: list[Column],
+    cum_col: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact INCLUSIVE global running sum of `weight_col` under
+    `order_by` — `global_row_number`'s weighted sibling, replacing
+    ``sum(w).over(Window.orderBy(...))`` (a single-task sort of
+    everything) with one range exchange + per-partition cumsums + a
+    partition-count-bounded offset window. `order_by` must be a total
+    order (unique tiebreak), same contract as global_row_number."""
+    if num_partitions:
+        nparts = int(num_partitions)
+    else:
+        try:
+            nparts = int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+            )
+        except (TypeError, ValueError):
+            nparts = df.rdd.getNumPartitions()
+    ranged = (
+        df.repartitionByRange(nparts, *order_by)
+        .sortWithinPartitions(*order_by)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)  # pin pid; feeds stats AND result
+    )
+    wloc = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    stats = ranged.groupBy("__pid").agg(F.sum(weight_col).alias("__w"))
+    prior = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow - 1
+    )
+    offsets = stats.select(
+        "__pid",
+        F.coalesce(F.sum("__w").over(prior), F.lit(0)).alias("__offset"),
+    )
+    return (
+        ranged.withColumn("__loc", F.sum(weight_col).over(wloc))
+        .join(F.broadcast(offsets), "__pid")
+        .withColumn(cum_col, (F.col("__offset") + F.col("__loc")).cast("long"))
+        .drop("__pid", "__loc", "__offset")
+    )

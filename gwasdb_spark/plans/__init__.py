@@ -59,6 +59,8 @@ _PRIORITY = [
     "x163_bm25_index_delete",
     "j12_scd2_pit_join",
     "g21_ldsc_slope",
+    "x164_token_budget_select",
+    "u06_sql_scalar_udf",
     "x140_bpe_learn",
     "x150_bpe_apply",
     "mm03_resize_thumbs",

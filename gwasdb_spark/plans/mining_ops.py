@@ -4193,3 +4193,120 @@ def g21_ldsc_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_chi2"
         ),
     )
+
+
+@query(
+    "x164_token_budget_select",
+    "X-sample,X-quality",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(trim(text), '\S+')) AS BIGINT)
+               AS n_tokens,
+             CAST(len(list_distinct(regexp_extract_all(trim(text), '\S+')))
+               AS BIGINT) AS n_distinct
+      FROM documents
+      WHERE len(regexp_extract_all(trim(text), '\S+')) > 0
+    ),
+    scored AS (
+      SELECT doc_id, n_tokens,
+             CAST(round(1e9 * CAST(n_distinct AS DOUBLE) / n_tokens)
+               AS BIGINT) AS score_nano
+      FROM t
+    ),
+    c AS (
+      SELECT doc_id, n_tokens, score_nano,
+             CAST(SUM(n_tokens) OVER (
+               ORDER BY score_nano DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM scored
+    )
+    SELECT doc_id, n_tokens, score_nano, cum_tokens
+    FROM c WHERE cum_tokens <= 20000
+    """,
+)
+def x164_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection — the 'best N billion tokens'
+    curation step every pretraining run ends with: docs ranked by a
+    quality score (lexical richness, distinct/total tokens, quantized
+    to integer nano-units — the g19 discipline) and the top prefix
+    whose RUNNING token total fits the budget (20k here) is selected.
+    The global running sum is the scale trap: sum().over(Window.
+    orderBy(...)) funnels the corpus through one task. Here it is
+    operators/sampling.py global_cumsum — one range exchange on the
+    sort key, per-partition cumsums, a partition-count-bounded offset
+    window — the weighted sibling of x74's global_row_number, so the
+    selection stays distributed at a 100 TB corpus. Exact: integer
+    token counts and nano scores, bit-equal prefix on both engines."""
+    from gwasdb_spark.functions import text as TX
+    from gwasdb_spark.operators.sampling import global_cumsum
+
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        TX.n_tokens_ws(F.col("text")).cast("long").alias("n_tokens"),
+        F.size(
+            F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
+        ).cast("long").alias("n_distinct"),
+    ).filter(F.col("n_tokens") > 0)
+    scored = t.select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            1e9 * F.col("n_distinct").cast("double") / F.col("n_tokens")
+        ).cast("long").alias("score_nano"),
+    )
+    cum = global_cumsum(
+        scored,
+        "n_tokens",
+        [F.desc("score_nano"), F.asc("doc_id")],
+        cum_col="cum_tokens",
+    )
+    return cum.filter(F.col("cum_tokens") <= 20000).select(
+        "doc_id", "n_tokens", "score_nano", "cum_tokens"
+    )
+
+
+@query(
+    "u06_sql_scalar_udf",
+    "§2.11,X-text",
+    oracle=r"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+             AS total_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def u06_sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-registered Arrow scalar UDF — the third UDF surface next to
+    u04's UDAF and u05's UDTF (SURVEY §2.11; the reference's only UDF
+    is maf_calc): a pandas_udf token counter registered under a SQL
+    name and invoked from SQL TEXT, the path a BI tool or SQL-only
+    client uses. The UDF receives Arrow batches (vectorized pandas
+    str.count, no per-row Python) and sits under a JVM-side aggregate —
+    mixing scalar pandas UDFs with native aggregation is allowed
+    (unlike GROUPED_AGG, u04's caveat). Production twin: the codegen
+    regexp_count expression (the oracle) — registered UDFs are the
+    compatibility surface, not the fast path, which is why the engine
+    keeps both."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _tok_count(s):
+        return s.str.count(r"\S+").astype("int64")
+
+    _tok_count.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    spark.udf.register("tok_count_py", pandas_udf(_tok_count, "long"))
+
+    d = table(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("docs_u06")
+    return spark.sql(
+        """
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(tok_count_py(text)) AS BIGINT) AS total_tokens
+        FROM docs_u06 GROUP BY lang
+        """
+    )
