@@ -61,6 +61,7 @@ _PRIORITY = [
     "g21_ldsc_slope",
     "x164_token_budget_select",
     "u06_sql_scalar_udf",
+    "mm11_pcm_frame_energy",
     "x140_bpe_learn",
     "x150_bpe_apply",
     "mm03_resize_thumbs",

@@ -4310,3 +4310,57 @@ def u06_sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM docs_u06 GROUP BY lang
         """
     )
+
+
+@query(
+    "mm11_pcm_frame_energy",
+    "X-multimodal",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, k,
+             (doc_id * 7 + k * 13) % 4096 - 2048 AS v
+      FROM documents, range(0, 256) t(k)
+      WHERE doc_id % 5 = 0
+    )
+    SELECT doc_id, CAST(k // 64 AS BIGINT) AS frame_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(v * v) AS BIGINT) AS energy,
+           CAST(MAX(abs(v)) AS BIGINT) AS peak_abs
+    FROM s GROUP BY doc_id, k // 64
+    """,
+)
+def mm11_pcm_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction with a REAL decode path (mm03's
+    discipline applied to the audio modality): every 5th document
+    mints an in-plan 256-sample 16-bit mono PCM WAV whose samples
+    follow a SQL-computable formula ((doc_id*7 + k*13) % 4096 - 2048,
+    little-endian int16 built with hex/unhex so builder and decoder
+    are independent); parse_wav_pcm REALLY walks the RIFF chunk stream
+    (fmt validation, word-aligned chunk lengths) and decodes the raw
+    int16 data — no codec needed, the audio analogue of decode_bmp —
+    and pcm_frame_energy emits per-64-sample-frame (sum of squares,
+    peak magnitude), the exact integer statistics VAD/silence gates
+    run on. The oracle recomputes every frame's energy from the
+    generation formula, so container walk, sample decode (sign and
+    byte order included), frame split, and the energy math are all
+    hash-adjudicated. Compressed codecs stay stubbed like compressed
+    images (multimodal/binary.py parse_wav_pcm / pcm_frame_energy)."""
+    from gwasdb_spark.multimodal.binary import pcm_frame_energy
+
+    d = table(spark, sf_dir, "documents")
+    hdr = (
+        "524946462402000057415645666D7420100000000100"
+        "0100401F0000803E0000020010006461746100020000"
+    )
+    val = "((doc_id * 7 + k * 13) % 4096 - 2048 + 65536) % 65536"
+    samp_hex = F.expr(
+        "concat_ws('', transform(sequence(0, 255), k -> "
+        f"concat(substring(lpad(hex({val}), 4, '0'), 3, 2), "
+        f"substring(lpad(hex({val}), 4, '0'), 1, 2))))"
+    )
+    wavs = d.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id",
+        F.lit("audio/wav").alias("media_type"),
+        F.unhex(F.concat(F.lit(hdr), samp_hex)).alias("payload"),
+    )
+    return pcm_frame_energy(wavs, frame_samples=64)

@@ -358,6 +358,13 @@ GLOBAL_WINDOW_ALLOWLIST = {
     # 12-month lag over the MONTHLY revenue relation — one row per
     # distinct order month, calendar-bounded like w11.
     "w12_yoy_revenue": (1, "distinct order months (calendar-bounded)"),
+    # Both serve phases rank k-row TakeOrdered survivors
+    # (operators/search.py _rank_topk, the x12g shape twice).
+    "x163_bm25_index_delete": (2, "k-row TakeOrdered survivors (2 phases)"),
+    # Token-budget cumsum via global_cumsum: the only unpartitioned
+    # window is the offset over per-partition weight totals
+    # (operators/sampling.py global_cumsum — global_row_number's rule).
+    "x164_token_budget_select": (1, "partition stats (#partitions rows)"),
 }
 
 
