@@ -275,6 +275,11 @@ HEADLINE = [
     "x162_countmin_heavy_hitters",
     "m09_acid_zorder",
     "x163_bm25_index_delete",
+    "j12_scd2_pit_join",
+    "g21_ldsc_slope",
+    "x164_token_budget_select",
+    "u06_sql_scalar_udf",
+    "mm11_pcm_frame_energy",
     # st19 (watermark late-data) is correctness-gated, not benched: its
     # bounded 3-micro-batch replay measures per-batch state-store commit
     # overhead, the st07/st08/st13/st18 exclusion rationale.

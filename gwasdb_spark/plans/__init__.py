@@ -62,6 +62,8 @@ _PRIORITY = [
     "x164_token_budget_select",
     "u06_sql_scalar_udf",
     "mm11_pcm_frame_energy",
+    "x165_kneser_ney_bigram",
+    "w16_v_pattern_detect",
     "x140_bpe_learn",
     "x150_bpe_apply",
     "mm03_resize_thumbs",

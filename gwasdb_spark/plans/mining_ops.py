@@ -4364,3 +4364,239 @@ def mm11_pcm_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unhex(F.concat(F.lit(hdr), samp_hex)).alias("payload"),
     )
     return pcm_frame_energy(wavs, frame_samples=64)
+
+
+@query(
+    "x165_kneser_ney_bigram",
+    "X-text,X-quality",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, token, pos FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(text), '\s+')) AS token,
+               generate_subscripts(string_split_regex(trim(text), '\s+'), 1)
+                 AS pos
+        FROM documents
+      ) raw WHERE token <> ''
+    ),
+    bg AS (
+      SELECT doc_id, token AS w1,
+             LEAD(token) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM tok QUALIFY w2 IS NOT NULL
+    ),
+    c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+            FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM bg GROUP BY 1),
+    n1f AS (SELECT w1, CAST(COUNT(DISTINCT w2) AS BIGINT) AS n1f
+            FROM bg GROUP BY 1),
+    n1b AS (SELECT w2, CAST(COUNT(DISTINCT w1) AS BIGINT) AS n1b
+            FROM bg GROUP BY 1),
+    nbi AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nbi FROM c12),
+    t AS (
+      SELECT doc_id,
+             LN((greatest(c12 - 0.75, 0.0)
+                 + 0.75 * n1f * (n1b / nbi)) / c1) AS lp
+      FROM bg
+      JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+      JOIN n1f USING (w1) JOIN n1b USING (w2) CROSS JOIN nbi
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(lp), 9) AS avg_logprob,
+           ROUND(MIN(lp), 9) AS min_logprob
+    FROM t GROUP BY doc_id
+    """,
+)
+def x165_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring — the smoothing real LM
+    quality filters (KenLM) actually use, one up from x55's add-one:
+    P(w2|w1) = (max(c12 - D, 0) + D * N1+(w1,.) * Pcont(w2)) / c1 with
+    absolute discount D = 0.75 and the CONTINUATION probability
+    Pcont(w2) = N1+(.,w2) / |distinct bigrams| — novel-continuation
+    types, not raw frequency, which is exactly what add-one gets wrong
+    for burstily-repeated tokens. All five count relations are
+    vocabulary- or bigram-type-bounded (never corpus-text-sized
+    shuffles); the type total rides as a broadcast 1-row constant;
+    stop-word skew on the w1-grain joins is AQE-split (x55's note).
+    Discount arithmetic is fixed-order with identical parenthesization
+    in both engines; 9-dp round absorbs libm ln's last-ulp (x30/x55
+    discipline)."""
+    from gwasdb_spark.operators.quality import positional_tokens
+    from pyspark.sql.window import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    toks = positional_tokens(d, "doc_id", "text")
+    w = W.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        toks.withColumn("w2", F.lead("token").over(w))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", F.col("token").alias("w1"), "w2")
+        .localCheckpoint(eager=False)  # feeds 4 count relations + scorer
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    n1f = bg.groupBy("w1").agg(
+        F.count_distinct("w2").cast("long").alias("n1f")
+    )
+    n1b = bg.groupBy("w2").agg(
+        F.count_distinct("w1").cast("long").alias("n1b")
+    )
+    nbi = c12.agg(F.count(F.lit(1)).cast("double").alias("nbi"))
+    lp = F.log(
+        (
+            F.greatest(F.col("c12") - 0.75, F.lit(0.0))
+            + 0.75 * F.col("n1f") * (F.col("n1b") / F.col("nbi"))
+        )
+        / F.col("c1")
+    )
+    t = (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(n1f, "w1")
+        .join(n1b, "w2")
+        .crossJoin(F.broadcast(nbi))
+        .select("doc_id", lp.alias("lp"))
+    )
+    return t.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.avg("lp"), 9).alias("avg_logprob"),
+        F.round(F.min("lp"), 9).alias("min_logprob"),
+    )
+
+
+@query(
+    "w16_v_pattern_detect",
+    "X-window,§2.5",
+    oracle="""
+    WITH p AS (
+      SELECT l_partkey AS part,
+             epoch_us(l_shipdate) AS t, l_orderkey AS ok,
+             l_linenumber AS ln,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price
+      FROM lineitem
+    ),
+    steps AS (
+      SELECT part, t, ok, ln, price,
+             LAG(price) OVER w AS prev_price,
+             ROW_NUMBER() OVER w AS step_idx
+      FROM p WINDOW w AS (PARTITION BY part ORDER BY t, ok, ln)
+      QUALIFY prev_price IS NOT NULL
+    ),
+    dirs AS (
+      SELECT part, step_idx, prev_price, price,
+             CASE WHEN price > prev_price THEN 1
+                  WHEN price < prev_price THEN -1 ELSE 0 END AS dir
+      FROM steps
+    ),
+    brk AS (
+      SELECT *, CASE WHEN LAG(dir) OVER w IS NULL
+                       OR dir <> LAG(dir) OVER w THEN 1 ELSE 0 END AS is_new
+      FROM dirs WINDOW w AS (PARTITION BY part ORDER BY step_idx)
+    ),
+    runs AS (
+      SELECT part, run_id, MIN(dir) AS dir,
+             CAST(COUNT(*) AS BIGINT) AS run_len,
+             MIN(struct_pack(i := step_idx, v := prev_price)).v
+               AS start_price,
+             MAX(struct_pack(i := step_idx, v := price)).v AS end_price
+      FROM (
+        SELECT part, step_idx, prev_price, price, dir,
+               SUM(is_new) OVER (PARTITION BY part ORDER BY step_idx)
+                 AS run_id
+        FROM brk
+      ) GROUP BY 1, 2
+    ),
+    v AS (
+      SELECT d.part, d.start_price - d.end_price AS depth
+      FROM runs d JOIN runs u
+        ON u.part = d.part AND u.run_id = d.run_id + 1
+      WHERE d.dir = -1 AND u.dir = 1
+    ),
+    allp AS (SELECT part, CAST(COUNT(*) AS BIGINT) AS n_steps
+             FROM steps GROUP BY 1)
+    SELECT a.part, a.n_steps,
+           CAST(COALESCE(COUNT(v.depth), 0) AS BIGINT) AS n_v_patterns,
+           CAST(MAX(v.depth) AS BIGINT) AS max_depth_cents
+    FROM allp a LEFT JOIN v ON v.part = a.part
+    GROUP BY 1, 2
+    """,
+)
+def w16_v_pattern_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence pattern matching composed from
+    windows (Spark has no MATCH_RECOGNIZE; this is the standard
+    translation): per part, the shipment-ordered price series is
+    segmented into maximal same-direction RUNS (strict up / strict
+    down / flat — gaps-and-islands on the step direction), and the
+    pattern DOWN+ UP+ (a 'V': monotone decline into a trough then
+    recovery, flat steps break the pattern) is matched by joining each
+    run to its successor. Reports per part: step count, V count, and
+    the deepest V's decline in exact cents. Every window is
+    part-partitioned (group-bounded state); run endpoints come from
+    struct-ordered MIN/MAX (w13's trick — partial-aggregable, no
+    per-group sorts); the run relation the pattern join touches is
+    runs-per-part-sized, not row-sized. All-integer algebra end to
+    end. Timestamps diff in integer microseconds only for ORDERING
+    (the w14/e16 cross-engine lesson does not bite: no epoch
+    arithmetic lands in the output)."""
+    li = table(spark, sf_dir, "lineitem")
+    p = li.select(
+        F.col("l_partkey").alias("part"),
+        F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias("t"),
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price"),
+    )
+    w = Window.partitionBy("part").orderBy("t", "ok", "ln")
+    steps = (
+        p.withColumn("prev_price", F.lag("price").over(w))
+        .withColumn("step_idx", F.row_number().over(w))
+        .filter(F.col("prev_price").isNotNull())
+        .localCheckpoint(eager=False)  # feeds runs AND the step counts
+    )
+    dirs = steps.withColumn(
+        "dir",
+        F.when(F.col("price") > F.col("prev_price"), 1)
+        .when(F.col("price") < F.col("prev_price"), -1)
+        .otherwise(0),
+    )
+    w2 = Window.partitionBy("part").orderBy("step_idx")
+    brk = dirs.withColumn(
+        "is_new",
+        F.when(
+            F.lag("dir").over(w2).isNull()
+            | (F.col("dir") != F.lag("dir").over(w2)),
+            1,
+        ).otherwise(0),
+    ).withColumn("run_id", F.sum("is_new").over(w2))
+    runs = brk.groupBy("part", "run_id").agg(
+        F.min("dir").alias("dir"),
+        F.count(F.lit(1)).cast("long").alias("run_len"),
+        F.min(F.struct(F.col("step_idx").alias("i"),
+                       F.col("prev_price").alias("v")))["v"].alias(
+            "start_price"
+        ),
+        F.max(F.struct(F.col("step_idx").alias("i"),
+                       F.col("price").alias("v")))["v"].alias("end_price"),
+    )
+    down = runs.filter(F.col("dir") == -1).select(
+        "part",
+        F.col("run_id").alias("d_run"),
+        (F.col("start_price") - F.col("end_price")).alias("depth"),
+    )
+    up = runs.filter(F.col("dir") == 1).select(
+        "part", F.col("run_id").alias("u_run")
+    )
+    v = down.join(
+        up,
+        (down.part == up.part) & (up.u_run == down.d_run + 1),
+    ).select(down.part.alias("part"), "depth")
+    allp = steps.groupBy("part").agg(
+        F.count(F.lit(1)).cast("long").alias("n_steps")
+    )
+    return (
+        allp.join(v, "part", "left")
+        .groupBy("part", "n_steps")
+        .agg(
+            F.count("depth").cast("long").alias("n_v_patterns"),
+            F.max("depth").cast("long").alias("max_depth_cents"),
+        )
+    )
