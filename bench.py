@@ -280,6 +280,8 @@ HEADLINE = [
     "x164_token_budget_select",
     "u06_sql_scalar_udf",
     "mm11_pcm_frame_energy",
+    "x165_kneser_ney_bigram",
+    "w16_v_pattern_detect",
     # st19 (watermark late-data) is correctness-gated, not benched: its
     # bounded 3-micro-batch replay measures per-batch state-store commit
     # overhead, the st07/st08/st13/st18 exclusion rationale.

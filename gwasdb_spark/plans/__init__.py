@@ -64,6 +64,7 @@ _PRIORITY = [
     "mm11_pcm_frame_energy",
     "x165_kneser_ney_bigram",
     "w16_v_pattern_detect",
+    "e17_markov_absorption",
     "x140_bpe_learn",
     "x150_bpe_apply",
     "mm03_resize_thumbs",

@@ -4600,3 +4600,106 @@ def w16_v_pattern_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("depth").cast("long").alias("max_depth_cents"),
         )
     )
+
+
+@query(
+    "e17_markov_absorption",
+    "X-events,X-eval",
+    oracle="""
+    WITH RECURSIVE g AS (
+      SELECT user_id, event_type AS src, ts, event_id,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events
+    ),
+    cells AS (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS c
+      FROM g WHERE dst IS NOT NULL GROUP BY 1, 2
+    ),
+    rowtot AS (SELECT src, SUM(c) AS tot FROM cells GROUP BY 1),
+    states AS (
+      SELECT DISTINCT s FROM (
+        SELECT src AS s FROM cells UNION ALL SELECT dst FROM cells
+      )
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM states),
+    p AS (
+      SELECT cells.src, cells.dst,
+             CAST(c AS DOUBLE) / CAST(tot AS DOUBLE) AS w
+      FROM cells JOIN rowtot USING (src)
+      UNION ALL
+      SELECT d.s AS src, st.s AS dst, 1.0 / nn.n AS w
+      FROM (SELECT s FROM states
+            WHERE s NOT IN (SELECT src FROM cells)) d
+      CROSS JOIN states st CROSS JOIN nn
+      UNION ALL
+      SELECT s AS src, s AS dst, 0.0 AS w FROM states
+    ),
+    h(iter, s, v) AS (
+      -- v must be DOUBLE: a bare 0.0 literal types the recursive
+      -- column DECIMAL(2,1) and silently truncates every iteration
+      SELECT 0, s, CAST(0.0 AS DOUBLE) FROM states
+      UNION ALL
+      SELECT q.iter + 1, p.src,
+             CASE WHEN p.src = 'purchase' THEN CAST(0.0 AS DOUBLE)
+                  ELSE 1.0 + SUM(p.w * q.v) END
+      FROM h q JOIN p ON p.dst = q.s
+      WHERE q.iter < 25
+      GROUP BY q.iter, p.src
+    )
+    SELECT s AS event_type, (s = 'purchase') AS is_absorbing,
+           ROUND(v, 9) AS expected_steps
+    FROM h WHERE iter = 25
+    """,
+)
+def e17_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected steps to conversion — the absorbing-chain sibling of
+    e09's stationary distribution: with 'purchase' made absorbing,
+    h(s) = 1 + sum_s' P(s,s') h(s') estimates how many behavioral
+    steps a user at state s is from converting (the funnel-depth
+    number e16's dropoff rates cannot give). 25 FIXED value-iteration
+    steps from h=0 (the horizon-25 truncated expectation — a
+    deterministic object both engines compute identically, sidestepping
+    convergence tests); dst-only states get e09's dangling-uniform row
+    so no mass is dropped, zero-weight self rows keep every state in
+    the oracle's recursive working table. Same scale contract as e09:
+    the matrix is |event types|^2 broadcast-scale BY CONTRACT, counted
+    distributed (one per-user lag window + one aggregate), collected
+    bounded, iterated in numpy; 9-dp round absorbs association
+    drift."""
+    import numpy as np
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cells = (
+        e.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    rows = cells.collect()  # |types|^2-bounded by contract
+    states = sorted({r["src"] for r in rows} | {r["dst"] for r in rows})
+    idx = {s: i for i, s in enumerate(states)}
+    n = len(states)
+    P = np.zeros((n, n))
+    for r in rows:
+        P[idx[r["src"]], idx[r["dst"]]] = r["c"]
+    tot = P.sum(axis=1, keepdims=True)
+    dangling = tot[:, 0] == 0.0
+    Pn = P / np.where(tot == 0.0, 1.0, tot)
+    Pn[dangling, :] = 1.0 / n
+    absorbing = idx.get("purchase")
+    h = np.zeros(n)
+    for _ in range(25):
+        h = 1.0 + Pn @ h
+        if absorbing is not None:
+            h[absorbing] = 0.0
+    out = [
+        (s, s == "purchase", float(round(h[idx[s]], 9))) for s in states
+    ]
+    return spark.createDataFrame(
+        out, "event_type string, is_absorbing boolean, expected_steps double"
+    )
