@@ -545,13 +545,18 @@ class AcidTable:
                     out_fields.append(f)
         return df.select(*sel), StructType(out_fields)
 
-    def append(self, df: DataFrame, merge_schema: bool = False) -> int:
+    def append(
+        self, df: DataFrame, merge_schema: bool = False, op: str | None = None
+    ) -> int:
         """Blind append: a NEW file group + manifest extension — existing
         groups are never read or rewritten (the one DML op that stays
         O(batch) at any table size). `merge_schema=True` lets the batch
         add columns: the manifest schema widens, existing groups
         null-fill the new columns at read time, zero data IO
-        (Delta's mergeSchema evolution)."""
+        (Delta's mergeSchema evolution). `op` overrides the committed op
+        string — idempotent sinks stamp their delivery id into the log
+        (e.g. 'append(batch 3)') and check history before re-appending,
+        Delta's txn-version pattern."""
         for _ in range(4):
             base = self.latest_version()
             m = self._manifest(base)
@@ -574,7 +579,7 @@ class AcidTable:
             stats[new] = st
             try:
                 self._commit(
-                    base + 1, "append", groups + [new], stats, meta
+                    base + 1, op or "append", groups + [new], stats, meta
                 )
                 return base + 1
             except CommitConflict:

@@ -65,6 +65,7 @@ _PRIORITY = [
     "x165_kneser_ney_bigram",
     "w16_v_pattern_detect",
     "e17_markov_absorption",
+    "st20_stream_acid_sink",
     "x140_bpe_learn",
     "x150_bpe_apply",
     "mm03_resize_thumbs",

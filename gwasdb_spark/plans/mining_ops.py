@@ -4703,3 +4703,75 @@ def e17_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "event_type string, is_absorbing boolean, expected_steps double"
     )
+
+
+@query(
+    "st20_stream_acid_sink",
+    "X-stream,X-dml",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           CAST(4 AS BIGINT) AS n_batch_commits
+    FROM events GROUP BY 1
+    """,
+)
+def st20_stream_acid_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE exactly-once streaming ingest INTO the transactional table —
+    the composition that makes st14's idempotent-sink promise a TABLE
+    property instead of a file-layout trick: the events feed (4 files,
+    maxFilesPerTrigger=1 -> 4 micro-batches) streams through
+    foreach_batch_acid_append, each batch committing as one atomic
+    stamped AcidTable append ('append(batch N)', Delta's txn-version
+    pattern), and then THE WHOLE STREAM RUNS AGAIN with a FRESH
+    checkpoint — the worst-case at-least-once replay, every batch
+    redelivered. The stamped history turns all four replays into
+    no-ops: n_batch_commits (count of stamped appends in the table
+    log, emitted into the hashed result) must still be 4, and the
+    table must aggregate to exactly the batch events — duplicates
+    would break both the count column and the sums. Snapshot isolation
+    means a reader mid-ingest sees a committed prefix, never a torn
+    batch (streaming/events.py foreach_batch_acid_append)."""
+    import shutil as _sh
+    import tempfile as _tf
+    import hashlib as _hl
+
+    from gwasdb_spark.streaming.events import foreach_batch_acid_append
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:12]
+    base = stage_dir(f"st20_acid_{tag}")
+    feed = os.path.join(base, "feed")
+    tbl = os.path.join(base, "table")
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    if not os.path.isdir(feed):
+        e.repartition(4).write.parquet(feed)
+    schema = spark.read.parquet(feed).schema
+    for _run in range(2):  # run 2: full redelivery under a fresh ckpt
+        ckpt = _tf.mkdtemp(prefix="st20_ckpt_")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        q = (
+            stream.writeStream.foreachBatch(foreach_batch_acid_append(tbl))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _sh.rmtree(ckpt, ignore_errors=True)
+    from gwasdb_spark.acid import AcidTable
+
+    t = AcidTable(spark, tbl)
+    n_commits = sum(
+        1 for h in t.history() if h["op"].startswith("append(batch ")
+    )
+    return t.read().groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+        F.lit(n_commits).cast("long").alias("n_batch_commits"),
+    )

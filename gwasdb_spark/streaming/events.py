@@ -453,3 +453,37 @@ def sliding_rate_stream(
             "total_value",
         )
     )
+
+
+def foreach_batch_acid_append(table_path: str):
+    """Exactly-once micro-batch sink into an AcidTable — the streaming
+    half of the transactional layer (Delta's txn-version pattern,
+    native over the parquet log): each batch commits as ONE atomic
+    append stamped 'append(batch N)'; on restart/replay the sink scans
+    the committed history first and re-delivered batch ids become
+    NO-OPS, so at-least-once delivery from the source turns into
+    exactly-once table contents. The id check + append is not atomic
+    against a SECOND concurrent sink writing the same table (single
+    writer per (stream, table) is the contract, as with Delta's
+    txnAppId); a crash between commit and source checkpoint is healed
+    by the same replay path. Returns the foreachBatch callable."""
+    from gwasdb_spark.acid import AcidTable
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        t = AcidTable(spark, table_path)
+        if t.latest_version() < 0:
+            # seed an EMPTY v0 so every delivered batch goes through the
+            # same stamped-append path (create is not id-stamped)
+            AcidTable.create(spark, table_path, batch_df.limit(0))
+            t = AcidTable(spark, table_path)
+        seen = {
+            h["op"]
+            for h in t.history()
+            if h["op"].startswith("append(batch ")
+        }
+        if f"append(batch {batch_id})" in seen:
+            return  # re-delivered batch: exactly-once no-op
+        t.append(batch_df, op=f"append(batch {batch_id})")
+
+    return _write
