@@ -684,6 +684,50 @@ class AcidTable:
             transform_empty_when_unmatched=True,
         )
 
+    def apply_changes(
+        self, changes: DataFrame, keys: list[str], op_col: str = "_op"
+    ) -> int:
+        """CDC apply — the consumer side of a change feed (Delta's
+        APPLY CHANGES pattern): `changes` carries the target columns
+        plus `op_col` in {'I','U','D'}; inserts/updates upsert by key
+        (source wins), deletes remove their keys. ONE pruned rewrite:
+        touched groups = those whose stats intersect the WHOLE change
+        batch's key bounding box (upserts and deletes together), so a
+        narrow feed touches O(1) groups and untouched files ride the
+        manifest verbatim — the same skipping contract as merge/DML.
+        Delete keys travel inside the distributed transform (an
+        anti-join), never through the driver — the scale path a
+        collect-the-keys IsIn predicate would not have."""
+        from gwasdb_spark.acid.predicates import And, Between
+        from gwasdb_spark.gwas.dml import merge_upsert
+
+        changes = changes.localCheckpoint(eager=False)
+        ups = changes.filter(F.col(op_col) != "D").drop(op_col)
+        dels = changes.filter(F.col(op_col) == "D").select(*keys).distinct()
+        aggs = []
+        for k in keys:
+            aggs += [F.min(k).alias(f"__lo_{k}"), F.max(k).alias(f"__hi_{k}")]
+        box = changes.agg(*aggs).collect()[0]  # 1-row bounded collect
+        bounds = [
+            Between(k, box[f"__lo_{k}"], box[f"__hi_{k}"])
+            for k in keys
+            if box[f"__lo_{k}"] is not None
+        ]
+        if not bounds:
+            touched_of = lambda m: []  # noqa: E731
+        else:
+            touched_of = self._touched_by(And(*bounds))
+
+        def transform(df: DataFrame) -> DataFrame:
+            return merge_upsert(df.join(dels, keys, "left_anti"), ups, keys)
+
+        return self._rewrite_pruned(
+            "apply_changes",
+            touched_of,
+            transform,
+            transform_empty_when_unmatched=True,
+        )
+
     # -------------------------------------------------- constraints --
     def checks(self) -> dict:
         """Active CHECK constraints {name: SQL boolean expr}."""

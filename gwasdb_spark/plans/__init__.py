@@ -66,6 +66,7 @@ _PRIORITY = [
     "w16_v_pattern_detect",
     "e17_markov_absorption",
     "st20_stream_acid_sink",
+    "m10_cdc_replicate",
     "x140_bpe_learn",
     "x150_bpe_apply",
     "mm03_resize_thumbs",

@@ -4775,3 +4775,127 @@ def st20_stream_acid_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("long").alias("sum_cents"),
         F.lit(n_commits).cast("long").alias("n_batch_commits"),
     )
+
+
+@query(
+    "m10_cdc_replicate",
+    "X-dml,X-stream",
+    oracle="""
+    WITH v0 AS (
+      SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      FROM lineitem WHERE l_orderkey < 1000
+    ),
+    v1 AS (SELECT * FROM v0 WHERE NOT (l_quantity < 10)),
+    v2 AS (
+      SELECT l_orderkey, l_linenumber, l_quantity,
+             CASE WHEN l_quantity > 40 THEN l_extendedprice * 2
+                  ELSE l_extendedprice END AS l_extendedprice
+      FROM v1
+    ),
+    v3 AS (
+      SELECT * FROM v2
+      UNION ALL
+      SELECT -CAST(k AS BIGINT), 1, 1.0, 1.0 FROM range(1, 6) r(k)
+    ),
+    agg AS (
+      SELECT 0 AS version, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+               AS BIGINT) AS c
+      FROM v0
+      UNION ALL SELECT 1, CAST(COUNT(*) AS BIGINT),
+        CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      FROM v1
+      UNION ALL SELECT 2, CAST(COUNT(*) AS BIGINT),
+        CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      FROM v2
+      UNION ALL SELECT 3, CAST(COUNT(*) AS BIGINT),
+        CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      FROM v3
+    )
+    SELECT version, n AS src_rows, c AS src_cents,
+           n AS rep_rows, c AS rep_cents,
+           CAST(0 AS BIGINT) AS n_diff
+    FROM agg
+    """,
+)
+def m10_cdc_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC replication end-to-end: the m03 source table's committed
+    history is re-derived as a change feed FROM SNAPSHOTS ALONE
+    (x158's exceptAll diffs — the consumer needs no knowledge of the
+    original statements) and applied version-by-version to an
+    independent REPLICA table via AcidTable.apply_changes (the APPLY
+    CHANGES consumer: I/U upsert by key, D deletes, ONE pruned rewrite
+    per batch bounded by the feed's key box; delete keys travel in a
+    distributed anti-join, never through the driver). Every version's
+    (rows, exact cents) must match on BOTH tables and the multiset
+    diff must be empty — the oracle derives source numbers from the
+    DML algebra and pins replica == source with literal zeros, so a
+    replication drift of even one row breaks the hash. Update rows
+    surface in the feed as remove+add pairs of the SAME key; the apply
+    resolves them as upserts, which is why replica snapshots land
+    row-identical, not just aggregate-identical. Resumable warm."""
+    import hashlib as _hl
+
+    from gwasdb_spark.acid import AcidTable
+
+    src = _acid_dml_replay(
+        spark,
+        sf_dir,
+        stage_dir(f"acid_m10src_{_hl.md5(sf_dir.encode()).hexdigest()[:12]}"),
+    )
+    rep_path = stage_dir(
+        f"acid_m10rep_{_hl.md5(sf_dir.encode()).hexdigest()[:12]}"
+    )
+    rep = AcidTable(spark, rep_path)
+    # snapshot-derived feeds carry no primary key, and the synthetic
+    # lineitem slice has none ((l_orderkey, l_linenumber) repeats);
+    # FULL ROWS are unique, so the apply keys on the whole tuple —
+    # exact multiset semantics. With a declared PK the same
+    # apply_changes call runs keyed on it instead.
+    keys = ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"]
+    if rep.latest_version() < 0:
+        rep = AcidTable.create(spark, rep_path, src.read(0))
+    for v in (1, 2, 3):
+        if rep.latest_version() == v - 1:
+            cur, prev = src.read(v), src.read(v - 1)
+            added = cur.exceptAll(prev).withColumn("_op", F.lit("U"))
+            rem_keys = (
+                prev.exceptAll(cur)
+                .select(*keys)
+                .join(cur.select(*keys).distinct(), keys, "left_anti")
+                .distinct()
+            )
+            removed = (
+                prev.exceptAll(cur)
+                .join(rem_keys, keys)
+                .withColumn("_op", F.lit("D"))
+            )
+            rep.apply_changes(added.unionByName(removed), keys)
+    parts = []
+    for v in range(4):
+        s, r = src.read(v), rep.read(v)
+        cents = F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+        ).cast("long")
+        sa = s.agg(
+            F.count(F.lit(1)).cast("long").alias("src_rows"),
+            cents.alias("src_cents"),
+        )
+        ra = r.agg(
+            F.count(F.lit(1)).cast("long").alias("rep_rows"),
+            cents.alias("rep_cents"),
+        )
+        diff = (
+            s.exceptAll(r).unionAll(r.exceptAll(s))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_diff"))
+        )
+        parts.append(
+            sa.crossJoin(ra).crossJoin(diff).select(
+                F.lit(v).cast("int").alias("version"),
+                "src_rows", "src_cents", "rep_rows", "rep_cents", "n_diff",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
