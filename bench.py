@@ -282,6 +282,10 @@ HEADLINE = [
     "mm11_pcm_frame_energy",
     "x165_kneser_ney_bigram",
     "w16_v_pattern_detect",
+    "e17_markov_absorption",
+    "m10_cdc_replicate",
+    "mm12_scene_changes",
+    "x167_dp_noisy_counts",
     # st19 (watermark late-data) is correctness-gated, not benched: its
     # bounded 3-micro-batch replay measures per-batch state-store commit
     # overhead, the st07/st08/st13/st18 exclusion rationale.

@@ -606,3 +606,51 @@ def pcm_frame_energy(
             )
 
     return binary_table.mapInPandas(run, schema=PCM_ENERGY_SCHEMA)
+
+
+SCENE_SCHEMA = (
+    "doc_id long, frame_idx long, energy long, is_scene_change boolean"
+)
+
+
+def frame_scene_changes(
+    binary_table: DataFrame, frame_bytes: int = 64, threshold: int = 512
+) -> DataFrame:
+    """Scene-change detection over byte-level frames — the video
+    keyframe-selection stage of the multimodal pipeline (mm04 samples
+    frames by geometry, mm11 decodes audio samples; this scores frame
+    DELTAS): each payload splits into `frame_bytes` frames, a frame's
+    energy is its exact byte sum (uint8, summed in int64), and a frame
+    is a scene change when |energy - prev_energy| > threshold (frame 0
+    always starts a scene). Real decoders would compute per-frame
+    histograms or SSIM; byte-sum deltas are the decoder-free stand-in
+    with the identical plan shape — per-payload vectorized numpy in
+    Arrow batches, the explode inside the batch, no driver
+    involvement."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, energies, changes = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None or len(payload) == 0:
+                    continue
+                arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                n_frames = (len(arr) + frame_bytes - 1) // frame_bytes
+                prev = None
+                for fi in range(n_frames):
+                    e = int(arr[fi * frame_bytes : (fi + 1) * frame_bytes].sum())
+                    ids.append(doc_id)
+                    idxs.append(fi)
+                    energies.append(e)
+                    changes.append(prev is None or abs(e - prev) > threshold)
+                    prev = e
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": idxs,
+                    "energy": energies,
+                    "is_scene_change": changes,
+                }
+            )
+
+    return binary_table.mapInPandas(run, schema=SCENE_SCHEMA)

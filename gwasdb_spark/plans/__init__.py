@@ -67,6 +67,8 @@ _PRIORITY = [
     "e17_markov_absorption",
     "st20_stream_acid_sink",
     "m10_cdc_replicate",
+    "mm12_scene_changes",
+    "x167_dp_noisy_counts",
     "x140_bpe_learn",
     "x150_bpe_apply",
     "mm03_resize_thumbs",

@@ -4899,3 +4899,126 @@ def m10_cdc_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@query(
+    "mm12_scene_changes",
+    "X-multimodal",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, f, i,
+             (doc_id * 3 + (f // 5) * 37 + i) % 256 AS v
+      FROM documents, range(0, 16) t1(f), range(0, 64) t2(i)
+      WHERE doc_id % 8 = 0
+    ),
+    en AS (
+      SELECT doc_id, f AS frame_idx, SUM(v) AS energy
+      FROM b GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT doc_id, frame_idx, energy,
+             LAG(energy) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS pe
+      FROM en
+    )
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(energy AS BIGINT) AS energy,
+           (pe IS NULL OR abs(energy - pe) > 512) AS is_scene_change
+    FROM d
+    """,
+)
+def mm12_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe/scene-boundary selection over byte-level video frames
+    (the video analogue of mm11's audio decode): every 8th document
+    mints a 16-frame 1 KiB payload whose bytes follow a SQL-computable
+    formula with a scene id baked in ((doc_id*3 + (f div 5)*37 + i)
+    % 256 — scenes switch every 5 frames), frame_scene_changes
+    computes each frame's exact byte-sum energy and flags frames whose
+    delta to the previous frame exceeds the threshold. The oracle
+    recomputes every energy from the generation formula and replays
+    the detection rule, so frame split, byte decode, and the delta
+    logic are all hash-adjudicated — including the honest edge that a
+    wrapped byte base (~163-166 at a boundary) can legitimately fall
+    under the threshold: the rule is adjudicated, not a hoped-for
+    ground truth (multimodal/binary.py frame_scene_changes)."""
+    from gwasdb_spark.multimodal.binary import frame_scene_changes
+
+    d = table(spark, sf_dir, "documents")
+    pix_hex = F.expr(
+        "concat_ws('', transform(sequence(0, 1023), j -> "
+        "lpad(hex((doc_id * 3 + (j div 320) * 37 + (j % 64)) % 256), "
+        "2, '0')))"
+    )
+    vids = d.filter(F.col("doc_id") % 8 == 0).select(
+        "doc_id",
+        F.lit("video/raw").alias("media_type"),
+        F.unhex(pix_hex).alias("payload"),
+    )
+    return frame_scene_changes(vids, frame_bytes=64, threshold=512)
+
+
+@query(
+    "x167_dp_noisy_counts",
+    "X-privacy,A2",
+    oracle="""
+    WITH c AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS true_count FROM documents
+      GROUP BY lang
+    ),
+    u AS (
+      SELECT lang, true_count,
+             ROUND(CAST(CAST('0x' || substr(md5(lang || ':dp'), 1, 15)
+                   AS BIGINT) AS DOUBLE) / 1152921504606846976.0, 9) AS u9
+      FROM c
+    ),
+    n AS (
+      SELECT lang, true_count,
+             CASE WHEN u9 >= 0.5 THEN -1.0 ELSE 1.0 END
+               * -10.0 * LN(ROUND(1.0 - 2.0 * abs(u9 - 0.5), 9)) AS noise
+      FROM u
+    )
+    SELECT lang, true_count,
+           ROUND(true_count + noise, 6) AS noisy_count,
+           CAST(0.1 AS DOUBLE) AS epsilon
+    FROM n
+    """,
+)
+def x167_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private release counts — the privacy gate a
+    shared corpus-stats dashboard needs (pairs with x31's PII scrub and
+    x81's k-anonymity): per-language counts + Laplace(1/epsilon) noise
+    at epsilon = 0.1, sensitivity 1. The noise is SEEDED
+    CONTENT-ADDRESSED (md5-uniform of the group key -> inverse-CDF
+    Laplace), so the release is reproducible across engines and runs —
+    the property an auditable DP pipeline needs (fresh randomness per
+    query would compose privacy loss invisibly). Numeric discipline:
+    the uniform quantizes to 9 dp BEFORE the ln (both engines feed libm
+    the identical double — the g19 rule applied to the transcendental's
+    INPUT), the ln argument is re-rounded the same way, and the output
+    rounds to 6 dp. One aggregate, noise as a projection — the DP layer
+    adds zero shuffles."""
+    d = table(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("true_count"))
+    u9 = F.round(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("lang"), F.lit(":dp")).cast("binary")),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(1152921504606846976.0),
+        9,
+    )
+    noise = (
+        F.when(u9 >= 0.5, F.lit(-1.0)).otherwise(F.lit(1.0))
+        * F.lit(-10.0)
+        * F.log(F.round(1.0 - 2.0 * F.abs(u9 - 0.5), 9))
+    )
+    return c.select(
+        "lang",
+        "true_count",
+        F.round(F.col("true_count") + noise, 6).alias("noisy_count"),
+        F.lit(0.1).cast("double").alias("epsilon"),
+    )
