@@ -69,6 +69,7 @@ _PRIORITY = [
     "m10_cdc_replicate",
     "mm12_scene_changes",
     "x167_dp_noisy_counts",
+    "g22_coloc_score",
     "x140_bpe_learn",
     "x150_bpe_apply",
     "mm03_resize_thumbs",

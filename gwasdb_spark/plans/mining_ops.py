@@ -5022,3 +5022,164 @@ def x167_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("true_count") + noise, 6).alias("noisy_count"),
         F.lit(0.1).cast("double").alias("epsilon"),
     )
+
+
+@query(
+    "g22_coloc_score",
+    "X-gwas,A2",
+    oracle="""
+    WITH spine AS (
+      SELECT ROW_NUMBER() OVER () - 1 AS id
+      FROM lineitem, range(0, 4) t(k)
+    ),
+    assoc AS (
+      SELECT id % 22 + 1 AS chr,
+             CAST((1 + (id * 997) % 50000000) // 1000000 AS INT) AS bin,
+             id AS variant_id,
+             -LN(CAST((id * 2654435761) % 1000003 + 1 AS DOUBLE)
+                 / 1000004.0) AS z1,
+             0.05 + CAST((id * 7919) % 1000 AS DOUBLE) / 10000.0 AS se1,
+             -LN(CAST((id * 1442695041) % 1000033 + 1 AS DOUBLE)
+                 / 1000034.0) AS z2,
+             0.05 + CAST((id * 104729) % 1000 AS DOUBLE) / 10000.0 AS se2
+      FROM spine
+    ),
+    lead AS (
+      SELECT chr, bin FROM assoc GROUP BY 1, 2
+      HAVING MAX(z1) >= 5.0 AND MAX(z2) >= 5.0
+    ),
+    c1 AS (
+      SELECT a.chr, a.bin, a.variant_id,
+             ROUND(0.5 * LN(se1 * se1 / (se1 * se1 + 0.04))
+                   + z1 * z1 / 2 * (0.04 / (se1 * se1 + 0.04)), 6) AS labf
+      FROM assoc a JOIN lead USING (chr, bin) WHERE z1 >= 2.0
+    ),
+    c2 AS (
+      SELECT a.chr, a.bin, a.variant_id,
+             ROUND(0.5 * LN(se2 * se2 / (se2 * se2 + 0.04))
+                   + z2 * z2 / 2 * (0.04 / (se2 * se2 + 0.04)), 6) AS labf
+      FROM assoc a JOIN lead USING (chr, bin) WHERE z2 >= 2.0
+    ),
+    r1 AS (
+      SELECT chr, bin, variant_id,
+             CAST(ROUND(EXP(labf - MAX(labf) OVER (PARTITION BY chr, bin))
+                  * 1e6) AS BIGINT) AS rel
+      FROM c1
+    ),
+    r2 AS (
+      SELECT chr, bin, variant_id,
+             CAST(ROUND(EXP(labf - MAX(labf) OVER (PARTITION BY chr, bin))
+                  * 1e6) AS BIGINT) AS rel
+      FROM c2
+    ),
+    tot AS (
+      SELECT r1.chr, r1.bin,
+             (SELECT SUM(rel) FROM r1 x
+              WHERE x.chr = r1.chr AND x.bin = r1.bin) AS t1,
+             (SELECT SUM(rel) FROM r2 y
+              WHERE y.chr = r1.chr AND y.bin = r1.bin) AS t2,
+             CAST(COUNT(*) AS BIGINT) AS n_shared,
+             SUM(r1.rel * r2.rel) AS s12
+      FROM r1 JOIN r2 USING (chr, bin, variant_id)
+      GROUP BY 1, 2
+    )
+    SELECT chr, bin, n_shared,
+           ROUND(CAST(s12 AS DOUBLE) / (CAST(t1 AS DOUBLE) * t2), 9)
+             AS coloc_score
+    FROM tot WHERE t1 > 0 AND t2 > 0
+    """,
+)
+def g22_coloc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-trait colocalization (coloc-lite, Giambartolomei 2014's H4
+    kernel): for every 1 Mb locus where BOTH traits carry a lead
+    (z >= 5), the probability-mass overlap of the two traits' Wakefield
+    posteriors — sum_j p1j*p2j, computed as s12/(t1*t2) over g19's
+    integer relative units. A score near 1 means one variant dominates
+    both traits (shared causal signal); near 1/n means unrelated
+    architectures. Numeric discipline is g19's with an overflow budget:
+    units quantize at 1e6 (not nano) so the cross-trait PRODUCT sums
+    (rel1*rel2 <= 1e12 per variant) and the t1*t2 denominator stay
+    inside int64 at sf0.1 locus sizes; labf rounds to 6 dp before exp
+    (the libm rule). Every window and aggregate is locus-partitioned;
+    the trait join is variant-grain within loci."""
+    n = 4 * table(spark, sf_dir, "lineitem").count()
+    W = 0.04
+    assoc = spark.range(n).select(
+        (F.col("id") % 22 + 1).cast("int").alias("chr"),
+        ((1 + (F.col("id") * 997) % 50000000) / 1000000)
+        .cast("int")
+        .alias("bin"),
+        F.col("id").alias("variant_id"),
+        (
+            -F.log(
+                ((F.col("id") * 2654435761) % 1000003 + 1).cast("double")
+                / 1000004.0
+            )
+        ).alias("z1"),
+        (0.05 + ((F.col("id") * 7919) % 1000).cast("double") / 10000.0).alias(
+            "se1"
+        ),
+        (
+            -F.log(
+                ((F.col("id") * 1442695041) % 1000033 + 1).cast("double")
+                / 1000034.0
+            )
+        ).alias("z2"),
+        (
+            0.05 + ((F.col("id") * 104729) % 1000).cast("double") / 10000.0
+        ).alias("se2"),
+    ).localCheckpoint(eager=False)  # feeds lead AND both candidate sets
+    lead = (
+        assoc.groupBy("chr", "bin")
+        .agg(F.max("z1").alias("m1"), F.max("z2").alias("m2"))
+        .filter((F.col("m1") >= 5.0) & (F.col("m2") >= 5.0))
+        .select("chr", "bin")
+    )
+    wl = Window.partitionBy("chr", "bin")
+
+    def rel_units(zc: str, sec: str):
+        se2_ = F.col(sec) * F.col(sec)
+        labf = F.round(
+            0.5 * F.log(se2_ / (se2_ + W))
+            + F.col(zc) * F.col(zc) / 2 * (W / (se2_ + W)),
+            6,
+        )
+        cand = (
+            assoc.join(lead, ["chr", "bin"])
+            .filter(F.col(zc) >= 2.0)
+            .select("chr", "bin", "variant_id", labf.alias("labf"))
+        )
+        return cand.select(
+            "chr",
+            "bin",
+            "variant_id",
+            F.round(F.exp(F.col("labf") - F.max("labf").over(wl)) * 1e6)
+            .cast("long")
+            .alias("rel"),
+        )
+
+    r1 = rel_units("z1", "se1")
+    r2 = rel_units("z2", "se2")
+    t1 = r1.groupBy("chr", "bin").agg(F.sum("rel").alias("t1"))
+    t2 = r2.groupBy("chr", "bin").agg(F.sum("rel").alias("t2"))
+    joined = r1.withColumnRenamed("rel", "rel1").join(
+        r2.withColumnRenamed("rel", "rel2"), ["chr", "bin", "variant_id"]
+    )
+    s = joined.groupBy("chr", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shared"),
+        F.sum(F.col("rel1") * F.col("rel2")).alias("s12"),
+    )
+    return (
+        s.join(t1, ["chr", "bin"]).join(t2, ["chr", "bin"])
+        .filter((F.col("t1") > 0) & (F.col("t2") > 0))
+        .select(
+            "chr",
+            "bin",
+            "n_shared",
+            F.round(
+                F.col("s12").cast("double")
+                / (F.col("t1").cast("double") * F.col("t2")),
+                9,
+            ).alias("coloc_score"),
+        )
+    )
