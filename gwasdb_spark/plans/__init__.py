@@ -70,6 +70,8 @@ _PRIORITY = [
     "mm12_scene_changes",
     "x167_dp_noisy_counts",
     "g22_coloc_score",
+    "s28_dpp_partition_join",
+    "x169_cuped_ab_readout",
     "x140_bpe_learn",
     "x150_bpe_apply",
     "mm03_resize_thumbs",

@@ -5183,3 +5183,173 @@ def g22_coloc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coloc_score"),
         )
     )
+
+
+@query(
+    "s28_dpp_partition_join",
+    "S-ext,J5",
+    oracle="""
+    WITH dim AS (
+      SELECT lang FROM (SELECT DISTINCT lang FROM documents)
+      WHERE CAST(CAST('0x' || substr(md5(lang), 1, 8) AS BIGINT) % 2
+            AS INT) = 0
+    )
+    SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents d JOIN dim USING (lang)
+    GROUP BY d.lang
+    """,
+)
+def s28_dpp_partition_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning — the join-driven form of s23's static
+    pruning, and the mechanism that makes star-schema joins feasible at
+    100 TB: the fact side is the lang-partitioned corpus layout, the
+    dim side is a FILTERED language list whose qualifying values are
+    only known at runtime (a content-addressed hash gate — no literal
+    lang predicate exists for static pruning to use), and Catalyst
+    plants a dynamicpruning subquery in the scan's PartitionFilters so
+    only the dim-surviving partitions' files are ever listed or read.
+    Plan-guarded in tests/test_plan_shape.py (the scan must carry a
+    dynamicpruningexpression); the oracle is the plain join — DPP is
+    purely a physical optimization and must not move a single row."""
+    from gwasdb_spark.plans.helpers import stage_dir
+
+    d = table(spark, sf_dir, "documents")
+    path = stage_dir(
+        f"corpus_by_lang_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    if not os.path.isdir(path):
+        d.write.mode("overwrite").partitionBy("lang").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = (
+        d.select("lang").distinct()
+        .filter(
+            (
+                F.conv(F.substring(F.md5(F.col("lang").cast("binary")), 1, 8),
+                       16, 10).cast("long") % 2
+            ).cast("int") == 0
+        )
+    )
+    return (
+        fact.join(F.broadcast(dim), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+@query(
+    "x169_cuped_ab_readout",
+    "X-events,X-eval",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':ab'),
+                  1, 8) AS BIGINT) % 2 AS INT) AS arm,
+             SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                 THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS pre,
+             SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                 THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS post
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    pooled AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(pre) AS sx, SUM(post) AS sy,
+             SUM(pre * post) AS sxy, SUM(pre * pre) AS sxx
+      FROM per_user
+    ),
+    theta AS (
+      SELECT n, sx,
+             CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+                  ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                       / (n * sxx - sx * sx) END AS th,
+             CAST(sx AS DOUBLE) / n AS mean_pre
+      FROM pooled
+    )
+    SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(AVG(CAST(post AS DOUBLE)), 9) AS mean_post_cents,
+           ROUND(AVG(post - th * (pre - mean_pre)), 9)
+             AS mean_cuped_cents
+    FROM per_user CROSS JOIN theta
+    GROUP BY arm
+    """,
+)
+def x169_cuped_ab_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng et al. 2013 —
+    the adjustment every large experimentation platform applies before
+    calling a winner): users split into two arms by a content-addressed
+    hash (x16's discipline — assignment is reproducible and stable
+    under corpus growth), the experiment-window purchase revenue is
+    adjusted by each user's PRE-PERIOD revenue via theta =
+    cov(pre, post)/var(pre) computed over the POOLED population (the
+    standard CUPED estimator — pooling keeps theta assignment-
+    independent). All moments are exact integer-cents sums (the g21
+    regression discipline), theta and the means are single deterministic
+    divisions, 9-dp round on output. Plan: one per-user aggregate, one
+    5-long pooled aggregate broadcast as a 1-row relation, one per-arm
+    aggregate — the adjustment adds zero extra shuffles over the naive
+    readout."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    cut = "2024-01-16 00:00:00"
+    cents = F.round(F.col("value") * 100).cast("long")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cut, cents).otherwise(0)).alias("pre"),
+        F.sum(F.when(F.col("ts") >= cut, cents).otherwise(0)).alias("post"),
+    ).select(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("user_id").cast("string"), F.lit(":ab")
+                        ).cast("binary")
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).cast("int").alias("arm"),
+        "pre",
+        "post",
+    ).localCheckpoint(eager=False)  # feeds pooled moments AND arm agg
+    pooled = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("pre").alias("sx"),
+        F.sum("post").alias("sy"),
+        F.sum(F.col("pre") * F.col("post")).alias("sxy"),
+        F.sum(F.col("pre") * F.col("pre")).alias("sxx"),
+    )
+    det = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    theta = pooled.select(
+        F.when(det == 0, F.lit(0.0))
+        .otherwise(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            .cast("double")
+            / det
+        )
+        .alias("th"),
+        (F.col("sx").cast("double") / F.col("n")).alias("mean_pre"),
+    )
+    return (
+        per_user.crossJoin(F.broadcast(theta))
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.round(F.avg(F.col("post").cast("double")), 9).alias(
+                "mean_post_cents"
+            ),
+            F.round(
+                F.avg(
+                    F.col("post")
+                    - F.col("th") * (F.col("pre") - F.col("mean_pre"))
+                ),
+                9,
+            ).alias("mean_cuped_cents"),
+        )
+    )

@@ -207,6 +207,15 @@ def test_lang_partitioned_read_prunes_partitions(spark):
     assert part and any("lang" in ln for ln in part), part
 
 
+def test_dpp_join_plants_dynamic_pruning(spark):
+    """s28: the join-driven partition prune must plant a dynamicpruning
+    subquery in the fact scan (the runtime analogue of s23's static
+    PartitionFilters) — without it the join reads every language's
+    files and filters rows after the fact."""
+    plan = _plan(spark, "s28_dpp_partition_join")
+    assert "dynamicpruning" in plan, plan[:2000]
+
+
 def test_quality_classifier_is_pure_projection(spark):
     """x59's contract: the classifier is a scan-side codegen projection —
     zero Exchange, zero python workers."""
