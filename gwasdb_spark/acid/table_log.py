@@ -793,6 +793,42 @@ class AcidTable:
                 continue
         raise CommitConflict(f"gave up dropping check {name!r}")
 
+    def restore(self, version: int, max_retries: int = 3) -> int:
+        """RESTORE TABLE TO VERSION (Delta's RESTORE, public design):
+        commit a NEW version whose manifest is the target version's —
+        data, stats, schema, checks, bloom config all roll back while
+        HISTORY is preserved (the bad versions stay time-travelable;
+        nothing is deleted, so a restore is itself restorable). O(1)
+        data IO: file groups are immutable and shared across manifests,
+        the commit is metadata-only. Refuses if any target group has
+        been vacuumed away (the retention window bounds how far back a
+        restore can reach — same contract as Delta)."""
+        target = self._manifest(version)
+        missing = [
+            g
+            for g in target["file_groups"]
+            if not os.path.isdir(os.path.join(self._data, g))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"restore({version}): {len(missing)} file group(s) "
+                f"vacuumed away ({missing[:3]}...)"
+            )
+        for _ in range(max_retries + 1):
+            base = self.latest_version()
+            try:
+                self._commit(
+                    base + 1,
+                    f"restore({version})",
+                    list(target["file_groups"]),
+                    dict(target.get("stats", {})),
+                    self._meta_of(target),
+                )
+                return base + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"restore({version}) retries exhausted")
+
     # --------------------------------------------------- maintenance --
     def compact(self, small_rows: int = 100_000) -> int:
         """Small-file compaction (Delta OPTIMIZE's file-count half):

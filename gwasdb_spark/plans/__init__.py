@@ -72,6 +72,7 @@ _PRIORITY = [
     "g22_coloc_score",
     "s28_dpp_partition_join",
     "x169_cuped_ab_readout",
+    "m11_acid_restore",
     "x140_bpe_learn",
     "x150_bpe_apply",
     "mm03_resize_thumbs",

@@ -5353,3 +5353,100 @@ def x169_cuped_ab_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_cuped_cents"),
         )
     )
+
+
+@query(
+    "m11_acid_restore",
+    "X-dml,M1",
+    oracle="""
+    WITH v0 AS (
+      SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      FROM lineitem WHERE l_orderkey < 1000
+    ),
+    v1 AS (SELECT * FROM v0 WHERE NOT (l_quantity < 10)),
+    v2 AS (
+      SELECT l_orderkey, l_linenumber, l_quantity,
+             CASE WHEN l_quantity > 40 THEN l_extendedprice * 2
+                  ELSE l_extendedprice END AS l_extendedprice
+      FROM v1
+    ),
+    v3 AS (
+      SELECT * FROM v2
+      UNION ALL
+      SELECT -CAST(k AS BIGINT), 1, 1.0, 1.0 FROM range(1, 6) r(k)
+    ),
+    agg AS (
+      SELECT 0 AS version, 'create' AS op, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+               AS BIGINT) AS c
+      FROM v0
+      UNION ALL SELECT 1, 'delete', CAST(COUNT(*) AS BIGINT),
+        CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      FROM v1
+      UNION ALL SELECT 2, 'update', CAST(COUNT(*) AS BIGINT),
+        CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      FROM v2
+      UNION ALL SELECT 3, 'append', CAST(COUNT(*) AS BIGINT),
+        CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      FROM v3
+      UNION ALL SELECT 4, 'restore(1)', CAST(COUNT(*) AS BIGINT),
+        CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      FROM v1
+      UNION ALL SELECT 5, 'append', CAST(COUNT(*) AS BIGINT) + 5,
+        CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        + 500
+      FROM v1
+    )
+    SELECT version, op, n AS n_rows, c AS sum_cents FROM agg
+    """,
+)
+def m11_acid_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TO VERSION made driver-checkable: after the m03 DML
+    sequence (create/delete/update/append), `restore(1)` commits a
+    metadata-only version whose snapshot must EQUAL v1 exactly — the
+    bad update and append are rolled back without deleting them from
+    history (v2/v3 stay time-travelable; the oracle pins v4 = v1's
+    algebra and the 'restore(1)' op literal). A post-restore append
+    (v5) then proves the table keeps evolving from the restored state
+    (v1's rows + 5 sentinels), i.e. restore is a real writable branch
+    point, not a read-only view. O(1) data IO: file groups are
+    immutable and shared, so the rollback moves no bytes — the 100 TB
+    incident-recovery path (acid/table_log.py restore). Resumable
+    warm."""
+    import hashlib as _hl
+
+    t = _acid_dml_replay(
+        spark,
+        sf_dir,
+        stage_dir(f"acid_m11_{_hl.md5(sf_dir.encode()).hexdigest()[:12]}"),
+    )
+    if t.latest_version() == 3:
+        t.restore(1)
+    if t.latest_version() == 4:
+        t.append(
+            spark.createDataFrame(
+                [(-100 - k, 1, 1.0, 1.0) for k in range(1, 6)],
+                "l_orderkey long, l_linenumber int, l_quantity double, "
+                "l_extendedprice double",
+            )
+        )
+    hist = {h["version"]: h["op"] for h in t.history()}
+    parts = []
+    for v in range(6):
+        parts.append(
+            t.read(v).agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+                .cast("long")
+                .alias("sum_cents"),
+            ).select(
+                F.lit(v).cast("int").alias("version"),
+                F.lit(hist[v]).alias("op"),
+                "n_rows",
+                "sum_cents",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
