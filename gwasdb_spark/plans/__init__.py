@@ -73,6 +73,7 @@ _PRIORITY = [
     "s28_dpp_partition_join",
     "x169_cuped_ab_readout",
     "m11_acid_restore",
+    "x170_simhash_hamming_serve",
     "x140_bpe_learn",
     "x150_bpe_apply",
     "mm03_resize_thumbs",

@@ -5450,3 +5450,158 @@ def m11_acid_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@query(
+    "x170_simhash_hamming_serve",
+    "X-dedup,X-search",
+    oracle="""
+    WITH t AS (
+      SELECT DISTINCT doc_id,
+             CAST(CAST('0x' || substr(md5(token), 1, 15) AS BIGINT)
+               AS BIGINT) AS h
+      FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+      ) WHERE token <> ''
+    ),
+    nb AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY 1),
+    bits AS (
+      SELECT t.doc_id, CAST(p.i AS BIGINT) AS i,
+             SUM((h >> CAST(p.i AS INT)) & 1) AS ones
+      FROM t CROSS JOIN range(0, 60) p(i)
+      GROUP BY 1, 2
+    ),
+    bands AS (
+      SELECT bits.doc_id, CAST(i // 15 AS INT) AS band,
+             CAST(SUM(CASE WHEN 2 * ones >= n THEN 1 ELSE 0 END
+                      << CAST(i % 15 AS INT)) AS BIGINT) AS val
+      FROM bits JOIN nb USING (doc_id)
+      GROUP BY 1, 2
+    ),
+    sig AS (
+      SELECT doc_id,
+             MAX(CASE WHEN band = 0 THEN val END) AS b0,
+             MAX(CASE WHEN band = 1 THEN val END) AS b1,
+             MAX(CASE WHEN band = 2 THEN val END) AS b2,
+             MAX(CASE WHEN band = 3 THEN val END) AS b3
+      FROM bands GROUP BY 1
+    ),
+    probes AS (
+      SELECT * FROM sig WHERE doc_id % 100 = 7
+      ORDER BY doc_id LIMIT 5
+    )
+    SELECT p.doc_id AS probe_id, s.doc_id AS match_id,
+           CAST(bit_count(xor(p.b0, s.b0)) + bit_count(xor(p.b1, s.b1))
+                + bit_count(xor(p.b2, s.b2)) + bit_count(xor(p.b3, s.b3))
+             AS BIGINT) AS hamming
+    FROM probes p JOIN sig s ON s.doc_id <> p.doc_id
+    WHERE bit_count(xor(p.b0, s.b0)) + bit_count(xor(p.b1, s.b1))
+          + bit_count(xor(p.b2, s.b2)) + bit_count(xor(p.b3, s.b3)) <= 3
+    """,
+)
+def x170_simhash_hamming_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simhash near-duplicate SERVING with an exactness guarantee the
+    x04 pair scan cannot give a point lookup: each doc's 60-bit
+    simhash (majority vote over distinct-token md5 bits — 60 bits =
+    4 bands x 15, keeping every band shift far from the sign bit on
+    both engines) splits into 4 bands, and a probe within Hamming
+    distance <= 3 MUST agree exactly on at least one band
+    (pigeonhole: 3 errors cannot touch 4 bands), so the serve path is
+    4 equi-joins on (band, value) buckets + an exact bit_count(xor)
+    verify over the O(collisions) candidates — provably COMPLETE for
+    the radius, never a corpus scan per probe. The oracle is the
+    brute-force probe x corpus Hamming join: hash equality proves the
+    banded index loses nothing. Integer end-to-end (bit algebra only);
+    at 100 TB the band index is the stored artifact and each lookup
+    touches 4 hash buckets (x136's serving discipline for the
+    Hamming metric)."""
+    h60 = F.conv(
+        F.substring(F.md5(F.col("token").cast("binary")), 1, 15), 16, 10
+    ).cast("long")
+    d = table(spark, sf_dir, "documents")
+    t = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .select("doc_id", h60.alias("h"))
+        .distinct()
+    )
+    nb = t.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    bits = (
+        t.crossJoin(F.broadcast(spark.range(60).select(F.col("id").alias("i"))))
+        .groupBy("doc_id", "i")
+        .agg(
+            F.sum(
+                F.expr("(h >> CAST(i AS INT)) & 1")
+            ).alias("ones")
+        )
+    )
+    bands = (
+        bits.join(nb, "doc_id")
+        .groupBy("doc_id", F.expr("CAST(i div 15 AS INT)").alias("band"))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN 2 * ones >= n THEN 1 ELSE 0 END "
+                    "<< CAST(i % 15 AS INT)"
+                )
+            ).cast("long").alias("val")
+        )
+    )
+    sig = (
+        bands.groupBy("doc_id")
+        .pivot("band", [0, 1, 2, 3])
+        .agg(F.first("val"))
+        .select(
+            "doc_id",
+            F.col("0").alias("b0"),
+            F.col("1").alias("b1"),
+            F.col("2").alias("b2"),
+            F.col("3").alias("b3"),
+        )
+        .localCheckpoint(eager=False)  # feeds probes, index, and verify
+    )
+    probes = (
+        sig.filter(F.col("doc_id") % 100 == 7)
+        .orderBy("doc_id")
+        .limit(5)
+        .localCheckpoint(eager=True)  # 5 rows by contract
+    )
+    # banded index lookup: union of 4 (band, value) equi-joins
+    cands = None
+    for b in ("b0", "b1", "b2", "b3"):
+        part = probes.select(
+            F.col("doc_id").alias("probe_id"), F.col(b).alias("v")
+        ).join(
+            sig.select(F.col("doc_id").alias("match_id"), F.col(b).alias("v")),
+            "v",
+        ).select("probe_id", "match_id")
+        cands = part if cands is None else cands.unionByName(part)
+    cands = cands.filter(F.col("probe_id") != F.col("match_id")).distinct()
+    ham = (
+        F.bit_count(F.expr("pb0 ^ sb0"))
+        + F.bit_count(F.expr("pb1 ^ sb1"))
+        + F.bit_count(F.expr("pb2 ^ sb2"))
+        + F.bit_count(F.expr("pb3 ^ sb3"))
+    )
+    p = probes.select(
+        F.col("doc_id").alias("probe_id"),
+        F.col("b0").alias("pb0"), F.col("b1").alias("pb1"),
+        F.col("b2").alias("pb2"), F.col("b3").alias("pb3"),
+    )
+    s = sig.select(
+        F.col("doc_id").alias("match_id"),
+        F.col("b0").alias("sb0"), F.col("b1").alias("sb1"),
+        F.col("b2").alias("sb2"), F.col("b3").alias("sb3"),
+    )
+    return (
+        cands.join(F.broadcast(p), "probe_id")
+        .join(s, "match_id")
+        .withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= 3)
+        .select("probe_id", "match_id", "hamming")
+    )
