@@ -386,15 +386,23 @@ def minhash_lsh_pairs(
 
 
 def simhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, bits: int = 64
+    df: DataFrame, id_col: str, text_col: str, bits: int = 64, hash_fn=None
 ) -> DataFrame:
     """64-bit SimHash per document, fully native: token hashes → per-bit
     +1/-1 vote aggregation → sign bits packed into a long. Expression-only
-    (codegen), no Python."""
+    (codegen), no Python. `hash_fn` (token Column → long Column) defaults
+    to xxhash64; an md5-based hash (mining_ops h60) makes the whole
+    signature SQL-replayable in DuckDB — the x04 oracle path — at the
+    cost of bits 60-63 voting uniformly negative (a 60-bit effective
+    signature, deterministic on both engines)."""
     toks = _spread(_tokenized(df, id_col, text_col))
+    hcol = (
+        hash_fn(F.col("token")) if hash_fn is not None
+        else F.xxhash64("token")
+    )
     exploded = toks.select(
         "doc", F.explode(F.array_distinct(F.col("toks"))).alias("token")
-    ).select("doc", F.xxhash64("token").alias("h"))
+    ).select("doc", hcol.alias("h"))
     # per-bit ±1 vote sums as aggregates — the exchange materializes the 64
     # sums, so the packed signature is cheap to inline downstream
     votes = exploded.groupBy("doc").agg(
@@ -422,12 +430,13 @@ def simhash_near_pairs(
     max_hamming: int = 8,
     bands: int = 4,
     max_bucket_docs: int = 10_000,
+    hash_fn=None,
 ) -> DataFrame:
     """SimHash near-dup pairs within a hamming radius, via band buckets
     (pigeonhole: pairs within radius < bands share ≥1 exact band).
     Same bucket-aggregate + bounded pair explode shape as MinHash-LSH."""
     width = 64 // bands
-    sigs = simhash_signatures(df, id_col, text_col)
+    sigs = simhash_signatures(df, id_col, text_col, hash_fn=hash_fn)
     band_cols = [
         F.struct(
             F.lit(b).alias("band_idx"),

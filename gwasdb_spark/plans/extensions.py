@@ -142,15 +142,68 @@ def x03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-@query("x04_simhash_pairs", "X-dedup", oracle=None)
+@query(
+    "x04_simhash_pairs",
+    "X-dedup",
+    oracle=r"""
+    WITH t AS (
+      SELECT DISTINCT doc_id,
+             CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) AS h
+      FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(text), '\s+')) AS token
+        FROM documents
+      ) WHERE token <> ''
+    ),
+    votes AS (
+      SELECT t.doc_id, CAST(p.j AS INT) AS j,
+             SUM(((h >> CAST(p.j AS INT)) & 1) * 2 - 1) AS v
+      FROM t CROSS JOIN range(0, 60) p(j)
+      GROUP BY 1, 2
+    ),
+    sig AS (
+      SELECT doc_id,
+             SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << j
+                 ELSE CAST(0 AS BIGINT) END) AS s
+      FROM votes GROUP BY 1
+    ),
+    bands AS (
+      SELECT doc_id, CAST(q.b AS INT) AS b,
+             (s >> CAST(16 * q.b AS INT)) & 65535 AS key
+      FROM sig CROSS JOIN range(0, 4) q(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+      FROM bands a JOIN bands c
+        ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(sa.s, sb.s)) AS BIGINT) AS hamming
+    FROM cand
+    JOIN sig sa ON sa.doc_id = id_a
+    JOIN sig sb ON sb.doc_id = id_b
+    WHERE bit_count(xor(sa.s, sb.s)) <= 12
+    """,
+)
 def x04_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (64-bit signatures, 4 bands, hamming ≤ 12).
-    Signature aggregation is expression-only (codegen); band join bounds the
-    candidate set."""
+    Signature aggregation is expression-only (codegen); band join bounds
+    the candidate set. GRADUATED from the no-oracle set in round 10:
+    token hashing switched to the md5-based h60 (the x16/x170 shared
+    cross-engine hash), making the ENTIRE pipeline — vote signs, packed
+    signature, band bucketing, bounded candidate join, hamming verify —
+    replayable in DuckDB SQL, so band-candidate generation and the
+    radius filter are hash-adjudicated, not just recall-tested. Bits
+    60-63 of h60 are structurally zero, so those votes are uniformly
+    negative: a 60-bit effective signature, identical on both engines
+    (the operator's xxhash64 default is unchanged for other callers)."""
+    h60 = lambda c: F.conv(  # noqa: E731 — column-expression shorthand
+        F.substring(F.md5(c.cast("binary")), 1, 15), 16, 10
+    ).cast("long")
     d = table(spark, sf_dir, "documents")
-    return DD.simhash_near_pairs(d, "doc_id", "text", max_hamming=12, bands=4).orderBy(
-        "id_a", "id_b"
-    )
+    return DD.simhash_near_pairs(
+        d, "doc_id", "text", max_hamming=12, bands=4, hash_fn=h60
+    ).orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------
