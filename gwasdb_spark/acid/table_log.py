@@ -85,7 +85,7 @@ import os
 import shutil
 import uuid
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gwasdb_spark.acid import bloom as _bloom
@@ -685,7 +685,11 @@ class AcidTable:
         )
 
     def apply_changes(
-        self, changes: DataFrame, keys: list[str], op_col: str = "_op"
+        self,
+        changes: DataFrame,
+        keys: list[str],
+        op_col: str = "_op",
+        sequence_by: str | None = None,
     ) -> int:
         """CDC apply — the consumer side of a change feed (Delta's
         APPLY CHANGES pattern): `changes` carries the target columns
@@ -697,11 +701,45 @@ class AcidTable:
         manifest verbatim — the same skipping contract as merge/DML.
         Delete keys travel inside the distributed transform (an
         anti-join), never through the driver — the scale path a
-        collect-the-keys IsIn predicate would not have."""
+        collect-the-keys IsIn predicate would not have.
+
+        Sequencing (Delta's SEQUENCE BY): a batch may carry several ops
+        for one key. With `sequence_by` set, only the LATEST op per key
+        applies — row_number over the keys ordered by (sequence desc,
+        op desc) picks one row deterministically (the op tiebreak makes
+        exact-sequence ties reproducible: 'U' > 'I' > 'D'); the sequence
+        column is CDC metadata and is dropped before applying. Without
+        `sequence_by`, a key appearing more than once in the batch is
+        AMBIGUOUS (delete-then-insert vs insert-then-delete differ) and
+        raises ValueError rather than resolving nondeterministically."""
         from gwasdb_spark.acid.predicates import And, Between
         from gwasdb_spark.gwas.dml import merge_upsert
 
         changes = changes.localCheckpoint(eager=False)
+        if sequence_by is not None:
+            w = Window.partitionBy(*keys).orderBy(
+                F.desc(sequence_by), F.desc(op_col)
+            )
+            changes = (
+                changes.withColumn("__seq_rn", F.row_number().over(w))
+                .filter(F.col("__seq_rn") == 1)
+                .drop("__seq_rn", sequence_by)
+                .localCheckpoint(eager=False)
+            )
+        else:
+            dup = (
+                changes.groupBy(*keys)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .collect()  # bounded: at most 1 row
+            )
+            if dup:
+                kv = {k: dup[0][k] for k in keys}
+                raise ValueError(
+                    f"apply_changes: key {kv} appears more than once in "
+                    "the change batch; pass sequence_by= to order the ops"
+                )
         ups = changes.filter(F.col(op_col) != "D").drop(op_col)
         dels = changes.filter(F.col(op_col) == "D").select(*keys).distinct()
         aggs = []

@@ -308,16 +308,24 @@ def minhash_signatures(
     )
 
 
-def _bucket_pairs(banded: DataFrame, payload: list[str], max_bucket_docs: int) -> DataFrame:
+def _bucket_pairs(
+    banded: DataFrame, payload: list[str], max_bucket_docs: int | None
+) -> DataFrame:
     """Group band-exploded rows into buckets and emit member pairs (a, b)
     with a.doc < b.doc, each carrying the payload columns as struct fields.
     One aggregation shuffle; bounded per-bucket pair explode (module
-    docstring, note 2)."""
+    docstring, note 2). `max_bucket_docs=None` disables the oversized-
+    bucket drop — the EXHAUSTIVE configuration an SQL-replay oracle
+    requires (the capped default silently loses pairs the oracle emits
+    when a band key is skewed past the cap)."""
     member = F.struct("doc", *payload)
+    size_ok = F.size("members") >= 2
+    if max_bucket_docs is not None:
+        size_ok = size_ok & (F.size("members") <= max_bucket_docs)
     buckets = (
         banded.groupBy("band_idx", "band_key")
         .agg(F.array_sort(F.collect_list(member)).alias("members"))
-        .filter((F.size("members") >= 2) & (F.size("members") <= max_bucket_docs))
+        .filter(size_ok)
     )
     pos = F.posexplode("members")
     return buckets.select(F.col("members"), pos.alias("i", "a")).select(
@@ -336,7 +344,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     min_est_jaccard: float = 0.2,
-    max_bucket_docs: int = 10_000,
+    max_bucket_docs: int | None = 10_000,
 ) -> DataFrame:
     """MinHash+LSH near-dup candidates with estimated Jaccard.
 
@@ -400,9 +408,16 @@ def simhash_signatures(
         hash_fn(F.col("token")) if hash_fn is not None
         else F.xxhash64("token")
     )
-    exploded = toks.select(
-        "doc", F.explode(F.array_distinct(F.col("toks"))).alias("token")
-    ).select("doc", hcol.alias("h"))
+    exploded = (
+        toks.select(
+            "doc", F.explode(F.array_distinct(F.col("toks"))).alias("token")
+        )
+        # split(trim(''), '\s+') yields [''] — drop the empty token so a
+        # blank/whitespace-only doc gets NO signature (the oracle's
+        # token <> '' semantics; x170 already filters the same way).
+        .filter(F.col("token") != "")
+        .select("doc", hcol.alias("h"))
+    )
     # per-bit ±1 vote sums as aggregates — the exchange materializes the 64
     # sums, so the packed signature is cheap to inline downstream
     votes = exploded.groupBy("doc").agg(
@@ -429,7 +444,7 @@ def simhash_near_pairs(
     text_col: str,
     max_hamming: int = 8,
     bands: int = 4,
-    max_bucket_docs: int = 10_000,
+    max_bucket_docs: int | None = 10_000,
     hash_fn=None,
 ) -> DataFrame:
     """SimHash near-dup pairs within a hamming radius, via band buckets

@@ -565,6 +565,29 @@ def delete_from_text_index(
     return n
 
 
+def recover_text_index(index_dir: str) -> None:
+    """Adopt a complete `<rel>.compact` left by a compact that crashed
+    between its two renames: if `<rel>` is missing but `<rel>.compact`
+    exists, the compact had fully written the replacement (the .compact
+    write commits before any rename), so renaming it in completes the
+    interrupted swap; a leftover `<rel>.old` beside a live `<rel>` is the
+    post-swap crash window and is just garbage to reap. Idempotent and
+    cheap (two stats per relation) — compact_text_index runs it first."""
+    import os
+    import shutil
+
+    for rel in ("postings", "doclen"):
+        live, old, tmp = (
+            f"{index_dir}/{rel}",
+            f"{index_dir}/{rel}.old",
+            f"{index_dir}/{rel}.compact",
+        )
+        if not os.path.exists(live) and os.path.exists(tmp):
+            os.rename(tmp, live)
+        if os.path.exists(live) and os.path.exists(old):
+            shutil.rmtree(old)
+
+
 def compact_text_index(spark, index_dir: str) -> None:
     """Fold accumulated tombstones into the physical layout: rewrite
     postings and doclen without the tombstoned docs (term sort order
@@ -572,10 +595,18 @@ def compact_text_index(spark, index_dir: str) -> None:
     tombstone segment. Consts are already survivor-accurate (delete
     adjusts them eagerly) and are not touched. This is the merge half
     of the LSM policy — run it when the tombstone set grows past the
-    broadcast budget; a delete-free index is a no-op."""
+    broadcast budget; a delete-free index is a no-op.
+
+    Crash safety: the swap is rename-aside (write `<rel>.compact` →
+    rename `<rel>` to `<rel>.old` → rename `.compact` in → reap `.old`)
+    so the live relation is never deleted before its replacement is
+    fully on disk; any crash window leaves a state `recover_text_index`
+    repairs from the leftovers (ADVICE r10 — the previous rmtree-then-
+    rename ordering could strand the index with no postings at all)."""
     import os
     import shutil
 
+    recover_text_index(index_dir)
     tomb = _read_tombstones(spark, index_dir)
     if tomb is None:
         return
@@ -590,6 +621,7 @@ def compact_text_index(spark, index_dir: str) -> None:
             )
         tmp = f"{index_dir}/{rel}.compact"
         live.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(f"{index_dir}/{rel}")
+        os.rename(f"{index_dir}/{rel}", f"{index_dir}/{rel}.old")
         os.rename(tmp, f"{index_dir}/{rel}")
+        shutil.rmtree(f"{index_dir}/{rel}.old")
     shutil.rmtree(f"{index_dir}/tombstones")

@@ -201,8 +201,12 @@ def x04_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5(c.cast("binary")), 1, 15), 16, 10
     ).cast("long")
     d = table(spark, sf_dir, "documents")
+    # max_bucket_docs=None: the oracle enumerates ALL band-bucket pairs,
+    # so the adjudicated query must too — the 10k skew cap would silently
+    # drop pairs the oracle emits on a skewed band key (ADVICE r10).
     return DD.simhash_near_pairs(
-        d, "doc_id", "text", max_hamming=12, bands=4, hash_fn=h60
+        d, "doc_id", "text", max_hamming=12, bands=4, hash_fn=h60,
+        max_bucket_docs=None,
     ).orderBy("id_a", "id_b")
 
 

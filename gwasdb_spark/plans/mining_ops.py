@@ -4158,23 +4158,29 @@ def g21_ldsc_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z * z * 1e9).cast("long").alias("chi2_nano"),
         F.count(F.lit(1)).over(w).cast("long").alias("ld"),
     )
+    # Moment sums and the determinant run in decimal(38,0): DuckDB sums
+    # BIGINT into HUGEINT (128-bit), while Spark's long sums overflow
+    # SILENTLY (non-ANSI) — decimal makes overflow impossible below 38
+    # digits and loud (null/exception) past it, on both engines the same
+    # exact integer algebra (ADVICE r10).
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     sums = scored.groupBy("chr").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("ld").alias("sx"),
-        F.sum("chi2_nano").alias("sy"),
-        F.sum(F.col("ld") * F.col("chi2_nano")).alias("sxy"),
-        F.sum(F.col("ld") * F.col("ld")).alias("sxx"),
+        F.sum(d38(F.col("ld"))).alias("sx"),
+        F.sum(d38(F.col("chi2_nano"))).alias("sy"),
+        F.sum(d38(F.col("ld")) * d38(F.col("chi2_nano"))).alias("sxy"),
+        F.sum(d38(F.col("ld")) * d38(F.col("ld"))).alias("sxx"),
     )
-    det = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    det = d38(F.col("n")) * F.col("sxx") - F.col("sx") * F.col("sx")
     return sums.select(
         "chr",
         F.col("n").alias("n_markers"),
         F.round(
             F.when(
                 det != 0,
-                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                (d38(F.col("n")) * F.col("sxy") - F.col("sx") * F.col("sy"))
                 .cast("double")
-                / det
+                / det.cast("double")
                 / 1e9,
             ),
             9,
@@ -4184,7 +4190,7 @@ def g21_ldsc_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
                 det != 0,
                 (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy"))
                 .cast("double")
-                / det
+                / det.cast("double")
                 / 1e9,
             ),
             9,
@@ -5160,14 +5166,18 @@ def g22_coloc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     r1 = rel_units("z1", "se1")
     r2 = rel_units("z2", "se2")
-    t1 = r1.groupBy("chr", "bin").agg(F.sum("rel").alias("t1"))
-    t2 = r2.groupBy("chr", "bin").agg(F.sum("rel").alias("t2"))
+    # decimal(38,0) moment sums: rel1*rel2 <= 1e12 per variant, but the
+    # SUM of those products over a locus overflows int64 silently at
+    # larger scale factors while DuckDB sums into HUGEINT (ADVICE r10).
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    t1 = r1.groupBy("chr", "bin").agg(F.sum(d38("rel")).alias("t1"))
+    t2 = r2.groupBy("chr", "bin").agg(F.sum(d38("rel")).alias("t2"))
     joined = r1.withColumnRenamed("rel", "rel1").join(
         r2.withColumnRenamed("rel", "rel2"), ["chr", "bin", "variant_id"]
     )
     s = joined.groupBy("chr", "bin").agg(
         F.count(F.lit(1)).cast("long").alias("n_shared"),
-        F.sum(F.col("rel1") * F.col("rel2")).alias("s12"),
+        F.sum(d38("rel1") * d38("rel2")).alias("s12"),
     )
     return (
         s.join(t1, ["chr", "bin"]).join(t2, ["chr", "bin"])
@@ -5318,20 +5328,30 @@ def x169_cuped_ab_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pre",
         "post",
     ).localCheckpoint(eager=False)  # feeds pooled moments AND arm agg
+    # decimal(38,0) moments: cents*cents cross-products summed over the
+    # whole population overflow int64 silently at larger scale factors
+    # while the DuckDB oracle sums into HUGEINT (ADVICE r10).
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     pooled = per_user.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("pre").alias("sx"),
-        F.sum("post").alias("sy"),
-        F.sum(F.col("pre") * F.col("post")).alias("sxy"),
-        F.sum(F.col("pre") * F.col("pre")).alias("sxx"),
+        F.sum(d38("pre")).alias("sx"),
+        F.sum(d38("post")).alias("sy"),
+        F.sum(d38("pre") * d38("post")).alias("sxy"),
+        F.sum(d38("pre") * d38("pre")).alias("sxx"),
     )
-    det = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    det = (
+        F.col("n").cast("decimal(38,0)") * F.col("sxx")
+        - F.col("sx") * F.col("sx")
+    )
     theta = pooled.select(
         F.when(det == 0, F.lit(0.0))
         .otherwise(
-            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            (
+                F.col("n").cast("decimal(38,0)") * F.col("sxy")
+                - F.col("sx") * F.col("sy")
+            )
             .cast("double")
-            / det
+            / det.cast("double")
         )
         .alias("th"),
         (F.col("sx").cast("double") / F.col("n")).alias("mean_pre"),
