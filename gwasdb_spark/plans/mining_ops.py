@@ -5625,3 +5625,61 @@ def x170_simhash_hamming_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 3)
         .select("probe_id", "match_id", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Staged-query reset registry (bench.py cold-run discipline)
+# ---------------------------------------------------------------------------
+def m10_reset_stage(sf_dir: str) -> None:
+    """Drop BOTH of m10's staged AcidTables (the replayed source and the
+    CDC replica) so a timed run replays the source DML sequence AND the
+    version-by-version apply_changes feed from scratch — warm, every
+    guard is a read-only no-op and the row measures only snapshot
+    aggregates (the exact m03 defect, one prefix away; ADVICE/VERDICT
+    r10)."""
+    import hashlib as _hl
+    import shutil as _sh
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:12]
+    _sh.rmtree(stage_dir(f"acid_m10src_{tag}"), ignore_errors=True)
+    _sh.rmtree(stage_dir(f"acid_m10rep_{tag}"), ignore_errors=True)
+
+
+def m11_reset_stage(sf_dir: str) -> None:
+    """Drop m11's staged AcidTable so a timed run replays the DML chain,
+    the restore commit, and the post-restore append cold."""
+    import hashlib as _hl
+    import shutil as _sh
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:12]
+    _sh.rmtree(stage_dir(f"acid_m11_{tag}"), ignore_errors=True)
+
+
+def x158_reset_stage(sf_dir: str) -> None:
+    """Drop x158's staged AcidTable so a timed run replays the DML chain
+    before diffing snapshots (caught by the registry-coverage guard —
+    warm, the row measured only the exceptAll diffs, not the commits)."""
+    import hashlib as _hl
+    import shutil as _sh
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:12]
+    _sh.rmtree(stage_dir(f"acid_x158_{tag}"), ignore_errors=True)
+
+
+# Explicit registry: query name -> cold-reset hook. bench.py iterates THIS
+# (not a name-prefix match — `startswith("m0")` silently excluded m10/m11
+# and would exclude any future staged query whose name doesn't happen to
+# match; VERDICT r10 §wrong 2). Every staged-AcidTable query that would
+# degrade to a warm no-op re-read MUST register here.
+STAGED_RESETS: dict = {
+    "m03_acid_timetravel": m03_reset_stage,
+    "m04_acid_pruned_dml": m04_reset_stage,
+    "m05_acid_cluster": m05_reset_stage,
+    "m06_acid_bloom_skipping": m06_reset_stage,
+    "m07_acid_check_constraints": m07_reset_stage,
+    "m08_acid_schema_evolution": m08_reset_stage,
+    "m09_acid_zorder": m09_reset_stage,
+    "m10_cdc_replicate": m10_reset_stage,
+    "m11_acid_restore": m11_reset_stage,
+    "x158_acid_changefeed": x158_reset_stage,
+}

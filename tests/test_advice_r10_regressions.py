@@ -227,3 +227,37 @@ def test_decimal_moments_still_match_oracle(name, spark, duck):
     assert_frames_match(
         q.fn(spark, sf).toPandas(), duck.execute(q.oracle).df(), name
     )
+
+
+# ------------------------------------------------------------- bench ----
+def test_every_staged_acid_query_has_a_reset_hook():
+    """bench.py resets staged AcidTables via the explicit STAGED_RESETS
+    registry. Any registered query that stages an acid table (its source
+    references stage_dir('acid_...') or _acid_dml_replay) MUST be in the
+    registry, or its bench row silently degrades to warm no-op re-reads —
+    the defect that recurred from m03 (r9) to m10 (r10) via a
+    prefix-match lookup."""
+    import inspect
+
+    from gwasdb_spark.plans import QUERIES
+    from gwasdb_spark.plans.mining_ops import STAGED_RESETS
+
+    missing = []
+    for name, q in QUERIES.items():
+        if name.startswith("st"):  # streaming lifecycles are not benched
+            continue
+        src = inspect.getsource(q.fn)
+        if "_acid_dml_replay" in src or 'stage_dir(f"acid_' in src:
+            if name not in STAGED_RESETS:
+                missing.append(name)
+    assert not missing, (
+        f"staged acid queries without a bench reset hook: {missing} — "
+        "add <name>_reset_stage and register it in STAGED_RESETS"
+    )
+
+
+def test_staged_resets_cover_m10_and_m11():
+    from gwasdb_spark.plans.mining_ops import STAGED_RESETS
+
+    assert "m10_cdc_replicate" in STAGED_RESETS
+    assert "m11_acid_restore" in STAGED_RESETS
