@@ -139,7 +139,7 @@ def _pairs_from_groups(grouped: DataFrame, docs_col: str = "docs") -> DataFrame:
 
 
 def _exploded_shingle_hashes(
-    df: DataFrame, id_col: str, text_col: str, n: int
+    df: DataFrame, id_col: str, text_col: str, n: int, hash_fn=None
 ) -> DataFrame:
     """(doc, sh) rows: one per word-n-gram OCCURRENCE per document (not
     de-duplicated — callers use collect_set / countDistinct / min, all of
@@ -157,9 +157,10 @@ def _exploded_shingle_hashes(
     width = F.greatest(size - (n - 1), F.lit(0))
     zipped = F.arrays_zip(*[F.slice("toks", j + 1, width) for j in range(n)])
     gram = F.concat_ws(" ", *[F.col("g").getField(str(j)) for j in range(n)])
+    hcol = hash_fn(gram) if hash_fn is not None else F.xxhash64(gram)
     return (
         toks.select("doc", F.explode(zipped).alias("g"))
-        .select("doc", F.xxhash64(gram).alias("sh"))
+        .select("doc", hcol.alias("sh"))
     )
 
 
@@ -281,7 +282,13 @@ def shingle_containment_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 32
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    shingle_hash_fn=None,
+    perm_params=None,
 ) -> DataFrame:
     """k-minhash signature per document: minhash_i = min over shingles of
     a seeded hash of the shingle.
@@ -293,11 +300,32 @@ def minhash_signatures(
     groupBy(doc) with k min() aggregates → pack into an array. The
     aggregation exchange MATERIALIZES the signature: downstream band
     expressions read k longs instead of re-deriving the whole shingle
-    pipeline."""
-    exploded = _exploded_shingle_hashes(df, id_col, text_col, n)
+    pipeline.
+
+    Cross-engine hooks (the x04 graduation recipe applied to minhash):
+    `shingle_hash_fn` (gram Column → long Column) replaces the xxhash64
+    shingle key; `perm_params = (p, [(a_i, b_i), ...])` replaces the
+    seeded-xxhash64 family with the classic affine permutations
+    (a_i·h + b_i) mod p. With the shingle hash bounded below 2^32 and
+    a_i, b_i below 2^30 every product stays under 2^63 — NO int64
+    overflow on either engine — so the whole signature is
+    SQL-replayable in DuckDB (the x03 oracle path). Defaults unchanged
+    for other callers."""
+    exploded = _exploded_shingle_hashes(
+        df, id_col, text_col, n, hash_fn=shingle_hash_fn
+    )
+    if perm_params is None:
+        family = [F.xxhash64("sh", F.lit(i)) for i in range(num_hashes)]
+    else:
+        p, ab = perm_params
+        if len(ab) < num_hashes:
+            raise ValueError("perm_params needs >= num_hashes (a, b) pairs")
+        family = [
+            (F.lit(a) * F.col("sh") + F.lit(b)) % F.lit(p)
+            for a, b in ab[:num_hashes]
+        ]
     hashed = exploded.select(
-        "doc",
-        *[F.xxhash64("sh", F.lit(i)).alias(f"h{i}") for i in range(num_hashes)],
+        "doc", *[h.alias(f"h{i}") for i, h in enumerate(family)]
     )
     sigs = hashed.groupBy("doc").agg(
         *[F.min(f"h{i}").alias(f"mh{i}") for i in range(num_hashes)]
@@ -345,6 +373,9 @@ def minhash_lsh_pairs(
     bands: int = 8,
     min_est_jaccard: float = 0.2,
     max_bucket_docs: int | None = 10_000,
+    shingle_hash_fn=None,
+    perm_params=None,
+    band_hash_fn=None,
 ) -> DataFrame:
     """MinHash+LSH near-dup candidates with estimated Jaccard.
 
@@ -354,18 +385,29 @@ def minhash_lsh_pairs(
     minhashes. Only bucket-mates are ever paired: at 100 TB the band
     aggregation shuffles O(n·bands) skinny rows, never O(n^2), and
     `max_bucket_docs` caps per-bucket fan-out (skew guard for
-    boilerplate-heavy corpora)."""
+    boilerplate-heavy corpora).
+
+    `shingle_hash_fn` / `perm_params` thread through to
+    minhash_signatures; `band_hash_fn` (list of row Columns → long
+    Column) replaces the xxhash64 band key — together they make the
+    whole candidate pipeline SQL-replayable (x03's DuckDB oracle)."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    sigs = minhash_signatures(
+        df, id_col, text_col, n, num_hashes,
+        shingle_hash_fn=shingle_hash_fn, perm_params=perm_params,
+    )
+
+    def _band_key(b: int):
+        rows = [
+            F.element_at("signature", b * rows_per_band + r + 1)
+            for r in range(rows_per_band)
+        ]
+        return band_hash_fn(rows) if band_hash_fn else F.xxhash64(*rows)
+
     band_cols = [
         F.struct(
             F.lit(b).alias("band_idx"),
-            F.xxhash64(
-                *[
-                    F.element_at("signature", b * rows_per_band + r + 1)
-                    for r in range(rows_per_band)
-                ]
-            ).alias("band_key"),
+            _band_key(b).alias("band_key"),
         )
         for b in range(bands)
     ]

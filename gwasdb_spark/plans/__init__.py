@@ -24,75 +24,29 @@ from gwasdb_spark.plans import mining_ops as _mining_ops  # noqa: F401
 # Registration-order priority.
 #
 # The driver's correctness gate records the FIRST 50 registered queries per
-# round. Round-10 window (r9 verdict #1): new round-10 registrations first
-# (their only chance at a first adjudication), then the r9 window's named
-# tail past seat 50 (u02…x14b — the offset-50 pre-flight queue, already
-# recorded 50/50 green), then r03-latest backfills oldest-first (query age =
-# newest CORRECTNESS_r0N row; after the r9 window no row predates r03), then
-# r04-latest rows keep the order deterministic past seat 50 and head the
-# round-11 queue. mm03 re-seats with the round-10 unstubbed BMP decode and
-# g07 with its new recursive-CTE oracle — both convert a structural
-# no-oracle row. File order within modules is unchanged; only the registry's
-# iteration order is rebuilt here.
+# round. Round-11 window (r10 verdict #1): queries whose oracle or
+# semantics CHANGED this round seat first — x03's brand-new SQL-replay
+# oracle and x04's r10-graduated oracle get their first driver
+# adjudications; m10 (apply_changes sequencing), g21/g22/x169
+# (decimal(38,0) moments), and x163 (crash-safe compaction) re-attest
+# their changed code paths. New round-11 registrations are inserted next
+# as they land (their only chance at a first adjudication). Then
+# backfills oldest-first: the full r03-latest set (no driver row in 7
+# rounds), then r04-latest rows to fill seat 50 and keep the order
+# deterministic past it (heading the round-12 queue). File order within
+# modules is unchanged; only the registry's iteration order is rebuilt.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    # --- round-10 window ---
-    # New round-10 registrations (first adjudication beats any backfill
-    # re-attestation); later round-10 additions are inserted here and
-    # displace trailing backfills.
-    "m04_acid_pruned_dml",
-    "m05_acid_cluster",
-    "m06_acid_bloom_skipping",
-    "m07_acid_check_constraints",
-    "m08_acid_schema_evolution",
-    "m09_acid_zorder",
-    "x157_ann_index_delete",
-    "x158_acid_changefeed",
-    "g20_ld_prune",
-    "x160_lsh_band_tuning",
-    "w14_session_windows",
-    "w15_range_frame_revenue",
-    "e16_funnel_dropoff",
-    "x161_exact_substring_spans",
-    "x162_countmin_heavy_hitters",
-    "st19_late_data_watermark",
-    "x163_bm25_index_delete",
-    "j12_scd2_pit_join",
-    "g21_ldsc_slope",
-    "x164_token_budget_select",
-    "u06_sql_scalar_udf",
-    "mm11_pcm_frame_energy",
-    "x165_kneser_ney_bigram",
-    "w16_v_pattern_detect",
-    "e17_markov_absorption",
-    "st20_stream_acid_sink",
+    # --- round-11 window: changed oracles / changed semantics first ---
+    "x03_minhash_lsh_pairs",
+    "x04_simhash_pairs",
     "m10_cdc_replicate",
-    "mm12_scene_changes",
-    "x167_dp_noisy_counts",
+    "g21_ldsc_slope",
     "g22_coloc_score",
-    "s28_dpp_partition_join",
     "x169_cuped_ab_readout",
-    "m11_acid_restore",
-    "x170_simhash_hamming_serve",
-    "x140_bpe_learn",
-    "x150_bpe_apply",
-    "mm03_resize_thumbs",
-    "g07_distance_clump",
-    "x13_sketch_aggregates",
-    # The r9 priority tail past seat 50 (the offset-50 queue the round-9
-    # close pre-flighted 50/50 green)
-    "u02_intersect",
-    "u03_except",
-    "w04_lag_delta",
-    "w05_ntile_rank",
-    "x05g_filtered_topk",
-    "x12f_bm25_proximity",
-    "x14_asof_join",
-    "x14b_asof_forward",
-    # r03-latest backfills (no driver row since r03), oldest debt first
-    "a06_regression_trend",
-    "c02_training_mix",
-    "j09_full_outer",
+    "x163_bm25_index_delete",
+    # --- new round-11 registrations (inserted here as they land) ---
+    # --- r03-latest backfills (no driver row since r03) ---
     "q08_market_share",
     "q10_returned_items",
     "q12_late_priority",
@@ -114,8 +68,7 @@ _PRIORITY = [
     "x31_pii_scrub",
     "x32_hybrid_rrf",
     "x33_bpe_pair_counts",
-    # r04-latest rows: deterministic order past seat 50; bench headliners
-    # and rewritten paths first — these head the round-11 backfill queue.
+    # --- r04-latest backfills, bench headliners first ---
     "p08_locus_window",
     "j08_export_view",
     "a05_manual_pivot_join",
@@ -130,6 +83,34 @@ _PRIORITY = [
     "a01_count_global",
     "a02_groupby_count",
     "a03_distinct",
+    "j01_left_join_multikey",
+    "j02_right_join",
+    "j03_join_renamed_keys",
+    "j04_broadcast_dims",
+    "j05_cross_join",
+    "j06_anti_join",
+    "j07_semi_join",
+    "o01_topk_orders",
+    "p01_projection",
+    "p04_derived_neglog10",
+    "p06_filter_between",
+    "p11_in_list",
+    "p13_null_filter",
+    "p14_threshold_qc_split",
+    "p15_conditional_expr",
+    "p16_pull_distinct",
+    "q13_customer_distribution",
+    "q16_supplier_relation",
+    "q21_waiting_supplier",
+    "s03_csv_stage_glob_read",
+    "s05_sql_text_entry",
+    "s21_orc_roundtrip",
+    "st10_stream_enrich",
+    "u04_geomean_udaf",
+    "u05_sentence_udtf",
+    "w02_running_total",
+    "w03_auto_increment",
+    "w06_trailing_ewma",
 ]
 
 _rest = [n for n in QUERIES if n not in _PRIORITY]

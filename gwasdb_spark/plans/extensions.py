@@ -131,14 +131,112 @@ def x45_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("x03_minhash_lsh_pairs", "X-dedup", oracle=None)
+# --- x03's cross-engine minhash family (the x04 graduation recipe) ------
+# Affine permutations (a_i*h + b_i) mod p over an md5-derived 32-bit
+# shingle hash: h < 2^32, a_i|b_i < 2^30, so a_i*h + b_i < 2^63 — every
+# intermediate fits int64 on BOTH engines, no wraparound to reconcile.
+# The constants are Python-computed once and embedded as literals in the
+# Spark plan AND the oracle SQL, so there is no formula to keep in sync.
+_MH_P = 4294967311  # smallest prime > 2^32
+_MH_AB = [
+    (
+        (((2 * i + 1) * 2654435761) % (1 << 30)) | 1,
+        (i * 40503 + 2654435769) % (1 << 30),
+    )
+    for i in range(32)
+]
+_MH_BANDS, _MH_RPB = 8, 4  # 8 bands x 4 rows over the 32 mins
+
+
+def _x03_oracle() -> str:
+    mins = ",\n             ".join(
+        f"MIN(({a} * h + {b}) % {_MH_P}) AS m{i}"
+        for i, (a, b) in enumerate(_MH_AB)
+    )
+    band_selects = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_idx, concat({parts}) AS ks FROM mins".format(
+            b=b,
+            parts=", '|', ".join(
+                f"CAST(m{b * _MH_RPB + r} AS VARCHAR)" for r in range(_MH_RPB)
+            ),
+        )
+        for b in range(_MH_BANDS)
+    )
+    eq_sum = " + ".join(
+        f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)" for i in range(32)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len(w) - 2, 0) + 1),
+               i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS gram
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+            FROM documents)
+    ),
+    h AS (
+      SELECT doc_id, CAST('0x' || substr(md5(gram), 1, 8) AS BIGINT) AS h
+      FROM sh
+    ),
+    mins AS (
+      SELECT doc_id,
+             {mins}
+      FROM h GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, band_idx,
+             CAST('0x' || substr(md5(ks), 1, 15) AS BIGINT) AS key
+      FROM ({band_selects})
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+      FROM bands a JOIN bands c
+        ON a.band_idx = c.band_idx AND a.key = c.key
+       AND a.doc_id < c.doc_id
+    )
+    SELECT id_a, id_b, ({eq_sum}) / 32.0 AS est_jaccard
+    FROM cand
+    JOIN mins sa ON sa.doc_id = id_a
+    JOIN mins sb ON sb.doc_id = id_b
+    WHERE ({eq_sum}) / 32.0 >= 0.2
+    """
+
+
+@query("x03_minhash_lsh_pairs", "X-dedup", oracle=_x03_oracle())
 def x03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidate pairs (32 hashes, 8 bands × 4 rows). Hash-based
-    → no SQL oracle; tests/test_dedup.py cross-validates its estimates
-    against x02's exact Jaccard on the same corpus."""
+    """MinHash+LSH candidate pairs (32 hashes, 8 bands × 4 rows).
+    GRADUATED from the no-oracle set in round 11 via the x04 recipe:
+    the shingle key is the md5-based h32, the hash family is the
+    classic affine (a·h + b) mod p with Python-generated constants
+    embedded in both plans, and the band key is the md5-h60 of the
+    pipe-joined band mins — making signatures, band bucketing, the
+    candidate join AND the estimated-Jaccard filter all replayable in
+    DuckDB SQL. max_bucket_docs=None so the engine enumerates exactly
+    the pairs the oracle does (x04's cap lesson). The operator's
+    xxhash64 defaults are unchanged for other callers; recall vs exact
+    Jaccard stays pinned in tests/test_quality.py."""
+    h32 = lambda c: F.conv(  # noqa: E731 — column-expression shorthand
+        F.substring(F.md5(c.cast("binary")), 1, 8), 16, 10
+    ).cast("long")
+    band60 = lambda rows: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", *[r.cast("string") for r in rows]
+                ).cast("binary")
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
     d = table(spark, sf_dir, "documents")
     return DD.minhash_lsh_pairs(
-        d, "doc_id", "text", n=3, num_hashes=32, bands=8, min_est_jaccard=0.2
+        d, "doc_id", "text", n=3, num_hashes=32, bands=_MH_BANDS,
+        min_est_jaccard=0.2, max_bucket_docs=None,
+        shingle_hash_fn=h32, perm_params=(_MH_P, _MH_AB),
+        band_hash_fn=band60,
     ).orderBy("id_a", "id_b")
 
 

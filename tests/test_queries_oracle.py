@@ -18,10 +18,11 @@ ALL_NAMES = sorted(QUERIES)
 # oracle=None fails the gate — no silent "runs therefore fine".
 NO_ORACLE_INVARIANTS = {
     # columns, min_rows, dedicated test carrying the correctness contract
-    "x03_minhash_lsh_pairs": (
-        ["id_a", "id_b", "est_jaccard"], 1,
-        "tests/test_similarity.py::test_minhash_lsh_vs_exact_jaccard",
-    ),
+    # x03 graduated to a hash oracle in r11 (x04's recipe): md5-h32
+    # shingle keys + affine (a*h+b) mod p permutations with constants
+    # embedded as literals in both plans + md5-h60 band keys make the
+    # signature/band/candidate/estimate pipeline SQL-replayable; the
+    # operator's xxhash64 default path is unchanged for other callers.
     # x04 graduated to a hash oracle in r10: md5-h60 token hashing makes
     # the whole vote->band->verify pipeline SQL-replayable, so the band
     # candidate generation and radius filter are now hash-adjudicated
