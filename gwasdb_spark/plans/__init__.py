@@ -46,6 +46,8 @@ _PRIORITY = [
     "x169_cuped_ab_readout",
     "x163_bm25_index_delete",
     # --- new round-11 registrations (inserted here as they land) ---
+    "x140_bpe_learn",   # graduated r11: recursive-CTE learn replay
+    "x150_bpe_apply",   # graduated r11: learn->apply round trip
     # --- r03-latest backfills (no driver row since r03) ---
     "q08_market_share",
     "q10_returned_items",

@@ -296,6 +296,122 @@ def _corpus_fingerprint(sf_dir: str) -> str:
     return f"{size}_{mtime}"
 
 
+def _bpe_recursive_cte(k: int, per_source: bool) -> str:
+    """The shared WITH RECURSIVE body replaying the greedy BPE learn
+    loop in DuckDB — the g07/g20 sorted-list discipline extended to a
+    MULTI-ROW recursive state (DuckDB allows aggregates and window
+    functions in the recursive term, unlike PostgreSQL): the working
+    table carries one row per vocabulary word, each step (a) explodes
+    adjacent symbol pairs, (b) computes every pair's corpus frequency
+    with one window SUM, (c) picks the (freq DESC, left, right) argmax
+    via FIRST_VALUE over the whole frame, (d) applies the winning merge
+    to every word, and (e) GROUPs back to word grain (without the
+    group-back the pair explode compounds exponentially across
+    iterations).
+
+    The merge-apply trick: symbol arrays are carried as strings with
+    every symbol wrapped as chr(2)||sym||chr(3), so a single replace()
+    of '\\x02L\\x03\\x02R\\x03' with '\\x02LR\\x03' IS the sequential
+    merge-with-skip (left-to-right, non-overlapping, consumed pairs
+    skipped) — plain string replace has exactly classic BPE's scan
+    semantics once symbol boundaries cannot overlap. chr(2)/chr(3)
+    never occur in the corpora (control bytes); the python-twin parity
+    tests would catch a violation.
+
+    `per_source` threads the documents' source column through the
+    state (word grain becomes (source, word); pair counts still SUM
+    globally across rows, which equals the unsplit counts) so the
+    x150 apply stats can aggregate the final state per source."""
+    src_col = "source, " if per_source else ""
+    src_group = "source, " if per_source else ""
+    return f"""base AS (
+      SELECT {src_col}CAST(COUNT(*) AS BIGINT) AS freq,
+             list_aggregate(
+               list_transform(
+                 list_concat(
+                   list_filter(string_split(w, ''), c -> c <> ''),
+                   ['</w>']),
+                 s -> chr(2) || s || chr(3)),
+               'string_agg', '') AS wrapped
+      FROM (SELECT {src_col}unnest(string_split_regex(trim(text), '\\s+')) AS w
+            FROM documents)
+      WHERE w <> '' GROUP BY {src_group}w
+    ),
+    t AS (
+      SELECT 0 AS iter, {src_col}wrapped, freq,
+             CAST(NULL AS VARCHAR) AS bl, CAST(NULL AS VARCHAR) AS br,
+             CAST(NULL AS BIGINT) AS bcnt
+      FROM base
+      UNION ALL
+      SELECT iter + 1,
+             {src_col}replace(wrapped,
+                     chr(2) || bl2 || chr(3) || chr(2) || br2 || chr(3),
+                     chr(2) || bl2 || br2 || chr(3)),
+             freq, bl2, br2, bcnt2
+      FROM (
+        SELECT iter, {src_col}wrapped, freq,
+               FIRST_VALUE(l) OVER win AS bl2,
+               FIRST_VALUE(r) OVER win AS br2,
+               FIRST_VALUE(cnt) OVER win AS bcnt2
+        FROM (
+          SELECT s.iter, {('s.source, ' if per_source else '')}s.wrapped,
+                 s.freq, u.p.l AS l, u.p.r AS r,
+                 SUM(s.freq) OVER (PARTITION BY u.p.l, u.p.r) AS cnt
+          FROM (
+            SELECT iter, {src_col}wrapped, freq,
+                   CASE WHEN len(syms) < 2
+                        THEN [CAST(NULL AS STRUCT(l VARCHAR, r VARCHAR))]
+                        ELSE list_transform(range(1, len(syms)),
+                               j -> struct_pack(l := syms[j], r := syms[j+1]))
+                   END AS plist
+            FROM (
+              SELECT iter, {src_col}wrapped, freq,
+                     string_split(trim(wrapped, chr(2) || chr(3)),
+                                  chr(3) || chr(2)) AS syms
+              FROM t WHERE iter < {k}
+            )
+          ) s, unnest(s.plist) u(p)
+        )
+        WINDOW win AS (ORDER BY (l IS NULL), cnt DESC, l, r
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND UNBOUNDED FOLLOWING)
+      )
+      WHERE bl2 IS NOT NULL
+      GROUP BY iter, {src_group}wrapped, freq, bl2, br2, bcnt2
+    )"""
+
+
+_BPE_LEARN_ORACLE = f"""
+    WITH RECURSIVE {_bpe_recursive_cte(20, per_source=False)}
+    SELECT DISTINCT iter AS rank, bl AS "left", br AS "right",
+           bl || br AS merged, bcnt AS pair_freq
+    FROM t WHERE iter >= 1 ORDER BY rank
+    """
+
+_BPE_APPLY_ORACLE = f"""
+    WITH RECURSIVE {_bpe_recursive_cte(20, per_source=True)},
+    final AS (
+      SELECT source, wrapped, freq FROM t
+      WHERE iter = (SELECT MAX(iter) FROM t)
+    ),
+    tok AS (
+      SELECT source,
+             CAST(SUM(freq) AS BIGINT) AS n_words,
+             CAST(SUM(freq * (len(wrapped)
+                    - len(replace(wrapped, chr(2), '')))) AS BIGINT)
+               AS n_tokens
+      FROM final GROUP BY source
+    ),
+    docs AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    )
+    SELECT d.source, d.n_docs, tok.n_words, tok.n_tokens,
+           ROUND(CAST(tok.n_tokens AS DOUBLE) / tok.n_words, 9) AS fertility
+    FROM docs d JOIN tok USING (source)
+    """
+
+
 def _bpe_merges_stage(sf_dir: str) -> str:
     """Corpus-keyed stage path for the learned merge table (the st16/s26
     sink discipline): learn ONCE per corpus, appliers read the artifact.
@@ -340,8 +456,12 @@ def _bpe_learned_merges(spark: SparkSession, sf_dir: str) -> list[tuple]:
 @query(
     "x140_bpe_learn",
     "X-text,X-tokenizer",
-    oracle=None,  # data-dependent argmax per iteration — not SQL-
-    # expressible; exact python rederivation in tests/test_mining_ops.py
+    oracle=_BPE_LEARN_ORACLE,  # GRADUATED r11: the greedy argmax chain
+    # replays as a DuckDB recursive CTE over a multi-row vocab state
+    # (see _bpe_recursive_cte) — aggregates+windows in the recursive
+    # term pick each iteration's (freq DESC, left, right) winner and a
+    # wrapped-symbol string replace applies it with exact
+    # merge-with-skip semantics; python-twin parity tests unchanged
 )
 def x140_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE merge learning (Sennrich et al. 2016): the first
@@ -844,9 +964,10 @@ def e12_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "x150_bpe_apply",
     "X-text,X-tokenizer",
-    oracle=None,  # tokenization depends on x140's learned merge list
-    # (data-dependent argmax chain) — exact python rederivation in
-    # tests/test_mining_ops.py carries the contract
+    oracle=_BPE_APPLY_ORACLE,  # GRADUATED r11: same recursive-CTE learn
+    # replay as x140 with the source column threaded through the state,
+    # then per-source token counts off the final vocab — the whole
+    # learn->apply round trip hash-checks in DuckDB
 )
 def x150_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply the x140-learned BPE merges to the whole corpus and report

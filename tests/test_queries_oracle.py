@@ -39,18 +39,13 @@ NO_ORACLE_INVARIANTS = {
     # g07 graduated to a hash oracle in r10 (recursive CTE over per-chr
     # sorted lists replays the greedy clump exactly); its python parity
     # test remains in test_gwas_pipeline.py.
-    # data-dependent argmax per iteration — the merge list is pinned by
-    # an exact python rederivation (all 20 rows, equality not approx)
-    "x140_bpe_learn": (
-        ["rank", "left", "right", "merged", "pair_freq"], 20,
-        "tests/test_mining_ops.py::test_bpe_learn_matches_python",
-    ),
-    # tokenization under x140's learned merge chain — same argmax-chain
-    # structure; exact python encode rederivation pins every cell
-    "x150_bpe_apply": (
-        ["source", "n_docs", "n_words", "n_tokens", "fertility"], 1,
-        "tests/test_mining_ops.py::test_bpe_apply_matches_python",
-    ),
+    # x140/x150 graduated to hash oracles in r11: the greedy BPE learn
+    # loop replays as a DuckDB recursive CTE over a multi-row vocab
+    # state (aggregates+windows in the recursive term; wrapped-symbol
+    # string replace = exact merge-with-skip), and the apply stats
+    # aggregate the same recursion's final state per source. The exact
+    # python rederivations in tests/test_mining_ops.py stay as the
+    # independent third implementation.
 }
 
 
