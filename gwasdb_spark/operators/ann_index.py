@@ -203,3 +203,162 @@ def delete_from_cell_index(
             if os.path.isdir(part):
                 shutil.rmtree(part)
     return {"touched_cells": [int(c) for c in touched], "n_deleted": n_deleted}
+
+
+# ---------------------------------------------------------------------------
+# Learned-codebook variant (the documented axis_cell swap) + rebalance
+# ---------------------------------------------------------------------------
+def _codebook_path(base: str) -> str:
+    return os.path.join(base, "codebook")
+
+
+def save_codebook(spark: SparkSession, base: str, centroids) -> None:
+    """Persist the (n_cells x dim) row-normalized centroid matrix beside
+    the index — one tiny parquet, read whole at serve time."""
+    rows = [(int(c), [float(x) for x in centroids[c]])
+            for c in range(len(centroids))]
+    spark.createDataFrame(
+        rows, "cell int, centroid array<double>"
+    ).repartition(1).write.mode("overwrite").parquet(_codebook_path(base))
+
+
+def load_codebook(spark: SparkSession, base: str):
+    import numpy as np
+
+    rows = spark.read.parquet(_codebook_path(base)).collect()
+    rows.sort(key=lambda r: r["cell"])
+    return np.asarray([r["centroid"] for r in rows], dtype=np.float64)
+
+
+def build_codebook_index(
+    vectors: DataFrame,
+    base: str,
+    n_cells: int = 16,
+    seed: int = 42,
+    train_fraction: float = 1.0,
+) -> dict:
+    """Full build of the LEARNED-IVF persisted index: train spherical
+    k-means centroids (optionally on a faiss-style sample), assign every
+    vector to its nearest cell, write the same (index, manifest) layout
+    the axis variant uses — delete_from_cell_index and upsert machinery
+    work unchanged because they never interpret cell ids — plus the
+    codebook sidecar the serve path probes with. This is the variant
+    whose cells DO go stale under churn (axis_cell is data-independent;
+    learned centroids are not), which is why retrain_codebook_index
+    exists."""
+    from gwasdb_spark.operators.similarity import (
+        assign_cells,
+        train_ivf_centroids,
+    )
+
+    spark = vectors.sparkSession
+    C = train_ivf_centroids(
+        vectors, "embedding", n_cells=n_cells, seed=seed,
+        train_fraction=train_fraction,
+    )
+    assigned = assign_cells(vectors, C, "vec_id", "embedding").select(
+        F.col("neighbor_id").alias("vec_id"),
+        F.col("c_vec").alias("embedding"),
+        "cell",
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        _index_path(base)
+    )
+    assigned.select("vec_id", "cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(_manifest_path(base))
+    save_codebook(spark, base, C)
+    return {"n_cells": int(len(C))}
+
+
+def probe_codebook_index(
+    spark: SparkSession,
+    base: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Serve path: nearest-nprobe-centroid probe against the persisted
+    index — the cell equi-join prunes the scan to the probed cells'
+    partition files (ivf_probe's contract), so per-query cost is
+    ~|index|·nprobe/n_cells rows, NOT |index|."""
+    from gwasdb_spark.operators.similarity import ivf_probe
+
+    C = load_codebook(spark, base)
+    assigned = read_cell_index(spark, base).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_vec"),
+        "cell",
+    )
+    return ivf_probe(queries, assigned, C, k=k, nprobe=nprobe)
+
+
+def cell_occupancy(spark: SparkSession, base: str) -> dict:
+    """{cell: rows} off the manifest sidecar (two-int rows — metadata-
+    cheap even at corpus scale). The skew diagnostic that decides when
+    to retrain: deletes concentrate survivors into few stale cells, and
+    max/mean occupancy is the serve-cost amplification factor."""
+    rows = (
+        spark.read.parquet(_manifest_path(base))
+        .groupBy("cell")
+        .count()
+        .collect()
+    )
+    return {int(r["cell"]): int(r["count"]) for r in rows}
+
+
+def retrain_codebook_index(
+    spark: SparkSession,
+    base: str,
+    n_cells: int | None = None,
+    seed: int = 43,
+    train_fraction: float = 1.0,
+) -> dict:
+    """Rebalance after heavy churn (VERDICT r10 §missing 4 — the
+    text-index twin of x163's compaction applied to vectors): retrain
+    the codebook on the SURVIVING vectors and relayout. Deliberately
+    O(index) — the rare, scheduled maintenance op (like a Delta
+    OPTIMIZE FULL), run when cell_occupancy skew crosses a threshold,
+    NOT per delete batch; per-batch maintenance stays the touched-only
+    delete/upsert. The serve path is unchanged code — it just reads a
+    codebook that fits the current distribution again. Returns
+    occupancy skew (max/mean over non-empty cells) before and after so
+    callers can log the recovery."""
+    occ_before = cell_occupancy(spark, base)
+    book_cells = max(1, len(load_codebook(spark, base)))
+
+    def skew(occ: dict, cells: int) -> float:
+        """max over the MEAN ACROSS ALL codebook cells (empty included):
+        an emptied cell still consumes probe budget — measuring only
+        non-empty cells hides exactly the degradation this op fixes."""
+        if not occ:
+            return 0.0
+        return max(occ.values()) / (sum(occ.values()) / cells)
+
+    survivors = read_cell_index(spark, base).select(
+        "vec_id", "embedding"
+    ).localCheckpoint(eager=True)  # the rebuild overwrites its own input
+    if n_cells is None:
+        n_cells = max(1, len(load_codebook(spark, base)))
+    import shutil
+
+    # stale partition dirs from the old layout must not survive the
+    # relayout (dynamic overwrite semantics do not apply to a full
+    # partitionBy overwrite, but emptied high-numbered cells would —
+    # remove the old trees outright; the rebuild rewrites everything)
+    for root in (_index_path(base), _manifest_path(base)):
+        if os.path.isdir(root):
+            shutil.rmtree(root)
+    stats = build_codebook_index(
+        survivors, base, n_cells=n_cells, seed=seed,
+        train_fraction=train_fraction,
+    )
+    occ_after = cell_occupancy(spark, base)
+    return {
+        "n_cells": stats["n_cells"],
+        "n_vectors": int(sum(occ_after.values())),
+        "skew_before": round(skew(occ_before, book_cells), 3),
+        "skew_after": round(skew(occ_after, stats["n_cells"]), 3),
+        "nonempty_cells_before": len(occ_before),
+        "nonempty_cells_after": len(occ_after),
+    }

