@@ -291,6 +291,7 @@ HEADLINE = [
     "x169_cuped_ab_readout",
     "m11_acid_restore",
     "x170_simhash_hamming_serve",
+    "m12_acid_column_mapping",
     # st19 (watermark late-data) is correctness-gated, not benched: its
     # bounded 3-micro-batch replay measures per-batch state-store commit
     # overhead, the st07/st08/st13/st18 exclusion rationale.

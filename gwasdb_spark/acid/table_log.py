@@ -199,12 +199,22 @@ class AcidTable:
         df: DataFrame,
         checks: dict | None = None,
         bloom_cols: list | None = None,
+        column_map: dict | None = None,
     ) -> tuple[str, dict]:
         """Write a new immutable file group and return (group, stats).
 
         Stats come from ONE aggregate over the just-written files (the
         truthful source — what is actually on disk), the same min/max/
         null-count triple parquet footers carry; batch-scale cost.
+
+        When the table carries a `column_map` (RENAME COLUMN history —
+        {logical: physical}), the batch arrives with LOGICAL names and
+        is written under the PHYSICAL ones, so every file group in the
+        table shares one physical naming forever (the Delta
+        column-mapping invariant; mixed per-group names would make the
+        single read schema null-fill the newer groups silently). Stats
+        are translated back to logical keys — pruning predicates speak
+        logical names.
 
         When the table carries CHECK constraints, the new rows are
         validated here (one aggregate over the just-written group);
@@ -214,11 +224,24 @@ class AcidTable:
         the group dir before return (immutable with the group)."""
         group = uuid.uuid4().hex
         path = os.path.join(self._data, group)
+        column_map = column_map or {}
+        if column_map:
+            df = df.select(
+                *[F.col(c).alias(column_map.get(c, c)) for c in df.columns]
+            )
         df.write.mode("overwrite").parquet(path)
         st = self._group_stats(path)
+        if column_map:
+            inv = {p: l for l, p in column_map.items()}
+            st = {inv.get(c, c): v for c, v in st.items()}
         rows = next(iter(st.values()))[3] if st else 0
         if checks and rows:
             back = self.spark.read.parquet(path)
+            if column_map:
+                inv = {p: l for l, p in column_map.items()}
+                back = back.select(
+                    *[F.col(c).alias(inv.get(c, c)) for c in back.columns]
+                )
             bad = _check_violations(back, checks)
             if bad:
                 shutil.rmtree(path, ignore_errors=True)
@@ -277,6 +300,8 @@ class AcidTable:
             "checks": manifest.get("checks"),
             "bloom_cols": manifest.get("bloom_cols"),
             "schema": manifest.get("schema"),
+            "column_map": manifest.get("column_map"),
+            "dropped_physical": manifest.get("dropped_physical"),
         }
 
     def _commit(
@@ -299,6 +324,10 @@ class AcidTable:
         }
         if meta.get("schema"):
             body["schema"] = meta["schema"]
+        if meta.get("column_map"):
+            body["column_map"] = meta["column_map"]
+        if meta.get("dropped_physical"):
+            body["dropped_physical"] = meta["dropped_physical"]
         tmp = os.path.join(self._log, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
             json.dump(body, fh)
@@ -352,13 +381,39 @@ class AcidTable:
         before a schema evolution lack the newer columns, and Spark's
         parquet reader null-fills columns the requested schema has but
         a file does not — the scalable evolution read (no footer
-        merging; the log is the source of truth, as in Delta)."""
+        merging; the log is the source of truth, as in Delta).
+
+        With a `column_map` (RENAME history), the requested parquet
+        schema uses the PHYSICAL field names (what is in the files) and
+        one zero-cost Project aliases them back to the manifest's
+        logical names; a DROPPED column simply isn't requested — the
+        reader never materializes it. Time travel works unchanged:
+        read(v) uses manifest(v)'s own schema AND map, so pre-rename
+        snapshots surface pre-rename names."""
         paths = [os.path.join(self._data, g) for g in groups]
         reader = self.spark.read
+        cmap = manifest.get("column_map") or {}
         if manifest.get("schema"):
-            from pyspark.sql.types import StructType
+            from pyspark.sql.types import StructField, StructType
 
-            reader = reader.schema(StructType.fromJson(manifest["schema"]))
+            logical = StructType.fromJson(manifest["schema"])
+            if cmap:
+                physical = StructType(
+                    [
+                        StructField(
+                            cmap.get(f.name, f.name), f.dataType, f.nullable
+                        )
+                        for f in logical.fields
+                    ]
+                )
+                out = reader.schema(physical).parquet(*paths)
+                return out.select(
+                    *[
+                        F.col(cmap.get(f.name, f.name)).alias(f.name)
+                        for f in logical.fields
+                    ]
+                )
+            reader = reader.schema(logical)
         return reader.parquet(*paths)
 
     def read(self, version: int | None = None) -> DataFrame:
@@ -418,7 +473,8 @@ class AcidTable:
             m = self._manifest(base)
             out = transform(self.read(base))
             group, st = self._write_group(
-                out, m.get("checks"), m.get("bloom_cols")
+                out, m.get("checks"), m.get("bloom_cols"),
+                m.get("column_map"),
             )
             meta = self._meta_of(m)
             # a full rewrite's output IS the new table — record its
@@ -476,7 +532,8 @@ class AcidTable:
                     tdf = self.read(base).limit(0)
                 out = transform(tdf)
                 written, st = self._write_group(
-                    out, m.get("checks"), m.get("bloom_cols")
+                    out, m.get("checks"), m.get("bloom_cols"),
+                    m.get("column_map"),
                 )
                 if st and next(iter(st.values()))[3] == 0:
                     # transform emptied every touched row: drop the
@@ -567,14 +624,36 @@ class AcidTable:
             if meta.get("schema"):
                 from pyspark.sql.types import StructType
 
+                old_names = {
+                    f["name"] for f in meta["schema"].get("fields", [])
+                }
                 out, new_schema = self._evolve(
                     df, StructType.fromJson(meta["schema"]), merge_schema
                 )
+                # An evolved-in column may not collide with a PHYSICAL
+                # file name still in use by a renamed or dropped field —
+                # the old groups' bytes under that name would silently
+                # surface as the "new" column's values (Delta avoids
+                # this with field ids; this engine refuses loudly).
+                taken = set(
+                    (m.get("column_map") or {}).values()
+                ) | set(m.get("dropped_physical") or [])
+                clash = [
+                    f.name
+                    for f in new_schema.fields
+                    if f.name not in old_names and f.name in taken
+                ]
+                if clash:
+                    raise SchemaMismatch(
+                        f"new column(s) {clash} collide with physical "
+                        "file columns of renamed/dropped fields"
+                    )
                 meta["schema"] = new_schema.jsonValue()
             # (a legacy manifest without a schema keeps legacy reads —
             # first-file schema — rather than guessing one here)
             new, st = self._write_group(
-                out, m.get("checks"), m.get("bloom_cols")
+                out, m.get("checks"), m.get("bloom_cols"),
+                m.get("column_map"),
             )
             stats[new] = st
             try:
@@ -830,6 +909,144 @@ class AcidTable:
             except CommitConflict:
                 continue
         raise CommitConflict(f"gave up dropping check {name!r}")
+
+    # ---------------------------------------------- column mapping --
+    def _schema_struct(self, m: dict):
+        from pyspark.sql.types import StructType
+
+        if not m.get("schema"):
+            raise ValueError(
+                "rename/drop need a schema-carrying table (legacy "
+                "manifests predate schema tracking)"
+            )
+        return StructType.fromJson(m["schema"])
+
+    @staticmethod
+    def _refuse_referenced(m: dict, col: str, verb: str) -> None:
+        """Conservative guard: a column referenced by a CHECK constraint
+        or carrying a bloom sidecar cannot be renamed/dropped (the
+        constraint text and the sidecar key would silently go stale —
+        Delta refuses the same way until constraints are dropped)."""
+        for name, expr in (m.get("checks") or {}).items():
+            if col in expr:
+                raise ValueError(
+                    f"cannot {verb} {col!r}: referenced by CHECK "
+                    f"{name!r} ({expr}) — drop the constraint first"
+                )
+        if col in (m.get("bloom_cols") or []):
+            raise ValueError(
+                f"cannot {verb} {col!r}: it carries bloom sidecars "
+                "keyed by the physical name — rebuild without bloom "
+                "first"
+            )
+
+    def rename_column(
+        self, old: str, new: str, max_retries: int = 3
+    ) -> int:
+        """ALTER TABLE RENAME COLUMN — metadata-only, zero data IO
+        (Delta column mapping, public design): the manifest schema
+        renames the field and records {logical: physical} in
+        `column_map`; data files keep the physical name forever, reads
+        alias physical→logical in one free Project, later appends write
+        batches under the physical names so every group stays
+        uniformly named, and per-group stats re-key so pruning keeps
+        working. Time travel is untouched: each manifest carries its
+        own schema+map, so read(v) of a pre-rename snapshot surfaces
+        the pre-rename name."""
+        for _ in range(max_retries + 1):
+            base = self.latest_version()
+            m = self._manifest(base)
+            schema = self._schema_struct(m)
+            names = [f.name for f in schema.fields]
+            if old not in names:
+                raise KeyError(f"no column named {old!r}")
+            if new in names:
+                raise ValueError(f"column {new!r} already exists")
+            cmap = dict(m.get("column_map") or {})
+            if new in cmap.values():
+                raise ValueError(
+                    f"{new!r} collides with a physical file column of a "
+                    "previously renamed field"
+                )
+            self._refuse_referenced(m, old, "rename")
+            physical = cmap.pop(old, old)
+            if new != physical:
+                cmap[new] = physical
+            fields = []
+            for f in schema.fields:
+                fields.append(
+                    {**f.jsonValue(), "name": new}
+                    if f.name == old
+                    else f.jsonValue()
+                )
+            stats = {
+                g: {(new if c == old else c): v for c, v in st.items()}
+                for g, st in (m.get("stats") or {}).items()
+            }
+            meta = self._meta_of(m)
+            meta["schema"] = {"type": "struct", "fields": fields}
+            meta["column_map"] = cmap
+            try:
+                self._commit(
+                    base + 1,
+                    f"rename_column({old}->{new})",
+                    m["file_groups"],
+                    stats,
+                    meta,
+                )
+                return base + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"gave up renaming {old!r}")
+
+    def drop_column(self, col: str, max_retries: int = 3) -> int:
+        """ALTER TABLE DROP COLUMN — metadata-only, zero data IO: the
+        field leaves the manifest schema (and the column map / stats),
+        so reads never even request it from parquet; the bytes stay in
+        the immutable files, which is what keeps every pre-drop
+        snapshot time-travelable. A later `append(merge_schema=True)`
+        adding a column with the same name is refused when it would
+        collide with a still-on-disk physical name (Delta solves this
+        with field ids; this engine refuses the ambiguous case
+        loudly)."""
+        for _ in range(max_retries + 1):
+            base = self.latest_version()
+            m = self._manifest(base)
+            schema = self._schema_struct(m)
+            names = [f.name for f in schema.fields]
+            if col not in names:
+                raise KeyError(f"no column named {col!r}")
+            if len(names) == 1:
+                raise ValueError("cannot drop the only column")
+            self._refuse_referenced(m, col, "drop")
+            cmap = dict(m.get("column_map") or {})
+            physical = cmap.pop(col, col)
+            dropped = sorted(
+                set(m.get("dropped_physical") or []) | {physical}
+            )
+            fields = [
+                f.jsonValue() for f in schema.fields if f.name != col
+            ]
+            stats = {
+                g: {c: v for c, v in st.items() if c != col}
+                for g, st in (m.get("stats") or {}).items()
+            }
+            meta = self._meta_of(m)
+            meta["schema"] = {"type": "struct", "fields": fields}
+            meta["column_map"] = cmap
+            meta["dropped_physical"] = dropped
+            try:
+                self._commit(
+                    base + 1,
+                    f"drop_column({col})",
+                    m["file_groups"],
+                    stats,
+                    meta,
+                )
+                return base + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"gave up dropping {col!r}")
 
     def restore(self, version: int, max_retries: int = 3) -> int:
         """RESTORE TABLE TO VERSION (Delta's RESTORE, public design):

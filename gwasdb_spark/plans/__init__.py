@@ -48,6 +48,7 @@ _PRIORITY = [
     # --- new round-11 registrations (inserted here as they land) ---
     "x140_bpe_learn",   # graduated r11: recursive-CTE learn replay
     "x150_bpe_apply",   # graduated r11: learn->apply round trip
+    "m12_acid_column_mapping",  # new r11: RENAME/DROP COLUMN surface
     # --- r03-latest backfills (no driver row since r03) ---
     "q08_market_share",
     "q10_returned_items",

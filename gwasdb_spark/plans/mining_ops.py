@@ -5776,6 +5776,16 @@ def m11_reset_stage(sf_dir: str) -> None:
     _sh.rmtree(stage_dir(f"acid_m11_{tag}"), ignore_errors=True)
 
 
+def m12_reset_stage(sf_dir: str) -> None:
+    """Drop m12's staged AcidTable so a timed run replays the full
+    create/rename/append/drop/update chain cold."""
+    import hashlib as _hl
+    import shutil as _sh
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:12]
+    _sh.rmtree(stage_dir(f"acid_m12_{tag}"), ignore_errors=True)
+
+
 def x158_reset_stage(sf_dir: str) -> None:
     """Drop x158's staged AcidTable so a timed run replays the DML chain
     before diffing snapshots (caught by the registry-coverage guard —
@@ -5802,5 +5812,111 @@ STAGED_RESETS: dict = {
     "m09_acid_zorder": m09_reset_stage,
     "m10_cdc_replicate": m10_reset_stage,
     "m11_acid_restore": m11_reset_stage,
+    "m12_acid_column_mapping": m12_reset_stage,
     "x158_acid_changefeed": x158_reset_stage,
 }
+
+
+@query(
+    "m12_acid_column_mapping",
+    "X-dml,M4",
+    oracle="""
+    WITH v0 AS (
+      SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      FROM lineitem WHERE l_orderkey < 1000
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+               AS BIGINT) AS c
+      FROM v0
+    ),
+    upd AS (
+      SELECT CAST(SUM(CASE WHEN l_extendedprice >= 40
+                      THEN CAST(round(l_extendedprice * 2 * 100) AS BIGINT)
+                      ELSE CAST(round(l_extendedprice * 100) AS BIGINT)
+                 END) AS BIGINT) AS c
+      FROM v0
+    )
+    SELECT 0 AS version, 'create' AS op, s.n AS n_rows, s.c AS sum_cents,
+           CAST(4 AS BIGINT) AS n_cols,
+           'l_extendedprice,l_linenumber,l_orderkey,l_quantity' AS cols
+    FROM s
+    UNION ALL SELECT 1, 'rename_column(l_extendedprice->price)', s.n, s.c,
+           4, 'l_linenumber,l_orderkey,l_quantity,price' FROM s
+    UNION ALL SELECT 2, 'append', s.n + 5, s.c + 500,
+           4, 'l_linenumber,l_orderkey,l_quantity,price' FROM s
+    UNION ALL SELECT 3, 'drop_column(l_quantity)', s.n + 5, s.c + 500,
+           3, 'l_linenumber,l_orderkey,price' FROM s
+    UNION ALL SELECT 4, 'update(pruned 1/2)', s.n + 5, upd.c + 500,
+           3, 'l_linenumber,l_orderkey,price' FROM s, upd
+    """,
+)
+def m12_acid_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE RENAME/DROP COLUMN made driver-checkable — the
+    schema-evolution surface m08 (ADD) left open, closing the Delta
+    column-mapping parity gap (acid/table_log.py rename_column/
+    drop_column): v0 create, v1 rename l_extendedprice->price
+    (metadata-only — data files keep the physical name; reads alias it
+    back in one free Project), v2 append under the NEW logical name
+    (written physically as l_extendedprice so every group stays
+    uniformly named), v3 drop l_quantity (metadata-only; bytes stay for
+    time travel), v4 a sargable UPDATE on the RENAMED column whose
+    stats re-key proves pruning survives the rename (the committed
+    'pruned 1/2' op string is part of the oracle contract: the sentinel
+    group's max price of 1.0 excludes it). Every version's (rows, exact
+    cents, column list) is pinned by the oracle's DML algebra, so a
+    read that null-fills, resurrects dropped bytes, or loses the alias
+    breaks the hash. Resumable warm."""
+    import hashlib as _hl
+
+    from gwasdb_spark.acid import AcidTable
+    from gwasdb_spark.acid import predicates as P
+
+    base = stage_dir(f"acid_m12_{_hl.md5(sf_dir.encode()).hexdigest()[:12]}")
+    t = AcidTable(spark, base)
+    if t.latest_version() < 0:
+        v0df = table(spark, sf_dir, "lineitem").filter(
+            F.col("l_orderkey") < 1000
+        ).select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+        )
+        t = AcidTable.create(spark, base, v0df)
+    if t.latest_version() == 0:
+        t.rename_column("l_extendedprice", "price")
+    if t.latest_version() == 1:
+        t.append(
+            spark.createDataFrame(
+                [(-k, 1, 1.0, 1.0) for k in range(1, 6)],
+                "l_orderkey long, l_linenumber int, l_quantity double, "
+                "price double",
+            )
+        )
+    if t.latest_version() == 2:
+        t.drop_column("l_quantity")
+    if t.latest_version() == 3:
+        t.update_set(P.Ge("price", 40.0), {"price": F.col("price") * 2})
+    hist = {h["version"]: h["op"] for h in t.history()}
+    parts = []
+    for v in range(5):
+        snap = t.read(v)
+        price_col = "price" if "price" in snap.columns else "l_extendedprice"
+        parts.append(
+            snap.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(F.round(F.col(price_col) * 100).cast("long"))
+                .cast("long")
+                .alias("sum_cents"),
+            ).select(
+                F.lit(v).cast("int").alias("version"),
+                F.lit(hist[v]).alias("op"),
+                "n_rows",
+                "sum_cents",
+                F.lit(len(snap.columns)).cast("long").alias("n_cols"),
+                F.lit(",".join(sorted(snap.columns))).alias("cols"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -138,3 +138,127 @@ def test_read_where_uses_bloom(spark, tmp_path):
     # min/max is blind here (interleaved); the bloom prunes to 1 group
     assert t.scan_groups(P.Eq("id", 77)) == (1, 3)
     assert [r["id"] for r in t.read_where(P.Eq("id", 77)).collect()] == [77]
+
+
+# ------------------------------------------- rename / drop (round 11) --
+def _mk(spark, tmp_path, name="rc"):
+    import os
+
+    from gwasdb_spark.acid import AcidTable
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "c")],
+        "k int, v double, tag string",
+    )
+    return AcidTable.create(spark, os.path.join(str(tmp_path), name), df)
+
+
+def test_rename_column_is_metadata_only_and_time_travels(spark, tmp_path):
+    import glob
+    import os
+
+    t = _mk(spark, tmp_path)
+    files_before = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(t.path, "data", "*", "*.parquet"))
+    }
+    v = t.rename_column("v", "value")
+    assert v == 1
+    # zero data IO: every data file untouched
+    for p, m in files_before.items():
+        assert os.path.getmtime(p) == m
+    got = {r["k"]: r["value"] for r in t.read().collect()}
+    assert got == {1: 10.0, 2: 20.0, 3: 30.0}
+    assert "v" not in t.read().columns
+    # pre-rename snapshot surfaces the pre-rename name
+    assert "v" in t.read(0).columns and "value" not in t.read(0).columns
+
+
+def test_append_and_pruned_dml_after_rename(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from gwasdb_spark.acid import predicates as P
+
+    t = _mk(spark, tmp_path, "rc2")
+    t.rename_column("v", "value")
+    # appends arrive with LOGICAL names; files store physical ones
+    t.append(
+        spark.createDataFrame([(9, 90.0, "z")], "k int, value double, tag string")
+    )
+    got = {r["k"]: r["value"] for r in t.read().collect()}
+    assert got == {1: 10.0, 2: 20.0, 3: 30.0, 9: 90.0}
+    # stats re-keyed: a sargable Pred on the NEW name prunes and lands
+    t.update_set(P.Eq("value", 90.0), {"value": F.lit(91.0)})
+    assert "pruned" in t._manifest(t.latest_version())["op"]
+    got = {r["k"]: r["value"] for r in t.read().collect()}
+    assert got[9] == 91.0 and got[1] == 10.0
+    # and read_where on the renamed column still skips
+    assert {r["k"] for r in t.read_where(P.Eq("value", 91.0)).collect()} == {9}
+
+
+def test_drop_column_time_travel_and_readd_refusal(spark, tmp_path):
+    import pytest as _pt
+
+    from gwasdb_spark.acid.table_log import SchemaMismatch
+
+    t = _mk(spark, tmp_path, "rc3")
+    t.drop_column("tag")
+    assert t.read().columns == ["k", "v"]
+    assert "tag" in t.read(0).columns  # history intact
+    # appends no longer carry the column
+    t.append(spark.createDataFrame([(5, 50.0)], "k int, v double"))
+    assert t.read().count() == 4
+    # re-adding the same name would resurrect stale bytes — refused
+    with _pt.raises(SchemaMismatch, match="physical"):
+        t.append(
+            spark.createDataFrame(
+                [(6, 60.0, "ghost")], "k int, v double, tag string"
+            ),
+            merge_schema=True,
+        )
+
+
+def test_rename_then_drop_then_restore_roundtrip(spark, tmp_path):
+    t = _mk(spark, tmp_path, "rc4")
+    t.rename_column("v", "value")      # v1
+    t.drop_column("tag")               # v2
+    assert t.read().columns == ["k", "value"]
+    t.restore(0)                       # v3: original schema back
+    assert sorted(t.read().columns) == ["k", "tag", "v"]
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got == {1: 10.0, 2: 20.0, 3: 30.0}
+
+
+def test_rename_drop_refusals(spark, tmp_path):
+    import os
+
+    import pytest as _pt
+
+    from gwasdb_spark.acid import AcidTable
+
+    t = _mk(spark, tmp_path, "rc5")
+    t.add_check("v_pos", "v >= 0")
+    with _pt.raises(ValueError, match="CHECK"):
+        t.rename_column("v", "value")
+    with _pt.raises(ValueError, match="CHECK"):
+        t.drop_column("v")
+    t.drop_check("v_pos")
+    with _pt.raises(ValueError, match="already exists"):
+        t.rename_column("v", "k")
+    with _pt.raises(KeyError):
+        t.drop_column("nope")
+    b = AcidTable.create(
+        spark,
+        os.path.join(str(tmp_path), "rc6"),
+        spark.createDataFrame([(1, "x")], "k int, name string"),
+        bloom_cols=["name"],
+    )
+    with _pt.raises(ValueError, match="bloom"):
+        b.rename_column("name", "label")
+    solo = AcidTable.create(
+        spark,
+        os.path.join(str(tmp_path), "rc7"),
+        spark.createDataFrame([(1,)], "k int"),
+    )
+    with _pt.raises(ValueError, match="only column"):
+        solo.drop_column("k")
