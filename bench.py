@@ -292,6 +292,7 @@ HEADLINE = [
     "m11_acid_restore",
     "x170_simhash_hamming_serve",
     "m12_acid_column_mapping",
+    "x171_neardup_index_update",
     # st19 (watermark late-data) is correctness-gated, not benched: its
     # bounded 3-micro-batch replay measures per-batch state-store commit
     # overhead, the st07/st08/st13/st18 exclusion rationale.

@@ -391,6 +391,55 @@ def minhash_lsh_pairs(
     minhash_signatures; `band_hash_fn` (list of row Columns → long
     Column) replaces the xxhash64 band key — together they make the
     whole candidate pipeline SQL-replayable (x03's DuckDB oracle)."""
+    banded = minhash_bands(
+        df, id_col, text_col, n, num_hashes, bands,
+        shingle_hash_fn=shingle_hash_fn, perm_params=perm_params,
+        band_hash_fn=band_hash_fn,
+    )
+    pairs = _bucket_pairs(banded, payload=["signature"], max_bucket_docs=max_bucket_docs)
+    est = est_jaccard(
+        F.col("a.signature"), F.col("b.signature"), num_hashes
+    )
+    return (
+        pairs.select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            est.alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def est_jaccard(sig_a: Column, sig_b: Column, num_hashes: int) -> Column:
+    """Estimated Jaccard = fraction of agreeing minhashes (exact k/n
+    quotient — binary-exact on both engines)."""
+    return (
+        F.size(
+            F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y),
+                     lambda eq: eq)
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
+
+
+def minhash_bands(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_hash_fn=None,
+    perm_params=None,
+    band_hash_fn=None,
+) -> DataFrame:
+    """(doc, signature, band_idx, band_key) — the banded signature
+    relation minhash_lsh_pairs buckets on, exposed as the PERSISTABLE
+    near-dup index artifact: write it partitioned/bucketed by
+    (band_idx, band_key) and incremental batches probe only colliding
+    buckets (x171's LSM discipline — the x62 postings / x153 ANN cell
+    pattern applied to the minhash family)."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(
         df, id_col, text_col, n, num_hashes,
@@ -411,28 +460,9 @@ def minhash_lsh_pairs(
         )
         for b in range(bands)
     ]
-    banded = sigs.select(
+    return sigs.select(
         "doc", "signature", F.explode(F.array(*band_cols)).alias("band")
     ).select("doc", "signature", "band.band_idx", "band.band_key")
-    pairs = _bucket_pairs(banded, payload=["signature"], max_bucket_docs=max_bucket_docs)
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with("a.signature", "b.signature", lambda x, y: x == y),
-                lambda eq: eq,
-            )
-        ).cast("double")
-        / F.lit(float(num_hashes))
-    )
-    return (
-        pairs.select(
-            F.col("a.doc").alias("id_a"),
-            F.col("b.doc").alias("id_b"),
-            est.alias("est_jaccard"),
-        )
-        .filter(F.col("est_jaccard") >= min_est_jaccard)
-        .dropDuplicates(["id_a", "id_b"])
-    )
 
 
 def simhash_signatures(

@@ -148,6 +148,30 @@ _MH_AB = [
 _MH_BANDS, _MH_RPB = 8, 4  # 8 bands x 4 rows over the 32 mins
 
 
+def _mh_h32(c):
+    """md5-derived 32-bit shingle key (cross-engine; see _MH_AB note)."""
+    return F.conv(
+        F.substring(F.md5(c.cast("binary")), 1, 8), 16, 10
+    ).cast("long")
+
+
+def _mh_band60(rows):
+    """md5-h60 of the pipe-joined band mins — the cross-engine band key."""
+    return F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", *[r.cast("string") for r in rows]
+                ).cast("binary")
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
 def _x03_oracle() -> str:
     mins = ",\n             ".join(
         f"MIN(({a} * h + {b}) % {_MH_P}) AS m{i}"
@@ -215,29 +239,117 @@ def x03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pairs the oracle does (x04's cap lesson). The operator's
     xxhash64 defaults are unchanged for other callers; recall vs exact
     Jaccard stays pinned in tests/test_quality.py."""
-    h32 = lambda c: F.conv(  # noqa: E731 — column-expression shorthand
-        F.substring(F.md5(c.cast("binary")), 1, 8), 16, 10
-    ).cast("long")
-    band60 = lambda rows: F.conv(  # noqa: E731
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    "|", *[r.cast("string") for r in rows]
-                ).cast("binary")
-            ),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
     d = table(spark, sf_dir, "documents")
     return DD.minhash_lsh_pairs(
         d, "doc_id", "text", n=3, num_hashes=32, bands=_MH_BANDS,
         min_est_jaccard=0.2, max_bucket_docs=None,
-        shingle_hash_fn=h32, perm_params=(_MH_P, _MH_AB),
-        band_hash_fn=band60,
+        shingle_hash_fn=_mh_h32, perm_params=(_MH_P, _MH_AB),
+        band_hash_fn=_mh_band60,
     ).orderBy("id_a", "id_b")
+
+
+@query(
+    "x171_neardup_index_update",
+    "X-dedup",
+    oracle=f"""
+    WITH all_pairs AS ({{x03}}
+    )
+    SELECT id_a, id_b, est_jaccard,
+           CASE WHEN id_a % 7 = 0 AND id_b % 7 = 0 THEN 'batch_batch'
+                ELSE 'batch_corpus' END AS pair_type
+    FROM all_pairs
+    WHERE id_a % 7 = 0 OR id_b % 7 = 0
+    """.replace("{x03}", _x03_oracle()),
+)
+def x171_neardup_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup detection against a PERSISTED signature
+    store — x44's daily-ingest shape lifted from exact digests to
+    MinHash-LSH (the LSM maintenance gap in the near-dup family: x62
+    updates the BM25 index, x153 the ANN cells; this updates the band
+    store). The corpus partition's banded signatures (minhash_bands,
+    x03's cross-engine config) are built ONCE into a corpus-keyed
+    stage; an arriving batch (doc_id % 7 = 0) computes ONLY ITS OWN
+    signatures (cost scales with the batch, never the corpus), probes
+    the store with a band equi-join for batch-vs-corpus candidates,
+    enumerates batch-internal candidates with the usual bounded bucket
+    explode, verifies both with the estimated-Jaccard filter, and
+    appends its bands to the store (at 100 TB: partitioned by
+    band_idx/bucketed by band_key so the probe join is co-located and
+    the append touches only new files). The oracle replays x03's full
+    pipeline over the WHOLE corpus and keeps pairs with >= 1 batch
+    side — proving the incremental path finds exactly what the batch
+    rebuild would, including estimate values."""
+    import hashlib as _hl
+
+    batch_mod = 7
+    d = table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % batch_mod != 0)
+    batch = d.filter(F.col("doc_id") % batch_mod == 0)
+    cfg = dict(
+        n=3, num_hashes=32, bands=_MH_BANDS,
+        shingle_hash_fn=_mh_h32, perm_params=(_MH_P, _MH_AB),
+        band_hash_fn=_mh_band60,
+    )
+    from gwasdb_spark.plans.mining_ops import _corpus_fingerprint
+
+    store_path = stage_dir(
+        "neardup_store_"
+        + _hl.md5(sf_dir.encode()).hexdigest()[:12]
+        + "_" + _corpus_fingerprint(sf_dir)
+    )
+    if not os.path.isdir(store_path):
+        DD.minhash_bands(corpus, "doc_id", "text", **cfg).write.parquet(
+            store_path
+        )
+    store = spark.read.parquet(store_path)
+    bb = DD.minhash_bands(batch, "doc_id", "text", **cfg).localCheckpoint(
+        eager=False
+    )  # signatures computed once, probed twice (cross + within)
+
+    cross = (
+        bb.select(
+            F.col("doc").alias("b_doc"),
+            F.col("signature").alias("b_sig"),
+            "band_idx",
+            "band_key",
+        )
+        .join(store, ["band_idx", "band_key"])
+        .filter(F.col("doc") != F.col("b_doc"))
+        .select(
+            F.least("b_doc", "doc").alias("id_a"),
+            F.greatest("b_doc", "doc").alias("id_b"),
+            DD.est_jaccard(F.col("b_sig"), F.col("signature"), 32).alias(
+                "est_jaccard"
+            ),
+        )
+    )
+    within = DD._bucket_pairs(
+        bb, payload=["signature"], max_bucket_docs=None
+    ).select(
+        F.col("a.doc").alias("id_a"),
+        F.col("b.doc").alias("id_b"),
+        DD.est_jaccard(
+            F.col("a.signature"), F.col("b.signature"), 32
+        ).alias("est_jaccard"),
+    )
+    return (
+        cross.unionByName(within)
+        .filter(F.col("est_jaccard") >= 0.2)
+        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            "est_jaccard",
+            F.when(
+                (F.col("id_a") % batch_mod == 0)
+                & (F.col("id_b") % batch_mod == 0),
+                F.lit("batch_batch"),
+            )
+            .otherwise(F.lit("batch_corpus"))
+            .alias("pair_type"),
+        )
+        .orderBy("id_a", "id_b")
+    )
 
 
 @query(
