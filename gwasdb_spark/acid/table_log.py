@@ -769,6 +769,7 @@ class AcidTable:
         keys: list[str],
         op_col: str = "_op",
         sequence_by: str | None = None,
+        op: str | None = None,
     ) -> int:
         """CDC apply — the consumer side of a change feed (Delta's
         APPLY CHANGES pattern): `changes` carries the target columns
@@ -839,7 +840,7 @@ class AcidTable:
             return merge_upsert(df.join(dels, keys, "left_anti"), ups, keys)
 
         return self._rewrite_pruned(
-            "apply_changes",
+            op or "apply_changes",
             touched_of,
             transform,
             transform_empty_when_unmatched=True,

@@ -5920,3 +5920,149 @@ def m12_acid_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@query(
+    "st21_stream_cdc_sequenced",
+    "X-stream,X-dml",
+    oracle="""
+    WITH final AS (
+      SELECT k,
+             CASE
+               WHEN k >= 200 THEN CAST(k AS DOUBLE)
+               WHEN k % 5 = 0 THEN CAST(k*100 + (k%4)*10 + 1 AS DOUBLE)
+               ELSE CAST(k*100 + (k%4)*10 AS DOUBLE)
+             END AS v
+      FROM range(0, 220) t(k)
+      WHERE k >= 200 OR k % 3 <> 0 OR k % 5 = 0
+    )
+    SELECT CAST(k AS BIGINT) AS k, v,
+           CAST(4 AS BIGINT) AS n_apply_commits
+    FROM final
+    """,
+)
+def st21_stream_cdc_sequenced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC consumer with SEQUENCE BY and exactly-once apply —
+    st20's idempotent-sink discipline composed with m10's APPLY CHANGES
+    and the round-11 sequencing semantics, end to end under Structured
+    Streaming: a 4-file change feed (one batch per file,
+    maxFilesPerTrigger=1) carries MULTIPLE ops per key per batch
+    (every key gets a U at seq .0; keys %3==0 also a D at seq .1; keys
+    %5==0 also a second U at seq .1 — so %15==0 keys exercise the
+    exact-tie op-desc tiebreak), and foreachBatch applies each batch
+    via AcidTable.apply_changes(sequence_by='seq') stamped with the
+    batch id in the committed op string. The stream then runs a SECOND
+    time under a fresh checkpoint — full redelivery — and the history
+    check skips every already-applied batch, so the version count and
+    the replica bytes are unchanged (exactly-once on top of
+    at-least-once delivery, Delta's txn pattern). Batches touch
+    disjoint keys (k%4==b), so the adjudicated final state is
+    deterministic whatever order the file source lists the feed. The
+    oracle derives the replica from the feed-generation algebra: a
+    wrong tiebreak, a double-applied batch, or a delete-before-upsert
+    ordering bug each lands on different rows."""
+    import shutil as _sh
+    import tempfile as _tf
+    import glob as _glob
+    import hashlib as _hl
+
+    from gwasdb_spark.acid import AcidTable
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:12]
+    base = stage_dir(f"st21_cdc_{tag}")
+    feed = os.path.join(base, "feed")
+    tbl = os.path.join(base, "table")
+
+    if not os.path.isdir(feed):
+        os.makedirs(feed, exist_ok=True)
+        ks = spark.range(0, 200).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 4).cast("int").alias("b"),
+        )
+        u0 = ks.select(
+            "k",
+            (F.col("k") * 100 + F.col("b") * 10).cast("double").alias("v"),
+            F.lit("U").alias("_op"),
+            (F.col("b") * 10).cast("int").alias("seq"),
+            "b",
+        )
+        d1 = ks.filter(F.col("k") % 3 == 0).select(
+            "k",
+            F.lit(None).cast("double").alias("v"),
+            F.lit("D").alias("_op"),
+            (F.col("b") * 10 + 1).cast("int").alias("seq"),
+            "b",
+        )
+        u1 = ks.filter(F.col("k") % 5 == 0).select(
+            "k",
+            (F.col("k") * 100 + F.col("b") * 10 + 1)
+            .cast("double")
+            .alias("v"),
+            F.lit("U").alias("_op"),
+            (F.col("b") * 10 + 1).cast("int").alias("seq"),
+            "b",
+        )
+        allrows = u0.unionByName(d1).unionByName(u1)
+        for b in range(4):
+            tmp = _tf.mkdtemp(prefix="st21_feed_")
+            allrows.filter(F.col("b") == b).repartition(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            _sh.move(part, os.path.join(feed, f"chg_{b}.parquet"))
+            _sh.rmtree(tmp, ignore_errors=True)
+
+    t = AcidTable(spark, tbl)
+    if t.latest_version() < 0:
+        t = AcidTable.create(
+            spark,
+            tbl,
+            spark.range(0, 220).select(
+                F.col("id").alias("k"),
+                F.col("id").cast("double").alias("v"),
+            ),
+        )
+
+    schema = spark.read.parquet(feed).schema
+
+    def apply_batch(bdf, _bid):
+        tt = AcidTable(spark, tbl)
+        bids = sorted(
+            r["b"] for r in bdf.select("b").distinct().collect()
+        )  # 1 per micro-batch by construction (maxFilesPerTrigger=1)
+        # pruned rewrites commit as "<op>(pruned k/n)" — match on the
+        # batch-id PREFIX, exactly like st20 matches "append(batch "
+        done = [h["op"] for h in tt.history()]
+        for b in bids:
+            opname = f"apply_changes(batch {b})"
+            if any(o.startswith(opname) for o in done):
+                continue  # redelivered batch: exactly-once skip
+            tt.apply_changes(
+                bdf.filter(F.col("b") == b).drop("b"),
+                keys=["k"],
+                sequence_by="seq",
+                op=opname,
+            )
+
+    for _run in range(2):  # run 2: full redelivery under a fresh ckpt
+        ckpt = _tf.mkdtemp(prefix="st21_ckpt_")
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _sh.rmtree(ckpt, ignore_errors=True)
+
+    n_commits = sum(
+        1
+        for h in t.history()
+        if h["op"].startswith("apply_changes(batch ")
+    )
+    return t.read().select(
+        "k", "v", F.lit(n_commits).cast("long").alias("n_apply_commits")
+    ).orderBy("k")
