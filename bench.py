@@ -293,6 +293,7 @@ HEADLINE = [
     "x170_simhash_hamming_serve",
     "m12_acid_column_mapping",
     "x171_neardup_index_update",
+    "x172_neardup_index_delete",
     # st19 (watermark late-data) is correctness-gated, not benched: its
     # bounded 3-micro-batch replay measures per-batch state-store commit
     # overhead, the st07/st08/st13/st18 exclusion rationale.

@@ -51,6 +51,7 @@ _PRIORITY = [
     "m12_acid_column_mapping",  # new r11: RENAME/DROP COLUMN surface
     "x171_neardup_index_update",  # new r11: incremental near-dup store
     "st21_stream_cdc_sequenced",  # new r11: streaming CDC + SEQUENCE BY
+    "x172_neardup_index_delete",  # new r11: band-store takedown deletes
     # --- r03-latest backfills (no driver row since r03) ---
     "q08_market_share",
     "q10_returned_items",

@@ -172,7 +172,7 @@ def _mh_band60(rows):
     ).cast("long")
 
 
-def _x03_oracle() -> str:
+def _x03_oracle(doc_where: str = "") -> str:
     mins = ",\n             ".join(
         f"MIN(({a} * h + {b}) % {_MH_P}) AS m{i}"
         for i, (a, b) in enumerate(_MH_AB)
@@ -189,6 +189,7 @@ def _x03_oracle() -> str:
     eq_sum = " + ".join(
         f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)" for i in range(32)
     )
+    doc_where = (" WHERE " + doc_where) if doc_where else ""
     return f"""
     WITH sh AS (
       SELECT doc_id,
@@ -196,7 +197,7 @@ def _x03_oracle() -> str:
                range(1, greatest(len(w) - 2, 0) + 1),
                i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS gram
       FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
-            FROM documents)
+            FROM documents{doc_where})
     ),
     h AS (
       SELECT doc_id, CAST('0x' || substr(md5(gram), 1, 8) AS BIGINT) AS h
@@ -306,6 +307,30 @@ def x171_neardup_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=False
     )  # signatures computed once, probed twice (cross + within)
 
+    return (
+        _neardup_probe(bb, store)
+        .select(
+            "id_a",
+            "id_b",
+            "est_jaccard",
+            F.when(
+                (F.col("id_a") % batch_mod == 0)
+                & (F.col("id_b") % batch_mod == 0),
+                F.lit("batch_batch"),
+            )
+            .otherwise(F.lit("batch_corpus"))
+            .alias("pair_type"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _neardup_probe(bb: DataFrame, store: DataFrame) -> DataFrame:
+    """Verified near-dup pairs for a batch's banded signatures `bb`
+    against a persisted band store + within the batch itself: band
+    equi-join for cross candidates, bounded bucket explode for internal
+    ones, estimated-Jaccard >= 0.2 verify, (id_a < id_b) dedup. Shared
+    by x171 (store update) and x172 (store delete)."""
     cross = (
         bb.select(
             F.col("doc").alias("b_doc"),
@@ -336,20 +361,97 @@ def x171_neardup_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         cross.unionByName(within)
         .filter(F.col("est_jaccard") >= 0.2)
         .dropDuplicates(["id_a", "id_b"])
-        .select(
-            "id_a",
-            "id_b",
-            "est_jaccard",
-            F.when(
-                (F.col("id_a") % batch_mod == 0)
-                & (F.col("id_b") % batch_mod == 0),
-                F.lit("batch_batch"),
-            )
-            .otherwise(F.lit("batch_corpus"))
-            .alias("pair_type"),
-        )
-        .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "x172_neardup_index_delete",
+    "X-dedup,X-dml",
+    oracle=f"""
+    WITH all_pairs AS ({{x03}}
+    ),
+    bp AS (
+      SELECT id_a, id_b, est_jaccard FROM all_pairs
+      WHERE id_a % 7 = 0 OR id_b % 7 = 0
+    )
+    SELECT p.path, bp.id_a, bp.id_b, bp.est_jaccard
+    FROM bp CROSS JOIN (
+      VALUES ('tombstoned'), ('compacted'), ('rebuilt')
+    ) p(path)
+    """.replace(
+        "{x03}",
+        _x03_oracle("NOT (doc_id % 7 <> 0 AND doc_id % 17 = 3)"),
+    ),
+)
+def x172_neardup_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Takedown deletes for the persisted near-dup band store — the
+    delete-maintenance symmetry the other two index families already
+    have (BM25 x163, ANN cells x157), closing the matrix for minhash.
+    Victims (corpus docs with doc_id % 17 = 3) land as an LSM tombstone
+    relation: the serve path anti-joins them at probe time (O(batch)
+    takedown — no store IO), and compaction folds them into a rewritten
+    store (at 100 TB the store is partitioned by band_idx and bucketed
+    by band_key, so only victim-holding buckets rewrite — x163's
+    discipline). The driver row probes THREE stores with the same batch
+    — tombstoned, compacted, and rebuilt-from-surviving-corpus — and
+    the oracle (x03's replay over documents-minus-victims, batch-
+    touching pairs, one copy per path label) forces all three to agree
+    exactly: a tombstone leak, a compaction that drops a survivor's
+    bands, or a stale-signature bug each breaks a different label."""
+    import hashlib as _hl
+
+    batch_mod = 7
+    d = table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % batch_mod != 0)
+    batch = d.filter(F.col("doc_id") % batch_mod == 0)
+    victims = corpus.filter(F.col("doc_id") % 17 == 3).select(
+        F.col("doc_id").alias("doc")
+    )
+    live_corpus = corpus.join(
+        victims.select(F.col("doc").alias("doc_id")), "doc_id", "left_anti"
+    )
+    cfg = dict(
+        n=3, num_hashes=32, bands=_MH_BANDS,
+        shingle_hash_fn=_mh_h32, perm_params=(_MH_P, _MH_AB),
+        band_hash_fn=_mh_band60,
+    )
+    from gwasdb_spark.plans.mining_ops import _corpus_fingerprint
+
+    tag = (
+        _hl.md5(sf_dir.encode()).hexdigest()[:12]
+        + "_" + _corpus_fingerprint(sf_dir)
+    )
+    store_path = stage_dir(f"neardup_delstore_{tag}")
+    tomb_path = stage_dir(f"neardup_tomb_{tag}")
+    compact_path = stage_dir(f"neardup_delstore_compact_{tag}")
+    if not os.path.isdir(store_path):
+        DD.minhash_bands(corpus, "doc_id", "text", **cfg).write.parquet(
+            store_path
+        )
+    if not os.path.isdir(tomb_path):  # the takedown batch: O(victims) IO
+        victims.write.parquet(tomb_path)
+    store = spark.read.parquet(store_path)
+    tomb = spark.read.parquet(tomb_path)
+    if not os.path.isdir(compact_path):  # compaction folds tombstones in
+        store.join(F.broadcast(tomb), "doc", "left_anti").write.parquet(
+            compact_path
+        )
+
+    bb = DD.minhash_bands(batch, "doc_id", "text", **cfg).localCheckpoint(
+        eager=False
+    )  # one signature pass, probed against all three stores
+    paths = [
+        ("tombstoned", store.join(F.broadcast(tomb), "doc", "left_anti")),
+        ("compacted", spark.read.parquet(compact_path)),
+        ("rebuilt", DD.minhash_bands(live_corpus, "doc_id", "text", **cfg)),
+    ]
+    out = None
+    for label, st in paths:
+        part = _neardup_probe(bb, st).select(
+            F.lit(label).alias("path"), "id_a", "id_b", "est_jaccard"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.orderBy("path", "id_a", "id_b")
 
 
 @query(
