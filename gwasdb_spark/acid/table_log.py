@@ -928,8 +928,13 @@ class AcidTable:
         or carrying a bloom sidecar cannot be renamed/dropped (the
         constraint text and the sidecar key would silently go stale —
         Delta refuses the same way until constraints are dropped)."""
+        import re
+
         for name, expr in (m.get("checks") or {}).items():
-            if col in expr:
+            # identifier-boundary match, not raw substring — a column
+            # `v` must not be refused because some OTHER identifier in
+            # the expression contains a `v` (ADVICE r11)
+            if re.search(rf"\b{re.escape(col)}\b", expr):
                 raise ValueError(
                     f"cannot {verb} {col!r}: referenced by CHECK "
                     f"{name!r} ({expr}) — drop the constraint first"
@@ -964,7 +969,12 @@ class AcidTable:
             if new in names:
                 raise ValueError(f"column {new!r} already exists")
             cmap = dict(m.get("column_map") or {})
-            if new in cmap.values():
+            if new in cmap.values() and cmap.get(old) != new:
+                # the renamed column's OWN physical is not a collision —
+                # rename(a->b) then rename(b->a) lands back on the
+                # physical name and the map entry below simply drops
+                # (ADVICE r11: the guard used to fire before the
+                # column's own entry was popped)
                 raise ValueError(
                     f"{new!r} collides with a physical file column of a "
                     "previously renamed field"

@@ -307,6 +307,40 @@ def cell_occupancy(spark: SparkSession, base: str) -> dict:
     return {int(r["cell"]): int(r["count"]) for r in rows}
 
 
+_RETRAIN_RELS = ("index", "manifest", "codebook")
+
+
+def _retrain_tmp(base: str) -> str:
+    return os.path.join(base, "_retrain.tmp")
+
+
+def recover_codebook_index(base: str) -> None:
+    """Adopt or discard `_retrain.tmp` left by a retrain that crashed
+    (the compact_text_index/recover_text_index discipline applied to the
+    vector index — ADVICE r11): a tmp tree carrying the `_COMMITTED`
+    marker had fully written all three relations before any swap began,
+    so finishing the swap-in is safe; a tmp tree WITHOUT the marker is an
+    incomplete build and the live relations are untouched — reap it. A
+    leftover `<rel>.old` beside a live `<rel>` is the post-swap crash
+    window, plain garbage. Idempotent and cheap; retrain runs it first."""
+    import shutil
+
+    tmp_base = _retrain_tmp(base)
+    committed = os.path.exists(os.path.join(tmp_base, "_COMMITTED"))
+    for rel in _RETRAIN_RELS:
+        live, old, tmp = (
+            os.path.join(base, rel),
+            os.path.join(base, rel + ".old"),
+            os.path.join(tmp_base, rel),
+        )
+        if committed and not os.path.exists(live) and os.path.exists(tmp):
+            os.rename(tmp, live)
+        if os.path.exists(live) and os.path.exists(old):
+            shutil.rmtree(old)
+    if os.path.isdir(tmp_base):
+        shutil.rmtree(tmp_base)
+
+
 def retrain_codebook_index(
     spark: SparkSession,
     base: str,
@@ -323,7 +357,20 @@ def retrain_codebook_index(
     delete/upsert. The serve path is unchanged code — it just reads a
     codebook that fits the current distribution again. Returns
     occupancy skew (max/mean over non-empty cells) before and after so
-    callers can log the recovery."""
+    callers can log the recovery.
+
+    Crash safety (ADVICE r11): the new layout is built into
+    `<base>/_retrain.tmp/{index,manifest,codebook}`, a `_COMMITTED`
+    marker is written once all three are complete, and only then are the
+    live dirs swapped via rename-aside (rename live → `.old`, rename tmp
+    in, reap `.old`). The live index is never deleted before its full
+    replacement exists on disk; any crash window leaves a state
+    `recover_codebook_index` repairs — the previous rmtree-before-build
+    ordering could strand the index with nothing but an in-memory
+    localCheckpoint."""
+    import shutil
+
+    recover_codebook_index(base)
     occ_before = cell_occupancy(spark, base)
     book_cells = max(1, len(load_codebook(spark, base)))
 
@@ -335,24 +382,34 @@ def retrain_codebook_index(
             return 0.0
         return max(occ.values()) / (sum(occ.values()) / cells)
 
-    survivors = read_cell_index(spark, base).select(
-        "vec_id", "embedding"
-    ).localCheckpoint(eager=True)  # the rebuild overwrites its own input
+    survivors = read_cell_index(spark, base).select("vec_id", "embedding")
     if n_cells is None:
         n_cells = max(1, len(load_codebook(spark, base)))
-    import shutil
 
-    # stale partition dirs from the old layout must not survive the
-    # relayout (dynamic overwrite semantics do not apply to a full
-    # partitionBy overwrite, but emptied high-numbered cells would —
-    # remove the old trees outright; the rebuild rewrites everything)
-    for root in (_index_path(base), _manifest_path(base)):
-        if os.path.isdir(root):
-            shutil.rmtree(root)
+    # Build the complete replacement layout aside; the live dirs stay
+    # servable (and remain the build's input — no checkpoint needed,
+    # nothing overwrites what the scan reads) until the commit point.
+    tmp_base = _retrain_tmp(base)
+    if os.path.isdir(tmp_base):
+        shutil.rmtree(tmp_base)  # incomplete leftover; recover() keeps
+        # committed ones, so anything still here is pre-commit garbage
     stats = build_codebook_index(
-        survivors, base, n_cells=n_cells, seed=seed,
+        survivors, tmp_base, n_cells=n_cells, seed=seed,
         train_fraction=train_fraction,
     )
+    with open(os.path.join(tmp_base, "_COMMITTED"), "w") as fh:
+        fh.write("retrain complete; swap may proceed\n")
+
+    # Swap: stale partition dirs from the old layout must not survive
+    # (emptied high-numbered cells would under an in-place overwrite),
+    # which the whole-dir rename gives us for free.
+    for rel in _RETRAIN_RELS:
+        live = os.path.join(base, rel)
+        old = live + ".old"
+        os.rename(live, old)
+        os.rename(os.path.join(tmp_base, rel), live)
+        shutil.rmtree(old)
+    shutil.rmtree(tmp_base)
     occ_after = cell_occupancy(spark, base)
     return {
         "n_cells": stats["n_cells"],

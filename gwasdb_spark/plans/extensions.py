@@ -298,14 +298,32 @@ def x171_neardup_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         + _hl.md5(sf_dir.encode()).hexdigest()[:12]
         + "_" + _corpus_fingerprint(sf_dir)
     )
-    if not os.path.isdir(store_path):
+    corpus_store = os.path.join(store_path, "corpus")
+    batch_store = os.path.join(store_path, "batches")
+    if not os.path.isdir(corpus_store):
         DD.minhash_bands(corpus, "doc_id", "text", **cfg).write.parquet(
-            store_path
+            corpus_store
         )
-    store = spark.read.parquet(store_path)
+    store = spark.read.parquet(corpus_store)
+    if os.path.isdir(batch_store):
+        # warm re-run: this batch's bands were already appended — the
+        # cross probe then also surfaces batch-batch pairs, which the
+        # (id_a,id_b) dedup in _neardup_probe collapses onto the
+        # `within` copies, so the result set is unchanged
+        store = store.unionByName(spark.read.parquet(batch_store))
     bb = DD.minhash_bands(batch, "doc_id", "text", **cfg).localCheckpoint(
-        eager=False
-    )  # signatures computed once, probed twice (cross + within)
+        eager=True
+    )  # computed once, probed twice (cross + within) AND appended
+
+    # the maintenance half of the contract: after probing, the batch's
+    # bands join the store so the NEXT incremental batch sees this one
+    # (marker-guarded for idempotent warm re-runs; at 100 TB this is an
+    # append of new band_idx-partitioned files only — no store rewrite)
+    marker = os.path.join(store_path, f"_batch_mod{batch_mod}_applied")
+    if not os.path.exists(marker):
+        bb.write.mode("append").parquet(batch_store)
+        with open(marker, "w") as fh:
+            fh.write("batch bands appended\n")
 
     return (
         _neardup_probe(bb, store)
