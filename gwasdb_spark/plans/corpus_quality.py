@@ -988,3 +988,281 @@ def x106_score_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame
             9,
         ).alias("pct_rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# c05: end-to-end takedown pipeline (GDPR / right-to-be-forgotten composite)
+# ---------------------------------------------------------------------------
+def _c05_stage(sf_dir: str) -> str:
+    import hashlib as _hl
+
+    from gwasdb_spark.plans.helpers import stage_dir
+    from gwasdb_spark.plans.mining_ops import _corpus_fingerprint
+
+    return stage_dir(
+        "c05_takedown_"
+        + _hl.md5(sf_dir.encode()).hexdigest()[:12]
+        + "_" + _corpus_fingerprint(sf_dir)
+    )
+
+
+def c05_reset_stage(sf_dir: str) -> None:
+    """Drop c05's staged stores (bench resets outside the timed span —
+    the m03..m07 discipline)."""
+    import shutil as _sh
+
+    _sh.rmtree(_c05_stage(sf_dir), ignore_errors=True)
+
+
+@query(
+    "c05_takedown_pipeline",
+    "C-composite,X-dml,X-serve",
+    oracle=r"""
+    WITH ntok AS (
+      SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS nw
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id AS doc,
+             unnest(string_split_regex(lower(trim(text)), '[^a-z0-9]+'))
+               AS term
+      FROM documents
+    ),
+    postings0 AS (
+      SELECT doc, term FROM toks WHERE term <> '' GROUP BY 1, 2
+    ),
+    audit AS (
+      SELECT 'acid_rows' AS store, 0 AS victim_hits,
+             (SELECT COUNT(*) FROM documents WHERE doc_id % 13 <> 5)
+               AS survivor_units
+      UNION ALL
+      SELECT 'ann_cells', 0,
+             (SELECT COUNT(*) FROM embeddings WHERE vec_id % 13 <> 5)
+      UNION ALL
+      SELECT 'ann_serve', 0,
+             LEAST(3, (SELECT COUNT(*) FROM embeddings
+                       WHERE vec_id % 13 = 5))
+             * LEAST(10, (SELECT COUNT(*) FROM embeddings
+                          WHERE vec_id % 13 <> 5))
+      UNION ALL
+      SELECT 'bm25_postings', 0,
+             (SELECT COUNT(DISTINCT doc) FROM postings0 WHERE doc % 13 <> 5)
+      UNION ALL
+      SELECT 'bm25_serve', 0,
+             LEAST(10, (SELECT COUNT(DISTINCT doc) FROM postings0
+                        WHERE doc % 13 <> 5
+                          AND term IN ('hash', 'join', 'vector')))
+      UNION ALL
+      SELECT 'minhash_bands', 0,
+             (SELECT COUNT(*) FROM ntok WHERE doc_id % 13 <> 5 AND nw >= 3)
+      UNION ALL
+      SELECT 'neardup_serve', 0,
+             8 * (SELECT COUNT(*) FROM ntok
+                  WHERE doc_id % 13 = 6 AND nw >= 3)
+    )
+    SELECT store, CAST(victim_hits AS BIGINT) AS victim_hits,
+           CAST(survivor_units AS BIGINT) AS survivor_units
+    FROM audit ORDER BY store
+    """,
+)
+def c05_takedown_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end takedown across EVERY maintained store in one audited
+    plan — the GDPR / right-to-be-forgotten operation a real corpus
+    operator runs (r11 verdict #2; reference analog: the QC tombstone
+    flow, R/wrangle_data.Rmd:376-381 `no_gwas_result`). One victim list
+    (doc_id % 13 = 5, and the matching vec_ids on the embeddings side)
+    is deleted from all four persisted stores the engine maintains:
+
+      1. corpus rows   — AcidTable bloom-pruned DELETE (m06 machinery)
+      2. BM25 postings — tombstone + compaction (x163 machinery)
+      3. ANN cells     — manifest-targeted partition rewrite (x157)
+      4. minhash bands — band-store anti-join compaction (x172)
+
+    and then SEVEN audit aggregates run in one returned plan: per-store
+    victim row counts (the oracle pins all of them to literal 0 — any
+    store that leaks a victim row breaks the hash) plus three
+    serve-path leakage probes: BM25 top-10 over fixed terms, an
+    exhaustive ANN compliance scan that queries WITH the victims' own
+    vectors (the adversarial probe — a deleted person's embedding must
+    not retrieve their own row; deliberately all-cells, a scheduled
+    O(index) compliance scan, not the nprobe serve path), and a minhash
+    self-match probe (victims' bands must match nothing; a control set
+    of surviving docs must self-match exactly bands-per-doc, proving
+    the probe machinery is live, not vacuously empty). survivor_units
+    pin the surviving populations so a store that over-deletes fails
+    the same hash. Warm-idempotent: AcidTable ops are version-gated,
+    index deletes are replay-no-ops, band compaction is build-once.
+
+    At 100 TB each deletion is the touched-only maintenance op its
+    family already proved (bloom-pruned groups / tombstone append /
+    manifest-targeted cells / victim-holding band buckets); the audits
+    are one pass per store with map-side conditional sums — no joins,
+    no shuffles beyond each store's own scan."""
+    import os
+
+    from pyspark.sql.window import Window
+
+    from gwasdb_spark.acid import AcidTable
+    from gwasdb_spark.acid import predicates as P
+    from gwasdb_spark.functions.vectors import cosine
+    from gwasdb_spark.operators import dedup as DD
+    from gwasdb_spark.operators.ann_index import (
+        build_cell_index,
+        delete_from_cell_index,
+        read_cell_index,
+    )
+    from gwasdb_spark.operators.search import (
+        bm25_topk_indexed,
+        build_text_index,
+        compact_text_index,
+        delete_from_text_index,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+    vic = lambda c: (c % 13) == 5  # noqa: E731 — the victim predicate
+    victims = d.filter(vic(F.col("doc_id"))).select("doc_id")
+    # the takedown batch is a bounded driver list by contract (same as
+    # x157's absorb path) — O(victims), never O(corpus)
+    victim_ids = sorted(r["doc_id"] for r in victims.collect())
+
+    base = _c05_stage(sf_dir)
+
+    # -- store 1: corpus rows in the ACID table (bloom on the id) -----
+    acid_path = os.path.join(base, "acid")
+    t = AcidTable(spark, acid_path)
+    if t.latest_version() < 0:
+        t = AcidTable.create(
+            spark, acid_path, d.filter(F.col("doc_id") % 3 == 0),
+            bloom_cols=["doc_id"],
+        )
+    if t.latest_version() == 0:
+        t.append(d.filter(F.col("doc_id") % 3 == 1))
+    if t.latest_version() == 1:
+        t.append(d.filter(F.col("doc_id") % 3 == 2))
+    if t.latest_version() == 2:
+        t.delete_where(P.IsIn("doc_id", victim_ids))
+    acid_df = t.read()
+
+    # -- store 2: BM25 inverted index (tombstone, then physical) ------
+    idx = os.path.join(base, "bm25")
+    if not os.path.isdir(os.path.join(idx, "consts")):
+        build_text_index(d, idx)
+    delete_from_text_index(victims, idx)  # replay-no-op when compacted
+    compact_text_index(spark, idx)
+    postings = spark.read.parquet(os.path.join(idx, "postings"))
+    doclen = spark.read.parquet(os.path.join(idx, "doclen"))
+
+    # -- store 3: ANN cell index ---------------------------------------
+    annb = os.path.join(base, "ann")
+    if not os.path.isdir(os.path.join(annb, "index")):
+        build_cell_index(e.select("vec_id", "embedding"), annb)
+    delete_from_cell_index(
+        spark, annb, e.filter(vic(F.col("vec_id"))).select("vec_id")
+    )
+    ann_index = read_cell_index(spark, annb)
+    ann_manifest = spark.read.parquet(os.path.join(annb, "manifest"))
+
+    # -- store 4: minhash band store (compaction folds victims out) ---
+    bands_full = os.path.join(base, "bands_full")
+    bands_live = os.path.join(base, "bands_live")
+    if not os.path.isdir(bands_full):
+        DD.minhash_bands(d, "doc_id", "text").write.parquet(bands_full)
+    if not os.path.isdir(bands_live):
+        spark.read.parquet(bands_full).join(
+            F.broadcast(victims.select(F.col("doc_id").alias("doc"))),
+            "doc", "left_anti",
+        ).write.parquet(bands_live)
+    band_store = spark.read.parquet(bands_live)
+
+    # -- audits: one conditional-sum pass per store --------------------
+    def _vic_sum(c):
+        return (
+            F.coalesce(F.sum(F.when(vic(c), 1).otherwise(0)), F.lit(0))
+            .cast("long")
+            .alias("victim_hits")
+        )
+
+    def _row(label, agg_df):
+        return agg_df.select(
+            F.lit(label).alias("store"), "victim_hits", "survivor_units"
+        )
+
+    rows = [
+        _row("acid_rows", acid_df.agg(
+            _vic_sum(F.col("doc_id")),
+            F.count(F.lit(1)).cast("long").alias("survivor_units"),
+        )),
+        _row("bm25_postings", postings.select("doc")
+             .unionByName(doclen.select("doc"))
+             .agg(_vic_sum(F.col("doc")))
+             .crossJoin(doclen.agg(
+                 F.count_distinct("doc").cast("long")
+                 .alias("survivor_units")))),
+        _row("ann_cells", ann_index.select("vec_id")
+             .unionByName(ann_manifest.select("vec_id"))
+             .agg(_vic_sum(F.col("vec_id")))
+             .crossJoin(ann_index.agg(
+                 F.count(F.lit(1)).cast("long").alias("survivor_units")))),
+        _row("minhash_bands", band_store.agg(
+            _vic_sum(F.col("doc")),
+            F.count_distinct("doc").cast("long").alias("survivor_units"),
+        )),
+    ]
+
+    # serve probe 1: BM25 top-10 must contain no victim
+    serve = bm25_topk_indexed(
+        spark, idx, ["hash", "join", "vector"], "doc_id", k=10
+    )
+    rows.append(_row("bm25_serve", serve.agg(
+        _vic_sum(F.col("doc_id")),
+        F.count(F.lit(1)).cast("long").alias("survivor_units"),
+    )))
+
+    # serve probe 2: exhaustive ANN compliance scan with the victims'
+    # own vectors as queries — deleted embeddings must not surface
+    qv = (
+        e.filter(vic(F.col("vec_id")))
+        .orderBy("vec_id")
+        .limit(3)
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qv"))
+    )
+    scored = ann_index.crossJoin(F.broadcast(qv)).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine(F.col("qv"), F.col("embedding")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    topk = scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= 10
+    )
+    rows.append(_row("ann_serve", topk.agg(
+        _vic_sum(F.col("neighbor_id")),
+        F.count(F.lit(1)).cast("long").alias("survivor_units"),
+    )))
+
+    # serve probe 3: minhash self-match — victims' bands hit nothing,
+    # surviving control docs (doc_id % 13 = 6) self-match exactly once
+    # per band, proving the probe join is live
+    probe_docs = d.filter(
+        vic(F.col("doc_id")) | (F.col("doc_id") % 13 == 6)
+    )
+    pb = DD.minhash_bands(probe_docs, "doc_id", "text").select(
+        F.col("doc").alias("p_doc"), "band_idx", "band_key"
+    )
+    joined = pb.join(band_store, ["band_idx", "band_key"])
+    rows.append(_row("neardup_serve", joined.agg(
+        _vic_sum(F.col("doc")),
+        F.coalesce(
+            F.sum(F.when(F.col("doc") == F.col("p_doc"), 1).otherwise(0)),
+            F.lit(0),
+        ).cast("long").alias("survivor_units"),
+    )))
+
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("store")

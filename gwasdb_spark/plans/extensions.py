@@ -6300,3 +6300,286 @@ def x110_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos_raw", 6).alias("cosine"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x173: one ingest batch, four maintained indexes (r11 verdict #7)
+# ---------------------------------------------------------------------------
+_X173_ANN_SQL = """
+    WITH cells AS (
+      SELECT vec_id, embedding AS e,
+             CAST(list_position(embedding, list_max(embedding)) AS INT)
+               AS cell
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS query_id, e AS qv FROM cells
+      WHERE vec_id BETWEEN 1 AND 5
+    ),
+    dims AS (SELECT CAST(d AS INT) AS cell FROM range(1, 65) t(d)),
+    probes AS (
+      SELECT query_id, cell FROM (
+        SELECT q.query_id, dims.cell,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                 ORDER BY CAST(qv[dims.cell] AS DOUBLE) DESC, dims.cell)
+                 AS dim_rank
+        FROM q CROSS JOIN dims
+      ) WHERE dim_rank <= 4
+    ),
+    cand AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id, q.qv, c.e AS cv
+      FROM probes p
+      JOIN cells c ON c.cell = p.cell
+      JOIN q ON q.query_id = p.query_id
+      WHERE c.vec_id <> p.query_id
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(range(1, 65),
+                  i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(range(1, 65),
+                    i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))))
+               AS cos_raw
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, rank, ROUND(cos_raw, 6) AS cosine
+    FROM (
+      SELECT query_id, neighbor_id, cos_raw,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_raw DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+"""
+
+
+@query(
+    "x173_incremental_ingest",
+    "C-composite,X-dedup,X-sim,X-search",
+    oracle=f"""
+    WITH dd AS (
+      SELECT b.doc_id,
+             CASE WHEN c.content_hash IS NOT NULL THEN 'dup_corpus'
+                  WHEN b.doc_id <> MIN(b.doc_id)
+                       OVER (PARTITION BY b.content_hash) THEN 'dup_batch'
+                  ELSE 'new' END AS status
+      FROM (SELECT doc_id, md5(text) AS content_hash FROM documents
+            WHERE doc_id % 5 = 0) b
+      LEFT JOIN (SELECT DISTINCT md5(text) AS content_hash FROM documents
+                 WHERE doc_id % 5 <> 0) c USING (content_hash)
+    ),
+    nd AS ({_x03_oracle()}
+    ),
+    ann AS ({_X173_ANN_SQL}
+    ),
+    bm AS ({_X12G_FULL_BM25_ORACLE}
+    )
+    SELECT family, k1, k2, v1, v2 FROM (
+      SELECT 'dedup' AS family, doc_id AS k1, status AS k2,
+             CAST(NULL AS DOUBLE) AS v1, CAST(NULL AS DOUBLE) AS v2 FROM dd
+      UNION ALL
+      SELECT 'neardup', id_a, CAST(id_b AS VARCHAR), est_jaccard,
+             CAST(NULL AS DOUBLE)
+      FROM nd WHERE id_a % 5 = 0 OR id_b % 5 = 0
+      UNION ALL
+      SELECT 'ann', query_id, CAST(neighbor_id AS VARCHAR),
+             CAST(rank AS DOUBLE), cosine FROM ann
+      UNION ALL
+      SELECT 'bm25', doc_id, CAST(NULL AS VARCHAR), CAST(rank AS DOUBLE),
+             score FROM bm
+    ) ORDER BY family, k1, k2
+    """,
+)
+def x173_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE daily ingest batch applied to ALL FOUR maintained store
+    families in one run — the "one ingest, four indexes" shape a
+    production corpus pipeline actually executes nightly (r11 verdict
+    #7), composing the incremental paths each family already proved in
+    isolation:
+
+      1. exact-dup digests — the batch labels against a PERSISTED
+         corpus digest store and appends its new digests (x44's join,
+         x44 rescanned the corpus; here the store is the artifact)
+      2. minhash band store — probe + append (x171's machinery, its
+         cross-engine band config, shared _neardup_probe)
+      3. ANN cells — upsert_cell_index touched-partition absorb (x153),
+         then the x136 probe serves over corpus∪batch
+      4. BM25 postings — update_text_index delta segments (x62), then
+         the x12g serve query over the updated index
+
+    The single oracle replays all four probe paths over the full
+    corpus in SQL (batch ∪ corpus must be indistinguishable from a
+    from-scratch build — the maintenance ≡ rebuild contract), unioned
+    into one generic (family, k1, k2, v1, v2) relation so one hash
+    adjudicates the whole ingest. Every maintenance step is cost ∝
+    batch: digest anti-join append, band append, manifest-targeted
+    cell rewrites, term-sorted delta segments — nothing rereads the
+    corpus, which is the property that makes nightly ingest viable at
+    100 TB. Warm-idempotent: builds are isdir-gated, appends are
+    marker-gated, the ANN upsert replaces its own rows, the BM25
+    update anti-joins into a no-op; probes always read corpus-only
+    stores plus this batch's in-flight signatures, so a replayed run
+    returns the identical relation."""
+    import hashlib as _hl
+
+    import numpy as np
+
+    from gwasdb_spark.functions.vectors import cosine
+    from gwasdb_spark.operators.ann_index import (
+        build_cell_index,
+        read_cell_index,
+        upsert_cell_index,
+    )
+    from gwasdb_spark.operators.search import (
+        bm25_topk_indexed,
+        build_text_index,
+        update_text_index,
+    )
+    from gwasdb_spark.plans.mining_ops import _corpus_fingerprint
+
+    mod = 5
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+    batch_d = d.filter(F.col("doc_id") % mod == 0)
+    corpus_d = d.filter(F.col("doc_id") % mod != 0)
+    batch_e = e.filter(F.col("vec_id") % mod == 0)
+    corpus_e = e.filter(F.col("vec_id") % mod != 0)
+    base = stage_dir(
+        "x173_ingest_"
+        + _hl.md5(sf_dir.encode()).hexdigest()[:12]
+        + "_" + _corpus_fingerprint(sf_dir)
+    )
+    nulld = F.lit(None).cast("double")
+
+    # -- family 1: exact-dup digest store ------------------------------
+    dig_corpus = os.path.join(base, "digests", "corpus")
+    dig_batches = os.path.join(base, "digests", "batches")
+    if not os.path.isdir(dig_corpus):
+        corpus_d.select(F.md5("text").alias("content_hash")).distinct() \
+            .write.parquet(dig_corpus)
+    digests = spark.read.parquet(dig_corpus)
+    bh = batch_d.select("doc_id", F.md5("text").alias("content_hash"))
+    wdd = Window.partitionBy("content_hash")
+    dedup_rows = (
+        bh.join(digests.withColumn("__corpus", F.lit(True)),
+                "content_hash", "left")
+        .withColumn("__minb", F.min("doc_id").over(wdd))
+        .select(
+            F.lit("dedup").alias("family"),
+            F.col("doc_id").alias("k1"),
+            F.when(F.col("__corpus").isNotNull(), F.lit("dup_corpus"))
+            .when(F.col("doc_id") != F.col("__minb"), F.lit("dup_batch"))
+            .otherwise(F.lit("new"))
+            .alias("k2"),
+            nulld.alias("v1"),
+            nulld.alias("v2"),
+        )
+    )
+    marker = os.path.join(base, "digests", "_applied")
+    if not os.path.exists(marker):
+        bh.select("content_hash").distinct().join(
+            digests, "content_hash", "left_anti"
+        ).write.mode("append").parquet(dig_batches)
+        with open(marker, "w") as fh:
+            fh.write("batch digests appended\n")
+
+    # -- family 2: minhash band store (x171 machinery, mod-5 batch) ----
+    cfg = dict(
+        n=3, num_hashes=32, bands=_MH_BANDS,
+        shingle_hash_fn=_mh_h32, perm_params=(_MH_P, _MH_AB),
+        band_hash_fn=_mh_band60,
+    )
+    bands_corpus = os.path.join(base, "bands", "corpus")
+    bands_batches = os.path.join(base, "bands", "batches")
+    if not os.path.isdir(bands_corpus):
+        DD.minhash_bands(corpus_d, "doc_id", "text", **cfg).write.parquet(
+            bands_corpus
+        )
+    band_store = spark.read.parquet(bands_corpus)
+    bb = DD.minhash_bands(batch_d, "doc_id", "text", **cfg).localCheckpoint(
+        eager=True
+    )
+    bmark = os.path.join(base, "bands", "_applied")
+    if not os.path.exists(bmark):
+        bb.write.mode("append").parquet(bands_batches)
+        with open(bmark, "w") as fh:
+            fh.write("batch bands appended\n")
+    neardup_rows = _neardup_probe(bb, band_store).select(
+        F.lit("neardup").alias("family"),
+        F.col("id_a").alias("k1"),
+        F.col("id_b").cast("string").alias("k2"),
+        F.col("est_jaccard").alias("v1"),
+        nulld.alias("v2"),
+    )
+
+    # -- family 3: ANN cell index (x153 upsert, x136 probe) ------------
+    annb = os.path.join(base, "ann")
+    if not os.path.isdir(os.path.join(annb, "index")):
+        build_cell_index(corpus_e.select("vec_id", "embedding"), annb)
+    upsert_cell_index(spark, annb, batch_e.select("vec_id", "embedding"))
+    index = read_cell_index(spark, annb)
+    qrows = (
+        index.filter(F.col("vec_id").between(1, 5))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    probe_rows = []
+    for r in qrows:
+        qv = np.asarray(r["embedding"], dtype=np.float64)
+        top = np.lexsort((np.arange(qv.size), -qv))[:4]
+        for c in top:
+            probe_rows.append(
+                (int(r["vec_id"]),
+                 [float(x) for x in r["embedding"]], int(c) + 1)
+            )
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, qv array<float>, cell int"
+    )
+    probe_cells = sorted({p[2] for p in probe_rows})
+    cand = (
+        index.filter(F.col("cell").isin(probe_cells))
+        .join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    wann = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id")
+    )
+    ann_rows = (
+        cand.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("embedding")).alias("cos_raw"),
+        )
+        .withColumn("rank", F.row_number().over(wann))
+        .filter(F.col("rank") <= 10)
+        .select(
+            F.lit("ann").alias("family"),
+            F.col("query_id").alias("k1"),
+            F.col("neighbor_id").cast("string").alias("k2"),
+            F.col("rank").cast("double").alias("v1"),
+            F.round("cos_raw", 6).alias("v2"),
+        )
+    )
+
+    # -- family 4: BM25 inverted index (x62 update, x12g serve) --------
+    idx = os.path.join(base, "bm25")
+    if not os.path.isdir(os.path.join(idx, "consts")):
+        build_text_index(corpus_d, idx)
+    update_text_index(batch_d, idx)
+    bm_rows = bm25_topk_indexed(
+        spark, idx, ["hash", "join", "vector"], "doc_id", k=10
+    ).select(
+        F.lit("bm25").alias("family"),
+        F.col("doc_id").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.col("rank").cast("double").alias("v1"),
+        F.col("score").alias("v2"),
+    )
+
+    return (
+        dedup_rows.unionByName(neardup_rows)
+        .unionByName(ann_rows)
+        .unionByName(bm_rows)
+        .orderBy("family", "k1", "k2")
+    )
