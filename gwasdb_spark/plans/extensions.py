@@ -2377,31 +2377,76 @@ def st07_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("x13_sketch_aggregates", "A-approx", oracle=None)
+@query(
+    "x13_sketch_aggregates",
+    "A-approx",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+           TRUE AS hll_ok, TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+    FROM events GROUP BY event_type
+    """,
+)
 def x13_sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based aggregates per event type: HyperLogLog++ distinct
     users (approx_count_distinct, rsd=0.01) and approximate value
-    percentiles — the sub-linear-memory path for 100 TB cardinality and
-    quantile questions. Sketch outputs are engine-specific → rows-only;
-    tests/test_sketches.py bounds the error vs exact answers."""
+    percentiles (accuracy 10k) — the sub-linear-memory path for 100 TB
+    cardinality and quantile questions.
+
+    GRADUATED from the no-oracle set in round 12 via the bound-check
+    formulation (r11 verdict #5): sketch ESTIMATES are engine-specific
+    (no DuckDB twin computes the same HLL registers or quantile
+    summary), so the hashed contract is the error-bound predicate
+    itself, per group — `hll_ok` = |est − exact| ≤ max(2, 3σ) with σ =
+    rsd·exact (3-sigma of the advertised 1% rsd), and each `pNN_ok` =
+    the approx percentile lies inside the EXACT ±2%-rank value band
+    around its target (far wider than the sketch's 1/accuracy = 0.01%
+    rank guarantee, tight enough that a broken sketch cannot pass).
+    The oracle pins every flag to literal TRUE plus the exact
+    n_events / n_users anchors, so a degraded sketch (register
+    corruption, summary-merge drift, accuracy regression) breaks the
+    driver hash instead of hiding behind a rows-only check. The exact
+    twins ride the SAME single group-by pass — one shuffle, map-side
+    partials; at 100 TB you would drop the exact columns and keep the
+    sketches, which is the point of the bound being the contract.
+    tests/test_sketches.py additionally pins exact-twin equality for
+    the percentiles below the accuracy threshold and 3-sigma HLL
+    determinism."""
     e = table(spark, sf_dir, "events")
-    return (
-        e.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
-            F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000).alias(
-                "value_pcts"
-            ),
-            F.count(F.lit(1)).alias("n_events"),
-        )
-        .select(
-            "event_type",
-            "approx_users",
-            F.col("value_pcts")[0].alias("p50"),
-            F.col("value_pcts")[1].alias("p95"),
-            F.col("value_pcts")[2].alias("p99"),
-            "n_events",
-        )
+    pcts = F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000)
+    # exact ±2%-rank bands per target percentile (p99's upper clamps
+    # to the max); Spark-exact `percentile` interpolates, the sketch
+    # is nearest-rank — a ±2% rank band absorbs that convention gap
+    # at every SF while staying 200x looser than the sketch's own
+    # rank-error guarantee, i.e. it only trips on real degradation
+    bands = F.expr(
+        "percentile(value, array(0.48D, 0.52D, 0.93D, 0.97D, 0.97D, 1.0D))"
+    )
+    agg = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count_distinct("user_id").cast("long").alias("n_users_exact"),
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        pcts.alias("value_pcts"),
+        bands.alias("bandv"),
+    )
+    hll_err = F.abs(F.col("approx_users") - F.col("n_users_exact"))
+    return agg.select(
+        "event_type",
+        "n_events",
+        "n_users_exact",
+        (hll_err <= F.greatest(
+            F.lit(2.0), F.col("n_users_exact") * 0.03
+        )).alias("hll_ok"),
+        F.col("value_pcts")[0].between(
+            F.col("bandv")[0], F.col("bandv")[1]
+        ).alias("p50_ok"),
+        F.col("value_pcts")[1].between(
+            F.col("bandv")[2], F.col("bandv")[3]
+        ).alias("p95_ok"),
+        F.col("value_pcts")[2].between(
+            F.col("bandv")[4], F.col("bandv")[5]
+        ).alias("p99_ok"),
     )
 
 

@@ -1,8 +1,17 @@
 """Sketch aggregates vs exact answers: HLL++ distinct counts within rsd
-bounds, approximate percentiles within rank tolerance."""
+bounds, approximate percentiles within rank tolerance.
+
+x13 itself now EMITS the bound-check contract (per-group booleans the
+DuckDB oracle pins to TRUE — r11 verdict #5); these tests keep pinning
+the raw sketch outputs underneath it: exact-twin equality for
+percentiles below the accuracy threshold, 3-sigma + determinism for
+HLL, and all-flags-true across every test SF.
+"""
 
 from __future__ import annotations
 
+import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from gwasdb_spark.plans import QUERIES
@@ -10,8 +19,32 @@ from gwasdb_spark.plans import QUERIES
 from tests.conftest import SF_DIR
 
 
+def _raw_sketches(spark, sf_dir):
+    """The sketch estimates x13 computes internally (same expressions,
+    same accuracy knobs), keyed by event_type."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return {
+        r.event_type: r
+        for r in e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+            F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000).alias(
+                "value_pcts"
+            ),
+        )
+        .select(
+            "event_type",
+            "approx_users",
+            F.col("value_pcts")[0].alias("p50"),
+            F.col("value_pcts")[1].alias("p95"),
+            F.col("value_pcts")[2].alias("p99"),
+        )
+        .collect()
+    }
+
+
 def test_sketches_within_error_bounds(spark):
-    approx = {r.event_type: r for r in QUERIES["x13_sketch_aggregates"].fn(spark, SF_DIR).collect()}
+    approx = _raw_sketches(spark, SF_DIR)
     e = spark.read.parquet(f"{SF_DIR}/events.parquet")
     exact = {
         r.event_type: r
@@ -36,10 +69,6 @@ def test_sketches_within_error_bounds(spark):
         assert x.p85 <= a.p95 <= x.vmax, et
 
 
-import numpy as np
-import pytest
-
-
 @pytest.mark.parametrize(
     "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 )
@@ -49,10 +78,7 @@ def test_percentile_approx_exact_twin_below_accuracy(spark, sf_dir):
     group holds fewer than `accuracy` rows (the quantile summary never
     compresses, rank error < 1) — x13's groups at sf0.01 are ~2k rows,
     so its percentile outputs are pinned by EQUALITY, not bands."""
-    approx = {
-        r.event_type: r
-        for r in QUERIES["x13_sketch_aggregates"].fn(spark, sf_dir).collect()
-    }
+    approx = _raw_sketches(spark, sf_dir)
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
     vals = {
         r.event_type: np.sort(
@@ -79,9 +105,8 @@ def test_hll_within_3_sigma_and_deterministic(spark, sf_dir):
     3x-tighter band than the original 5% guard — and be run-to-run
     DETERMINISTIC (the sketch hashes values, no RNG), so the x13 driver
     row cannot flap."""
-    q = QUERIES["x13_sketch_aggregates"]
-    a1 = {r.event_type: r.approx_users for r in q.fn(spark, sf_dir).collect()}
-    a2 = {r.event_type: r.approx_users for r in q.fn(spark, sf_dir).collect()}
+    a1 = {et: r.approx_users for et, r in _raw_sketches(spark, sf_dir).items()}
+    a2 = {et: r.approx_users for et, r in _raw_sketches(spark, sf_dir).items()}
     assert a1 == a2
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
     exact = {
@@ -94,3 +119,19 @@ def test_hll_within_3_sigma_and_deterministic(spark, sf_dir):
         assert abs(got - exact[et]) <= max(1, 0.03 * exact[et]), (
             et, got, exact[et],
         )
+
+
+@pytest.mark.parametrize(
+    "sf_dir",
+    ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"],
+)
+def test_x13_contract_flags_true_at_every_sf(spark, sf_dir):
+    """The adjudicated bound-check contract holds at every test scale —
+    including sf0.1, where groups exceed the percentile accuracy
+    threshold and the sketch genuinely approximates (the regime the
+    ±2%-rank band exists for)."""
+    rows = QUERIES["x13_sketch_aggregates"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.hll_ok and r.p50_ok and r.p95_ok and r.p99_ok, r
+        assert r.n_events >= r.n_users_exact > 0, r
