@@ -294,6 +294,8 @@ HEADLINE = [
     "m12_acid_column_mapping",
     "x171_neardup_index_update",
     "x172_neardup_index_delete",
+    "c05_takedown_pipeline",
+    "x173_incremental_ingest",
     # st19 (watermark late-data) is correctness-gated, not benched: its
     # bounded 3-micro-batch replay measures per-batch state-store commit
     # overhead, the st07/st08/st13/st18 exclusion rationale.
@@ -321,6 +323,9 @@ def _consume(df) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
     from gwasdb_spark.plans import QUERIES
     from gwasdb_spark.session import get_spark
 
@@ -345,27 +350,71 @@ def main() -> None:
     # cross-round diffs can separate plan regressions from load. The
     # job is pure JVM compute over range() — no parquet, no python, no
     # repo code — so its cost can only move with the machine.
-    def _sentinel_once() -> float:
+    # r11 verdict #4: ONE sentinel shape made raw-vs-adjusted medians
+    # disagree by 1.4x purely on sentinel movement — a pure-compute job
+    # over-responds to CPU contention and under-responds to shuffle/IO
+    # pressure, so normalizing EVERY query by it manufactures phantom
+    # regressions in whichever shapes the machine-load delta didn't
+    # touch. The basket times one fixed job per plan shape (pure scan
+    # compute, one shuffle exchange, one partitioned window sort) and
+    # the gate normalizes by the MEDIAN of the per-shape ratios —
+    # a load story all three shapes agree on is real; one shape moving
+    # alone no longer rescales the whole suite.
+    def _basket_jobs() -> dict:
+        return {
+            "scan": lambda: (
+                spark.range(0, 400_000_000, 1, 32)
+                .selectExpr("sum(id * 3 + (id % 7)) AS s")
+                .write.format("noop").mode("overwrite").save()
+            ),
+            "shuffle": lambda: (
+                spark.range(0, 40_000_000, 1, 32)
+                .groupBy((F.col("id") % 65536).alias("k"))
+                .agg(F.sum("id").alias("s"), F.count(F.lit(1)).alias("n"))
+                .write.format("noop").mode("overwrite").save()
+            ),
+            "window": lambda: (
+                spark.range(0, 10_000_000, 1, 32)
+                .select(
+                    "id",
+                    F.sum("id").over(
+                        W.partitionBy(F.col("id") % 4096).orderBy("id")
+                    ).alias("r"),
+                )
+                .write.format("noop").mode("overwrite").save()
+            ),
+        }
+
+    def _time_job(fn) -> float:
         t0 = time.perf_counter()
-        (
-            spark.range(0, 400_000_000, 1, 32)
-            .selectExpr("sum(id * 3 + (id % 7)) AS s")
-            .write.format("noop").mode("overwrite").save()
-        )
+        fn()
         return time.perf_counter() - t0
 
-    _sentinel_once()  # warm
-    sentinel = round(min(_sentinel_once() for _ in range(3)), 3)
+    sentinels: dict[str, float] = {}
+    for shape, job in _basket_jobs().items():
+        _time_job(job)  # warm
+        sentinels[shape] = round(min(_time_job(job) for _ in range(3)), 3)
+    sentinel = sentinels["scan"]  # back-compat scalar: same job as r8-r11
 
     # min-of-3 per query (r5 verdict #6): scheduler/GC/FS noise showed
     # 0.8 s run-to-run swings on identical code; min over 3 runs is the
     # stable estimator of the plan's actual cost. The rule is recorded
     # in the payload so cross-round diffs compare like with like.
-    runs_per_query = 3
+    runs_per_query = int(os.environ.get("SPARK_GRAFT_RUNS", "3"))
+    # Targeted deepening (r11 verdict #3): SPARK_GRAFT_ONLY=a,b,c times
+    # just those headline rows (SPARK_GRAFT_RUNS deepens the min) — the
+    # resulting partial map min-merges into the round's full map via
+    # scripts/bench_merge.py, whose per-query `depth` bookkeeping keeps
+    # the deeper rows honestly labeled.
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    headline = HEADLINE
+    if only:
+        wanted = {n.strip() for n in only.split(",") if n.strip()}
+        headline = [n for n in HEADLINE if n in wanted]
     timings: dict[str, float | None] = {}
     errors: dict[str, str] = {}
     total = 0.0
-    for name in HEADLINE:
+    for name in headline:
         if name not in QUERIES:
             continue
         # Per-query isolation: one broken query costs its row (null timing),
@@ -446,6 +495,10 @@ def main() -> None:
         # depth (a deeper min is optimistically lower; r8 verdict #4)
         "runs_per_query": runs_per_query,
         "sentinel_sec": sentinel,
+        # per-shape load basket (r11 verdict #4); cross-round gates use
+        # the MEDIAN of per-shape ratios when both maps carry this key,
+        # falling back to sentinel_sec for r8-r11 anchors
+        "sentinels": sentinels,
     }
     if errors:
         payload["errors"] = errors

@@ -24,73 +24,29 @@ from gwasdb_spark.plans import mining_ops as _mining_ops  # noqa: F401
 # Registration-order priority.
 #
 # The driver's correctness gate records the FIRST 50 registered queries per
-# round. Round-11 window (r10 verdict #1): queries whose oracle or
-# semantics CHANGED this round seat first — x03's brand-new SQL-replay
-# oracle and x04's r10-graduated oracle get their first driver
-# adjudications; m10 (apply_changes sequencing), g21/g22/x169
-# (decimal(38,0) moments), and x163 (crash-safe compaction) re-attest
-# their changed code paths. New round-11 registrations are inserted next
-# as they land (their only chance at a first adjudication). Then
-# backfills oldest-first: the full r03-latest set (no driver row in 7
-# rounds), then r04-latest rows to fill seat 50 and keep the order
-# deterministic past it (heading the round-12 queue). File order within
-# modules is unchanged; only the registry's iteration order is rebuilt.
+# round. Round-12 window (r11 verdict #1): changed/new rows seat first —
+# x13's brand-new bound-check oracle (graduated this round: the last
+# no-oracle query), the c05 takedown and x173 ingest composites, the
+# x174/x175 graph-ANN spike rows, x171 (its maintenance append is now
+# real code, not just a docstring), x172 (shares the probe helper x171's
+# change touched), and m12 (rename_column's collision guard changed).
+# Then the deterministic backfill queue continues exactly where round
+# 11's seating left off (seats 51+ of the r11 ordering), so every
+# registered query keeps cycling through driver adjudication. File order
+# within modules is unchanged; only the registry's iteration order is
+# rebuilt.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    # --- round-11 window: changed oracles / changed semantics first ---
-    "x03_minhash_lsh_pairs",
-    "x04_simhash_pairs",
-    "m10_cdc_replicate",
-    "g21_ldsc_slope",
-    "g22_coloc_score",
-    "x169_cuped_ab_readout",
-    "x163_bm25_index_delete",
-    # --- new round-11 registrations (inserted here as they land) ---
-    "x140_bpe_learn",   # graduated r11: recursive-CTE learn replay
-    "x150_bpe_apply",   # graduated r11: learn->apply round trip
-    "m12_acid_column_mapping",  # new r11: RENAME/DROP COLUMN surface
-    "x171_neardup_index_update",  # new r11: incremental near-dup store
-    "st21_stream_cdc_sequenced",  # new r11: streaming CDC + SEQUENCE BY
-    "x172_neardup_index_delete",  # new r11: band-store takedown deletes
-    # --- r03-latest backfills (no driver row since r03) ---
-    "q08_market_share",
-    "q10_returned_items",
-    "q12_late_priority",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q19_bracket_revenue",
-    "q22_idle_customers",
-    "s20_jsonl_roundtrip",
-    "x14c_asof_nearest",
-    "x15_value_outliers",
-    "x20_range_join",
-    "x25_repetition_signals",
-    "x26_cap_vocabulary",
-    "x27_length_histogram",
-    "x28_temperature_sample",
-    "x29_dedup_keep_best",
-    "x30_unigram_logprob",
-    "x31_pii_scrub",
-    "x32_hybrid_rrf",
-    "x33_bpe_pair_counts",
-    # --- r04-latest backfills, bench headliners first ---
-    "p08_locus_window",
-    "j08_export_view",
-    "a05_manual_pivot_join",
-    "x11_dedup_clusters",
-    "x05b_ann_lsh_topk",
-    "x05d_ann_ivf_topk",
-    "x05e_ann_pq_topk",
-    "x10b_embedding_neardup_lsh",
-    "w01_topk_per_group",
-    "m01_dml_roundtrip",
-    "s01_full_scan",
-    "a01_count_global",
-    "a02_groupby_count",
-    "a03_distinct",
-    "j01_left_join_multikey",
-    "j02_right_join",
+    # --- round-12 window: new registrations + changed oracles/code ---
+    "x13_sketch_aggregates",
+    "c05_takedown_pipeline",
+    "x173_incremental_ingest",
+    "x174_ann_graph_topk",
+    "x175_ann_spill_serve",
+    "x171_neardup_index_update",
+    "x172_neardup_index_delete",
+    "m12_acid_column_mapping",
+    # --- backfills: the head of round 11's post-window queue ---
     "j03_join_renamed_keys",
     "j04_broadcast_dims",
     "j05_cross_join",
@@ -117,6 +73,22 @@ _PRIORITY = [
     "w02_running_total",
     "w03_auto_increment",
     "w06_trailing_ewma",
+    "s02_schema_only_head0",
+    "p02_projection_rename",
+    "p03_drop_cols",
+    "p05_filter_eq",
+    "p07_filter_date_range",
+    "p09_regex_filter",
+    "p10_regex_negate",
+    "p12_semi_in_subquery",
+    "a04_pivot_wide",
+    "w08_range_frame_trailing",
+    "a08_unpivot_long",
+    "a09_listagg",
+    "a10_cube_margins",
+    "a11_grouping_sets",
+    "a06_regression_trend",
+    "w04_lag_delta",
 ]
 
 _rest = [n for n in QUERIES if n not in _PRIORITY]

@@ -6628,3 +6628,195 @@ def x173_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(bm_rows)
         .orderBy("family", "k1", "k2")
     )
+
+
+# ---------------------------------------------------------------------------
+# x174/x175: graph-ANN spike (r11 verdict #6)
+# ---------------------------------------------------------------------------
+@query(
+    "x174_ann_graph_topk",
+    "X-sim,X-serve",
+    oracle=f"""
+    WITH ann AS ({_X173_ANN_SQL}
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
+    FROM ann
+    """,
+)
+def x174_ann_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell neighbor-graph ANN serve (NSW-lite inside IVF cells —
+    operators/ann_graph.py, the r11-verdict graph spike): a static
+    R-NN + backbone graph per axis cell turns the probed-cell scan into
+    a greedy beam search, cutting distance evals per cell from |cell|
+    to ~ef·R·hops so an equal eval budget probes more cells (recall
+    uplift measured by the `anngraph` stress gate at 200k vectors;
+    the x05b/d/e oracle recipe applies here: this driver row runs the
+    FLAT REGIME, ef=|cell|, where the connected graph's beam provably
+    visits the whole cell and the result is hash-equal to the exact
+    SQL replay of the same probes). Probes are the x136 axis top-4
+    dims for queries 1..5; graphs are arrays in parquet-able rows —
+    a static DataFrame artifact, not a pointer store."""
+    import numpy as np
+
+    from gwasdb_spark.operators.ann_graph import (
+        build_cell_graphs,
+        graph_probe_topk,
+    )
+    from gwasdb_spark.operators.ann_index import axis_cell
+
+    e = table(spark, sf_dir, "embeddings")
+    assigned = e.select(
+        "vec_id", "embedding", axis_cell(F.col("embedding")).alias("cell")
+    )
+    graphs = build_cell_graphs(assigned, R=6)
+    graph_index = assigned.join(graphs, ["cell", "vec_id"])
+
+    qrows = (
+        e.filter(F.col("vec_id").between(1, 5))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    probe_rows = []
+    for r in qrows:
+        qv = np.asarray(r["embedding"], dtype=np.float64)
+        top = np.lexsort((np.arange(qv.size), -qv))[:4]
+        for c in top:
+            probe_rows.append(
+                (int(r["vec_id"]),
+                 [float(x) for x in r["embedding"]], int(c) + 1)
+            )
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, q_vec array<float>, cell int"
+    )
+    out = graph_probe_topk(probes, graph_index, k=10, ef=0)  # ef=0: flat
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
+    )
+
+
+@query(
+    "x175_ann_spill_serve",
+    "X-sim,X-serve",
+    oracle="""
+    WITH spill AS (
+      SELECT vec_id, embedding AS e, CAST(p.d AS INT) AS cell
+      FROM embeddings CROSS JOIN range(1, 65) p(d)
+      WHERE CAST(e[CAST(p.d AS INT)] AS DOUBLE)
+            >= CAST(list_max(e) AS DOUBLE) - 0.05
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id BETWEEN 1 AND 5
+    ),
+    dims AS (SELECT CAST(d AS INT) AS cell FROM range(1, 65) t(d)),
+    probes AS (
+      SELECT query_id, cell FROM (
+        SELECT q.query_id, dims.cell,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                 ORDER BY CAST(qv[dims.cell] AS DOUBLE) DESC, dims.cell)
+                 AS dim_rank
+        FROM q CROSS JOIN dims
+      ) WHERE dim_rank <= 4
+    ),
+    cand AS (
+      SELECT DISTINCT p.query_id, s.vec_id AS neighbor_id
+      FROM probes p JOIN spill s ON s.cell = p.cell
+      WHERE s.vec_id <> p.query_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(q.qv[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(range(1, 65),
+                  i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(range(1, 65),
+                    i -> CAST(v.embedding[i] AS DOUBLE)
+                         * CAST(v.embedding[i] AS DOUBLE)))))
+               AS cos_raw
+      FROM cand c
+      JOIN q ON q.query_id = c.query_id
+      JOIN embeddings v ON v.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+           ROUND(cos_raw, 6) AS cosine
+    FROM (
+      SELECT query_id, neighbor_id, cos_raw,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_raw DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def x175_ann_spill_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPANN-style boundary SPILL assignment served through the same
+    probe path (operators/ann_graph.py spill_assign's axis-rule twin,
+    fully SQL-replayable): a vector is stored in its argmax cell AND
+    in every cell whose component is within 0.05 of the max, so each
+    probed cell also holds the near-boundary vectors plain IVF misses —
+    the recall-uplift half of the graph spike (measured against flat
+    x05d by the `anngraph` stress gate; adjudicated here by exact
+    replay: assignment predicate, probe selection, dedup, cosine
+    ranking all mirrored in SQL). The explode is bounded by the
+    qualifying-cell count (replication factor ~1.1-1.5 — storage, not
+    shuffle, pays for the recall); the serve join/dedup/top-k shape is
+    ivf_probe's, so partition pruning by probed cell is unchanged at
+    100 TB."""
+    import numpy as np
+
+    from gwasdb_spark.functions.vectors import cosine
+
+    e = table(spark, sf_dir, "embeddings")
+    spilled = (
+        e.select(
+            "vec_id", "embedding",
+            F.posexplode("embedding").alias("pos", "val"),
+        )
+        .filter(
+            F.col("val").cast("double")
+            >= F.array_max("embedding").cast("double") - 0.05
+        )
+        .select("vec_id", "embedding", (F.col("pos") + 1).alias("cell"))
+    )
+    qrows = (
+        e.filter(F.col("vec_id").between(1, 5))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    probe_rows = []
+    for r in qrows:
+        qv = np.asarray(r["embedding"], dtype=np.float64)
+        top = np.lexsort((np.arange(qv.size), -qv))[:4]
+        for c in top:
+            probe_rows.append(
+                (int(r["vec_id"]),
+                 [float(x) for x in r["embedding"]], int(c) + 1)
+            )
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, qv array<float>, cell int"
+    )
+    probe_cells = sorted({p[2] for p in probe_rows})
+    cand = (
+        spilled.filter(F.col("cell").isin(probe_cells))
+        .join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        # spill can surface one neighbor via several probed cells
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("embedding")).alias("cos_raw"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("cos_raw", 6).alias("cosine"),
+        )
+    )

@@ -58,14 +58,35 @@ def check_artifacts_tracked() -> list[str]:
     return bad
 
 
+def _load_ratio(new: dict, old: dict) -> tuple[float, str]:
+    """Machine-load ratio between two bench maps, and which normalizer
+    produced it. When BOTH maps carry the per-shape `sentinels` basket
+    (bench.py since r12: scan/shuffle/window fixed jobs), the ratio is
+    the MEDIAN of the per-shape ratios — one shape moving alone (the
+    r11 finding: raw vs scan-adjusted medians 1.4x apart on pure
+    sentinel movement) no longer rescales the whole suite. Otherwise
+    falls back to the r8-r11 scalar `sentinel_sec` (the scan shape)."""
+    b_new, b_old = new.get("sentinels"), old.get("sentinels")
+    if b_new and b_old:
+        shapes = sorted(set(b_new) & set(b_old))
+        ratios = sorted(
+            b_new[s] / b_old[s] for s in shapes if b_old.get(s)
+        )
+        if ratios:
+            return ratios[len(ratios) // 2], f"basket-median({len(ratios)})"
+    s_new, s_old = new.get("sentinel_sec"), old.get("sentinel_sec")
+    if s_new and s_old:
+        return s_new / s_old, "scan-sentinel"
+    return 1.0, "none"
+
+
 def check_sentinel_drift() -> str | None:
     latest_path = os.path.join(REPO, "bench_full_latest.json")
     if not os.path.isfile(latest_path):
         return None  # no fresh bench this round — nothing to gate
     with open(latest_path) as fh:
         latest = json.load(fh)
-    cur = latest.get("sentinel_sec")
-    if cur is None:
+    if latest.get("sentinel_sec") is None:
         return "bench_full_latest.json has no sentinel_sec — re-run bench.py"
     prev = None
     prev_name = None
@@ -75,17 +96,18 @@ def check_sentinel_drift() -> str | None:
         reverse=True,
     ):
         with open(p) as fh:
-            s = json.load(fh).get("sentinel_sec")
-        if s is not None:
-            prev, prev_name = s, os.path.basename(p)
+            m = json.load(fh)
+        if m.get("sentinel_sec") is not None:
+            prev, prev_name = m, os.path.basename(p)
             break
     if prev is None:
         return None  # first sentinel-carrying round — baseline established
-    drift = abs(cur - prev) / prev
+    ratio, norm = _load_ratio(latest, prev)
+    drift = abs(ratio - 1.0)
     if drift > SENTINEL_DRIFT_MAX:
         return (
-            f"sentinel drift {drift:.0%} vs {prev_name} "
-            f"({prev}s -> {cur}s) exceeds {SENTINEL_DRIFT_MAX:.0%} — the map "
+            f"sentinel drift {drift:.0%} ({norm}) vs {prev_name} "
+            f"exceeds {SENTINEL_DRIFT_MAX:.0%} — the map "
             "absorbed machine load; re-run bench.py on an idle machine"
         )
     return None
@@ -131,8 +153,7 @@ def compare(new_path: str | None, old_path: str | None) -> int:
         return 2
     new = json.load(open(new_path))
     old = json.load(open(old_path))
-    s_new, s_old = new.get("sentinel_sec"), old.get("sentinel_sec")
-    load_ratio = (s_new / s_old) if (s_new and s_old) else 1.0
+    load_ratio, norm_kind = _load_ratio(new, old)
     d_new, d_old = _depths(new), _depths(old)
     shared = [
         k
@@ -146,10 +167,10 @@ def compare(new_path: str | None, old_path: str | None) -> int:
         row = (k, raw, adj, d_new.get(k, 0), d_old.get(k, 0))
         (eq if d_new.get(k) == d_old.get(k) else uneq).append(row)
     print(
-        f"compare {os.path.basename(new_path)} (sentinel {s_new}) vs "
-        f"{os.path.basename(old_path)} (sentinel {s_old}): "
-        f"load ratio {load_ratio:.3f}, {len(shared)} shared rows, "
-        f"{len(eq)} equal-depth (plan-comparable), {len(uneq)} "
+        f"compare {os.path.basename(new_path)} vs "
+        f"{os.path.basename(old_path)}: "
+        f"load ratio {load_ratio:.3f} ({norm_kind}), {len(shared)} shared "
+        f"rows, {len(eq)} equal-depth (plan-comparable), {len(uneq)} "
         "depth-mismatched"
     )
     for label, rows in (("EQUAL-DEPTH", eq), ("DEPTH-MISMATCHED", uneq)):

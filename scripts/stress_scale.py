@@ -1748,6 +1748,180 @@ def stress_ivf_rebalance(spark) -> dict:
     }
 
 
+def stress_ann_graph(spark) -> dict:
+    """Graph-ANN spike gate (r11 verdict #6): on a UNIFORM 200k corpus —
+    the documented hard case where learned-IVF recall ceilinged at
+    ~0.76 — the two ann_graph.py mechanisms must beat flat x05d-style
+    probing on its own terms:
+
+    1. per-cell NSW-lite graphs: beam search at nprobe=8/ef=64 must
+       reach HIGHER recall than the flat nprobe=4 scan while evaluating
+       NO MORE distances (the graph turns saved per-cell evals into
+       extra probed cells — recall uplift at equal probe cost).
+    2. spill assignment (eps=0.05): at the SAME nprobe=4, recall must
+       not drop and the storage replication factor stays bounded ≤ 2.
+
+    Truth is exact brute force over the corpus (driver-side BLAS,
+    bounded by 200k x 32 doubles = 51 MB)."""
+    import shutil as _sh
+
+    import pandas as pd
+
+    from gwasdb_spark.operators.ann_graph import (
+        build_cell_graphs,
+        graph_probe_topk,
+        spill_assign,
+    )
+    from gwasdb_spark.operators.similarity import (
+        assign_cells,
+        ivf_probe,
+        train_ivf_centroids,
+    )
+
+    n_vec, dim, n_cells, k = 200_000, 32, 16, 10
+    base = os.path.join(TMP, "gwasdb_stress_anngraph")
+    _sh.rmtree(base, ignore_errors=True)
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            out = [
+                [float(x) for x in np.random.default_rng(int(i)).normal(size=dim)]
+                for i in ids
+            ]
+            yield pd.DataFrame({"vec_id": ids, "embedding": out})
+
+    vec_path = os.path.join(base, "vectors")
+    (
+        spark.range(n_vec)
+        .repartition(32)
+        .mapInPandas(gen, "vec_id long, embedding array<double>")
+        .write.mode("overwrite")
+        .parquet(vec_path)
+    )
+    corpus = spark.read.parquet(vec_path)
+    C = train_ivf_centroids(corpus, "embedding", n_cells=n_cells, train_fraction=0.25)
+    assigned = assign_cells(corpus, C, "vec_id", "embedding")
+    idx_path = os.path.join(base, "assigned")
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(idx_path)
+    assigned = spark.read.parquet(idx_path)
+
+    # exact truth, driver-side
+    rows = corpus.collect()
+    ids = np.asarray([r["vec_id"] for r in rows])
+    order = np.argsort(ids)
+    ids = ids[order]
+    M = np.stack([np.asarray(rows[i]["embedding"]) for i in order])
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    q_ids = [int(v) for v in ids[:: len(ids) // 20][:20]]
+    pos = {int(v): i for i, v in enumerate(ids)}
+    truth = {}
+    for qid in q_ids:
+        sims = Mn @ Mn[pos[qid]]
+        sims[pos[qid]] = -2.0
+        top = np.lexsort((ids, -sims))[:k]
+        truth[qid] = {int(ids[j]) for j in top}
+    queries = corpus.join(
+        spark.createDataFrame([(q,) for q in q_ids], "vec_id long"), "vec_id"
+    )
+
+    occ = {
+        r["cell"]: r["n"]
+        for r in assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+    def probe_cells_of(qid, nprobe):
+        qv = Mn[pos[qid]]
+        return [int(c) for c in np.argsort(-(C @ qv))[:nprobe]]
+
+    def recall_of(pairs):
+        hits = sum(1 for q, n in pairs if n in truth[q])
+        return hits / (k * len(q_ids))
+
+    # -- flat baseline: nprobe=4 scan (x05d's serve shape) -------------
+    t0 = time.perf_counter()
+    flat = ivf_probe(queries, assigned, C, k=k, nprobe=4)
+    flat_pairs = [(r["query_id"], r["neighbor_id"]) for r in flat.collect()]
+    flat_s = time.perf_counter() - t0
+    recall_flat = recall_of(flat_pairs)
+    scan_flat = float(
+        np.mean([
+            sum(occ.get(c, 0) for c in probe_cells_of(q, 4)) for q in q_ids
+        ])
+    )
+
+    # -- graph path: build once, probe nprobe=8 at ef=64 ---------------
+    t0 = time.perf_counter()
+    graphs = build_cell_graphs(assigned.select(
+        F.col("neighbor_id").alias("vec_id"),
+        F.col("c_vec").alias("embedding"),
+        "cell",
+    ), R=12)
+    gpath = os.path.join(base, "graphs")
+    graphs.write.mode("overwrite").partitionBy("cell").parquet(gpath)
+    build_s = time.perf_counter() - t0
+    gindex = spark.read.parquet(idx_path).select(
+        F.col("neighbor_id").alias("vec_id"),
+        F.col("c_vec").alias("embedding"),
+        "cell",
+    ).join(spark.read.parquet(gpath), ["cell", "vec_id"])
+
+    probe_rows = []
+    for qid in q_ids:
+        for c in probe_cells_of(qid, 8):
+            probe_rows.append(
+                (qid, [float(x) for x in M[pos[qid]]], c)
+            )
+    probes8 = spark.createDataFrame(
+        probe_rows, "query_id long, q_vec array<double>, cell int"
+    )
+    t0 = time.perf_counter()
+    g = graph_probe_topk(probes8, gindex, k=k, ef=64)
+    g_pairs = [(r["query_id"], r["neighbor_id"]) for r in g.collect()]
+    graph_s = time.perf_counter() - t0
+    recall_graph = recall_of(g_pairs)
+    raw = graph_probe_topk(probes8, gindex, k=k, ef=64, with_evals=True)
+    evals_graph = float(
+        np.mean([
+            r["s"]
+            for r in raw.dropDuplicates(["query_id", "cell"])
+            .groupBy("query_id").agg(F.sum("n_evals").alias("s")).collect()
+        ])
+    )
+
+    # -- spill path: same nprobe=4, boundary-replicated store ----------
+    spilled = spill_assign(assigned.select("neighbor_id", "c_vec"), C, eps=0.05)
+    sp_path = os.path.join(base, "spilled")
+    spilled.write.mode("overwrite").partitionBy("cell").parquet(sp_path)
+    spilled = spark.read.parquet(sp_path)
+    repl = spilled.count() / n_vec
+    sp = ivf_probe(queries, spilled, C, k=k, nprobe=4)
+    sp_pairs = {(r["query_id"], r["neighbor_id"]) for r in sp.collect()}
+    recall_spill = recall_of(sp_pairs)
+
+    ok_uplift = recall_graph >= recall_flat + 0.03
+    ok_cost = evals_graph <= scan_flat
+    ok_spill = recall_spill >= recall_flat and repl <= 2.0
+    return {
+        "stress": "anngraph",
+        "n_vec": n_vec,
+        "n_cells": n_cells,
+        "recall_flat_np4": round(recall_flat, 4),
+        "recall_graph_np8_ef64": round(recall_graph, 4),
+        "recall_spill_np4": round(recall_spill, 4),
+        "scan_flat_rows": round(scan_flat, 1),
+        "evals_graph": round(evals_graph, 1),
+        "replication": round(repl, 3),
+        "graph_build_s": round(build_s, 2),
+        "flat_probe_s": round(flat_s, 2),
+        "graph_probe_s": round(graph_s, 2),
+        "ok_uplift": ok_uplift,
+        "ok_cost": ok_cost,
+        "ok_spill": ok_spill,
+        "ok": bool(ok_uplift and ok_cost and ok_spill),
+    }
+
+
 STRESSES = {
     "stream": stress_stream,
     "bm25": stress_bm25,
@@ -1768,6 +1942,7 @@ STRESSES = {
     "exactsubstr": stress_exactsubstr,
     "acidrace": stress_acid_race,
     "ivfrebalance": stress_ivf_rebalance,
+    "anngraph": stress_ann_graph,
 }
 
 

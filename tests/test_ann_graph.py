@@ -1,0 +1,212 @@
+"""Graph-ANN operators (operators/ann_graph.py): per-cell NSW-lite
+neighbor graphs + SPANN-style spill assignment.
+
+Pins: (1) per-cell graphs are connected (the backbone guarantee the
+flat-regime exactness proof rests on); (2) flat-regime beam search
+(ef >= |cell|) is hash-equal to brute force within the probed cells;
+(3) small-ef beam search evaluates far fewer distances than the flat
+scan while keeping high recall; (4) spill assignment is a superset of
+the plain assignment with a bounded replication factor and never hurts
+recall at equal nprobe.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def _vectors(spark, n=400, dim=16, seed=11):
+    rng = np.random.default_rng(seed)
+    rows = [
+        (int(i), [float(x) for x in rng.normal(size=dim)]) for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _assigned(spark, vecs):
+    from gwasdb_spark.operators.ann_index import axis_cell
+
+    return vecs.select(
+        "vec_id", "embedding", axis_cell(F.col("embedding")).alias("cell")
+    )
+
+
+def _probes(spark, vecs, q_ids, nprobe):
+    rows = []
+    for r in vecs.filter(F.col("vec_id").isin(q_ids)).collect():
+        qv = np.asarray(r["embedding"], dtype=np.float64)
+        top = np.lexsort((np.arange(qv.size), -qv))[:nprobe]
+        for c in top:
+            rows.append(
+                (int(r["vec_id"]), [float(x) for x in r["embedding"]],
+                 int(c) + 1)
+            )
+    return spark.createDataFrame(
+        rows, "query_id long, q_vec array<float>, cell int"
+    )
+
+
+def test_cell_graphs_are_connected(spark):
+    from gwasdb_spark.operators.ann_graph import build_cell_graphs
+
+    assigned = _assigned(spark, _vectors(spark))
+    rows = build_cell_graphs(assigned, R=4).collect()
+    by_cell: dict[int, dict[int, list[int]]] = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], {})[r["vec_id"]] = list(r["neighbors"])
+    assert by_cell
+    for cell, adj in by_cell.items():
+        start = next(iter(adj))
+        seen = {start}
+        frontier = [start]
+        while frontier:
+            cur = frontier.pop()
+            for nb in adj[cur]:
+                assert nb in adj, (cell, cur, nb)  # no cross-cell edges
+                if nb not in seen:
+                    seen.add(nb)
+                    frontier.append(nb)
+        assert seen == set(adj), f"cell {cell} disconnected"
+        # undirected
+        for v, ns in adj.items():
+            for nb in ns:
+                assert v in adj[nb], (cell, v, nb)
+
+
+def test_flat_regime_equals_brute_within_probed_cells(spark):
+    from gwasdb_spark.operators.ann_graph import (
+        build_cell_graphs,
+        graph_probe_topk,
+    )
+
+    vecs = _vectors(spark)
+    assigned = _assigned(spark, vecs)
+    graphs = build_cell_graphs(assigned, R=4)
+    gindex = assigned.join(graphs, ["cell", "vec_id"])
+    q_ids = [1, 2, 3]
+    probes = _probes(spark, vecs, q_ids, nprobe=3)
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], round(r["cosine"], 9))
+        for r in graph_probe_topk(probes, gindex, k=5, ef=0).collect()
+    }
+
+    # brute truth within the same probed cells
+    M = {r["vec_id"]: np.asarray(r["embedding"], np.float64)
+         for r in vecs.collect()}
+    cells = {r["vec_id"]: r["cell"] for r in assigned.collect()}
+    probe_map: dict[int, set[int]] = {}
+    for p in probes.collect():
+        probe_map.setdefault(p["query_id"], set()).add(p["cell"])
+    for qid in q_ids:
+        qv = M[qid] / np.linalg.norm(M[qid])
+        cand = [
+            (float((M[v] / np.linalg.norm(M[v])) @ qv), v)
+            for v in M
+            if v != qid and cells[v] in probe_map[qid]
+        ]
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (s, v) in enumerate(cand[:5], start=1):
+            nid, cos = got[(qid, rank)]
+            assert nid == v, (qid, rank, nid, v)
+            assert abs(cos - s) < 1e-9, (qid, rank)
+
+
+def test_small_ef_cuts_evals_and_keeps_recall(spark):
+    """The regime the graph exists for: a CELL much larger than ef.
+    (At |cell| ~ ef the beam rightly degrades to a scan — measured
+    off-Spark: m=3000/ef=32 visits ~10% of the cell at recall 0.97 on
+    uniform vectors; tiny 100-row cells visit everything.)"""
+    from gwasdb_spark.operators.ann_graph import (
+        build_cell_graphs,
+        graph_probe_topk,
+    )
+
+    vecs = _vectors(spark, n=3000, dim=16, seed=3)
+    assigned = vecs.select("vec_id", "embedding", F.lit(1).alias("cell"))
+    graphs = build_cell_graphs(assigned, R=8)
+    gindex = assigned.join(graphs, ["cell", "vec_id"])
+    q_ids = [10, 20, 30, 40]
+    probes = spark.createDataFrame(
+        [
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]], 1)
+            for r in vecs.filter(F.col("vec_id").isin(q_ids)).collect()
+        ],
+        "query_id long, q_vec array<float>, cell int",
+    )
+
+    flat = {
+        (r["query_id"], r["neighbor_id"])
+        for r in graph_probe_topk(probes, gindex, k=10, ef=0).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in graph_probe_topk(probes, gindex, k=10, ef=32).collect()
+    }
+    recall = len(flat & approx) / len(flat)
+    assert recall >= 0.9, recall
+
+    # evals: one n_evals per (query, cell) from the raw relation —
+    # the beam must touch a small fraction of the 3000-row cell
+    raw = graph_probe_topk(probes, gindex, k=10, ef=32, with_evals=True)
+    evals = {
+        r["query_id"]: r["s"]
+        for r in raw.dropDuplicates(["query_id", "cell"])
+        .groupBy("query_id").agg(F.sum("n_evals").alias("s")).collect()
+    }
+    for qid in q_ids:
+        assert evals[qid] < 0.25 * 3000, (qid, evals[qid])
+
+
+def test_spill_is_superset_with_bounded_replication(spark):
+    from gwasdb_spark.operators.ann_graph import spill_assign
+    from gwasdb_spark.operators.similarity import (
+        assign_cells,
+        ivf_probe,
+        train_ivf_centroids,
+    )
+
+    vecs = _vectors(spark, n=1200, dim=16, seed=5).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    C = train_ivf_centroids(vecs, "embedding", n_cells=8, seed=1)
+    plain = assign_cells(vecs, C, "vec_id", "embedding")
+    spilled = spill_assign(plain.select("neighbor_id", "c_vec"), C, eps=0.08)
+
+    n_plain, n_spill = plain.count(), spilled.count()
+    repl = n_spill / n_plain
+    assert 1.0 < repl <= 2.0, repl
+    # plain assignment is a subset of the spilled one
+    missing = (
+        plain.select("neighbor_id", "cell")
+        .join(spilled.select("neighbor_id", "cell"),
+              ["neighbor_id", "cell"], "left_anti")
+        .count()
+    )
+    assert missing == 0
+
+    # recall at equal nprobe never drops, and rises on this corpus
+    queries = vecs.filter(F.col("vec_id") < 8)
+    M = {r["vec_id"]: np.asarray(r["embedding"], np.float64)
+         for r in vecs.collect()}
+    ids = sorted(M)
+    X = np.stack([M[i] for i in ids])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    truth = {}
+    for qid in range(8):
+        sims = Xn @ Xn[ids.index(qid)]
+        sims[ids.index(qid)] = -2
+        order = np.lexsort((ids, -sims))[:10]
+        truth[qid] = {ids[j] for j in order}
+
+    def recall(assignment):
+        got = ivf_probe(queries, assignment, C, k=10, nprobe=2)
+        hits = sum(
+            1 for r in got.collect()
+            if r["neighbor_id"] in truth[r["query_id"]]
+        )
+        return hits / (10 * 8)
+
+    r_plain, r_spill = recall(plain), recall(spilled)
+    assert r_spill >= r_plain, (r_plain, r_spill)
