@@ -374,6 +374,9 @@ GLOBAL_WINDOW_ALLOWLIST = {
     # window is the offset over per-partition weight totals
     # (operators/sampling.py global_cumsum — global_row_number's rule).
     "x164_token_budget_select": (1, "partition stats (#partitions rows)"),
+    # The composite's BM25 serve phase ranks k-row TakeOrdered
+    # survivors (operators/search.py _rank_topk, the x12g/x163 shape).
+    "x173_incremental_ingest": (1, "k-row TakeOrdered survivors"),
 }
 
 
