@@ -65,6 +65,13 @@ def main() -> int:
     sentinels = [m.get("sentinel_sec") for m in maps if m.get("sentinel_sec")]
     if sentinels:
         base["sentinel_sec"] = min(sentinels)
+    # per-shape basket (bench.py since r12): min each shape independently
+    baskets = [m["sentinels"] for m in maps if m.get("sentinels")]
+    if baskets:
+        base["sentinels"] = {
+            shape: min(b[shape] for b in baskets if shape in b)
+            for shape in sorted({s for b in baskets for s in b})
+        }
     base["aggregation"] = (
         f"{maps[0].get('aggregation', 'min-of-3')}, min over {len(maps)} runs"
     )
