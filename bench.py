@@ -298,6 +298,7 @@ HEADLINE = [
     "x173_incremental_ingest",
     "x174_ann_graph_topk",
     "x175_ann_spill_serve",
+    "x176_ann_graph_maintain",
     # st19 (watermark late-data) is correctness-gated, not benched: its
     # bounded 3-micro-batch replay measures per-batch state-store commit
     # overhead, the st07/st08/st13/st18 exclusion rationale.

@@ -273,3 +273,82 @@ def graph_probe_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph sidecar for the PERSISTED cell index (operators/ann_index.py layout)
+# ---------------------------------------------------------------------------
+def _graphs_path(base: str) -> str:
+    import os
+
+    return os.path.join(base, "graphs")
+
+
+def build_graph_sidecar(spark, base: str, R: int = 8) -> None:
+    """Materialize per-cell neighbor graphs beside the persisted cell
+    index (`<base>/graphs`, parquet partitioned by cell — the third
+    sidecar after index and manifest). Built once at write time; after
+    that, `refresh_graph_sidecar` keeps it consistent under the x153/
+    x157 maintenance ops by rewriting ONLY touched cells."""
+    from gwasdb_spark.operators.ann_index import read_cell_index
+
+    build_cell_graphs(read_cell_index(spark, base), R=R).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(_graphs_path(base))
+
+
+def refresh_graph_sidecar(spark, base: str, cells, R: int = 8) -> None:
+    """Re-derive the graph partitions of the given TOUCHED cells after
+    an upsert/delete (their membership changed, so their R-NN edges are
+    stale), leaving every other cell's graph files byte-stable — the
+    same touched-only discipline as the index/manifest rewrites. Cost ∝
+    Σ|touched cell|², never the index. An emptied cell's graph
+    partition is dropped outright."""
+    import os
+    import shutil
+
+    cells = sorted({int(c) for c in cells})
+    if not cells:
+        return
+    from gwasdb_spark.operators.ann_index import read_cell_index
+
+    live = read_cell_index(spark, base).filter(F.col("cell").isin(cells))
+    fresh = build_cell_graphs(live, R=R).localCheckpoint(eager=True)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        fresh.write.mode("overwrite").partitionBy("cell").parquet(
+            _graphs_path(base)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    surviving = {
+        r["cell"] for r in fresh.select("cell").distinct().collect()
+    }
+    for c in cells:
+        if c in surviving:
+            continue
+        part = os.path.join(_graphs_path(base), f"cell={c}")
+        if os.path.isdir(part):
+            shutil.rmtree(part)
+
+
+def graph_probe_persisted(
+    spark,
+    base: str,
+    probes: DataFrame,
+    k: int = 10,
+    ef: int = 64,
+) -> DataFrame:
+    """Serve path against the persisted index + graph sidecar: join the
+    probed cells' index rows with their graph rows (both partitioned by
+    cell — the equi-join prunes to probed partitions) and beam-search.
+    A vector the sidecar has no graph row for is UNREACHABLE, so a
+    refresh that missed a touched cell breaks the result — x176 turns
+    that into a driver hash failure."""
+    from gwasdb_spark.operators.ann_index import read_cell_index
+
+    gindex = read_cell_index(spark, base).join(
+        spark.read.parquet(_graphs_path(base)), ["cell", "vec_id"]
+    )
+    return graph_probe_topk(probes, gindex, k=k, ef=ef)

@@ -43,6 +43,7 @@ _PRIORITY = [
     "x173_incremental_ingest",
     "x174_ann_graph_topk",
     "x175_ann_spill_serve",
+    "x176_ann_graph_maintain",
     "x171_neardup_index_update",
     "x172_neardup_index_delete",
     "m12_acid_column_mapping",
@@ -88,7 +89,6 @@ _PRIORITY = [
     "a10_cube_margins",
     "a11_grouping_sets",
     "a06_regression_trend",
-    "w04_lag_delta",
 ]
 
 _rest = [n for n in QUERIES if n not in _PRIORITY]

@@ -6820,3 +6820,132 @@ def x175_ann_spill_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos_raw", 6).alias("cosine"),
         )
     )
+
+
+@query(
+    "x176_ann_graph_maintain",
+    "X-sim,X-serve,X-dml",
+    oracle="""
+    WITH corpus AS (
+      SELECT vec_id, embedding AS e FROM embeddings
+      WHERE vec_id % 23 <> 1
+    ),
+    cells AS (
+      SELECT vec_id, e,
+             CAST(list_position(e, list_max(e)) AS INT) AS cell
+      FROM corpus
+    ),
+    q AS (
+      SELECT vec_id AS query_id, e AS qv FROM cells
+      WHERE vec_id BETWEEN 1 AND 5
+    ),
+    dims AS (SELECT CAST(d AS INT) AS cell FROM range(1, 65) t(d)),
+    probes AS (
+      SELECT query_id, cell FROM (
+        SELECT q.query_id, dims.cell,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                 ORDER BY CAST(qv[dims.cell] AS DOUBLE) DESC, dims.cell)
+                 AS dim_rank
+        FROM q CROSS JOIN dims
+      ) WHERE dim_rank <= 4
+    ),
+    cand AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id, q.qv, c.e AS cv
+      FROM probes p
+      JOIN cells c ON c.cell = p.cell
+      JOIN q ON q.query_id = p.query_id
+      WHERE c.vec_id <> p.query_id
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(range(1, 65),
+                  i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(range(1, 65),
+                    i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))))
+               AS cos_raw
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+           ROUND(cos_raw, 6) AS cosine
+    FROM (
+      SELECT query_id, neighbor_id, cos_raw,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_raw DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def x176_ann_graph_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph sidecar MAINTENANCE under index churn — the op that makes
+    graph-ANN production-viable: the persisted cell index absorbs an
+    upsert batch (vec_id % 11 = 7, x153's touched-cell machinery) and a
+    takedown delete (vec_id % 23 = 1, x157's), and after each the
+    per-cell graphs are refreshed for ONLY the touched cells
+    (refresh_graph_sidecar — cost ∝ Σ|touched cell|², untouched cells'
+    graph files byte-stable, tests pin the mtimes). The flat-regime
+    beam serve (ef=|cell|) then hash-matches the exact SQL replay over
+    the post-churn corpus. The adjudication is sharp because the graph
+    sidecar defines REACHABILITY: a refresh that misses a touched cell
+    leaves new vectors graph-rowless (unreachable → absent from the
+    result) or keeps deleted ones linked — either breaks the hash.
+    Closes the maintenance matrix for the graph family alongside
+    digests (x44), bands (x171/x172), cells (x153/x157), and postings
+    (x62/x163)."""
+    import hashlib as _hl
+
+    import numpy as np
+
+    from gwasdb_spark.operators.ann_graph import (
+        build_graph_sidecar,
+        graph_probe_persisted,
+        refresh_graph_sidecar,
+    )
+    from gwasdb_spark.operators.ann_index import (
+        build_cell_index,
+        delete_from_cell_index,
+        read_cell_index,
+        upsert_cell_index,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    batch = e.filter(F.col("vec_id") % 11 == 7).select("vec_id", "embedding")
+    victims = e.filter(F.col("vec_id") % 23 == 1).select("vec_id")
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:12]
+    base = stage_dir(f"ann_graph_maint_{tag}")
+    if not os.path.isdir(os.path.join(base, "index")):
+        build_cell_index(
+            e.filter(F.col("vec_id") % 11 != 7).select("vec_id", "embedding"),
+            base,
+        )
+    if not os.path.isdir(os.path.join(base, "graphs")):
+        build_graph_sidecar(spark, base, R=6)
+
+    up = upsert_cell_index(spark, base, batch)
+    refresh_graph_sidecar(spark, base, up["touched_cells"], R=6)
+    dd = delete_from_cell_index(spark, base, victims)
+    refresh_graph_sidecar(spark, base, dd["touched_cells"], R=6)
+
+    qrows = (
+        read_cell_index(spark, base)
+        .filter(F.col("vec_id").between(1, 5))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    probe_rows = []
+    for r in qrows:
+        qv = np.asarray(r["embedding"], dtype=np.float64)
+        top = np.lexsort((np.arange(qv.size), -qv))[:4]
+        for c in top:
+            probe_rows.append(
+                (int(r["vec_id"]),
+                 [float(x) for x in r["embedding"]], int(c) + 1)
+            )
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, q_vec array<float>, cell int"
+    )
+    out = graph_probe_persisted(spark, base, probes, k=10, ef=0)
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
+    )

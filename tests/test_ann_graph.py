@@ -210,3 +210,88 @@ def test_spill_is_superset_with_bounded_replication(spark):
 
     r_plain, r_spill = recall(plain), recall(spilled)
     assert r_spill >= r_plain, (r_plain, r_spill)
+
+
+def test_graph_sidecar_refresh_touched_only_and_equals_rebuild(spark, tmp_path):
+    import os
+
+    from gwasdb_spark.operators.ann_graph import (
+        build_graph_sidecar,
+        graph_probe_persisted,
+        refresh_graph_sidecar,
+    )
+    from gwasdb_spark.operators.ann_index import (
+        build_cell_index,
+        delete_from_cell_index,
+        upsert_cell_index,
+    )
+
+    base = os.path.join(str(tmp_path), "gidx")
+    vecs = _vectors(spark, n=600, dim=8, seed=21)
+    build_cell_index(
+        vecs.filter(F.col("vec_id") % 5 != 0).select("vec_id", "embedding"),
+        base,
+    )
+    build_graph_sidecar(spark, base, R=4)
+
+    def part_mtimes():
+        root = os.path.join(base, "graphs")
+        out = {}
+        for d in os.listdir(root):
+            if not d.startswith("cell="):
+                continue
+            p = os.path.join(root, d)
+            out[d] = {f: os.path.getmtime(os.path.join(p, f))
+                      for f in os.listdir(p) if f.endswith(".parquet")}
+        return out
+
+    before = part_mtimes()
+    up = upsert_cell_index(
+        spark, base,
+        vecs.filter(F.col("vec_id") % 5 == 0).select("vec_id", "embedding"),
+    )
+    refresh_graph_sidecar(spark, base, up["touched_cells"], R=4)
+    dd = delete_from_cell_index(
+        spark, base, vecs.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+    )
+    refresh_graph_sidecar(spark, base, dd["touched_cells"], R=4)
+    after = part_mtimes()
+
+    touched = {f"cell={c}"
+               for c in set(up["touched_cells"]) | set(dd["touched_cells"])}
+    for d, files in before.items():
+        if d not in touched and d in after:
+            assert after[d] == files, f"untouched {d} rewritten"
+
+    # maintained graphs == graphs rebuilt from scratch over the final
+    # index (flat-regime serve proves the node set AND edges suffice)
+    q_ids = [2, 4, 6]
+    probes = spark.createDataFrame(
+        [
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]], 1)
+            for r in vecs.filter(F.col("vec_id").isin(q_ids)).collect()
+        ],
+        "query_id long, q_vec array<float>, cell int",
+    ).unionByName(spark.createDataFrame(
+        [
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]], c)
+            for r in vecs.filter(F.col("vec_id").isin(q_ids)).collect()
+            for c in range(2, 9)
+        ],
+        "query_id long, q_vec array<float>, cell int",
+    ))
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in graph_probe_persisted(spark, base, probes, k=5, ef=0)
+        .collect()
+    }
+    import shutil
+
+    shutil.rmtree(os.path.join(base, "graphs"))
+    build_graph_sidecar(spark, base, R=4)
+    want = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in graph_probe_persisted(spark, base, probes, k=5, ef=0)
+        .collect()
+    }
+    assert got == want
