@@ -284,32 +284,75 @@ def _graphs_path(base: str) -> str:
     return os.path.join(base, "graphs")
 
 
+def _meta_path(base: str) -> str:
+    import os
+
+    # Leading underscore: Spark/parquet readers ignore _-prefixed files
+    # (the _SUCCESS convention), so the meta lives inside the graphs dir
+    # without perturbing scans.
+    return os.path.join(_graphs_path(base), "_GRAPH_META")
+
+
+def sidecar_meta(base: str) -> dict | None:
+    """The graph sidecar's build parameters ({"R": int}) if `<base>/
+    graphs` exists, else None. This is how the index-maintenance ops
+    (ann_index.upsert/delete/retrain — engine-enforced coherence, r12
+    verdict #2) detect a sidecar and refresh it with the SAME R it was
+    built with, instead of trusting every caller to remember."""
+    import json
+    import os
+
+    if not os.path.isdir(_graphs_path(base)):
+        return None
+    try:
+        with open(_meta_path(base)) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        # Pre-meta sidecar (or torn write): fall back to the default R.
+        return {"R": 8}
+
+
+def _write_meta(base: str, R: int) -> None:
+    import json
+
+    with open(_meta_path(base), "w") as fh:
+        json.dump({"R": int(R)}, fh)
+
+
 def build_graph_sidecar(spark, base: str, R: int = 8) -> None:
     """Materialize per-cell neighbor graphs beside the persisted cell
     index (`<base>/graphs`, parquet partitioned by cell — the third
-    sidecar after index and manifest). Built once at write time; after
-    that, `refresh_graph_sidecar` keeps it consistent under the x153/
-    x157 maintenance ops by rewriting ONLY touched cells."""
+    sidecar after index and manifest), plus a `_GRAPH_META` file
+    recording R. Built once at write time; after that the maintenance
+    ops in ann_index.py keep it consistent THEMSELVES (engine-enforced:
+    upsert/delete refresh touched cells, retrain rebuilds — callers no
+    longer need to remember `refresh_graph_sidecar`)."""
     from gwasdb_spark.operators.ann_index import read_cell_index
 
     build_cell_graphs(read_cell_index(spark, base), R=R).write.mode(
         "overwrite"
     ).partitionBy("cell").parquet(_graphs_path(base))
+    _write_meta(base, R)  # after the write: overwrite clears the dir
 
 
-def refresh_graph_sidecar(spark, base: str, cells, R: int = 8) -> None:
+def refresh_graph_sidecar(spark, base: str, cells, R: int | None = None) -> None:
     """Re-derive the graph partitions of the given TOUCHED cells after
     an upsert/delete (their membership changed, so their R-NN edges are
     stale), leaving every other cell's graph files byte-stable — the
     same touched-only discipline as the index/manifest rewrites. Cost ∝
     Σ|touched cell|², never the index. An emptied cell's graph
-    partition is dropped outright."""
+    partition is dropped outright. R defaults to the sidecar's recorded
+    build parameter (mixing Rs across cells would make reachability
+    depend on which cells churned)."""
     import os
     import shutil
 
     cells = sorted({int(c) for c in cells})
     if not cells:
         return
+    if R is None:
+        meta = sidecar_meta(base)
+        R = int((meta or {}).get("R", 8))
     from gwasdb_spark.operators.ann_index import read_cell_index
 
     live = read_cell_index(spark, base).filter(F.col("cell").isin(cells))
@@ -331,6 +374,10 @@ def refresh_graph_sidecar(spark, base: str, cells, R: int = 8) -> None:
         part = os.path.join(_graphs_path(base), f"cell={c}")
         if os.path.isdir(part):
             shutil.rmtree(part)
+    # Dynamic overwrite leaves root-level files alone, but a pre-meta
+    # sidecar gets upgraded here so future refreshes know their R.
+    if not os.path.exists(_meta_path(base)):
+        _write_meta(base, R)
 
 
 def graph_probe_persisted(

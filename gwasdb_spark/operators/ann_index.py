@@ -54,8 +54,33 @@ def _manifest_path(base: str) -> str:
     return os.path.join(base, "manifest")
 
 
+def _maybe_refresh_graphs(spark: SparkSession, base: str, touched) -> bool:
+    """Engine-enforced graph-sidecar coherence (r12 verdict #2): every
+    op that mutates index membership calls this. If `<base>/graphs`
+    exists, the touched cells' graph partitions are re-derived HERE,
+    with the sidecar's own recorded R — the invariant no longer lives
+    in the caller (before this, only x176's plan remembered to call
+    refresh_graph_sidecar; a streaming ingest or takedown on a
+    graph-carrying index would strand stale graph rows that
+    graph_probe_persisted then serves wrong: new vectors unreachable,
+    deleted ones still linked). Returns whether a sidecar was found."""
+    from gwasdb_spark.operators.ann_graph import (
+        refresh_graph_sidecar,
+        sidecar_meta,
+    )
+
+    meta = sidecar_meta(base)
+    if meta is None:
+        return False
+    refresh_graph_sidecar(spark, base, touched, R=int(meta.get("R", 8)))
+    return True
+
+
 def build_cell_index(vectors: DataFrame, base: str) -> None:
-    """Full build: partition the corpus by cell, plus the manifest."""
+    """Full build: partition the corpus by cell, plus the manifest. A
+    pre-existing graph sidecar at this base is from the OVERWRITTEN
+    layout — rebuild it wholesale (same engine-enforced coherence as
+    the incremental ops) rather than leave it describing dead rows."""
     assigned = vectors.select(
         "vec_id", "embedding", axis_cell(F.col("embedding")).alias("cell")
     )
@@ -65,6 +90,16 @@ def build_cell_index(vectors: DataFrame, base: str) -> None:
     assigned.select("vec_id", "cell").write.mode("overwrite").partitionBy(
         "cell"
     ).parquet(_manifest_path(base))
+    from gwasdb_spark.operators.ann_graph import (
+        build_graph_sidecar,
+        sidecar_meta,
+    )
+
+    meta = sidecar_meta(base)
+    if meta is not None:
+        build_graph_sidecar(
+            vectors.sparkSession, base, R=int(meta.get("R", 8))
+        )
 
 
 def read_cell_index(spark: SparkSession, base: str) -> DataFrame:
@@ -141,9 +176,11 @@ def upsert_cell_index(
             part = os.path.join(root, f"cell={c}")
             if os.path.isdir(part):
                 shutil.rmtree(part)
+    graphs = _maybe_refresh_graphs(spark, base, touched)
     return {
         "touched_cells": [int(c) for c in touched],
         "n_updates": updates.count(),
+        "graphs_refreshed": graphs,
     }
 
 
@@ -202,7 +239,12 @@ def delete_from_cell_index(
             part = os.path.join(root, f"cell={c}")
             if os.path.isdir(part):
                 shutil.rmtree(part)
-    return {"touched_cells": [int(c) for c in touched], "n_deleted": n_deleted}
+    graphs = _maybe_refresh_graphs(spark, base, touched)
+    return {
+        "touched_cells": [int(c) for c in touched],
+        "n_deleted": n_deleted,
+        "graphs_refreshed": graphs,
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -268,6 +310,14 @@ def build_codebook_index(
         "cell"
     ).parquet(_manifest_path(base))
     save_codebook(spark, base, C)
+    from gwasdb_spark.operators.ann_graph import (
+        build_graph_sidecar,
+        sidecar_meta,
+    )
+
+    meta = sidecar_meta(base)
+    if meta is not None:  # overwritten layout → sidecar is dead; rebuild
+        build_graph_sidecar(spark, base, R=int(meta.get("R", 8)))
     return {"n_cells": int(len(C))}
 
 
@@ -307,7 +357,9 @@ def cell_occupancy(spark: SparkSession, base: str) -> dict:
     return {int(r["cell"]): int(r["count"]) for r in rows}
 
 
-_RETRAIN_RELS = ("index", "manifest", "codebook")
+# "graphs" participates only when the index carries a graph sidecar —
+# the swap/recover loops skip a relation with no tmp subdir.
+_RETRAIN_RELS = ("index", "manifest", "codebook", "graphs")
 
 
 def _retrain_tmp(base: str) -> str:
@@ -317,12 +369,22 @@ def _retrain_tmp(base: str) -> str:
 def recover_codebook_index(base: str) -> None:
     """Adopt or discard `_retrain.tmp` left by a retrain that crashed
     (the compact_text_index/recover_text_index discipline applied to the
-    vector index — ADVICE r11): a tmp tree carrying the `_COMMITTED`
-    marker had fully written all three relations before any swap began,
-    so finishing the swap-in is safe; a tmp tree WITHOUT the marker is an
+    vector index — ADVICE r11, hardened per ADVICE r12): a tmp tree
+    carrying the `_COMMITTED` marker had fully written all three
+    relations before any swap began, so the swap must be FINISHED for
+    every relation whose tmp subdir still exists — including those whose
+    live dir is intact because the crash hit BETWEEN per-relation swaps
+    (e.g. index already swapped, manifest/codebook not yet: adopting only
+    where live is missing would reap the committed tmp and permanently
+    pair the new index with the old codebook, silently mis-routing every
+    probe). The rule is therefore "committed and tmp exists", not
+    "committed and live missing": rename any still-live dir aside, adopt
+    the tmp, reap the aside. A tmp tree WITHOUT the marker is an
     incomplete build and the live relations are untouched — reap it. A
     leftover `<rel>.old` beside a live `<rel>` is the post-swap crash
-    window, plain garbage. Idempotent and cheap; retrain runs it first."""
+    window, plain garbage; an `.old` with NO live and no committed tmp is
+    a half-renamed relation — restore it. Idempotent and cheap; retrain
+    runs it first."""
     import shutil
 
     tmp_base = _retrain_tmp(base)
@@ -333,8 +395,19 @@ def recover_codebook_index(base: str) -> None:
             os.path.join(base, rel + ".old"),
             os.path.join(tmp_base, rel),
         )
-        if committed and not os.path.exists(live) and os.path.exists(tmp):
+        if committed and os.path.exists(tmp):
+            # Finish this relation's swap regardless of live's state.
+            if os.path.exists(live):
+                if os.path.exists(old):  # double-crash leftover
+                    shutil.rmtree(old)
+                os.rename(live, old)
             os.rename(tmp, live)
+            if os.path.exists(old):
+                shutil.rmtree(old)
+        elif not os.path.exists(live) and os.path.exists(old):
+            # Crash between rename(live, old) and rename(tmp, live) with
+            # the tmp already adopted or absent: put the relation back.
+            os.rename(old, live)
         if os.path.exists(live) and os.path.exists(old):
             shutil.rmtree(old)
     if os.path.isdir(tmp_base):
@@ -397,18 +470,38 @@ def retrain_codebook_index(
         survivors, tmp_base, n_cells=n_cells, seed=seed,
         train_fraction=train_fraction,
     )
+    # Engine-enforced sidecar coherence (r12 verdict #2): a retrain
+    # reassigns EVERY vector's cell, so a pre-existing graph sidecar is
+    # invalidated wholesale. Build its replacement from the tmp index
+    # BEFORE the commit marker — the sidecar swaps atomically with the
+    # other relations, and no crash window pairs new cells with old
+    # graphs.
+    from gwasdb_spark.operators.ann_graph import (
+        build_graph_sidecar,
+        sidecar_meta,
+    )
+
+    live_meta = sidecar_meta(base)
+    if live_meta is not None:
+        build_graph_sidecar(spark, tmp_base, R=int(live_meta.get("R", 8)))
     with open(os.path.join(tmp_base, "_COMMITTED"), "w") as fh:
         fh.write("retrain complete; swap may proceed\n")
 
     # Swap: stale partition dirs from the old layout must not survive
     # (emptied high-numbered cells would under an in-place overwrite),
-    # which the whole-dir rename gives us for free.
+    # which the whole-dir rename gives us for free. A relation absent
+    # from the tmp tree (graphs, when no sidecar exists) is skipped.
     for rel in _RETRAIN_RELS:
         live = os.path.join(base, rel)
         old = live + ".old"
-        os.rename(live, old)
-        os.rename(os.path.join(tmp_base, rel), live)
-        shutil.rmtree(old)
+        tmp = os.path.join(tmp_base, rel)
+        if not os.path.exists(tmp):
+            continue
+        if os.path.exists(live):
+            os.rename(live, old)
+        os.rename(tmp, live)
+        if os.path.exists(old):
+            shutil.rmtree(old)
     shutil.rmtree(tmp_base)
     occ_after = cell_occupancy(spark, base)
     return {

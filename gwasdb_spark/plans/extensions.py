@@ -23,6 +23,24 @@ from gwasdb_spark.operators.similarity import brute_force_topk, hyperplane_lsh_t
 from gwasdb_spark.plans.base import query
 from gwasdb_spark.plans.helpers import cents, hour_str, money, stage_dir
 
+
+def _fp_tag(sf_dir: str) -> str:
+    """The stage-key convention for every persisted-store query:
+    md5(sf_dir) (path-unique across harness sf dirs) + the corpus
+    metadata fingerprint (regeneration-sensitive — ADVICE r9/r12: a
+    corpus regenerated at the SAME path must not reuse a stale
+    persisted index/sidecar). x171/c05 in other modules follow the
+    same shape; new persisted-store queries should call this."""
+    import hashlib as _hl
+
+    from gwasdb_spark.plans.mining_ops import _corpus_fingerprint
+
+    return (
+        _hl.md5(sf_dir.encode()).hexdigest()[:12]
+        + "_"
+        + _corpus_fingerprint(sf_dir)
+    )
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
@@ -6466,8 +6484,6 @@ def x173_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     update anti-joins into a no-op; probes always read corpus-only
     stores plus this batch's in-flight signatures, so a replayed run
     returns the identical relation."""
-    import hashlib as _hl
-
     import numpy as np
 
     from gwasdb_spark.functions.vectors import cosine
@@ -6490,11 +6506,7 @@ def x173_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_d = d.filter(F.col("doc_id") % mod != 0)
     batch_e = e.filter(F.col("vec_id") % mod == 0)
     corpus_e = e.filter(F.col("vec_id") % mod != 0)
-    base = stage_dir(
-        "x173_ingest_"
-        + _hl.md5(sf_dir.encode()).hexdigest()[:12]
-        + "_" + _corpus_fingerprint(sf_dir)
-    )
+    base = stage_dir("x173_ingest_" + _fp_tag(sf_dir))
     nulld = F.lit(None).cast("double")
 
     # -- family 1: exact-dup digest store ------------------------------
@@ -6694,10 +6706,11 @@ def x174_ann_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "x175_ann_spill_serve",
-    "X-sim,X-serve",
-    oracle="""
+# Shared by x175 (flat spill serve) and x178 (graphs built OVER the
+# spill assignment): in the flat regime both compute the exact top-k
+# over the identical spill candidate set, so one SQL replay adjudicates
+# both — the graph layer must be result-invisible, only cheaper.
+_X175_SPILL_SQL = """
     WITH spill AS (
       SELECT vec_id, embedding AS e, CAST(p.d AS INT) AS cell
       FROM embeddings CROSS JOIN range(1, 65) p(d)
@@ -6745,7 +6758,13 @@ def x174_ann_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ORDER BY cos_raw DESC, neighbor_id) AS rank
       FROM scored
     ) WHERE rank <= 10
-    """,
+"""
+
+
+@query(
+    "x175_ann_spill_serve",
+    "X-sim,X-serve",
+    oracle=_X175_SPILL_SQL,
 )
 def x175_ann_spill_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPANN-style boundary SPILL assignment served through the same
@@ -6882,9 +6901,11 @@ def x176_ann_graph_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph-ANN production-viable: the persisted cell index absorbs an
     upsert batch (vec_id % 11 = 7, x153's touched-cell machinery) and a
     takedown delete (vec_id % 23 = 1, x157's), and after each the
-    per-cell graphs are refreshed for ONLY the touched cells
-    (refresh_graph_sidecar — cost ∝ Σ|touched cell|², untouched cells'
-    graph files byte-stable, tests pin the mtimes). The flat-regime
+    per-cell graphs are refreshed for ONLY the touched cells — since
+    r13 BY THE MAINTENANCE OPS THEMSELVES (engine-enforced coherence,
+    r12 verdict #2: upsert/delete detect `<base>/graphs` and refresh
+    with the sidecar's recorded R; cost ∝ Σ|touched cell|², untouched
+    cells' graph files byte-stable, tests pin the mtimes). The flat-regime
     beam serve (ef=|cell|) then hash-matches the exact SQL replay over
     the post-churn corpus. The adjudication is sharp because the graph
     sidecar defines REACHABILITY: a refresh that misses a touched cell
@@ -6893,14 +6914,11 @@ def x176_ann_graph_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     Closes the maintenance matrix for the graph family alongside
     digests (x44), bands (x171/x172), cells (x153/x157), and postings
     (x62/x163)."""
-    import hashlib as _hl
-
     import numpy as np
 
     from gwasdb_spark.operators.ann_graph import (
         build_graph_sidecar,
         graph_probe_persisted,
-        refresh_graph_sidecar,
     )
     from gwasdb_spark.operators.ann_index import (
         build_cell_index,
@@ -6912,8 +6930,10 @@ def x176_ann_graph_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     batch = e.filter(F.col("vec_id") % 11 == 7).select("vec_id", "embedding")
     victims = e.filter(F.col("vec_id") % 23 == 1).select("vec_id")
-    tag = _hl.md5(sf_dir.encode()).hexdigest()[:12]
-    base = stage_dir(f"ann_graph_maint_{tag}")
+    # Tag carries the corpus fingerprint (ADVICE r12), matching x173/
+    # c05/x171: a regenerated corpus at the same sf_dir must not reuse
+    # the stale persisted index + graph sidecar.
+    base = stage_dir(f"ann_graph_maint_{_fp_tag(sf_dir)}")
     if not os.path.isdir(os.path.join(base, "index")):
         build_cell_index(
             e.filter(F.col("vec_id") % 11 != 7).select("vec_id", "embedding"),
@@ -6922,10 +6942,13 @@ def x176_ann_graph_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.isdir(os.path.join(base, "graphs")):
         build_graph_sidecar(spark, base, R=6)
 
+    # No manual refresh_graph_sidecar calls: the maintenance ops see
+    # `<base>/graphs` and refresh the touched cells themselves (the
+    # assert pins the engine-enforced contract this row adjudicates).
     up = upsert_cell_index(spark, base, batch)
-    refresh_graph_sidecar(spark, base, up["touched_cells"], R=6)
+    assert up["graphs_refreshed"], "sidecar present but not refreshed"
     dd = delete_from_cell_index(spark, base, victims)
-    refresh_graph_sidecar(spark, base, dd["touched_cells"], R=6)
+    assert dd["graphs_refreshed"], "sidecar present but not refreshed"
 
     qrows = (
         read_cell_index(spark, base)
@@ -6946,6 +6969,71 @@ def x176_ann_graph_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe_rows, "query_id long, q_vec array<float>, cell int"
     )
     out = graph_probe_persisted(spark, base, probes, k=10, ef=0)
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
+    )
+
+
+@query(
+    "x178_ann_spill_graph_topk",
+    "X-sim,X-serve",
+    oracle=_X175_SPILL_SQL,
+)
+def x178_ann_spill_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spill × graph COMPOSITION (r12 verdict #7): per-cell neighbor
+    graphs built OVER the spill-assigned layout — x174 proved graphs,
+    x175 proved spill, this row proves they compose. A near-boundary
+    vector is replicated into every qualifying cell (x175's axis spill
+    rule), and EACH of its resident cells builds graph edges for its
+    own copy, so beam search inside any probed cell can reach it; the
+    global merge dedups the copies (same vector ⇒ same cosine, one
+    survivor) before the bounded top-k. Adjudicated in the flat regime
+    (ef=|cell|: the connected per-cell graph's beam visits the whole
+    cell), where the result must be hash-identical to x175's exact SQL
+    replay — the graph layer is result-invisible over the identical
+    spill candidate set, only cheaper per eval. The beam-regime recall
+    of this composition vs x174 (graphs alone) and x175 (spill alone)
+    is measured by the `anngraph` stress gate at 200k vectors."""
+    import numpy as np
+
+    from gwasdb_spark.operators.ann_graph import (
+        build_cell_graphs,
+        graph_probe_topk,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    spilled = (
+        e.select(
+            "vec_id", "embedding",
+            F.posexplode("embedding").alias("pos", "val"),
+        )
+        .filter(
+            F.col("val").cast("double")
+            >= F.array_max("embedding").cast("double") - 0.05
+        )
+        .select("vec_id", "embedding", (F.col("pos") + 1).alias("cell"))
+    )
+    graphs = build_cell_graphs(spilled, R=6)
+    graph_index = spilled.join(graphs, ["cell", "vec_id"])
+
+    qrows = (
+        e.filter(F.col("vec_id").between(1, 5))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    probe_rows = []
+    for r in qrows:
+        qv = np.asarray(r["embedding"], dtype=np.float64)
+        top = np.lexsort((np.arange(qv.size), -qv))[:4]
+        for c in top:
+            probe_rows.append(
+                (int(r["vec_id"]),
+                 [float(x) for x in r["embedding"]], int(c) + 1)
+            )
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, q_vec array<float>, cell int"
+    )
+    out = graph_probe_topk(probes, graph_index, k=10, ef=0)  # ef=0: flat
     return out.select(
         "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
     )

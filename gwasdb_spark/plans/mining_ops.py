@@ -1874,10 +1874,13 @@ def x154_rag_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "st18_stream_ann_ingest",
-    "X-streaming,X-sim",
-    oracle="""
+# Shared by st18 (streamed upsert → flat IVF serve) and st22 (streamed
+# upsert of a GRAPH-CARRYING index → flat-regime graph serve): both
+# compute the exact top-k over the same logically-updated corpus, so
+# one SQL replay adjudicates both — st22 additionally proves the
+# engine-enforced sidecar refresh (a missed refresh leaves the updated
+# vectors graph-rowless → unreachable → hash fail).
+_ST18_ANN_SQL = """
     WITH v AS (
       SELECT vec_id,
              CASE WHEN vec_id % 10 = 0 THEN list_reverse(embedding)
@@ -1926,7 +1929,13 @@ def x154_rag_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ORDER BY cos_raw DESC, neighbor_id) AS rank
       FROM scored
     ) WHERE rank <= 10
-    """,
+"""
+
+
+@query(
+    "st18_stream_ann_ingest",
+    "X-streaming,X-sim",
+    oracle=_ST18_ANN_SQL,
 )
 def st18_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LIVE maintenance of the persisted ANN index — x153's upsert path
@@ -2027,6 +2036,112 @@ def st18_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("long").alias("rank"),
             F.round("cos_raw", 6).alias("cosine"),
         )
+    )
+
+
+@query(
+    "st22_stream_graph_ann",
+    "X-streaming,X-sim,X-serve",
+    oracle=_ST18_ANN_SQL,
+)
+def st22_stream_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest into a GRAPH-CARRYING ANN index, then graph
+    serve — the composed row the r12 verdict asked for (#2): st18's
+    foreachBatch upsert stream runs against an index that carries the
+    per-cell neighbor-graph sidecar, and the ingest path makes NO
+    manual refresh_graph_sidecar calls. Coherence is engine-enforced
+    since r13: `upsert_cell_index` detects `<base>/graphs` and
+    re-derives the touched cells' graph partitions itself with the
+    sidecar's recorded R (operators/ann_index._maybe_refresh_graphs) —
+    the invariant x176 proved breaks results when missed no longer
+    lives in the caller. After the AvailableNow replay drains, the
+    query serves the flat-regime beam (`graph_probe_persisted`,
+    ef=|cell|: exact within each connected per-cell graph) and must
+    hash-match the exact SQL replay over the logically-updated corpus.
+    Sharp because the sidecar defines REACHABILITY: had any micro-batch
+    skipped the refresh, its re-embedded vectors would have no graph
+    rows → be unreachable → vanish from the top-k → break the hash.
+    The per-batch `graphs_refreshed` flag is asserted inside the sink
+    as well, so a silent regression fails loudly, not just hash-late."""
+    import numpy as np
+
+    from gwasdb_spark.operators.ann_graph import (
+        build_graph_sidecar,
+        graph_probe_persisted,
+    )
+    from gwasdb_spark.operators.ann_index import (
+        build_cell_index,
+        read_cell_index,
+        upsert_cell_index,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    import hashlib as _hl
+
+    tag = (
+        _hl.md5(sf_dir.encode()).hexdigest()[:12]
+        + "_" + _corpus_fingerprint(sf_dir)
+    )
+    base = stage_dir(f"stream_graph_ann_{tag}")
+    src = os.path.join(base, "arrivals")
+    idx = os.path.join(base, "index")
+
+    if not os.path.isdir(os.path.join(idx, "index")):
+        build_cell_index(e.select("vec_id", "embedding"), idx)
+    if not os.path.isdir(os.path.join(idx, "graphs")):
+        build_graph_sidecar(spark, idx, R=6)
+    if not os.path.isdir(src):
+        (
+            e.filter(F.col("vec_id") % 10 == 0)
+            .select("vec_id", F.reverse(F.col("embedding")).alias("embedding"))
+            .repartition(4)
+            .write.mode("overwrite")
+            .parquet(src)
+        )
+
+    def _ingest(batch_df, batch_id):
+        info = upsert_cell_index(
+            batch_df.sparkSession, idx, batch_df.select("vec_id", "embedding")
+        )
+        if not info["graphs_refreshed"]:
+            raise RuntimeError(
+                "graph sidecar present but upsert did not refresh it"
+            )
+
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    index = read_cell_index(spark, idx)
+    qrows = (
+        index.filter(F.col("vec_id") < 5)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    probe_rows = []
+    for r in qrows:
+        qv = np.asarray(r["embedding"], dtype=np.float64)
+        top = np.lexsort((np.arange(qv.size), -qv))[:4]
+        for c in top:
+            probe_rows.append(
+                (int(r["vec_id"]),
+                 [float(x) for x in r["embedding"]], int(c) + 1)
+            )
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, q_vec array<float>, cell int"
+    )
+    out = graph_probe_persisted(spark, idx, probes, k=10, ef=0)
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
     )
 
 

@@ -73,7 +73,16 @@ def _load_ratio(new: dict, old: dict) -> tuple[float, str]:
             b_new[s] / b_old[s] for s in shapes if b_old.get(s)
         )
         if ratios:
-            return ratios[len(ratios) // 2], f"basket-median({len(ratios)})"
+            # statistics.median, not ratios[n//2]: for even-length lists
+            # the latter is the UPPER-middle element, which would bias
+            # the normalizer high whenever the shared-shape count is
+            # even (ADVICE r12).
+            import statistics
+
+            return (
+                statistics.median(ratios),
+                f"basket-median({len(ratios)})",
+            )
     s_new, s_old = new.get("sentinel_sec"), old.get("sentinel_sec")
     if s_new and s_old:
         return s_new / s_old, "scan-sentinel"

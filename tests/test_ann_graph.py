@@ -218,7 +218,6 @@ def test_graph_sidecar_refresh_touched_only_and_equals_rebuild(spark, tmp_path):
     from gwasdb_spark.operators.ann_graph import (
         build_graph_sidecar,
         graph_probe_persisted,
-        refresh_graph_sidecar,
     )
     from gwasdb_spark.operators.ann_index import (
         build_cell_index,
@@ -246,15 +245,18 @@ def test_graph_sidecar_refresh_touched_only_and_equals_rebuild(spark, tmp_path):
         return out
 
     before = part_mtimes()
+    # No manual refresh_graph_sidecar calls: since r13 the maintenance
+    # ops detect the sidecar and refresh touched cells THEMSELVES with
+    # the recorded R (engine-enforced coherence, r12 verdict #2).
     up = upsert_cell_index(
         spark, base,
         vecs.filter(F.col("vec_id") % 5 == 0).select("vec_id", "embedding"),
     )
-    refresh_graph_sidecar(spark, base, up["touched_cells"], R=4)
+    assert up["graphs_refreshed"]
     dd = delete_from_cell_index(
         spark, base, vecs.filter(F.col("vec_id") % 7 == 3).select("vec_id")
     )
-    refresh_graph_sidecar(spark, base, dd["touched_cells"], R=4)
+    assert dd["graphs_refreshed"]
     after = part_mtimes()
 
     touched = {f"cell={c}"
@@ -295,3 +297,106 @@ def test_graph_sidecar_refresh_touched_only_and_equals_rebuild(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_retrain_swaps_graph_sidecar_atomically(spark, tmp_path):
+    """Engine-enforced coherence through the RETRAIN path (r12 verdict
+    #2): a retrain reassigns every vector's cell, so the graph sidecar
+    is rebuilt from the tmp layout and swapped in WITH the other
+    relations (one commit marker covers all four) — no crash window can
+    pair new cells with old graphs, and the recorded R survives."""
+    import os
+
+    from gwasdb_spark.operators.ann_graph import (
+        build_graph_sidecar,
+        graph_probe_persisted,
+        sidecar_meta,
+    )
+    from gwasdb_spark.operators.ann_index import (
+        build_codebook_index,
+        delete_from_cell_index,
+        retrain_codebook_index,
+    )
+
+    base = os.path.join(str(tmp_path), "cbg")
+    vecs = _vectors(spark, n=300, dim=8, seed=33)
+    build_codebook_index(vecs, base, n_cells=4, seed=1)
+    build_graph_sidecar(spark, base, R=3)
+    dd = delete_from_cell_index(
+        spark, base, vecs.filter(F.col("vec_id") % 3 == 0).select("vec_id")
+    )
+    assert dd["graphs_refreshed"]
+
+    retrain_codebook_index(spark, base, n_cells=4, seed=2)
+    assert os.path.isdir(os.path.join(base, "graphs"))
+    assert sidecar_meta(base) == {"R": 3}
+    assert not os.path.exists(os.path.join(base, "_retrain.tmp"))
+    for rel in ("index", "manifest", "codebook", "graphs"):
+        assert not os.path.exists(os.path.join(base, rel + ".old"))
+
+    # served graphs == graphs rebuilt from scratch over the final index
+    probes = spark.createDataFrame(
+        [
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]], c)
+            for r in vecs.filter(F.col("vec_id").isin([1, 2])).collect()
+            for c in range(0, 4)
+        ],
+        "query_id long, q_vec array<float>, cell int",
+    )
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in graph_probe_persisted(spark, base, probes, k=5, ef=0)
+        .collect()
+    }
+    import shutil
+
+    shutil.rmtree(os.path.join(base, "graphs"))
+    build_graph_sidecar(spark, base, R=3)
+    want = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in graph_probe_persisted(spark, base, probes, k=5, ef=0)
+        .collect()
+    }
+    assert got == want
+
+
+def test_full_rebuild_refreshes_stale_sidecar(spark, tmp_path):
+    """A full build_cell_index over a base that already carries a graph
+    sidecar must rebuild the sidecar too — the overwritten layout's
+    graphs describe dead rows."""
+    import os
+
+    from gwasdb_spark.operators.ann_graph import (
+        build_graph_sidecar,
+        graph_probe_persisted,
+        sidecar_meta,
+    )
+    from gwasdb_spark.operators.ann_index import build_cell_index
+
+    base = os.path.join(str(tmp_path), "rb")
+    vecs = _vectors(spark, n=200, dim=8, seed=44)
+    build_cell_index(
+        vecs.filter(F.col("vec_id") < 100).select("vec_id", "embedding"), base
+    )
+    build_graph_sidecar(spark, base, R=3)
+    # overwrite with a DIFFERENT corpus slice; sidecar must follow
+    build_cell_index(
+        vecs.filter(F.col("vec_id") >= 100).select("vec_id", "embedding"),
+        base,
+    )
+    assert sidecar_meta(base) == {"R": 3}
+    probes = spark.createDataFrame(
+        [
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]], c)
+            for r in vecs.filter(F.col("vec_id") == 150).collect()
+            for c in range(1, 9)
+        ],
+        "query_id long, q_vec array<float>, cell int",
+    )
+    served = {
+        r["neighbor_id"]
+        for r in graph_probe_persisted(spark, base, probes, k=50, ef=0)
+        .collect()
+    }
+    assert served, "rebuilt sidecar serves nothing"
+    assert all(n >= 100 for n in served), "stale pre-rebuild rows served"
