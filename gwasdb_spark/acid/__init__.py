@@ -7,5 +7,6 @@ from gwasdb_spark.acid.table_log import (
     CheckViolation,
     CommitConflict,
 )
+from gwasdb_spark.acid.multi_commit import MultiTableTxn
 
-__all__ = ["AcidTable", "CheckViolation", "CommitConflict"]
+__all__ = ["AcidTable", "CheckViolation", "CommitConflict", "MultiTableTxn"]

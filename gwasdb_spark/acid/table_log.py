@@ -146,6 +146,21 @@ def _check_violations(df: DataFrame, checks: dict) -> dict:
     }
 
 
+def _txn_marker_path(txn: dict) -> str:
+    return os.path.join(txn["root"], txn["id"] + ".commit")
+
+
+def _txn_visible(manifest: dict) -> bool:
+    """A manifest committed by a MULTI-TABLE transaction (acid/
+    multi_commit.py) carries {"txn": {"id", "root"}} and is visible
+    IFF the transaction's commit marker exists — the single fsync-then-
+    link of that marker is the atomic commit point for every
+    participating table at once. A manifest without the field is an
+    ordinary single-table commit, always visible."""
+    txn = manifest.get("txn")
+    return txn is None or os.path.exists(_txn_marker_path(txn))
+
+
 def _fsync_dir(path: str) -> None:
     fd = os.open(path, os.O_RDONLY)
     try:
@@ -168,7 +183,38 @@ class AcidTable:
         return os.path.join(self._log, f"{version:08d}.json")
 
     def latest_version(self) -> int:
-        """Highest committed version, -1 when the table does not exist."""
+        """Highest committed AND VISIBLE version, -1 when the table
+        does not exist. A version published by an in-flight multi-table
+        transaction (manifest carries a "txn" pointer whose commit
+        marker is absent) is invisible — readers snapshot below it, and
+        because the slot is physically taken (os.link exclusivity),
+        every other writer's next-version commit conflicts until the
+        transaction commits or is recovered: pending transactions BLOCK
+        the log rather than leaving reorderable holes. The extra cost
+        is one tiny json read per txn-tagged tip manifest; at real
+        metadata scale a log checkpoint carries the visibility bit."""
+        if not os.path.isdir(self._log):
+            return -1
+        versions = []
+        for name in os.listdir(self._log):
+            if name.endswith(".json"):
+                try:
+                    versions.append(int(name[:-5]))
+                except ValueError:
+                    continue
+        for v in sorted(versions, reverse=True):
+            try:
+                m = self._manifest(v)
+            except (OSError, ValueError):
+                continue  # racing a recovery unlink
+            if _txn_visible(m):
+                return v
+        return -1
+
+    def _tip_slot(self) -> int:
+        """Highest PHYSICALLY TAKEN version slot (visible or pending) —
+        where multi_commit allocates, so a transaction never stacks a
+        version under a pending one."""
         if not os.path.isdir(self._log):
             return -1
         best = -1
@@ -190,8 +236,22 @@ class AcidTable:
         for v in range(self.latest_version() + 1):
             if os.path.exists(self._manifest_path(v)):
                 m = self._manifest(v)
+                if not _txn_visible(m):
+                    continue  # aborted-txn hole below the tip
                 out.append({"version": m["version"], "op": m["op"]})
         return out
+
+    def _visible_manifest(self, version: int) -> dict:
+        """Manifest of an EXPLICITLY requested version, refusing a
+        pending/aborted multi-table-txn slot (its data was never
+        atomically published)."""
+        m = self._manifest(version)
+        if not _txn_visible(m):
+            raise FileNotFoundError(
+                f"version {version} of {self.path} belongs to an "
+                "uncommitted multi-table transaction"
+            )
+        return m
 
     # ---------------------------------------------------------- write --
     def _write_group(
@@ -311,6 +371,7 @@ class AcidTable:
         groups: list[str],
         stats: dict | None = None,
         meta: dict | None = None,
+        txn: dict | None = None,
     ) -> None:
         os.makedirs(self._log, exist_ok=True)
         meta = meta or {}
@@ -322,6 +383,11 @@ class AcidTable:
             "checks": meta.get("checks") or {},
             "bloom_cols": sorted(meta.get("bloom_cols") or []),
         }
+        if txn:
+            # Published but INVISIBLE until the txn's commit marker
+            # links (acid/multi_commit.py) — the slot is taken so other
+            # writers conflict rather than reorder around it.
+            body["txn"] = {"id": txn["id"], "root": txn["root"]}
         if meta.get("schema"):
             body["schema"] = meta["schema"]
         if meta.get("column_map"):
@@ -422,7 +488,7 @@ class AcidTable:
         v = self.latest_version() if version is None else version
         if v < 0:
             raise FileNotFoundError(f"no committed version at {self.path}")
-        m = self._manifest(v)
+        m = self._visible_manifest(v)
         return self._read_groups(m, m["file_groups"])
 
     def read_where(
@@ -445,7 +511,7 @@ class AcidTable:
             raise FileNotFoundError(f"no committed version at {self.path}")
         if not isinstance(predicate, Pred):
             return self.read(v).filter(predicate)
-        m = self._manifest(v)
+        m = self._visible_manifest(v)
         touched = self._touched_by(predicate)(m)
         if not touched:
             return self.read(v).limit(0)
@@ -457,7 +523,7 @@ class AcidTable:
         """(groups a read_where(predicate) would open, total groups) —
         the observable skipping contract, driver/oracle-pinnable."""
         v = self.latest_version() if version is None else version
-        m = self._manifest(v)
+        m = self._visible_manifest(v)
         return len(self._touched_by(predicate)(m)), len(m["file_groups"])
 
     # ------------------------------------------------------------ dml --
@@ -1069,7 +1135,7 @@ class AcidTable:
         the commit is metadata-only. Refuses if any target group has
         been vacuumed away (the retention window bounds how far back a
         restore can reach — same contract as Delta)."""
-        target = self._manifest(version)
+        target = self._visible_manifest(version)
         missing = [
             g
             for g in target["file_groups"]

@@ -23,10 +23,11 @@ fit DataFrame plans (arrays in parquet — no pointer-chasing store):
    from |cell| to ~ef·R·hops, so at EQUAL distance-eval budget a
    deployment probes MORE cells and recall rises (the gate's claim:
    graph@nprobe=8 beats flat@nprobe=4 on recall at no more evals).
-   Graphs are built once at write time with blocked BLAS inside
-   applyInPandas (cost O(|cell|²·d) per cell, bounded because cells
-   exist to bound it; swap in NN-descent per cell when |cell| outgrows
-   the quadratic build — the search path is unchanged). Search is a
+   Graphs are built once at write time inside applyInPandas — exact
+   blocked-BLAS all-pairs (O(|cell|²·d)) for cells up to `exact_max`
+   rows, NN-descent (O(|cell|·R²·d·iters), near-linear — r12 verdict
+   #4) above it; `method="auto"` picks per cell, and the search path
+   is unchanged either way. Search is a
    cogrouped applyInPandas over (queries-by-probed-cell × cell graph):
    every probed cell searches independently, results merge with one
    bounded top-k — the same partition-pruned physical shape as
@@ -83,18 +84,92 @@ def spill_assign(
     )
 
 
+def _nn_descent(Mn, ids, r: int, seed: int, iters: int = 10,
+                block: int = 4096):
+    """Approximate per-node top-r neighbor indices by NN-descent (Dong
+    et al., WWW'11: a node's neighbors' neighbors are likely neighbors)
+    — O(m·r²·d) per iteration instead of the exact build's O(m²·d),
+    the swap the module header promised for cells that outgrow the
+    quadratic build. Deterministic: the random init is seeded, every
+    selection tie-breaks by (similarity desc, vec_id asc), and
+    convergence is a pure function of the data. Returns an (m, r)
+    index matrix (directed; caller undirects + backbones)."""
+    m = len(ids)
+    rng = np.random.default_rng(seed)
+    nbr = rng.integers(0, m - 1, size=(m, r), dtype=np.int64)
+    nbr[nbr >= np.arange(m)[:, None]] += 1  # never self
+    rows = np.repeat(np.arange(m), r)
+    for _ in range(iters):
+        # REVERSE neighbors (who lists me?) — the half of NN-descent's
+        # local join that makes it converge: sample up to r per node
+        # (deterministically, by source id) from the reverse adjacency.
+        order = np.lexsort((rows, nbr.ravel()))
+        dst, src = nbr.ravel()[order], rows[order]
+        starts = np.searchsorted(dst, np.arange(m))
+        ends = np.searchsorted(dst, np.arange(m) + 1)
+        rev = np.empty((m, r), dtype=np.int64)
+        for i in range(m):
+            s, e = starts[i], ends[i]
+            if e > s:
+                take = src[s:e][: r]
+                rev[i, : len(take)] = take
+                rev[i, len(take):] = take[0]
+            else:
+                rev[i] = i  # self: masked out at scoring
+        # candidate pool per node: fwd + rev one-hop, then their fwd
+        # neighbors (the general-neighbor join, bounded at (2r)² + 2r)
+        one_hop = np.concatenate([nbr, rev], axis=1)
+        cand = np.concatenate(
+            [one_hop, nbr[one_hop].reshape(m, 2 * r * r)], axis=1
+        )
+        new_nbr = np.empty_like(nbr)
+        for lo in range(0, m, block):
+            hi = min(lo + block, m)
+            Cb = cand[lo:hi]
+            S = np.einsum("bd,bkd->bk", Mn[lo:hi], Mn[Cb])
+            S[Cb == np.arange(lo, hi)[:, None]] = -np.inf  # no self
+            order = np.argsort(Cb, axis=1, kind="stable")
+            Cs = np.take_along_axis(Cb, order, 1)
+            Ss = np.take_along_axis(S, order, 1)
+            Ss[:, 1:][Cs[:, 1:] == Cs[:, :-1]] = -np.inf  # dedup
+            cut = min(2 * r, Cs.shape[1])
+            part = np.argpartition(-Ss, cut - 1, axis=1)[:, :cut]
+            for i in range(lo, hi):
+                b = i - lo
+                csel = part[b]
+                sel = np.lexsort((ids[Cs[b, csel]], -Ss[b, csel]))[:r]
+                new_nbr[i] = Cs[b, csel[sel]]
+        if int((new_nbr != nbr).sum()) <= max(1, (m * r) // 1000):
+            nbr = new_nbr
+            break
+        nbr = new_nbr
+    return nbr
+
+
 def build_cell_graphs(
     index: DataFrame,
     R: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block: int = 2048,
+    method: str = "auto",
+    exact_max: int = 4096,
 ) -> DataFrame:
     """(cell, vec_id, neighbors array<bigint>) — per-cell undirected
     R-NN graph + vec_id-ordered backbone chain (connectivity guarantee:
     greedy search can always reach every node, so the flat-regime beam
     is exact, and no cell ever strands an island of vectors). Blocked
-    BLAS keeps the per-task working set to O(block·|cell|) doubles."""
+    BLAS keeps the per-task working set to O(block·|cell|) doubles.
+
+    `method`: "exact" = all-pairs O(|cell|²·d); "nndescent" = the
+    O(|cell|·R²·d·iters) approximate build (r12 verdict #4 — the build,
+    not the serve, is the scale-killer once cells grow 100×);
+    "auto" (default) = exact for cells ≤ `exact_max` rows, NN-descent
+    above — small cells keep the provably-exact edge set for free, big
+    cells get the near-linear build. The serve path is unchanged either
+    way, and flat-regime exactness never depends on WHICH near-equal
+    edges the graph carries (the backbone keeps every cell connected);
+    beam-regime recall parity is measured by the `anngraph` gate."""
 
     def knn(pdf):
         import pandas as pd
@@ -109,6 +184,27 @@ def build_cell_graphs(
         Mn = M / nrm
         r = min(R, m - 1)
         nbrs = [set() for _ in range(m)]
+        use_nnd = method == "nndescent" or (
+            method == "auto" and m > exact_max
+        )
+        if r > 0 and use_nnd:
+            top = _nn_descent(Mn, ids, r, seed=cell + 1)
+            for i in range(m):
+                for j in top[i]:
+                    nbrs[i].add(int(j))
+                    nbrs[int(j)].add(i)  # undirected
+            for i in range(m - 1):  # backbone chain
+                nbrs[i].add(i + 1)
+                nbrs[i + 1].add(i)
+            return pd.DataFrame(
+                {
+                    "cell": cell,
+                    "vec_id": ids,
+                    "neighbors": [
+                        [int(ids[j]) for j in sorted(ns)] for ns in nbrs
+                    ],
+                }
+            )
         for lo in range(0, m, block):
             hi = min(lo + block, m)
             S = Mn[lo:hi] @ Mn.T

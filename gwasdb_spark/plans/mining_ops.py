@@ -5912,6 +5912,21 @@ def x158_reset_stage(sf_dir: str) -> None:
     _sh.rmtree(stage_dir(f"acid_x158_{tag}"), ignore_errors=True)
 
 
+def _m13_stage(sf_dir: str) -> str:
+    import hashlib as _hl
+
+    return stage_dir(f"acid_m13_{_hl.md5(sf_dir.encode()).hexdigest()[:12]}")
+
+
+def m13_reset_stage(sf_dir: str) -> None:
+    """Drop m13's staged table pair + txn root so a timed run replays
+    the create + two two-table transactions (one crash-injected and
+    recovered), not a warm re-read."""
+    import shutil as _sh
+
+    _sh.rmtree(_m13_stage(sf_dir), ignore_errors=True)
+
+
 # Explicit registry: query name -> cold-reset hook. bench.py iterates THIS
 # (not a name-prefix match — `startswith("m0")` silently excluded m10/m11
 # and would exclude any future staged query whose name doesn't happen to
@@ -5929,6 +5944,7 @@ STAGED_RESETS: dict = {
     "m11_acid_restore": m11_reset_stage,
     "m12_acid_column_mapping": m12_reset_stage,
     "x158_acid_changefeed": x158_reset_stage,
+    "m13_acid_multi_table": m13_reset_stage,
 }
 
 
@@ -6181,3 +6197,178 @@ def st21_stream_cdc_sequenced(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read().select(
         "k", "v", F.lit(n_commits).cast("long").alias("n_apply_commits")
     ).orderBy("k")
+
+
+@query(
+    "m13_acid_multi_table",
+    "X-dml,M3,M4,X3",
+    oracle="""
+    WITH src AS (
+      SELECT l_orderkey, l_linenumber, l_quantity,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             (l_quantity >= 5) AS pass,
+             CASE WHEN l_orderkey < 500 THEN 0
+                  WHEN l_orderkey < 1000 THEN 1 ELSE 2 END AS tranche
+      FROM lineitem WHERE l_orderkey < 1500
+    ),
+    tv AS (
+      SELECT t.tbl, v.version
+      FROM (VALUES ('gwas'), ('no_gwas')) t(tbl)
+      CROSS JOIN (VALUES (0), (1), (2)) v(version)
+    ),
+    agg AS (
+      SELECT tv.tbl, CAST(tv.version AS INT) AS version,
+             CAST(COUNT(src.l_orderkey) AS BIGINT) AS n_rows,
+             CAST(COALESCE(SUM(src.cents), 0) AS BIGINT) AS sum_cents
+      FROM tv LEFT JOIN src
+        ON src.tranche <= tv.version
+       AND ((tv.tbl = 'gwas' AND src.pass)
+            OR (tv.tbl = 'no_gwas' AND NOT src.pass))
+      GROUP BY 1, 2
+    )
+    SELECT tbl, version,
+           CASE WHEN version = 0 THEN 'create' ELSE 'qc_split' END AS op,
+           n_rows, sum_cents
+    FROM agg
+    UNION ALL
+    SELECT 'audit', -1, 'split_overlap', 0, 0
+    UNION ALL
+    SELECT 'audit', -1, 'union_total',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM src),
+           (SELECT CAST(SUM(cents) AS BIGINT) FROM src)
+    """,
+)
+def m13_acid_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table ATOMIC commit (r12 verdict #3; acid/multi_commit.py):
+    the reference's QC split inserts survivors into `gwas` AND rejects
+    into `no_gwas_result` from ONE staging pass — one transaction
+    (R/wrangle_data.Rmd:365,376-381). Here the stand-in split
+    (l_quantity >= 5) lands on an AcidTable PAIR through MultiTableTxn:
+
+    - v0: both tables created from tranche 0 (l_orderkey < 500).
+    - v1: tranche 1 is first committed with an INJECTED CRASH after
+      both manifests linked but BEFORE the commit marker (the sharpest
+      pre-commit window: everything is on disk except the one atomic
+      link) — both tables must still read their v0 states; recover()
+      aborts the orphan; the tranche then lands cleanly.
+    - v2: tranche 2's transaction crashes AFTER the marker but before
+      intent cleanup — both tables are already committed (the marker
+      IS the commit point); recover() merely finalizes.
+
+    The oracle replays the whole split from lineitem and pins every
+    (table, version) snapshot's (row count, cents sum) — so the hash
+    breaks if an aborted tranche ever leaks into a snapshot, if either
+    crash surfaces a HALF-committed state (one table at v1 while its
+    twin reads v0 would shift that table's tranche membership one
+    version early), or if recovery loses a committed one. Two audit
+    rows pin the split invariants over the FINAL pair: zero
+    (orderkey, linenumber) keys in both tables, and union == staging
+    slice exactly (the reference's survivors+rejects partition).
+    Resumable off latest_version like every staged m-row; op labels
+    come from the LOG (history()), so a stray extra commit also breaks
+    the hash. Versions stay aligned across the pair because the
+    transaction is all-or-nothing — that alignment is itself part of
+    what the per-version snapshot pins prove."""
+    from gwasdb_spark.acid import AcidTable
+    from gwasdb_spark.acid.multi_commit import InjectedCrash, MultiTableTxn
+
+    base = _m13_stage(sf_dir)
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") < 1500
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    is_pass = F.col("l_quantity") >= 5
+
+    def tranche(lo: int, hi: int):
+        sl = li.filter(
+            (F.col("l_orderkey") >= lo) & (F.col("l_orderkey") < hi)
+        )
+        return sl.filter(is_pass), sl.filter(~is_pass)
+
+    gwas = AcidTable(spark, os.path.join(base, "gwas"))
+    nog = AcidTable(spark, os.path.join(base, "no_gwas"))
+    txn = MultiTableTxn(spark, os.path.join(base, "txn"))
+
+    if gwas.latest_version() < 0:
+        keep0, drop0 = tranche(0, 500)
+        gwas = AcidTable.create(spark, gwas.path, keep0)
+        nog = AcidTable.create(spark, nog.path, drop0)
+    if gwas.latest_version() == 0:
+        keep1, drop1 = tranche(500, 1000)
+        try:  # crash with both manifests linked, marker missing
+            txn.commit_appends(
+                [(gwas, keep1), (nog, drop1)],
+                op="qc_split", failpoint="manifests",
+            )
+        except InjectedCrash:
+            pass
+        assert gwas.latest_version() == 0 and nog.latest_version() == 0, (
+            "pre-marker crash surfaced a half-committed QC split"
+        )
+        txn.recover()
+        txn.commit_appends([(gwas, keep1), (nog, drop1)], op="qc_split")
+    if gwas.latest_version() == 1:
+        keep2, drop2 = tranche(1000, 1500)
+        try:  # crash after the marker: already committed
+            txn.commit_appends(
+                [(gwas, keep2), (nog, drop2)],
+                op="qc_split", failpoint="marker",
+            )
+        except InjectedCrash:
+            pass
+        assert gwas.latest_version() == 2 and nog.latest_version() == 2, (
+            "post-marker crash lost a committed transaction"
+        )
+    txn.recover()  # warm no-op; finalizes tranche 2's leftover intent
+
+    parts = []
+    for name, t in (("gwas", gwas), ("no_gwas", nog)):
+        for h in t.history():  # every VISIBLE version — strays break it
+            parts.append(
+                t.read(h["version"]).agg(
+                    F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    F.coalesce(
+                        F.sum(
+                            F.round(F.col("l_extendedprice") * 100)
+                            .cast("long")
+                        ),
+                        F.lit(0),
+                    ).cast("long").alias("sum_cents"),
+                ).select(
+                    F.lit(name).alias("tbl"),
+                    F.lit(h["version"]).cast("int").alias("version"),
+                    F.lit(h["op"]).alias("op"),
+                    "n_rows",
+                    "sum_cents",
+                )
+            )
+    g_fin, n_fin = gwas.read(), nog.read()
+    # Full QC identity as the key: the synthetic lineitem is NOT unique
+    # on (orderkey, linenumber) — 178 such keys at sf0.01 carry rows on
+    # both sides of the quantity rule, so the disjointness the split
+    # guarantees (and a half-replayed commit would break by
+    # double-landing rows) is per ROW, quantity included.
+    key = ["l_orderkey", "l_linenumber", "l_quantity"]
+    overlap = g_fin.select(*key).join(n_fin.select(*key), key).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.lit(0).cast("long").alias("sum_cents"),
+    ).select(
+        F.lit("audit").alias("tbl"),
+        F.lit(-1).cast("int").alias("version"),
+        F.lit("split_overlap").alias("op"),
+        "n_rows", "sum_cents",
+    )
+    union_total = g_fin.unionByName(n_fin).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+        ).cast("long").alias("sum_cents"),
+    ).select(
+        F.lit("audit").alias("tbl"),
+        F.lit(-1).cast("int").alias("version"),
+        F.lit("union_total").alias("op"),
+        "n_rows", "sum_cents",
+    )
+    out = parts[0]
+    for p in parts[1:] + [overlap, union_total]:
+        out = out.unionByName(p)
+    return out

@@ -1598,6 +1598,115 @@ def stress_acid_race(spark) -> dict:
     }
 
 
+def stress_acid_multi(spark) -> dict:
+    """Cross-process multi-table-commit kill matrix (r12 verdict #3):
+    one OS-process coordinator per kill point runs a REAL two-table
+    QC-split transaction (acid/multi_commit.py) and os._exit(9)s at a
+    named protocol step — after staging, after the intent link, after
+    the FIRST table's manifest, after both manifests (the sharpest
+    window: everything on disk except the marker), and after the
+    marker. After each kill the parent asserts THE invariant from its
+    own process: both tables moved or neither — no interleaving of
+    kill point x reader ever sees half the QC decision. It also
+    asserts the blocking contract (a single-table append CONFLICTS
+    against a pending transaction rather than reordering around it),
+    then recovery + a clean replay land every batch. Final state is
+    deterministic: 5 batches x (800 keep / 200 drop) over the seeds,
+    one marker per committed transaction, zero intents."""
+    import shutil as _sh
+    import subprocess as _sp
+
+    from gwasdb_spark.acid import AcidTable, CommitConflict
+    from gwasdb_spark.acid.multi_commit import MultiTableTxn
+
+    base = os.path.join(TMP, "gwasdb_stress_acidmulti")
+    _sh.rmtree(base, ignore_errors=True)
+    gwas = AcidTable.create(
+        spark, os.path.join(base, "gwas"),
+        spark.range(7).select("id", F.lit(-1).cast("int").alias("batch")),
+    )
+    nog = AcidTable.create(
+        spark, os.path.join(base, "no_gwas"),
+        spark.range(3).select("id", F.lit(-1).cast("int").alias("batch")),
+    )
+    txn = MultiTableTxn(spark, os.path.join(base, "txn"))
+    worker = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "acid_multi_worker.py"
+    )
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+
+    def run(batch: int, failpoint: str) -> int:
+        return _sp.run(
+            [sys.executable, worker, base, str(batch), failpoint],
+            stdout=_sp.DEVNULL, stderr=_sp.DEVNULL, env=env,
+        ).returncode
+
+    kill_points = ["stage", "intent", "manifest1", "manifests", "marker"]
+    t0 = time.perf_counter()
+    version = 0
+    torn = blocked_ok = 0
+    for batch, fp in enumerate(kill_points):
+        rc = run(batch, fp)
+        assert rc == 9, f"worker at {fp} exited {rc}, expected the kill"
+        vg, vn = gwas.latest_version(), nog.latest_version()
+        if fp == "marker":
+            version += 1  # the marker IS the commit point
+        if not (vg == version and vn == version):
+            torn += 1
+        if fp in ("manifest1", "manifests"):
+            # pending slot must BLOCK, not be reordered around
+            try:
+                gwas.append(
+                    spark.range(1).select(
+                        "id", F.lit(99).cast("int").alias("batch")
+                    )
+                )
+            except CommitConflict:
+                blocked_ok += 1
+        if fp != "marker":
+            rep = txn.recover()
+            assert rep["aborted"] in (0, 1)
+            rc2 = run(batch, "none")
+            assert rc2 == 0, f"clean replay of batch {batch} exited {rc2}"
+            version += 1
+    txn.recover()  # finalize the marker kill's leftover intent
+    kill_sec = time.perf_counter() - t0
+
+    n_g, n_n = gwas.read().count(), nog.read().count()
+    per_batch = (
+        gwas.read().filter(F.col("batch") >= 0)
+        .groupBy("batch").count().collect()
+    )
+    batches_ok = sorted(
+        (r["batch"], r["count"]) for r in per_batch
+    ) == [(b, 800) for b in range(5)]
+    names = os.listdir(txn.root)
+    intents = sum(1 for n in names if n.endswith(".intent.json"))
+    markers = sum(1 for n in names if n.endswith(".commit"))
+    return {
+        "stress": "acid_multi_kill_matrix",
+        "kill_points": len(kill_points),
+        "kill_sec": round(kill_sec, 1),
+        "torn_states_observed": torn,
+        "pending_blocked_appends": blocked_ok,
+        "final_versions": [gwas.latest_version(), nog.latest_version()],
+        "rows": [n_g, n_n],
+        "intents_left": intents,
+        "markers": markers,
+        "ok": (
+            torn == 0
+            and blocked_ok == 2
+            and gwas.latest_version() == 5
+            and nog.latest_version() == 5
+            and n_g == 7 + 5 * 800
+            and n_n == 3 + 5 * 200
+            and batches_ok
+            and intents == 0
+            and markers == 5
+        ),
+    }
+
+
 def stress_ivf_rebalance(spark) -> dict:
     """Takedown-heavy IVF store (r10 verdict #6): a learned-codebook
     cell index absorbs a spatially-biased 75% delete (18 of 24
@@ -1941,6 +2050,7 @@ STRESSES = {
     "acidbloom": stress_acid_bloom,
     "exactsubstr": stress_exactsubstr,
     "acidrace": stress_acid_race,
+    "acidmulti": stress_acid_multi,
     "ivfrebalance": stress_ivf_rebalance,
     "anngraph": stress_ann_graph,
 }
