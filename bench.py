@@ -19,6 +19,23 @@ import os
 import sys
 import time
 
+# HEADLINE is a CURATED subset of the ~380-query registry (r12 verdict
+# minor: make the exclusion policy explicit). Excluded on purpose:
+# (1) micro-shapes whose wall time is session overhead, not engine work
+#     (p01-p16 single-op projections/filters, f0x scalar functions,
+#     a01-a03 trivial aggregates, s0x tiny scans) — each is an
+#     ingredient of a benched composite query already;
+# (2) most streaming rows (st04-st23): bounded-replay wall time is
+#     dominated by per-micro-batch state-store commits — harness replay
+#     overhead, not steady-state throughput (the inline st07/st08 notes
+#     below record the measured variance that forced this);
+# (3) near-duplicate plan shapes of a benched row (e.g. x12b/x12d/x12e
+#     vs the benched x12/x12c/x12f BM25 family) — one representative
+#     per physical shape keeps suite wall time inside one bench session
+#     without losing a regression surface.
+# Every EXCLUDED query still runs per-round through the driver's
+# correctness gate and per-commit tests; exclusion is a timing-ledger
+# decision only.
 HEADLINE = [
     "q01_pricing_summary",
     "q03_shipping_priority",
@@ -299,6 +316,11 @@ HEADLINE = [
     "x174_ann_graph_topk",
     "x175_ann_spill_serve",
     "x176_ann_graph_maintain",
+    "x178_ann_spill_graph_topk",
+    "m13_acid_multi_table",
+    # st22 (streamed upsert of a graph-carrying index) is correctness-
+    # gated, not benched: ingest wall time is st18's micro-batch commit
+    # overhead and its serve is x174's benched shape.
     # st19 (watermark late-data) is correctness-gated, not benched: its
     # bounded 3-micro-batch replay measures per-batch state-store commit
     # overhead, the st07/st08/st13/st18 exclusion rationale.

@@ -25,9 +25,9 @@ fit DataFrame plans (arrays in parquet — no pointer-chasing store):
    graph@nprobe=8 beats flat@nprobe=4 on recall at no more evals).
    Graphs are built once at write time inside applyInPandas — exact
    blocked-BLAS all-pairs (O(|cell|²·d)) for cells up to `exact_max`
-   rows, NN-descent (O(|cell|·R²·d·iters), near-linear — r12 verdict
-   #4) above it; `method="auto"` picks per cell, and the search path
-   is unchanged either way. Search is a
+   rows; above it, an RP-forest sampled build + neighbor-of-neighbor
+   refinement (near-linear in |cell| — r12 verdict #4), `method="auto"`
+   picking per cell, the search path unchanged either way. Search is a
    cogrouped applyInPandas over (queries-by-probed-cell × cell graph):
    every probed cell searches independently, results merge with one
    bounded top-k — the same partition-pruned physical shape as
@@ -84,65 +84,110 @@ def spill_assign(
     )
 
 
-def _nn_descent(Mn, ids, r: int, seed: int, iters: int = 10,
-                block: int = 4096):
-    """Approximate per-node top-r neighbor indices by NN-descent (Dong
-    et al., WWW'11: a node's neighbors' neighbors are likely neighbors)
-    — O(m·r²·d) per iteration instead of the exact build's O(m²·d),
-    the swap the module header promised for cells that outgrow the
-    quadratic build. Deterministic: the random init is seeded, every
-    selection tie-breaks by (similarity desc, vec_id asc), and
-    convergence is a pure function of the data. Returns an (m, r)
-    index matrix (directed; caller undirects + backbones)."""
+def _approx_knn(Mn, ids, r: int, seed: int, trees: int = 6,
+                leaf: int = 2048, refine: int = 2):
+    """Approximate per-node top-r neighbor indices: an RP-forest build
+    (EFANNA/annoy-style sampled graph — the r12 verdict's "NN-descent
+    or sampled-graph" swap) + NN-descent-style refinement passes.
+
+    Why this shape: `trees` seeded random-projection trees each
+    median-split the cell until leaves hold <= `leaf` rows, exact KNN
+    runs INSIDE each leaf (pure dgemm — the operation numpy is actually
+    fast at; the gather-heavy classic NN-descent local join benchmarked
+    SLOWER than exact BLAS below ~50k rows), per-node candidates union
+    across trees, and `refine` neighbor-of-my-neighbor passes close
+    boundary misses. Cost O(trees·m·leaf·d + refine·m·r²·d) — LINEAR in
+    m, vs the exact build's O(m²·d). Deterministic: projections,
+    median splits, and every selection tie-break ((sim desc, id asc))
+    are seeded/pure; ties at argpartition boundaries carry the same
+    caveat as the exact path (edge choice never affects flat-regime
+    exactness — the backbone keeps cells connected)."""
     m = len(ids)
-    rng = np.random.default_rng(seed)
-    nbr = rng.integers(0, m - 1, size=(m, r), dtype=np.int64)
-    nbr[nbr >= np.arange(m)[:, None]] += 1  # never self
-    rows = np.repeat(np.arange(m), r)
-    for _ in range(iters):
-        # REVERSE neighbors (who lists me?) — the half of NN-descent's
-        # local join that makes it converge: sample up to r per node
-        # (deterministically, by source id) from the reverse adjacency.
-        order = np.lexsort((rows, nbr.ravel()))
-        dst, src = nbr.ravel()[order], rows[order]
-        starts = np.searchsorted(dst, np.arange(m))
-        ends = np.searchsorted(dst, np.arange(m) + 1)
-        rev = np.empty((m, r), dtype=np.int64)
-        for i in range(m):
-            s, e = starts[i], ends[i]
-            if e > s:
-                take = src[s:e][: r]
-                rev[i, : len(take)] = take
-                rev[i, len(take):] = take[0]
-            else:
-                rev[i] = i  # self: masked out at scoring
-        # candidate pool per node: fwd + rev one-hop, then their fwd
-        # neighbors (the general-neighbor join, bounded at (2r)² + 2r)
-        one_hop = np.concatenate([nbr, rev], axis=1)
-        cand = np.concatenate(
-            [one_hop, nbr[one_hop].reshape(m, 2 * r * r)], axis=1
-        )
-        new_nbr = np.empty_like(nbr)
+    d = Mn.shape[1]
+
+    def topr_rows(S, cand_ids):
+        """Per-row deterministic top-r column indices: a vectorized
+        argpartition cut to ~4r per row first (the leaf case has
+        K = |leaf| — lexsorting the full matrix was the profile's 95%),
+        then one flat lexsort keyed (row, -sim, candidate id). Exact-sim
+        ties at the cut boundary carry the exact path's documented
+        caveat (edge choice never affects flat-regime exactness)."""
+        b, K = S.shape
+        if K > 4 * r + 8:
+            cut = 4 * r + 8
+            part = np.argpartition(-S, cut - 1, axis=1)[:, :cut]
+            Sc = np.take_along_axis(S, part, 1)
+            Ic = np.take_along_axis(cand_ids, part, 1)
+        else:
+            cut = K
+            part = np.broadcast_to(np.arange(K), (b, K))
+            Sc, Ic = S, cand_ids
+        flat = np.lexsort(
+            (Ic.ravel(), -Sc.ravel(), np.repeat(np.arange(b), cut))
+        ).reshape(b, cut)[:, : min(r, K)]
+        cols = flat - (np.arange(b) * cut)[:, None]
+        return np.take_along_axis(part, cols, 1)
+
+    # ---- forest: leaves -> exact KNN inside each leaf ----------------
+    cand_lists = [[] for _ in range(m)]
+
+    def split(idx, depth, tree_rng):
+        if len(idx) <= max(leaf, r + 1):
+            sub = Mn[idx]
+            S = sub @ sub.T
+            np.fill_diagonal(S, -np.inf)
+            cols = topr_rows(S, np.broadcast_to(ids[idx], S.shape))
+            for a, row in enumerate(idx):
+                cand_lists[row].append(idx[cols[a]])
+            return
+        g = tree_rng.normal(size=d)
+        proj = Mn[idx] @ g
+        cutv = np.median(proj)
+        left = idx[proj <= cutv]
+        right = idx[proj > cutv]
+        if len(left) == 0 or len(right) == 0:  # degenerate projection
+            half = len(idx) // 2
+            order = np.argsort(proj, kind="stable")
+            left, right = idx[order[:half]], idx[order[half:]]
+        split(left, depth + 1, tree_rng)
+        split(right, depth + 1, tree_rng)
+
+    for t in range(trees):
+        split(np.arange(m), 0, np.random.default_rng((seed, t)))
+
+    # merge per node: union across trees, dedup, top-r
+    width = max(len(np.concatenate(c)) for c in cand_lists)
+    C = np.empty((m, width), dtype=np.int64)
+    for i in range(m):
+        cc = np.concatenate(cand_lists[i])
+        C[i, : len(cc)] = cc
+        C[i, len(cc):] = i  # self-pad, masked -inf below
+
+    def select(Cb, lo, hi):
+        S = np.einsum("bd,bkd->bk", Mn[lo:hi], Mn[Cb])
+        S[Cb == np.arange(lo, hi)[:, None]] = -np.inf
+        srt = np.argsort(Cb, axis=1, kind="stable")
+        Cs = np.take_along_axis(Cb, srt, 1)
+        Ss = np.take_along_axis(S, srt, 1)
+        Ss[:, 1:][Cs[:, 1:] == Cs[:, :-1]] = -np.inf
+        return np.take_along_axis(Cs, topr_rows(Ss, ids[Cs]), 1)
+
+    nbr = np.empty((m, min(r, m - 1)), dtype=np.int64)
+    block = 4096
+    for lo in range(0, m, block):
+        hi = min(lo + block, m)
+        nbr[lo:hi] = select(C[lo:hi], lo, hi)
+
+    # ---- refinement: my neighbors' neighbors are my candidates ------
+    for _ in range(refine):
+        rr = nbr.shape[1]
         for lo in range(0, m, block):
             hi = min(lo + block, m)
-            Cb = cand[lo:hi]
-            S = np.einsum("bd,bkd->bk", Mn[lo:hi], Mn[Cb])
-            S[Cb == np.arange(lo, hi)[:, None]] = -np.inf  # no self
-            order = np.argsort(Cb, axis=1, kind="stable")
-            Cs = np.take_along_axis(Cb, order, 1)
-            Ss = np.take_along_axis(S, order, 1)
-            Ss[:, 1:][Cs[:, 1:] == Cs[:, :-1]] = -np.inf  # dedup
-            cut = min(2 * r, Cs.shape[1])
-            part = np.argpartition(-Ss, cut - 1, axis=1)[:, :cut]
-            for i in range(lo, hi):
-                b = i - lo
-                csel = part[b]
-                sel = np.lexsort((ids[Cs[b, csel]], -Ss[b, csel]))[:r]
-                new_nbr[i] = Cs[b, csel[sel]]
-        if int((new_nbr != nbr).sum()) <= max(1, (m * r) // 1000):
-            nbr = new_nbr
-            break
-        nbr = new_nbr
+            Cb = np.concatenate(
+                [nbr[lo:hi], nbr[nbr[lo:hi]].reshape(hi - lo, rr * rr)],
+                axis=1,
+            )
+            nbr[lo:hi] = select(Cb, lo, hi)
     return nbr
 
 
@@ -188,7 +233,7 @@ def build_cell_graphs(
             method == "auto" and m > exact_max
         )
         if r > 0 and use_nnd:
-            top = _nn_descent(Mn, ids, r, seed=cell + 1)
+            top = _approx_knn(Mn, ids, r, seed=cell + 1)
             for i in range(m):
                 for j in top[i]:
                     nbrs[i].add(int(j))

@@ -24,71 +24,74 @@ from gwasdb_spark.plans import mining_ops as _mining_ops  # noqa: F401
 # Registration-order priority.
 #
 # The driver's correctness gate records the FIRST 50 registered queries per
-# round. Round-12 window (r11 verdict #1): changed/new rows seat first —
-# x13's brand-new bound-check oracle (graduated this round: the last
-# no-oracle query), the c05 takedown and x173 ingest composites, the
-# x174/x175 graph-ANN spike rows, x171 (its maintenance append is now
-# real code, not just a docstring), x172 (shares the probe helper x171's
-# change touched), and m12 (rename_column's collision guard changed).
+# round. Round-13 window: changed/new rows seat first — the three new
+# registrations (st22 streamed graph-ANN, x178 spill x graph, m13
+# multi-table atomic commit, st23 streamed QC split through it), the
+# graph-ANN rows whose build/maintenance
+# code changed this round (x174/x175/x176 — engine-enforced sidecar
+# refresh + the RP-forest approx build path; x173's stage-tag refactor;
+# st18 shares the upsert path), and EVERY AcidTable-backed row, because
+# table_log.py's latest_version()/read() visibility semantics changed
+# for the multi-table-txn protocol (m03-m12, x158, st20/st21, c05).
 # Then the deterministic backfill queue continues exactly where round
-# 11's seating left off (seats 51+ of the r11 ordering), so every
+# 12's seating left off (seats 51+ of the r12 ordering), so every
 # registered query keeps cycling through driver adjudication. File order
 # within modules is unchanged; only the registry's iteration order is
 # rebuilt.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    # --- round-12 window: new registrations + changed oracles/code ---
-    "x13_sketch_aggregates",
-    "c05_takedown_pipeline",
-    "x173_incremental_ingest",
+    # --- round-13 window: new registrations + changed oracles/code ---
+    "st22_stream_graph_ann",
+    "x178_ann_spill_graph_topk",
+    "m13_acid_multi_table",
+    "st23_stream_multi_table_sink",
+    "x176_ann_graph_maintain",
     "x174_ann_graph_topk",
     "x175_ann_spill_serve",
-    "x176_ann_graph_maintain",
-    "x171_neardup_index_update",
-    "x172_neardup_index_delete",
+    "x173_incremental_ingest",
+    "st18_stream_ann_ingest",
+    "c05_takedown_pipeline",
+    "m03_acid_timetravel",
+    "m04_acid_pruned_dml",
+    "m05_acid_cluster",
+    "m06_acid_bloom_skipping",
+    "m07_acid_check_constraints",
+    "m08_acid_schema_evolution",
+    "m09_acid_zorder",
+    "m10_cdc_replicate",
+    "m11_acid_restore",
     "m12_acid_column_mapping",
-    # --- backfills: the head of round 11's post-window queue ---
-    "j03_join_renamed_keys",
-    "j04_broadcast_dims",
-    "j05_cross_join",
-    "j06_anti_join",
-    "j07_semi_join",
-    "o01_topk_orders",
-    "p01_projection",
-    "p04_derived_neglog10",
-    "p06_filter_between",
-    "p11_in_list",
-    "p13_null_filter",
-    "p14_threshold_qc_split",
-    "p15_conditional_expr",
-    "p16_pull_distinct",
-    "q13_customer_distribution",
-    "q16_supplier_relation",
-    "q21_waiting_supplier",
-    "s03_csv_stage_glob_read",
-    "s05_sql_text_entry",
-    "s21_orc_roundtrip",
-    "st10_stream_enrich",
-    "u04_geomean_udaf",
-    "u05_sentence_udtf",
-    "w02_running_total",
-    "w03_auto_increment",
-    "w06_trailing_ewma",
-    "s02_schema_only_head0",
-    "p02_projection_rename",
-    "p03_drop_cols",
-    "p05_filter_eq",
-    "p07_filter_date_range",
-    "p09_regex_filter",
-    "p10_regex_negate",
-    "p12_semi_in_subquery",
-    "a04_pivot_wide",
-    "w08_range_frame_trailing",
-    "a08_unpivot_long",
-    "a09_listagg",
-    "a10_cube_margins",
-    "a11_grouping_sets",
-    "a06_regression_trend",
+    "x158_acid_changefeed",
+    "st20_stream_acid_sink",
+    "st21_stream_cdc_sequenced",
+    # --- backfills: the head of round 12's post-window queue ---
+    "s01_full_scan",
+    "s20_jsonl_roundtrip",
+    "p08_locus_window",
+    "j01_left_join_multikey",
+    "j02_right_join",
+    "j08_export_view",
+    "a01_count_global",
+    "a02_groupby_count",
+    "a03_distinct",
+    "a05_manual_pivot_join",
+    "w01_topk_per_group",
+    "w04_lag_delta",
+    "w05_ntile_rank",
+    "w09_rank_variants",
+    "w07_group_quantiles",
+    "a07_rollup_revenue",
+    "o02_multikey_sort",
+    "u01_union_all",
+    "f01_id_parse_regex",
+    "f02_maf_genotype",
+    "f03_pad_concat",
+    "f04_date_parts",
+    "f05_clean_names",
+    "f06_fuzzy_match",
+    "f08_fuzzy_match_blocked",
+    "f07_extract_all_numbers",
+    "g01_count_reconciliation",
 ]
 
 _rest = [n for n in QUERIES if n not in _PRIORITY]

@@ -2,9 +2,12 @@
 
 Beyond the reference's own operator surface: deduplication families,
 embedding similarity search, text analysis, streaming-shaped rollups, and
-multimodal binary plumbing — each a `queries()` entry; SQL-expressible ones
-carry DuckDB oracles, hash-based ones (minhash/simhash/LSH) are rows-only
-and are instead cross-validated against their exact twins in tests/.
+multimodal binary plumbing — each a `queries()` entry, and since round 12
+EVERY entry carries a DuckDB oracle (zero `oracle=None` registrations —
+guarded by tests/test_registry_shape.py). Hash-based families (minhash/
+simhash/LSH) replay their exact hash pipelines in SQL (the md5-derived
+h32/h60 recipe below); sketch queries pin error-bound predicates beside
+exact anchors (x13's graduation contract).
 """
 
 from __future__ import annotations

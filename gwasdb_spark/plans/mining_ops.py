@@ -5020,6 +5020,118 @@ def st20_stream_acid_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "st23_stream_multi_table_sink",
+    "X-stream,X-dml,X3",
+    oracle="""
+    SELECT 'gwas' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           CAST(4 AS BIGINT) AS n_batch_commits
+    FROM events WHERE event_id % 5 <> 0
+    UNION ALL
+    SELECT 'no_gwas', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT),
+           CAST(4 AS BIGINT)
+    FROM events WHERE event_id % 5 = 0
+    """,
+)
+def st23_stream_multi_table_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING QC split through the multi-table transaction — st20's
+    exactly-once ACID sink generalized to the reference's real shape:
+    ONE staging pass feeding TWO tables (gwas + no_gwas_result,
+    R/wrangle_data.Rmd:365,376-381). Each micro-batch's survivors and
+    rejects land through `MultiTableTxn.commit_appends` as ONE
+    transaction with a stamped op ('qc_split(batch N)', Delta's
+    txn-version pattern), and then THE WHOLE STREAM REPLAYS under a
+    fresh checkpoint — worst-case at-least-once redelivery. The stamp
+    check consults ONE table's history and the transaction's atomicity
+    is what makes that sound: both tables carry batch N or neither
+    does, so a single-table check can never skip a half-landed batch
+    (with per-table commits this dedup pattern would be UNSOUND — the
+    crash window between the two appends is exactly what m13's kill
+    matrix pins). n_batch_commits (stamped qc ops in EACH log, both
+    emitted) must still be 4 after the replay, and each table must
+    aggregate to exactly its side of the split."""
+    import hashlib as _hl
+    import shutil as _sh
+    import tempfile as _tf
+
+    from gwasdb_spark.acid import AcidTable
+    from gwasdb_spark.acid.multi_commit import MultiTableTxn
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:12]
+    base = stage_dir(f"st23_multi_{tag}")
+    feed = os.path.join(base, "feed")
+    gp, np_ = os.path.join(base, "gwas"), os.path.join(base, "no_gwas")
+    troot = os.path.join(base, "txn")
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    if not os.path.isdir(feed):
+        e.repartition(4).write.parquet(feed)
+    seed = spark.createDataFrame(
+        [(-1, "seed", 0)], "event_id long, event_type string, cents long"
+    )
+    if AcidTable(spark, gp).latest_version() < 0:
+        AcidTable.create(spark, gp, seed)
+        AcidTable.create(spark, np_, seed)
+
+    def _ingest(batch_df, batch_id):
+        sp = batch_df.sparkSession
+        g, n = AcidTable(sp, gp), AcidTable(sp, np_)
+        opname = f"qc_split(batch {batch_id})"
+        if any(h["op"] == opname for h in g.history()):
+            # atomicity makes the single-log check sound; assert the
+            # twin anyway so a broken invariant fails loudly here
+            assert any(h["op"] == opname for h in n.history()), (
+                "half-landed batch visible despite txn protocol"
+            )
+            return
+        keep = batch_df.filter(F.col("event_id") % 5 != 0)
+        drop = batch_df.filter(F.col("event_id") % 5 == 0)
+        MultiTableTxn(sp, troot).commit_appends(
+            [(g, keep), (n, drop)], op=opname
+        )
+
+    schema = spark.read.parquet(feed).schema
+    for _run in range(2):  # run 2: full redelivery under a fresh ckpt
+        ckpt = _tf.mkdtemp(prefix="st23_ckpt_")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        q = (
+            stream.writeStream.foreachBatch(_ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _sh.rmtree(ckpt, ignore_errors=True)
+
+    parts = []
+    for name, path in (("gwas", gp), ("no_gwas", np_)):
+        t = AcidTable(spark, path)
+        n_commits = sum(
+            1 for h in t.history() if h["op"].startswith("qc_split(batch ")
+        )
+        parts.append(
+            t.read().filter(F.col("event_id") >= 0).agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("cents").cast("long").alias("sum_cents"),
+            ).select(
+                F.lit(name).alias("tbl"),
+                "n_rows",
+                "sum_cents",
+                F.lit(n_commits).cast("long").alias("n_batch_commits"),
+            )
+        )
+    return parts[0].unionByName(parts[1])
+
+
+@query(
     "m10_cdc_replicate",
     "X-dml,X-stream",
     oracle="""

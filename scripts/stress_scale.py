@@ -1960,6 +1960,9 @@ def stress_ann_graph(spark) -> dict:
     )
 
     # -- graph path: build once, probe nprobe=8 at ef=64 ---------------
+    # method="auto" now routes these ~12.5k-row cells through the
+    # RP-forest approx build (r12 verdict #4); the exact build is timed
+    # beside it below so the gate records the cost/parity trade.
     t0 = time.perf_counter()
     graphs = build_cell_graphs(assigned.select(
         F.col("neighbor_id").alias("vec_id"),
@@ -1969,6 +1972,15 @@ def stress_ann_graph(spark) -> dict:
     gpath = os.path.join(base, "graphs")
     graphs.write.mode("overwrite").partitionBy("cell").parquet(gpath)
     build_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    graphs_exact = build_cell_graphs(assigned.select(
+        F.col("neighbor_id").alias("vec_id"),
+        F.col("c_vec").alias("embedding"),
+        "cell",
+    ), R=12, method="exact")
+    gepath = os.path.join(base, "graphs_exact")
+    graphs_exact.write.mode("overwrite").partitionBy("cell").parquet(gepath)
+    build_exact_s = time.perf_counter() - t0
     gindex = spark.read.parquet(idx_path).select(
         F.col("neighbor_id").alias("vec_id"),
         F.col("c_vec").alias("embedding"),
@@ -1998,6 +2010,32 @@ def stress_ann_graph(spark) -> dict:
         ])
     )
 
+    # -- exact-built graphs: same probes — beam recall parity ----------
+    ge_index = spark.read.parquet(idx_path).select(
+        F.col("neighbor_id").alias("vec_id"),
+        F.col("c_vec").alias("embedding"),
+        "cell",
+    ).join(spark.read.parquet(gepath), ["cell", "vec_id"])
+    ge = graph_probe_topk(probes8, ge_index, k=k, ef=64)
+    recall_graph_exact = recall_of(
+        [(r["query_id"], r["neighbor_id"]) for r in ge.collect()]
+    )
+
+    # -- approx-build kernel scaling: near-linear in |cell| ------------
+    from gwasdb_spark.operators.ann_graph import _approx_knn
+
+    kern = {}
+    for mm in (12_500, 25_000):
+        Mk = np.stack([
+            np.random.default_rng(int(i)).normal(size=dim)
+            for i in range(mm)
+        ])
+        Mk = Mk / np.linalg.norm(Mk, axis=1, keepdims=True)
+        t0 = time.perf_counter()
+        _approx_knn(Mk, np.arange(mm, dtype=np.int64), 12, seed=7)
+        kern[mm] = time.perf_counter() - t0
+    kernel_ratio = kern[25_000] / kern[12_500]  # 2.0 = linear, 4.0 = quadratic
+
     # -- spill path: same nprobe=4, boundary-replicated store ----------
     spilled = spill_assign(assigned.select("neighbor_id", "c_vec"), C, eps=0.05)
     sp_path = os.path.join(base, "spilled")
@@ -2008,9 +2046,61 @@ def stress_ann_graph(spark) -> dict:
     sp_pairs = {(r["query_id"], r["neighbor_id"]) for r in sp.collect()}
     recall_spill = recall_of(sp_pairs)
 
+    # -- spill x graph composition (x178 / r12 verdict #7): graphs
+    # built OVER the replicated store, beam-probed at the SAME nprobe=4
+    sg_graphs = build_cell_graphs(
+        spilled, R=12, id_col="neighbor_id", vec_col="c_vec"
+    ).withColumnRenamed("vec_id", "neighbor_id")
+    sgp = os.path.join(base, "spill_graphs")
+    sg_graphs.write.mode("overwrite").partitionBy("cell").parquet(sgp)
+    sg_index = spilled.join(
+        spark.read.parquet(sgp), ["cell", "neighbor_id"]
+    ).select(
+        F.col("neighbor_id").alias("vec_id"),
+        F.col("c_vec").alias("embedding"),
+        "cell", "neighbors",
+    )
+    probe4_rows = []
+    for qid in q_ids:
+        for c in probe_cells_of(qid, 4):
+            probe4_rows.append((qid, [float(x) for x in M[pos[qid]]], c))
+    probes4 = spark.createDataFrame(
+        probe4_rows, "query_id long, q_vec array<double>, cell int"
+    )
+    sg = graph_probe_topk(probes4, sg_index, k=k, ef=64)
+    recall_spill_graph = recall_of(
+        [(r["query_id"], r["neighbor_id"]) for r in sg.collect()]
+    )
+    sg_raw = graph_probe_topk(probes4, sg_index, k=k, ef=64, with_evals=True)
+    evals_sg = float(
+        np.mean([
+            r["s"]
+            for r in sg_raw.dropDuplicates(["query_id", "cell"])
+            .groupBy("query_id").agg(F.sum("n_evals").alias("s")).collect()
+        ])
+    )
+    occ_sp = {
+        r["cell"]: r["n"]
+        for r in spilled.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    scan_spill = float(np.mean([
+        sum(occ_sp.get(c, 0) for c in probe_cells_of(q, 4)) for q in q_ids
+    ]))
+
     ok_uplift = recall_graph >= recall_flat + 0.03
     ok_cost = evals_graph <= scan_flat
     ok_spill = recall_spill >= recall_flat and repl <= 2.0
+    # approx build: beam-recall parity with the exact build AND a
+    # near-linear kernel (2.0 = linear, 4.0 = quadratic in |cell|)
+    ok_nnd = (
+        recall_graph >= recall_graph_exact - 0.02 and kernel_ratio <= 2.7
+    )
+    # composition: the graph layer over the spilled store keeps spill's
+    # recall (within beam tolerance) at a fraction of its scan evals
+    ok_spill_graph = (
+        recall_spill_graph >= recall_spill - 0.02 and evals_sg < scan_spill
+    )
     return {
         "stress": "anngraph",
         "n_vec": n_vec,
@@ -2021,13 +2111,25 @@ def stress_ann_graph(spark) -> dict:
         "scan_flat_rows": round(scan_flat, 1),
         "evals_graph": round(evals_graph, 1),
         "replication": round(repl, 3),
+        "recall_graph_exactbuild": round(recall_graph_exact, 4),
+        "recall_spill_graph_np4": round(recall_spill_graph, 4),
+        "evals_spill_graph": round(evals_sg, 1),
+        "scan_spill_rows": round(scan_spill, 1),
+        "kernel_s_12p5k": round(kern[12_500], 2),
+        "kernel_s_25k": round(kern[25_000], 2),
+        "kernel_ratio_2x": round(kernel_ratio, 2),
         "graph_build_s": round(build_s, 2),
+        "graph_build_exact_s": round(build_exact_s, 2),
         "flat_probe_s": round(flat_s, 2),
         "graph_probe_s": round(graph_s, 2),
         "ok_uplift": ok_uplift,
         "ok_cost": ok_cost,
         "ok_spill": ok_spill,
-        "ok": bool(ok_uplift and ok_cost and ok_spill),
+        "ok_nnd": ok_nnd,
+        "ok_spill_graph": ok_spill_graph,
+        "ok": bool(
+            ok_uplift and ok_cost and ok_spill and ok_nnd and ok_spill_graph
+        ),
     }
 
 

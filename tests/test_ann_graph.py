@@ -400,3 +400,60 @@ def test_full_rebuild_refreshes_stale_sidecar(spark, tmp_path):
     }
     assert served, "rebuilt sidecar serves nothing"
     assert all(n >= 100 for n in served), "stale pre-rebuild rows served"
+
+
+def test_approx_build_flat_regime_still_exact(spark):
+    """RP-forest approx build (method='nndescent'): flat-regime beam
+    results are STILL exact — exactness rests on connectivity (the
+    backbone), not on which near-neighbor edges the graph carries —
+    and the approx edge set reaches high agreement with the exact
+    build's truth."""
+    from gwasdb_spark.operators.ann_graph import (
+        _approx_knn,
+        build_cell_graphs,
+        graph_probe_topk,
+    )
+
+    vecs = _vectors(spark, n=1500, dim=16, seed=9)
+    assigned = vecs.select("vec_id", "embedding", F.lit(1).alias("cell"))
+    g_apx = build_cell_graphs(assigned, R=6, method="nndescent")
+    gindex = assigned.join(g_apx, ["cell", "vec_id"])
+    q_ids = [3, 7, 11]
+    probes = spark.createDataFrame(
+        [
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]], 1)
+            for r in vecs.filter(F.col("vec_id").isin(q_ids)).collect()
+        ],
+        "query_id long, q_vec array<float>, cell int",
+    )
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in graph_probe_topk(probes, gindex, k=5, ef=0).collect()
+    }
+    # flat regime == brute truth, independent of the edge set
+    M = {r["vec_id"]: np.asarray(r["embedding"], np.float64)
+         for r in vecs.collect()}
+    for qid in q_ids:
+        qv = M[qid] / np.linalg.norm(M[qid])
+        cand = sorted(
+            ((float((M[v] / np.linalg.norm(M[v])) @ qv), v)
+             for v in M if v != qid),
+            key=lambda t: (-t[0], t[1]),
+        )
+        for rank, (s, v) in enumerate(cand[:5], start=1):
+            assert got[(qid, rank)] == v, (qid, rank)
+
+    # edge agreement with exact truth is high (the approx-build claim)
+    ids = np.arange(1500, dtype=np.int64)
+    Mn = np.stack([M[int(i)] for i in ids])
+    Mn = Mn / np.linalg.norm(Mn, axis=1, keepdims=True)
+    nbr = _approx_knn(Mn, ids, 6, seed=2)
+    S = Mn @ Mn.T
+    np.fill_diagonal(S, -2)
+    hits = sum(
+        len(set(np.lexsort((ids, -S[i]))[:6]) & set(nbr[i]))
+        for i in range(1500)
+    )
+    assert hits / (1500 * 6) >= 0.9, hits / (1500 * 6)
+    # deterministic
+    assert (nbr == _approx_knn(Mn, ids, 6, seed=2)).all()
