@@ -97,6 +97,16 @@ def check_sentinel_drift() -> str | None:
         latest = json.load(fh)
     if latest.get("sentinel_sec") is None:
         return "bench_full_latest.json has no sentinel_sec — re-run bench.py"
+    if not latest.get("sentinels"):
+        # r12 retired the single-scan scalar as the primary normalizer;
+        # every map produced from r12 on MUST carry the 3-shape basket
+        # (scan/shuffle/window) — a fresh map without it means an old
+        # bench.py ran, and committing it would silently degrade every
+        # future cross-round comparison back to the fragile scalar.
+        return (
+            "bench_full_latest.json has no `sentinels` basket — this "
+            "bench.py predates the r12 basket normalizer; re-run"
+        )
     prev = None
     prev_name = None
     for p in sorted(
