@@ -48,7 +48,9 @@ kills a worker at each point and asserts the invariant):
 Aborting is always safe before the marker exists because pending
 manifests are invisible AND block later slots — nothing can have built
 on them. The marker file must outlive the transaction (manifests
-reference it for visibility); it is tiny and append-only like the log.
+reference it for visibility); it is tiny and append-only like the log,
+and `vacuum_markers` reaps a marker once every manifest naming its txn
+has itself been vacuumed out of the retained log tails.
 
 Coordination contract: multi-table transactions sharing a txn root are
 issued by ONE coordinator at a time (recover() runs at coordinator
@@ -158,6 +160,48 @@ class MultiTableTxn:
             os.unlink(ipath)
             aborted += 1
         return {"finalized": finalized, "aborted": aborted}
+
+    # ----------------------------------------------------------- vacuum --
+    def vacuum_markers(self, tables: list[AcidTable]) -> list[str]:
+        """Reap commit markers no RETAINED manifest references — the
+        txn-root twin of AcidTable.vacuum. A marker is load-bearing for
+        exactly as long as some manifest's visibility check can read it
+        (`_txn_visible`); once every participating table's retained log
+        tail carries no manifest pointing at txn X (the referencing
+        versions were themselves vacuumed away), X's marker is inert
+        bytes. Callers pass the SAME table set the root coordinates —
+        a marker referenced by a table outside `tables` would be
+        reaped wrongly, the same single-coordinator scoping contract
+        commit_appends documents. Never touches intents (recover()
+        owns those) and never reaps a marker any retained manifest
+        names. Returns the reaped txn ids."""
+        referenced: set[str] = set()
+        for t in tables:
+            if not os.path.isdir(t._log):
+                continue
+            for name in os.listdir(t._log):
+                if not name.endswith(".json"):
+                    continue
+                try:
+                    with open(os.path.join(t._log, name)) as fh:
+                        m = json.load(fh)
+                except (OSError, ValueError):
+                    continue
+                txn = m.get("txn")
+                if txn:
+                    referenced.add(txn["id"])
+        reaped = []
+        for name in sorted(os.listdir(self.root)):
+            if not name.endswith(".commit"):
+                continue
+            txn_id = name[: -len(".commit")]
+            if txn_id in referenced:
+                continue
+            if os.path.exists(self._intent_path(txn_id)):
+                continue  # mid-commit window; recover() decides later
+            os.unlink(os.path.join(self.root, name))
+            reaped.append(txn_id)
+        return reaped
 
     # ----------------------------------------------------------- commit --
     def commit_appends(

@@ -165,3 +165,32 @@ def test_version_race_retries_against_fresh_snapshot(spark, tmp_path):
         n.endswith(".intent.json") for n in os.listdir(txn.root)
     )
     assert [h["version"] for h in gwas.history()] == [0, 1, 2]
+
+
+def test_vacuum_markers_spares_referenced_reaps_inert(spark, tmp_path):
+    """Marker GC: a marker referenced by ANY retained manifest
+    survives; once AcidTable.vacuum has dropped every manifest naming
+    a txn, its marker is reaped. Reaping a live marker would flip a
+    committed version invisible — the test proves reads survive GC."""
+    gwas, nog = _mk_tables(spark, tmp_path)
+    txn = MultiTableTxn(spark, os.path.join(str(tmp_path), "txn"))
+    keep, drop = _batches(spark)
+    txn.commit_appends([(gwas, keep), (nog, drop)], op="qc1")  # v1
+    extra = spark.range(200, 203).select("id", F.lit("b2").alias("src"))
+    txn.commit_appends([(gwas, extra), (nog, extra)], op="qc2")  # v2
+
+    # both markers referenced by retained manifests: nothing reaped
+    assert txn.vacuum_markers([gwas, nog]) == []
+    assert gwas.read(1).count() == 10  # visibility intact
+
+    # vacuum both tables down to the tip only: v1's manifests drop,
+    # qc1's marker becomes inert; qc2's is still referenced by v2
+    gwas.vacuum(keep_last=1, grace_seconds=0)
+    nog.vacuum(keep_last=1, grace_seconds=0)
+    reaped = txn.vacuum_markers([gwas, nog])
+    assert len(reaped) == 1
+    assert gwas.latest_version() == 2 and nog.latest_version() == 2
+    assert gwas.read().count() == 13 and nog.read().count() == 8
+    # exactly one marker left, and it is qc2's (still referenced)
+    markers = [n for n in os.listdir(txn.root) if n.endswith(".commit")]
+    assert len(markers) == 1
