@@ -203,6 +203,91 @@ class MultiTableTxn:
             reaped.append(txn_id)
         return reaped
 
+    # ------------------------------------------------------------- read --
+    def committed_txns(self, tables: list[AcidTable]) -> list[dict]:
+        """Enumerate the COMMITTED multi-table transactions these
+        tables' retained logs reference, in commit order:
+        ``[{"id": txn_id, "tables": {table_path: version}}, ...]``.
+
+        Ordering contract: version slots serialize commits, so within
+        any single table the feed order IS that table's version order —
+        the real guarantee a downstream consumer (an st21-style CDC
+        applier, an audit differencing the QC split) relies on. Two
+        transactions that share NO table have no defined mutual order
+        (there is no clock across logs); the sort key — each txn's
+        minimum participating version, txn id as deterministic tiebreak
+        — is consistent with every per-table order because a shared
+        table's versions rank the sharers identically under min().
+        Pending transactions (manifest linked, marker absent) are
+        EXCLUDED: they are not committed, and recover() may still abort
+        them. Metadata-only — one small json read per retained
+        manifest, never touches data files."""
+        txns: dict[str, dict[str, int]] = {}
+        for t in tables:
+            if not os.path.isdir(t._log):
+                continue
+            for name in os.listdir(t._log):
+                if not name.endswith(".json"):
+                    continue
+                try:
+                    with open(os.path.join(t._log, name)) as fh:
+                        m = json.load(fh)
+                except (OSError, ValueError):
+                    continue
+                txn = m.get("txn")
+                if not txn or txn.get("root") != self.root:
+                    continue
+                if not os.path.exists(self._marker_path(txn["id"])):
+                    continue  # pending or mid-abort: not committed
+                txns.setdefault(txn["id"], {})[t.path] = m["version"]
+        out = [{"id": i, "tables": tb} for i, tb in txns.items()]
+        out.sort(key=lambda d: (min(d["tables"].values()), d["id"]))
+        return out
+
+    def txn_snapshot(
+        self, tables: list[AcidTable], txn_id: str
+    ) -> dict[str, int]:
+        """The atomic cut transaction ``txn_id`` published: for each
+        PARTICIPATING table, the version that txn committed — reading
+        each table at its returned version yields a cross-table-
+        consistent snapshot of that one logical decision (the QC
+        split's survivors AND rejects from the same staging pass),
+        even when the tables' version counters have since diverged
+        under interleaved single-table writes.
+
+        A table that did not participate RAISES rather than guessing:
+        logs have no shared clock, so no version of a non-participant
+        is ordered against txn_id — returning one would manufacture a
+        consistency the protocol never promised. An unknown or
+        uncommitted txn_id also raises (its data was never atomically
+        published; reading it would resurrect a recoverable abort)."""
+        if not os.path.exists(self._marker_path(txn_id)):
+            raise FileNotFoundError(
+                f"transaction {txn_id} is not committed in {self.root}"
+            )
+        cut: dict[str, int] = {}
+        for t in tables:
+            found = None
+            if os.path.isdir(t._log):
+                for name in os.listdir(t._log):
+                    if not name.endswith(".json"):
+                        continue
+                    try:
+                        with open(os.path.join(t._log, name)) as fh:
+                            m = json.load(fh)
+                    except (OSError, ValueError):
+                        continue
+                    if (m.get("txn") or {}).get("id") == txn_id:
+                        found = m["version"]
+                        break
+            if found is None:
+                raise ValueError(
+                    f"{t.path} did not participate in transaction "
+                    f"{txn_id}; no consistent cut is defined for it"
+                )
+            cut[t.path] = found
+        return cut
+
     # ----------------------------------------------------------- commit --
     def commit_appends(
         self,

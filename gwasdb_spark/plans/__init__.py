@@ -44,6 +44,7 @@ _PRIORITY = [
     "st22_stream_graph_ann",
     "x178_ann_spill_graph_topk",
     "m13_acid_multi_table",
+    "m14_acid_txn_snapshot",
     "st23_stream_multi_table_sink",
     "x176_ann_graph_maintain",
     "x174_ann_graph_topk",

@@ -6039,6 +6039,21 @@ def m13_reset_stage(sf_dir: str) -> None:
     _sh.rmtree(_m13_stage(sf_dir), ignore_errors=True)
 
 
+def _m14_stage(sf_dir: str) -> str:
+    import hashlib as _hl
+
+    return stage_dir(f"acid_m14_{_hl.md5(sf_dir.encode()).hexdigest()[:12]}")
+
+
+def m14_reset_stage(sf_dir: str) -> None:
+    """Drop m14's staged pair + txn root so a timed run replays the
+    whole divergent-version history (create, two txns, the interleaved
+    single-table correction, the recovered abort) cold."""
+    import shutil as _sh
+
+    _sh.rmtree(_m14_stage(sf_dir), ignore_errors=True)
+
+
 # Explicit registry: query name -> cold-reset hook. bench.py iterates THIS
 # (not a name-prefix match — `startswith("m0")` silently excluded m10/m11
 # and would exclude any future staged query whose name doesn't happen to
@@ -6057,6 +6072,7 @@ STAGED_RESETS: dict = {
     "m12_acid_column_mapping": m12_reset_stage,
     "x158_acid_changefeed": x158_reset_stage,
     "m13_acid_multi_table": m13_reset_stage,
+    "m14_acid_txn_snapshot": m14_reset_stage,
 }
 
 
@@ -6347,7 +6363,7 @@ def st21_stream_cdc_sequenced(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'audit', -1, 'union_total',
            (SELECT CAST(COUNT(*) AS BIGINT) FROM src),
-           (SELECT CAST(SUM(cents) AS BIGINT) FROM src)
+           (SELECT CAST(COALESCE(SUM(cents),0) AS BIGINT) FROM src)
     """,
 )
 def m13_acid_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6482,5 +6498,211 @@ def m13_acid_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = parts[0]
     for p in parts[1:] + [overlap, union_total]:
+        out = out.unionByName(p)
+    return out
+
+
+@query(
+    "m14_acid_txn_snapshot",
+    "X-dml,M3,X3",
+    oracle="""
+    WITH src AS (
+      SELECT l_orderkey, l_linenumber, l_quantity,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             (l_quantity >= 5) AS pass,
+             CASE WHEN l_orderkey < 500 THEN 0
+                  WHEN l_orderkey < 1000 THEN 1 ELSE 2 END AS tranche
+      FROM lineitem WHERE l_orderkey < 1500
+    ),
+    cut AS (
+      SELECT 'cut' AS sect, 1 AS seq, 'gwas' AS tbl, 1 AS version,
+             'qc_split' AS op, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COALESCE(SUM(cents),0) AS BIGINT) AS sum_cents
+      FROM src WHERE pass AND tranche <= 1
+      UNION ALL
+      SELECT 'cut', 1, 'no_gwas', 1, 'qc_split',
+             CAST(COUNT(*) AS BIGINT), CAST(COALESCE(SUM(cents),0) AS BIGINT)
+      FROM src WHERE NOT pass AND tranche <= 1
+      UNION ALL
+      SELECT 'cut', 2, 'gwas', 3, 'qc_split',
+             CAST(COUNT(*) + 7 AS BIGINT),
+             CAST(COALESCE(SUM(cents),0) + 1400 AS BIGINT)
+      FROM src WHERE pass
+      UNION ALL
+      SELECT 'cut', 2, 'no_gwas', 2, 'qc_split',
+             CAST(COUNT(*) AS BIGINT), CAST(COALESCE(SUM(cents),0) AS BIGINT)
+      FROM src WHERE NOT pass
+    ),
+    feed AS (
+      SELECT 'feed' AS sect, 1 AS seq, 'gwas' AS tbl, 1 AS version,
+             'qc_split' AS op, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COALESCE(SUM(cents),0) AS BIGINT) AS sum_cents
+      FROM src WHERE pass AND tranche = 1
+      UNION ALL
+      SELECT 'feed', 1, 'no_gwas', 1, 'qc_split',
+             CAST(COUNT(*) AS BIGINT), CAST(COALESCE(SUM(cents),0) AS BIGINT)
+      FROM src WHERE NOT pass AND tranche = 1
+      UNION ALL
+      SELECT 'feed', 2, 'gwas', 3, 'qc_split',
+             CAST(COUNT(*) AS BIGINT), CAST(COALESCE(SUM(cents),0) AS BIGINT)
+      FROM src WHERE pass AND tranche = 2
+      UNION ALL
+      SELECT 'feed', 2, 'no_gwas', 2, 'qc_split',
+             CAST(COUNT(*) AS BIGINT), CAST(COALESCE(SUM(cents),0) AS BIGINT)
+      FROM src WHERE NOT pass AND tranche = 2
+    )
+    SELECT * FROM cut
+    UNION ALL SELECT * FROM feed
+    UNION ALL SELECT 'audit', -1, 'txn_root', -1, 'n_committed_txns',
+                     CAST(2 AS BIGINT), CAST(0 AS BIGINT)
+    UNION ALL SELECT 'audit', -1, 'gwas', -1, 'tip_version',
+                     CAST(3 AS BIGINT), CAST(0 AS BIGINT)
+    UNION ALL SELECT 'audit', -1, 'no_gwas', -1, 'tip_version',
+                     CAST(2 AS BIGINT), CAST(0 AS BIGINT)
+    """,
+)
+def m14_acid_txn_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Txn-consistent multi-table READS — the read-side counterpart to
+    m13's atomic commit (acid/multi_commit.py committed_txns /
+    txn_snapshot). The reference reads its QC split back as one
+    consistent pair because Postgres gives every statement a snapshot
+    across BOTH tables (R/postgres_process.Rmd:80-109); AcidTable logs
+    are per-table, so 'the split as of staging pass N' needs the cut
+    the transaction itself recorded (each manifest carries its txn id).
+
+    The staged history makes the naive same-version-number cut WRONG on
+    purpose: after txn A (both tables v1), a single-table 'correction'
+    append lands on gwas ONLY (gwas v2, no_gwas still v1), then txn B
+    commits (gwas v3, no_gwas v2) — the pair's version counters
+    diverge, exactly what interleaved single-table writers produce in
+    real use. A final replay of tranche 2 crashes at the manifest1
+    failpoint and is recovered, proving aborts leave no trace in either
+    the feed or the tips.
+
+    Adjudicated: for each committed txn, txn_snapshot's cut read of
+    BOTH tables (full snapshot counts + exact cents — a cut that
+    misaligns by one version shifts a whole tranche or leaks/misses the
+    correction batch); the txn-stamped changefeed (rows each txn added
+    per table via multiset version-diff, all-or-nothing per txn — the
+    aborted replay would surface here as a third txn or a phantom
+    diff); and audit rows pinning n_committed_txns and both tips
+    (an abort that left a visible version moves a tip). committed_txns
+    ordering is part of the contract: seq is assigned by feed order, so
+    a wrong order swaps tranche 1 and 2's pinned aggregates. Cold runs
+    replay the full history (STAGED_RESETS); warm re-runs resume off
+    the logs, metadata-only plus the bounded re-aggregations."""
+    from gwasdb_spark.acid import AcidTable
+    from gwasdb_spark.acid.multi_commit import InjectedCrash, MultiTableTxn
+
+    base = _m14_stage(sf_dir)
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") < 1500
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    is_pass = F.col("l_quantity") >= 5
+
+    def tranche(lo: int, hi: int):
+        sl = li.filter(
+            (F.col("l_orderkey") >= lo) & (F.col("l_orderkey") < hi)
+        )
+        return sl.filter(is_pass), sl.filter(~is_pass)
+
+    gwas = AcidTable(spark, os.path.join(base, "gwas"))
+    nog = AcidTable(spark, os.path.join(base, "no_gwas"))
+    txn = MultiTableTxn(spark, os.path.join(base, "txn"))
+
+    if gwas.latest_version() < 0:
+        keep0, drop0 = tranche(0, 500)
+        gwas = AcidTable.create(spark, gwas.path, keep0)
+        nog = AcidTable.create(spark, nog.path, drop0)
+    if gwas.latest_version() == 0:
+        keep1, drop1 = tranche(500, 1000)
+        txn.commit_appends([(gwas, keep1), (nog, drop1)], op="qc_split")
+    if gwas.latest_version() == 1:
+        # single-table write BETWEEN the transactions: the pair's
+        # version counters diverge from here on
+        gwas.append(
+            spark.createDataFrame(
+                [(-k, 9, 9.0, 2.0) for k in range(1, 8)],
+                "l_orderkey long, l_linenumber int, l_quantity double, "
+                "l_extendedprice double",
+            ),
+            op="correction",
+        )
+    if gwas.latest_version() == 2:
+        keep2, drop2 = tranche(1000, 1500)
+        txn.commit_appends([(gwas, keep2), (nog, drop2)], op="qc_split")
+    abort_flag = os.path.join(base, "_abort_replayed")
+    if gwas.latest_version() == 3 and not os.path.exists(abort_flag):
+        keep2, drop2 = tranche(1000, 1500)
+        try:  # crash with one manifest linked; recover() must abort it
+            txn.commit_appends(
+                [(gwas, keep2), (nog, drop2)],
+                op="qc_split", failpoint="manifest1",
+            )
+        except InjectedCrash:
+            pass
+        txn.recover()
+        with open(abort_flag, "w") as fh:
+            fh.write("1")
+
+    pair = [gwas, nog]
+    names = {gwas.path: "gwas", nog.path: "no_gwas"}
+    feed = txn.committed_txns(pair)
+    cents = F.coalesce(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")),
+        F.lit(0),
+    ).cast("long")
+    parts = []
+    for seq, entry in enumerate(feed, start=1):
+        cut = txn.txn_snapshot(pair, entry["id"])
+        for t in pair:
+            v = cut[t.path]
+            op = t._manifest(v)["op"]
+            parts.append(
+                t.read(v).agg(
+                    F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    cents.alias("sum_cents"),
+                ).select(
+                    F.lit("cut").alias("sect"),
+                    F.lit(seq).cast("int").alias("seq"),
+                    F.lit(names[t.path]).alias("tbl"),
+                    F.lit(v).cast("int").alias("version"),
+                    F.lit(op).alias("op"),
+                    "n_rows", "sum_cents",
+                )
+            )
+            added = t.read(v).exceptAll(t.read(v - 1))
+            parts.append(
+                added.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    cents.alias("sum_cents"),
+                ).select(
+                    F.lit("feed").alias("sect"),
+                    F.lit(seq).cast("int").alias("seq"),
+                    F.lit(names[t.path]).alias("tbl"),
+                    F.lit(v).cast("int").alias("version"),
+                    F.lit(op).alias("op"),
+                    "n_rows", "sum_cents",
+                )
+            )
+    audits = [
+        ("txn_root", "n_committed_txns", len(feed)),
+        ("gwas", "tip_version", gwas.latest_version()),
+        ("no_gwas", "tip_version", nog.latest_version()),
+    ]
+    for tbl, op, val in audits:
+        parts.append(
+            spark.range(1).select(
+                F.lit("audit").alias("sect"),
+                F.lit(-1).cast("int").alias("seq"),
+                F.lit(tbl).alias("tbl"),
+                F.lit(-1).cast("int").alias("version"),
+                F.lit(op).alias("op"),
+                F.lit(val).cast("long").alias("n_rows"),
+                F.lit(0).cast("long").alias("sum_cents"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
         out = out.unionByName(p)
     return out

@@ -194,3 +194,64 @@ def test_vacuum_markers_spares_referenced_reaps_inert(spark, tmp_path):
     # exactly one marker left, and it is qc2's (still referenced)
     markers = [n for n in os.listdir(txn.root) if n.endswith(".commit")]
     assert len(markers) == 1
+
+
+def test_committed_txns_orders_and_excludes_pending(spark, tmp_path):
+    """The changefeed enumeration (m14's spine): committed txns come
+    back in commit order with their per-table version maps; a PENDING
+    transaction (manifests linked, marker absent) is excluded until it
+    commits, and stays excluded after recover() aborts it."""
+    gwas, nog = _mk_tables(spark, tmp_path)
+    txn = MultiTableTxn(spark, os.path.join(str(tmp_path), "txn"))
+    keep, drop = _batches(spark)
+    txn.commit_appends([(gwas, keep), (nog, drop)], op="t1")
+    txn.commit_appends([(gwas, keep), (nog, drop)], op="t2")
+    feed = txn.committed_txns([gwas, nog])
+    assert [sorted(e["tables"].values()) for e in feed] == [[1, 1], [2, 2]]
+    assert len({e["id"] for e in feed}) == 2
+    # a pending txn must not surface in the feed
+    with pytest.raises(InjectedCrash):
+        txn.commit_appends(
+            [(gwas, keep), (nog, drop)], op="t3", failpoint="manifests"
+        )
+    assert len(txn.committed_txns([gwas, nog])) == 2
+    txn.recover()
+    assert len(txn.committed_txns([gwas, nog])) == 2
+
+
+def test_txn_snapshot_divergent_versions(spark, tmp_path):
+    """The cut m14 adjudicates, reduced to its engine kernel: after an
+    interleaved single-table append the pair's version counters
+    diverge, and the naive same-version-number read is WRONG — the
+    recorded cut is right. Also pins the refusals: a non-participant
+    table and an unknown txn id both raise."""
+    gwas, nog = _mk_tables(spark, tmp_path)
+    txn = MultiTableTxn(spark, os.path.join(str(tmp_path), "txn"))
+    keep, drop = _batches(spark)
+    txn.commit_appends([(gwas, keep), (nog, drop)], op="tA")
+    # gwas-only correction: gwas v2, no_gwas still v1
+    gwas.append(
+        spark.range(1000, 1003).select("id", F.lit("fix").alias("src")),
+        op="correction",
+    )
+    txn.commit_appends([(gwas, keep), (nog, drop)], op="tB")
+    feed = txn.committed_txns([gwas, nog])
+    cut_a = txn.txn_snapshot([gwas, nog], feed[0]["id"])
+    cut_b = txn.txn_snapshot([gwas, nog], feed[1]["id"])
+    assert cut_a == {gwas.path: 1, nog.path: 1}
+    assert cut_b == {gwas.path: 3, nog.path: 2}  # NOT (2, 2)
+    # cut A excludes the correction; cut B includes it
+    assert gwas.read(cut_a[gwas.path]).filter(
+        F.col("src") == "fix"
+    ).count() == 0
+    assert gwas.read(cut_b[gwas.path]).filter(
+        F.col("src") == "fix"
+    ).count() == 3
+    other = AcidTable.create(
+        spark, os.path.join(str(tmp_path), "other"),
+        spark.range(3).select("id", F.lit("x").alias("src")),
+    )
+    with pytest.raises(ValueError, match="did not participate"):
+        txn.txn_snapshot([gwas, other], feed[0]["id"])
+    with pytest.raises(FileNotFoundError, match="not committed"):
+        txn.txn_snapshot([gwas, nog], "deadbeef")
