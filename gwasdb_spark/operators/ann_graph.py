@@ -290,10 +290,20 @@ def build_cell_graphs(
     )
 
 
-def _beam_search(qv, Mn, ids, adj, entries, ef, exclude):
+def _beam_search(qv, Mn, ids, adj, entries, ef, exclude, mask=None):
     """Best-first beam over one cell's graph. Returns ([(sim, id)...]
     result pool sorted desc, n_evals). Deterministic: all heap keys are
-    (similarity, vec_id) pairs."""
+    (similarity, vec_id) pairs.
+
+    `mask` (optional bool array over cell rows) marks which nodes are
+    COLLECTIBLE — the filtered-search contract (x179): traversal still
+    routes through every node (restricting the walk to matching nodes
+    would fragment the graph and strand matching islands — the standard
+    filtered-HNSW pitfall), but only masked nodes enter the result
+    pool. Flat-regime exactness survives filtering: when fewer than
+    `ef` nodes match, the pool never fills, the early-exit test never
+    fires, and the beam visits the entire connected cell — so
+    ef >= |cell| still yields the exact filtered answer."""
     import heapq
 
     visited = set()
@@ -307,7 +317,8 @@ def _beam_search(qv, Mn, ids, adj, entries, ef, exclude):
         s = float(Mn[eidx] @ qv)
         evals += 1
         heapq.heappush(cand, (-s, ids[eidx], eidx))
-        heapq.heappush(res, (s, -ids[eidx], eidx))
+        if mask is None or mask[eidx]:
+            heapq.heappush(res, (s, -ids[eidx], eidx))
     while cand:
         negs, _, idx = heapq.heappop(cand)
         if len(res) >= ef and -negs < res[0][0]:
@@ -320,9 +331,10 @@ def _beam_search(qv, Mn, ids, adj, entries, ef, exclude):
             evals += 1
             if len(res) < ef or sn > res[0][0]:
                 heapq.heappush(cand, (-sn, ids[nb], nb))
-                heapq.heappush(res, (sn, -ids[nb], nb))
-                if len(res) > ef:
-                    heapq.heappop(res)
+                if mask is None or mask[nb]:
+                    heapq.heappush(res, (sn, -ids[nb], nb))
+                    if len(res) > ef:
+                        heapq.heappop(res)
     pool = sorted(
         ((s, ids[idx]) for s, _, idx in res if ids[idx] != exclude),
         key=lambda t: (-t[0], t[1]),
@@ -403,6 +415,90 @@ def graph_probe_topk(
         return per_cell
     # global merge: spill can surface one neighbor from several probed
     # cells — keep one copy, then the bounded per-query top-k
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    merged = per_cell.select(
+        "query_id", "neighbor_id", "cosine"
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    return (
+        merged.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def graph_probe_topk_filtered(
+    probes: DataFrame,
+    graph_index: DataFrame,
+    k: int = 10,
+    ef: int = 64,
+) -> DataFrame:
+    """Metadata-FILTERED graph serve (x179): like graph_probe_topk, but
+    each query collects only nodes whose `attr` equals the query's
+    `want_attr` — the tenant/label-scoped retrieval shape x05g serves
+    by equi-join, here under the beam. `probes` is (query_id, q_vec,
+    cell, want_attr); `graph_index` is (cell, vec_id, embedding,
+    neighbors, attr). The predicate gates COLLECTION, never traversal
+    (see _beam_search's mask contract) — matching nodes reachable only
+    through non-matching ones are still found, and with ef >= |cell|
+    the result is the exact filtered top-k within the probed cells.
+    At scale the attr column rides the same cell-partitioned sidecar
+    files (column-pruned when unfiltered serves read them); selective
+    filters want a larger ef, the documented filtered-HNSW trade."""
+
+    def search(key, qpdf, cpdf):
+        import pandas as pd
+
+        out_q, out_n, out_c, out_e, out_cell = [], [], [], [], []
+        if len(qpdf) == 0 or len(cpdf) == 0:
+            return pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n,
+                 "cosine": out_c, "n_evals": out_e, "cell": out_cell}
+            )
+        cell_no = int(cpdf["cell"].iloc[0])
+        cpdf = cpdf.sort_values("vec_id").reset_index(drop=True)
+        ids = cpdf["vec_id"].to_numpy()
+        pos = {int(v): i for i, v in enumerate(ids)}
+        attrs = cpdf["attr"].to_numpy()
+        M = np.stack(cpdf["embedding"].to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(M, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        Mn = M / nrm
+        adj = [
+            [pos[int(n)] for n in ns if int(n) in pos]
+            for ns in cpdf["neighbors"]
+        ]
+        m = len(ids)
+        entries = sorted({0, m // 2})
+        for qrow in qpdf.itertuples(index=False):
+            qv = np.asarray(qrow.q_vec, dtype=np.float64)
+            qv = qv / (np.linalg.norm(qv) or 1.0)
+            mask = attrs == qrow.want_attr
+            pool, evals = _beam_search(
+                qv, Mn, ids, adj, entries, min(ef, m) if ef else m,
+                int(qrow.query_id), mask=mask,
+            )
+            for s, nid in pool[:k]:
+                out_q.append(int(qrow.query_id))
+                out_n.append(int(nid))
+                out_c.append(float(s))
+                out_e.append(int(evals))
+                out_cell.append(cell_no)
+        return pd.DataFrame(
+            {"query_id": out_q, "neighbor_id": out_n,
+             "cosine": out_c, "n_evals": out_e, "cell": out_cell}
+        )
+
+    per_cell = (
+        probes.groupBy("cell")
+        .cogroup(graph_index.groupBy("cell"))
+        .applyInPandas(
+            search,
+            "query_id long, neighbor_id long, cosine double, "
+            "n_evals long, cell int",
+        )
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )

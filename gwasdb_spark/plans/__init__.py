@@ -43,6 +43,7 @@ _PRIORITY = [
     # --- round-13 window: new registrations + changed oracles/code ---
     "st22_stream_graph_ann",
     "x178_ann_spill_graph_topk",
+    "x179_ann_filtered_graph_topk",
     "m13_acid_multi_table",
     "m14_acid_txn_snapshot",
     "st23_stream_multi_table_sink",

@@ -7040,3 +7040,118 @@ def x178_ann_spill_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
     )
+
+
+@query(
+    "x179_ann_filtered_graph_topk",
+    "X-sim,X-serve",
+    oracle="""
+    WITH cells AS (
+      SELECT vec_id, embedding AS e, label,
+             CAST(list_position(embedding, list_max(embedding)) AS INT)
+               AS cell
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS query_id, e AS qv, label AS want FROM cells
+      WHERE vec_id BETWEEN 1 AND 5
+    ),
+    dims AS (SELECT CAST(d AS INT) AS cell FROM range(1, 65) t(d)),
+    probes AS (
+      SELECT query_id, cell FROM (
+        SELECT q.query_id, dims.cell,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                 ORDER BY CAST(qv[dims.cell] AS DOUBLE) DESC, dims.cell)
+                 AS dim_rank
+        FROM q CROSS JOIN dims
+      ) WHERE dim_rank <= 4
+    ),
+    cand AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id, q.qv, c.e AS cv,
+             q.want
+      FROM probes p
+      JOIN q ON q.query_id = p.query_id
+      JOIN cells c ON c.cell = p.cell AND c.label = q.want
+      WHERE c.vec_id <> p.query_id
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id, want,
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(range(1, 65),
+                  i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(range(1, 65),
+                    i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))))
+               AS cos_raw
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, CAST(want AS INT) AS fkey,
+           rank, ROUND(cos_raw, 6) AS cosine
+    FROM (
+      SELECT query_id, neighbor_id, want, cos_raw,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_raw DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def x179_ann_filtered_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED graph-ANN serve (operators/ann_graph.py
+    graph_probe_topk_filtered): top-10 cosine neighbors per query AMONG
+    ROWS SHARING THE QUERY'S LABEL, under the per-cell beam — x05g's
+    tenant-scoped retrieval composed with x174's graph serve. The
+    predicate gates COLLECTION, never traversal: the beam routes
+    through non-matching nodes (restricting the walk would fragment the
+    graph and strand matching islands — the filtered-HNSW pitfall), and
+    because an unfillable result pool disables the early exit, the
+    flat regime (ef=|cell|) provably visits every node of each probed
+    connected cell — so this row is hash-adjudicated against the exact
+    SQL replay of the label-filtered probe set, the x174 oracle recipe
+    with the filter pushed into the candidate join. Post-filtering
+    x174's unfiltered top-k would be WRONG (a pool of k may hold fewer
+    than k matches); the mask is applied inside the search for exactly
+    that reason."""
+    import numpy as np
+
+    from gwasdb_spark.operators.ann_graph import (
+        build_cell_graphs,
+        graph_probe_topk_filtered,
+    )
+    from gwasdb_spark.operators.ann_index import axis_cell
+
+    e = table(spark, sf_dir, "embeddings")
+    assigned = e.select(
+        "vec_id", "embedding", axis_cell(F.col("embedding")).alias("cell")
+    )
+    graphs = build_cell_graphs(assigned, R=6)
+    graph_index = assigned.join(graphs, ["cell", "vec_id"]).join(
+        e.select("vec_id", F.col("label").cast("long").alias("attr")),
+        "vec_id",
+    )
+
+    qrows = (
+        e.filter(F.col("vec_id").between(1, 5))
+        .select("vec_id", "embedding", "label")
+        .collect()
+    )
+    probe_rows = []
+    for r in qrows:
+        qv = np.asarray(r["embedding"], dtype=np.float64)
+        top = np.lexsort((np.arange(qv.size), -qv))[:4]
+        for c in top:
+            probe_rows.append(
+                (int(r["vec_id"]),
+                 [float(x) for x in r["embedding"]], int(c) + 1,
+                 int(r["label"]))
+            )
+    probes = spark.createDataFrame(
+        probe_rows,
+        "query_id long, q_vec array<float>, cell int, want_attr long",
+    )
+    out = graph_probe_topk_filtered(probes, graph_index, k=10, ef=0)
+    want = probes.select("query_id", "want_attr").distinct()
+    return out.join(want, "query_id").select(
+        "query_id", "neighbor_id",
+        F.col("want_attr").cast("int").alias("fkey"),
+        "rank", F.round("cosine", 6).alias("cosine"),
+    )

@@ -457,3 +457,83 @@ def test_approx_build_flat_regime_still_exact(spark):
     assert hits / (1500 * 6) >= 0.9, hits / (1500 * 6)
     # deterministic
     assert (nbr == _approx_knn(Mn, ids, 6, seed=2)).all()
+
+
+def test_filtered_flat_equals_brute_filtered(spark):
+    """x179's kernel: the masked beam's flat regime equals the exact
+    label-filtered top-k within probed cells — including queries whose
+    matching nodes number fewer than k (the pool must come back short,
+    never padded with non-matching rows, which is exactly why
+    post-filtering an unfiltered top-k would be wrong)."""
+    from gwasdb_spark.operators.ann_graph import (
+        build_cell_graphs,
+        graph_probe_topk_filtered,
+    )
+
+    vecs = _vectors(spark)
+    assigned = _assigned(spark, vecs)
+    graphs = build_cell_graphs(assigned, R=4)
+    # attr = vec_id % 3: every cell mixes matching and non-matching
+    gindex = assigned.join(graphs, ["cell", "vec_id"]).withColumn(
+        "attr", (F.col("vec_id") % 3).cast("long")
+    )
+    q_ids = [1, 2, 3]
+    probes = _probes(spark, vecs, q_ids, nprobe=3).withColumn(
+        "want_attr", (F.col("query_id") % 3).cast("long")
+    )
+    got: dict = {}
+    for r in graph_probe_topk_filtered(probes, gindex, k=5, ef=0).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"], round(r["cosine"], 9))
+        )
+
+    M = {r["vec_id"]: np.asarray(r["embedding"], np.float64)
+         for r in vecs.collect()}
+    cells = {r["vec_id"]: r["cell"] for r in assigned.collect()}
+    probe_map: dict[int, set[int]] = {}
+    for p in probes.collect():
+        probe_map.setdefault(p["query_id"], set()).add(p["cell"])
+    for qid in q_ids:
+        qv = M[qid] / np.linalg.norm(M[qid])
+        cand = [
+            (float((M[v] / np.linalg.norm(M[v])) @ qv), v)
+            for v in M
+            if v != qid and cells[v] in probe_map[qid]
+            and v % 3 == qid % 3
+        ]
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        exp = [(i, v, round(s, 9)) for i, (s, v) in
+               enumerate(cand[:5], start=1)]
+        assert sorted(got.get(qid, [])) == exp, qid
+
+
+def test_filtered_mask_never_blocks_traversal(spark):
+    """A matching node reachable ONLY through non-matching nodes is
+    still found: with a single cell whose backbone chain is the only
+    connectivity and a mask matching just the two chain ENDS, the beam
+    must cross the non-matching middle to collect the far end."""
+    from gwasdb_spark.operators.ann_graph import (
+        build_cell_graphs,
+        graph_probe_topk_filtered,
+    )
+
+    # one cell: ids 0..9, embeddings on a line so the R=1 graph is a
+    # chain; attr marks only ids 0 and 9
+    rows = [
+        (i, [float(i), 1.0], 1, 1 if i in (0, 9) else 0)
+        for i in range(10)
+    ]
+    base = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, cell int, attr long"
+    )
+    graphs = build_cell_graphs(base.select("vec_id", "embedding", "cell"),
+                               R=1)
+    gindex = base.join(graphs, ["cell", "vec_id"])
+    probes = spark.createDataFrame(
+        [(0, [9.0, 1.0], 1, 1)],
+        "query_id long, q_vec array<float>, cell int, want_attr long",
+    )
+    got = graph_probe_topk_filtered(probes, gindex, k=5, ef=0).collect()
+    # query 0 is excluded as self; the only other matching node is 9,
+    # on the far side of eight non-matching hops
+    assert [(r["neighbor_id"], r["rank"]) for r in got] == [(9, 1)]
