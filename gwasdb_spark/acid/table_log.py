@@ -285,24 +285,63 @@ class AcidTable:
         group = uuid.uuid4().hex
         path = os.path.join(self._data, group)
         column_map = column_map or {}
+        # Stats AND CHECK validation ride the write job itself as
+        # observed metrics (r13, guide §1.4/§5): the old path re-read
+        # the just-written files once for stats and once more for
+        # checks — two extra jobs per commit, paid by every DML
+        # statement. The metrics are computed over the exact rows the
+        # write emits (same truthful source, one pass), and the
+        # expressions speak LOGICAL names so no column-map
+        # back-translation is needed. CHECK semantics unchanged: a
+        # violating group is removed before any manifest names it.
+        from pyspark.sql import Observation
+
+        stat_cols = [
+            f.name
+            for f in df.schema.fields
+            if f.dataType.typeName() in (
+                "byte", "short", "integer", "long", "float", "double",
+                "string", "boolean", "date", "timestamp", "timestamp_ntz",
+            ) or f.dataType.typeName().startswith("decimal")
+        ]
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for c in stat_cols:
+            aggs += [
+                F.min(c).alias(f"__min_{c}"),
+                F.max(c).alias(f"__max_{c}"),
+                F.count(c).alias(f"__cnt_{c}"),
+            ]
+        chk_names = list(checks or {})
+        for i, expr in enumerate((checks or {}).values()):
+            aggs.append(
+                F.sum(
+                    (~F.coalesce(F.expr(expr), F.lit(True))).cast("long")
+                ).alias(f"__chk_{i}")
+            )
+        obs = Observation()
+        observed = df.observe(obs, *aggs)
         if column_map:
-            df = df.select(
+            observed = observed.select(
                 *[F.col(c).alias(column_map.get(c, c)) for c in df.columns]
             )
-        df.write.mode("overwrite").parquet(path)
-        st = self._group_stats(path)
-        if column_map:
-            inv = {p: l for l, p in column_map.items()}
-            st = {inv.get(c, c): v for c, v in st.items()}
-        rows = next(iter(st.values()))[3] if st else 0
+        observed.write.mode("overwrite").parquet(path)
+        row = obs.get
+        rows = int(row["__rows"] or 0)
+        st = {
+            c: [
+                _json_safe(row[f"__min_{c}"]),
+                _json_safe(row[f"__max_{c}"]),
+                rows - int(row[f"__cnt_{c}"] or 0),
+                rows,
+            ]
+            for c in stat_cols
+        }
         if checks and rows:
-            back = self.spark.read.parquet(path)
-            if column_map:
-                inv = {p: l for l, p in column_map.items()}
-                back = back.select(
-                    *[F.col(c).alias(inv.get(c, c)) for c in back.columns]
-                )
-            bad = _check_violations(back, checks)
+            bad = {
+                name: int(row[f"__chk_{i}"] or 0)
+                for i, name in enumerate(chk_names)
+                if row[f"__chk_{i}"]
+            }
             if bad:
                 shutil.rmtree(path, ignore_errors=True)
                 raise CheckViolation(
@@ -1290,16 +1329,57 @@ class AcidTable:
             )
             new_groups: list[str] = []
             new_stats: dict = {}
+            # ONE grouped aggregate over the staged tree computes every
+            # bucket's stats (r13, guide §1.4: the old loop re-read and
+            # re-aggregated each bucket directory separately — one scan
+            # job PER group, 8-16 extra jobs per cluster/zorder commit).
+            # Same aggregates, same just-written files, grouped by the
+            # staging partition column instead of per-dir reads.
+            back_all = self.spark.read.parquet(staging)
+            stat_cols = [
+                f.name
+                for f in back_all.schema.fields
+                if f.name != "__bucket"
+                and (
+                    f.dataType.typeName() in (
+                        "byte", "short", "integer", "long", "float",
+                        "double", "string", "boolean", "date", "timestamp",
+                        "timestamp_ntz",
+                    )
+                    or f.dataType.typeName().startswith("decimal")
+                )
+            ]
+            aggs = [F.count(F.lit(1)).alias("__rows")]
+            for c in stat_cols:
+                aggs += [
+                    F.min(c).alias(f"__min_{c}"),
+                    F.max(c).alias(f"__max_{c}"),
+                    F.count(c).alias(f"__cnt_{c}"),
+                ]
+            bucket_rows = {
+                str(r["__bucket"]): r
+                for r in back_all.groupBy("__bucket").agg(*aggs).collect()
+            }  # ≤ n_groups rows — bounded collect
             for name in sorted(os.listdir(staging)):
                 if not name.startswith("__bucket="):
                     continue
+                row = bucket_rows.get(name.split("=", 1)[1])
                 group = uuid.uuid4().hex
                 os.rename(
                     os.path.join(staging, name),
                     os.path.join(self._data, group),
                 )
-                st = self._group_stats(os.path.join(self._data, group))
-                if st and next(iter(st.values()))[3] == 0:
+                rows = int(row["__rows"]) if row is not None else 0
+                st = {
+                    c: [
+                        _json_safe(row[f"__min_{c}"]),
+                        _json_safe(row[f"__max_{c}"]),
+                        rows - int(row[f"__cnt_{c}"] or 0),
+                        rows,
+                    ]
+                    for c in stat_cols
+                } if row is not None else {}
+                if st and rows == 0:
                     shutil.rmtree(
                         os.path.join(self._data, group), ignore_errors=True
                     )

@@ -353,10 +353,21 @@ def graph_probe_topk(
     bounded global top-k merge. `probes` is (query_id, q_vec, cell) —
     one row per (query, probed cell), the same probe relation ivf_probe
     builds; `graph_index` is (cell, vec_id, embedding, neighbors), the
-    persisted artifact (partition BY CELL at 100 TB and the cogroup
-    prunes to probed cells' files). Entries are the vec_id-ordered
+    persisted artifact (partition BY CELL at 100 TB; the explicit
+    probed-cell filter below prunes the scan — and the cogroup
+    exchange, and the Arrow transfer into Python — to those cells
+    only; unprobed cells' rows used to ride the whole pipeline just to
+    cogroup against zero queries). Entries are the vec_id-ordered
     first/middle nodes — deterministic. With ef >= |cell| the search is
     exact within the cell (connected graph, beam never rejects)."""
+    # The distinct probed-cell list is ≤ n_cells rows by construction
+    # (one bounded collect); an unprobed cell contributes nothing to the
+    # result, so this filter is plan-only: fewer rows shuffled/pickled,
+    # identical output.
+    probe_cells = [
+        r["cell"] for r in probes.select("cell").distinct().collect()
+    ]
+    graph_index = graph_index.filter(F.col("cell").isin(probe_cells))
 
     def search(key, qpdf, cpdf):
         import pandas as pd
@@ -446,6 +457,12 @@ def graph_probe_topk_filtered(
     At scale the attr column rides the same cell-partitioned sidecar
     files (column-pruned when unfiltered serves read them); selective
     filters want a larger ef, the documented filtered-HNSW trade."""
+    # Same probed-cell pruning as graph_probe_topk: unprobed cells can
+    # contribute nothing, so drop them before the cogroup exchange.
+    probe_cells = [
+        r["cell"] for r in probes.select("cell").distinct().collect()
+    ]
+    graph_index = graph_index.filter(F.col("cell").isin(probe_cells))
 
     def search(key, qpdf, cpdf):
         import pandas as pd
@@ -572,7 +589,9 @@ def build_graph_sidecar(spark, base: str, R: int = 8) -> None:
     _write_meta(base, R)  # after the write: overwrite clears the dir
 
 
-def refresh_graph_sidecar(spark, base: str, cells, R: int | None = None) -> None:
+def refresh_graph_sidecar(
+    spark, base: str, cells, R: int | None = None, surviving=None
+) -> None:
     """Re-derive the graph partitions of the given TOUCHED cells after
     an upsert/delete (their membership changed, so their R-NN edges are
     stale), leaving every other cell's graph files byte-stable — the
@@ -580,7 +599,16 @@ def refresh_graph_sidecar(spark, base: str, cells, R: int | None = None) -> None
     Σ|touched cell|², never the index. An emptied cell's graph
     partition is dropped outright. R defaults to the sidecar's recorded
     build parameter (mixing Rs across cells would make reachability
-    depend on which cells churned)."""
+    depend on which cells churned). `surviving` (optional) is the set
+    of touched cells that still hold index rows — the maintenance ops
+    already know it, and a graph row exists exactly when its cell has a
+    live index row, so passing it skips the re-derivation job.
+
+    The write reads the INDEX tree and overwrites the GRAPHS tree —
+    disjoint paths — so unlike the index rewrites no materialization
+    boundary is needed: the per-cell KNN computes exactly once, inside
+    the write job (the old localCheckpoint materialized every graph row
+    into driver-tracked block storage first, an extra full pass)."""
     import os
     import shutil
 
@@ -593,7 +621,12 @@ def refresh_graph_sidecar(spark, base: str, cells, R: int | None = None) -> None
     from gwasdb_spark.operators.ann_index import read_cell_index
 
     live = read_cell_index(spark, base).filter(F.col("cell").isin(cells))
-    fresh = build_cell_graphs(live, R=R).localCheckpoint(eager=True)
+    if surviving is None:
+        # Cheap: a partition-column-only scan of the touched dirs.
+        surviving = {
+            r["cell"] for r in live.select("cell").distinct().collect()
+        }
+    fresh = build_cell_graphs(live, R=R)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -602,9 +635,6 @@ def refresh_graph_sidecar(spark, base: str, cells, R: int | None = None) -> None
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    surviving = {
-        r["cell"] for r in fresh.select("cell").distinct().collect()
-    }
     for c in cells:
         if c in surviving:
             continue

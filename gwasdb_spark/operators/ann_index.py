@@ -54,7 +54,9 @@ def _manifest_path(base: str) -> str:
     return os.path.join(base, "manifest")
 
 
-def _maybe_refresh_graphs(spark: SparkSession, base: str, touched) -> bool:
+def _maybe_refresh_graphs(
+    spark: SparkSession, base: str, touched, surviving=None
+) -> bool:
     """Engine-enforced graph-sidecar coherence (r12 verdict #2): every
     op that mutates index membership calls this. If `<base>/graphs`
     exists, the touched cells' graph partitions are re-derived HERE,
@@ -63,7 +65,10 @@ def _maybe_refresh_graphs(spark: SparkSession, base: str, touched) -> bool:
     refresh_graph_sidecar; a streaming ingest or takedown on a
     graph-carrying index would strand stale graph rows that
     graph_probe_persisted then serves wrong: new vectors unreachable,
-    deleted ones still linked). Returns whether a sidecar was found."""
+    deleted ones still linked). `surviving` forwards the caller's
+    already-computed set of touched cells that still hold rows, so the
+    refresh does not re-derive it with another job. Returns whether a
+    sidecar was found."""
     from gwasdb_spark.operators.ann_graph import (
         refresh_graph_sidecar,
         sidecar_meta,
@@ -72,7 +77,9 @@ def _maybe_refresh_graphs(spark: SparkSession, base: str, touched) -> bool:
     meta = sidecar_meta(base)
     if meta is None:
         return False
-    refresh_graph_sidecar(spark, base, touched, R=int(meta.get("R", 8)))
+    refresh_graph_sidecar(
+        spark, base, touched, R=int(meta.get("R", 8)), surviving=surviving
+    )
     return True
 
 
@@ -115,15 +122,20 @@ def upsert_cell_index(
 
     Idempotent: re-running the same batch replaces the same rows with
     the same values (the st16 at-least-once discipline)."""
+    # The batch is a bounded object by contract (one micro-batch /
+    # ingest slice, not the corpus) — pin it once: it feeds the
+    # touched-cell probe, two broadcast anti-joins, the union into the
+    # merged layout, and the returned count. The old path re-evaluated
+    # the batch subtree for each of those (four scans of the source).
     updates = updates.select(
         "vec_id", "embedding", axis_cell(F.col("embedding")).alias("cell")
-    )
-    # The batch is a bounded object by contract (one micro-batch /
-    # ingest slice, not the corpus); its ids broadcast.
+    ).localCheckpoint(eager=True)
     upd_ids = updates.select("vec_id")
-    new_cells = {
-        r["cell"] for r in updates.select("cell").distinct().collect()
-    }
+    # ONE bounded action answers both the batch's new cells and its
+    # row count (was two separate jobs: distinct-collect + count).
+    cell_counts = updates.groupBy("cell").count().collect()
+    new_cells = {r["cell"] for r in cell_counts}
+    n_updates = int(sum(r["count"] for r in cell_counts))
     manifest = spark.read.parquet(_manifest_path(base))
     old_cells = {
         r["cell"]
@@ -142,12 +154,12 @@ def upsert_cell_index(
     # localCheckpoint BEFORE the overwrite: the merged relation reads
     # the very partitions the write replaces — without a materialization
     # boundary the overwrite would race its own input scan.
-    man_kept = manifest.filter(F.col("cell").isin(touched)).join(
-        F.broadcast(upd_ids), "vec_id", "left_anti"
-    )
-    man_merged = man_kept.unionByName(
-        updates.select("vec_id", "cell")
-    ).localCheckpoint(eager=True)
+    # The manifest is BY CONSTRUCTION the index's (vec_id, cell)
+    # projection, so the merged manifest is a column slice of the
+    # already-checkpointed merged index — no second manifest scan, no
+    # second anti-join, no second checkpoint (the old path paid all
+    # three).
+    man_merged = merged.select("vec_id", "cell")
 
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -176,10 +188,10 @@ def upsert_cell_index(
             part = os.path.join(root, f"cell={c}")
             if os.path.isdir(part):
                 shutil.rmtree(part)
-    graphs = _maybe_refresh_graphs(spark, base, touched)
+    graphs = _maybe_refresh_graphs(spark, base, touched, surviving=surviving)
     return {
         "touched_cells": [int(c) for c in touched],
-        "n_updates": updates.count(),
+        "n_updates": n_updates,
         "graphs_refreshed": graphs,
     }
 
@@ -202,12 +214,13 @@ def delete_from_cell_index(
     ids = vec_ids.select("vec_id")
     manifest = spark.read.parquet(_manifest_path(base))
     victims = manifest.join(F.broadcast(ids), "vec_id")
-    touched = sorted(
-        r["cell"] for r in victims.select("cell").distinct().collect()
-    )
+    # ONE bounded action answers both the victims' cells and their
+    # count (was two jobs: distinct-collect, then a full re-count).
+    victim_counts = victims.groupBy("cell").count().collect()
+    touched = sorted(r["cell"] for r in victim_counts)
     if not touched:  # nothing to delete anywhere: zero IO
         return {"touched_cells": [], "n_deleted": 0}
-    n_deleted = victims.count()
+    n_deleted = int(sum(r["count"] for r in victim_counts))
 
     index = spark.read.parquet(_index_path(base))
     kept = (
@@ -215,11 +228,11 @@ def delete_from_cell_index(
         .join(F.broadcast(ids), "vec_id", "left_anti")
         .localCheckpoint(eager=True)  # the write replaces its own input
     )
-    man_kept = (
-        manifest.filter(F.col("cell").isin(touched))
-        .join(F.broadcast(ids), "vec_id", "left_anti")
-        .localCheckpoint(eager=True)
-    )
+    # Manifest == index's (vec_id, cell) projection by construction:
+    # slice the checkpointed survivors instead of re-scanning and
+    # re-anti-joining the manifest (second scan + second checkpoint
+    # removed — same discipline as the upsert).
+    man_kept = kept.select("vec_id", "cell")
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -239,7 +252,7 @@ def delete_from_cell_index(
             part = os.path.join(root, f"cell={c}")
             if os.path.isdir(part):
                 shutil.rmtree(part)
-    graphs = _maybe_refresh_graphs(spark, base, touched)
+    graphs = _maybe_refresh_graphs(spark, base, touched, surviving=surviving)
     return {
         "touched_cells": [int(c) for c in touched],
         "n_deleted": n_deleted,

@@ -369,8 +369,19 @@ def build_text_index(
     narrow term range and a term-IN filter prunes to a few row groups
     (min/max stats do the skipping; with Delta, Z-order/bloom would
     sharpen it). Build cost: the same two shuffles bm25_topk pays ONCE."""
-    postings = _term_postings(df, id_col, text_col)
-    doclen = postings.groupBy("doc").agg(F.sum("tf").alias("dl"))
+    # Pin the tokenized postings (and the doc-grain lengths derived
+    # from them): postings feed the postings write, the doclen write,
+    # AND the avgdl constant — unpinned, the tokenize + shuffle
+    # pipeline ran once per consumer (three corpus passes per build;
+    # r13, guide §2.4 "do fewer shuffles").
+    postings = _term_postings(df, id_col, text_col).localCheckpoint(
+        eager=False
+    )
+    doclen = (
+        postings.groupBy("doc")
+        .agg(F.sum("tf").alias("dl"))
+        .localCheckpoint(eager=False)
+    )
     consts = df.agg(F.count(F.lit(1)).cast("double").alias("n_docs")).crossJoin(
         doclen.agg((F.sum("dl") / F.count(F.lit(1))).alias("avgdl"))
     )
@@ -479,7 +490,11 @@ def update_text_index(
         F.col("doc").alias(id_col)
     )
     df_new = df_new.join(existing, id_col, "left_anti").localCheckpoint(eager=False)
-    postings = _term_postings(df_new, id_col, text_col)
+    # Pin the batch's postings: they feed both the postings append and
+    # the doclen append — unpinned, the batch tokenized twice (r13).
+    postings = _term_postings(df_new, id_col, text_col).localCheckpoint(
+        eager=False
+    )
     doclen = postings.groupBy("doc").agg(F.sum("tf").alias("dl"))
     (
         postings.repartitionByRange(2, "term")

@@ -6680,12 +6680,6 @@ def x174_ann_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gwasdb_spark.operators.ann_index import axis_cell
 
     e = table(spark, sf_dir, "embeddings")
-    assigned = e.select(
-        "vec_id", "embedding", axis_cell(F.col("embedding")).alias("cell")
-    )
-    graphs = build_cell_graphs(assigned, R=6)
-    graph_index = assigned.join(graphs, ["cell", "vec_id"])
-
     qrows = (
         e.filter(F.col("vec_id").between(1, 5))
         .select("vec_id", "embedding")
@@ -6700,6 +6694,20 @@ def x174_ann_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (int(r["vec_id"]),
                  [float(x) for x in r["embedding"]], int(c) + 1)
             )
+    # Per-cell graphs are INDEPENDENT (each cell's edges derive from
+    # that cell's rows alone), so building only the probed cells'
+    # graphs yields bit-identical results for every probed cell —
+    # unprobed cells contribute nothing to the serve. This is the same
+    # probed-cell discipline the persisted path gets from partition
+    # pruning; in-plan, the filter must sit BELOW the applyInPandas
+    # build (Catalyst cannot push a filter through the opaque Python
+    # node).
+    probe_cells = sorted({p[2] for p in probe_rows})
+    assigned = e.select(
+        "vec_id", "embedding", axis_cell(F.col("embedding")).alias("cell")
+    ).filter(F.col("cell").isin(probe_cells))
+    graphs = build_cell_graphs(assigned, R=6)
+    graph_index = assigned.join(graphs, ["cell", "vec_id"])
     probes = spark.createDataFrame(
         probe_rows, "query_id long, q_vec array<float>, cell int"
     )
@@ -7005,20 +7013,6 @@ def x178_ann_spill_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = table(spark, sf_dir, "embeddings")
-    spilled = (
-        e.select(
-            "vec_id", "embedding",
-            F.posexplode("embedding").alias("pos", "val"),
-        )
-        .filter(
-            F.col("val").cast("double")
-            >= F.array_max("embedding").cast("double") - 0.05
-        )
-        .select("vec_id", "embedding", (F.col("pos") + 1).alias("cell"))
-    )
-    graphs = build_cell_graphs(spilled, R=6)
-    graph_index = spilled.join(graphs, ["cell", "vec_id"])
-
     qrows = (
         e.filter(F.col("vec_id").between(1, 5))
         .select("vec_id", "embedding")
@@ -7033,6 +7027,24 @@ def x178_ann_spill_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (int(r["vec_id"]),
                  [float(x) for x in r["embedding"]], int(c) + 1)
             )
+    # Probed-cell pruning below the graph build (x174's rationale:
+    # per-cell graphs are independent, so unprobed spill cells need
+    # neither their replicas materialized nor their edges built).
+    probe_cells = sorted({p[2] for p in probe_rows})
+    spilled = (
+        e.select(
+            "vec_id", "embedding",
+            F.posexplode("embedding").alias("pos", "val"),
+        )
+        .filter(
+            F.col("val").cast("double")
+            >= F.array_max("embedding").cast("double") - 0.05
+        )
+        .select("vec_id", "embedding", (F.col("pos") + 1).alias("cell"))
+        .filter(F.col("cell").isin(probe_cells))
+    )
+    graphs = build_cell_graphs(spilled, R=6)
+    graph_index = spilled.join(graphs, ["cell", "vec_id"])
     probes = spark.createDataFrame(
         probe_rows, "query_id long, q_vec array<float>, cell int"
     )
@@ -7120,15 +7132,6 @@ def x179_ann_filtered_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gwasdb_spark.operators.ann_index import axis_cell
 
     e = table(spark, sf_dir, "embeddings")
-    assigned = e.select(
-        "vec_id", "embedding", axis_cell(F.col("embedding")).alias("cell")
-    )
-    graphs = build_cell_graphs(assigned, R=6)
-    graph_index = assigned.join(graphs, ["cell", "vec_id"]).join(
-        e.select("vec_id", F.col("label").cast("long").alias("attr")),
-        "vec_id",
-    )
-
     qrows = (
         e.filter(F.col("vec_id").between(1, 5))
         .select("vec_id", "embedding", "label")
@@ -7144,6 +7147,16 @@ def x179_ann_filtered_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                  [float(x) for x in r["embedding"]], int(c) + 1,
                  int(r["label"]))
             )
+    # Probed-cell pruning below the graph build (x174's rationale).
+    probe_cells = sorted({p[2] for p in probe_rows})
+    assigned = e.select(
+        "vec_id", "embedding", axis_cell(F.col("embedding")).alias("cell")
+    ).filter(F.col("cell").isin(probe_cells))
+    graphs = build_cell_graphs(assigned, R=6)
+    graph_index = assigned.join(graphs, ["cell", "vec_id"]).join(
+        e.select("vec_id", F.col("label").cast("long").alias("attr")),
+        "vec_id",
+    )
     probes = spark.createDataFrame(
         probe_rows,
         "query_id long, q_vec array<float>, cell int, want_attr long",

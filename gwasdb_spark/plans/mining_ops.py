@@ -5213,14 +5213,19 @@ def m10_cdc_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
         if rep.latest_version() == v - 1:
             cur, prev = src.read(v), src.read(v - 1)
             added = cur.exceptAll(prev).withColumn("_op", F.lit("U"))
+            # prev∖cur feeds BOTH the key derivation and the removed
+            # rows — pin it lazily so the multiset diff (a full
+            # two-snapshot shuffle) computes once per version, not
+            # twice (r13, guide §2.4).
+            rem_base = prev.exceptAll(cur).localCheckpoint(eager=False)
             rem_keys = (
-                prev.exceptAll(cur)
+                rem_base
                 .select(*keys)
                 .join(cur.select(*keys).distinct(), keys, "left_anti")
                 .distinct()
             )
             removed = (
-                prev.exceptAll(cur)
+                rem_base
                 .join(rem_keys, keys)
                 .withColumn("_op", F.lit("D"))
             )
@@ -5454,8 +5459,21 @@ def g22_coloc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     units quantize at 1e6 (not nano) so the cross-trait PRODUCT sums
     (rel1*rel2 <= 1e12 per variant) and the t1*t2 denominator stay
     inside int64 at sf0.1 locus sizes; labf rounds to 6 dp before exp
-    (the libm rule). Every window and aggregate is locus-partitioned;
-    the trait join is variant-grain within loci."""
+    (the libm rule). Every window and aggregate is locus-partitioned.
+
+    Physical shape (r13 optimization, guide §2.4 — share one exchange):
+    both traits' rel-unit columns are computed IN ONE PASS over the
+    candidate relation as conditional expressions (labf_t is NULL where
+    z_t < 2), the per-trait normalizing max is a conditional window max
+    over the same (chr, bin) partitioning, and t1/t2/n_shared/s12 all
+    come from ONE locus-grain aggregate that reuses the window's
+    exchange. The previous form materialized r1/r2 as separate
+    relations, re-joined them at VARIANT grain, then joined three
+    locus-grain aggregates back together — five exchanges and a
+    variant-grain shuffle for numbers derivable in one pass from the
+    same rows (null-conditional aggregates over identical per-row
+    expressions ⇒ bit-identical sums; the n_shared >= 1 filter
+    reproduces the old inner join's locus survivorship)."""
     n = 4 * table(spark, sf_dir, "lineitem").count()
     W = 0.04
     assoc = spark.range(n).select(
@@ -5482,7 +5500,7 @@ def g22_coloc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             0.05 + ((F.col("id") * 104729) % 1000).cast("double") / 10000.0
         ).alias("se2"),
-    ).localCheckpoint(eager=False)  # feeds lead AND both candidate sets
+    ).localCheckpoint(eager=False)  # feeds lead AND the candidate set
     lead = (
         assoc.groupBy("chr", "bin")
         .agg(F.max("z1").alias("m1"), F.max("z2").alias("m2"))
@@ -5491,45 +5509,54 @@ def g22_coloc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wl = Window.partitionBy("chr", "bin")
 
-    def rel_units(zc: str, sec: str):
+    def labf(zc: str, sec: str):
+        """Per-row Wakefield log-ABF, NULL where the trait's z < 2 —
+        the same rounded expression the split relations carried, so
+        conditional max/sum over it are bit-equal to theirs."""
         se2_ = F.col(sec) * F.col(sec)
-        labf = F.round(
-            0.5 * F.log(se2_ / (se2_ + W))
-            + F.col(zc) * F.col(zc) / 2 * (W / (se2_ + W)),
-            6,
-        )
-        cand = (
-            assoc.join(lead, ["chr", "bin"])
-            .filter(F.col(zc) >= 2.0)
-            .select("chr", "bin", "variant_id", labf.alias("labf"))
-        )
-        return cand.select(
-            "chr",
-            "bin",
-            "variant_id",
-            F.round(F.exp(F.col("labf") - F.max("labf").over(wl)) * 1e6)
-            .cast("long")
-            .alias("rel"),
+        return F.when(
+            F.col(zc) >= 2.0,
+            F.round(
+                0.5 * F.log(se2_ / (se2_ + W))
+                + F.col(zc) * F.col(zc) / 2 * (W / (se2_ + W)),
+                6,
+            ),
         )
 
-    r1 = rel_units("z1", "se1")
-    r2 = rel_units("z2", "se2")
+    cand = assoc.join(lead, ["chr", "bin"]).select(
+        "chr", "bin", "variant_id",
+        labf("z1", "se1").alias("labf1"),
+        labf("z2", "se2").alias("labf2"),
+    )
+    # max() skips NULLs, so the conditional window max equals the old
+    # per-trait max over the z-filtered relation; rel stays NULL where
+    # the trait does not qualify.
+    rel_of = lambda c: F.when(  # noqa: E731
+        F.col(c).isNotNull(),
+        F.round(F.exp(F.col(c) - F.max(c).over(wl)) * 1e6).cast("long"),
+    )
+    scored = cand.select(
+        "chr", "bin",
+        rel_of("labf1").alias("rel1"),
+        rel_of("labf2").alias("rel2"),
+    )
     # decimal(38,0) moment sums: rel1*rel2 <= 1e12 per variant, but the
     # SUM of those products over a locus overflows int64 silently at
     # larger scale factors while DuckDB sums into HUGEINT (ADVICE r10).
     d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
-    t1 = r1.groupBy("chr", "bin").agg(F.sum(d38("rel")).alias("t1"))
-    t2 = r2.groupBy("chr", "bin").agg(F.sum(d38("rel")).alias("t2"))
-    joined = r1.withColumnRenamed("rel", "rel1").join(
-        r2.withColumnRenamed("rel", "rel2"), ["chr", "bin", "variant_id"]
-    )
-    s = joined.groupBy("chr", "bin").agg(
-        F.count(F.lit(1)).cast("long").alias("n_shared"),
-        F.sum(d38("rel1") * d38("rel2")).alias("s12"),
+    both = F.col("rel1").isNotNull() & F.col("rel2").isNotNull()
+    agg = scored.groupBy("chr", "bin").agg(
+        F.sum(d38("rel1")).alias("t1"),
+        F.sum(d38("rel2")).alias("t2"),
+        F.count(F.when(both, F.lit(1))).cast("long").alias("n_shared"),
+        F.sum(F.when(both, d38("rel1") * d38("rel2"))).alias("s12"),
     )
     return (
-        s.join(t1, ["chr", "bin"]).join(t2, ["chr", "bin"])
-        .filter((F.col("t1") > 0) & (F.col("t2") > 0))
+        # n_shared >= 1 reproduces the old r1⋈r2 inner join's locus
+        # survivorship; t1/t2 > 0 is the old final filter verbatim.
+        agg.filter(
+            (F.col("n_shared") >= 1) & (F.col("t1") > 0) & (F.col("t2") > 0)
+        )
         .select(
             "chr",
             "bin",
@@ -5898,41 +5925,35 @@ def x170_simhash_hamming_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", h60.alias("h"))
         .distinct()
     )
-    nb = t.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    bits = (
-        t.crossJoin(F.broadcast(spark.range(60).select(F.col("id").alias("i"))))
-        .groupBy("doc_id", "i")
-        .agg(
-            F.sum(
-                F.expr("(h >> CAST(i AS INT)) & 1")
-            ).alias("ones")
-        )
+    # ONE doc-grain aggregate computes all 60 per-bit vote counters as
+    # columns (r13, guide §2.3/§2.4): the old path crossJoined the
+    # token-hash relation with a 60-row frame — 60x the shuffle rows —
+    # then re-aggregated twice more ((doc,i) bits → (doc,band) vals →
+    # pivot), four exchanges where two suffice. Same integer votes,
+    # same majority rule, same band packing — bit-identical signatures.
+    ones = [F.expr(f"SUM((h >> {i}) & 1)").alias(f"o{i}") for i in range(60)]
+    per_doc = t.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"), *ones
     )
-    bands = (
-        bits.join(nb, "doc_id")
-        .groupBy("doc_id", F.expr("CAST(i div 15 AS INT)").alias("band"))
-        .agg(
-            F.sum(
-                F.expr(
-                    "CASE WHEN 2 * ones >= n THEN 1 ELSE 0 END "
-                    "<< CAST(i % 15 AS INT)"
-                )
-            ).cast("long").alias("val")
-        )
-    )
-    sig = (
-        bands.groupBy("doc_id")
-        .pivot("band", [0, 1, 2, 3])
-        .agg(F.first("val"))
-        .select(
-            "doc_id",
-            F.col("0").alias("b0"),
-            F.col("1").alias("b1"),
-            F.col("2").alias("b2"),
-            F.col("3").alias("b3"),
-        )
-        .localCheckpoint(eager=False)  # feeds probes, index, and verify
-    )
+
+    def band_val(b: int):
+        tot = None
+        for j in range(15):
+            i = b * 15 + j
+            bit = F.expr(
+                f"CAST(CASE WHEN 2 * o{i} >= n THEN {1 << j} "
+                f"ELSE 0 END AS BIGINT)"
+            )
+            tot = bit if tot is None else tot + bit
+        return tot.cast("long")
+
+    sig = per_doc.select(
+        "doc_id",
+        band_val(0).alias("b0"),
+        band_val(1).alias("b1"),
+        band_val(2).alias("b2"),
+        band_val(3).alias("b3"),
+    ).localCheckpoint(eager=False)  # feeds probes, index, and verify
     probes = (
         sig.filter(F.col("doc_id") % 100 == 7)
         .orderBy("doc_id")
