@@ -590,7 +590,8 @@ def build_graph_sidecar(spark, base: str, R: int = 8) -> None:
 
 
 def refresh_graph_sidecar(
-    spark, base: str, cells, R: int | None = None, surviving=None
+    spark, base: str, cells, R: int | None = None, surviving=None,
+    live: DataFrame | None = None,
 ) -> None:
     """Re-derive the graph partitions of the given TOUCHED cells after
     an upsert/delete (their membership changed, so their R-NN edges are
@@ -602,13 +603,21 @@ def refresh_graph_sidecar(
     depend on which cells churned). `surviving` (optional) is the set
     of touched cells that still hold index rows — the maintenance ops
     already know it, and a graph row exists exactly when its cell has a
-    live index row, so passing it skips the re-derivation job.
+    live index row, so passing it skips the re-derivation job. `live`
+    (optional) is the touched cells' POST-OP index rows as an
+    already-materialized relation — the maintenance ops hold exactly
+    that (their checkpointed rewrite input is what they wrote), so
+    passing it lets the graph rebuild read memory instead of
+    re-scanning the just-written partitions, and lets the caller run
+    this refresh CONCURRENTLY with its own index/manifest writes (no
+    read-after-write dependency remains).
 
-    The write reads the INDEX tree and overwrites the GRAPHS tree —
-    disjoint paths — so unlike the index rewrites no materialization
-    boundary is needed: the per-cell KNN computes exactly once, inside
-    the write job (the old localCheckpoint materialized every graph row
-    into driver-tracked block storage first, an extra full pass)."""
+    The write reads the index (tree or `live` relation) and overwrites
+    the GRAPHS tree — disjoint paths — so unlike the index rewrites no
+    materialization boundary is needed: the per-cell KNN computes
+    exactly once, inside the write job (the old localCheckpoint
+    materialized every graph row into driver-tracked block storage
+    first, an extra full pass)."""
     import os
     import shutil
 
@@ -620,7 +629,8 @@ def refresh_graph_sidecar(
         R = int((meta or {}).get("R", 8))
     from gwasdb_spark.operators.ann_index import read_cell_index
 
-    live = read_cell_index(spark, base).filter(F.col("cell").isin(cells))
+    if live is None:
+        live = read_cell_index(spark, base).filter(F.col("cell").isin(cells))
     if surviving is None:
         # Cheap: a partition-column-only scan of the touched dirs.
         surviving = {

@@ -55,7 +55,7 @@ def _manifest_path(base: str) -> str:
 
 
 def _maybe_refresh_graphs(
-    spark: SparkSession, base: str, touched, surviving=None
+    spark: SparkSession, base: str, touched, surviving=None, live=None
 ) -> bool:
     """Engine-enforced graph-sidecar coherence (r12 verdict #2): every
     op that mutates index membership calls this. If `<base>/graphs`
@@ -67,8 +67,12 @@ def _maybe_refresh_graphs(
     graph_probe_persisted then serves wrong: new vectors unreachable,
     deleted ones still linked). `surviving` forwards the caller's
     already-computed set of touched cells that still hold rows, so the
-    refresh does not re-derive it with another job. Returns whether a
-    sidecar was found."""
+    refresh does not re-derive it with another job; `live` forwards the
+    caller's checkpointed post-op rows for the touched cells, so the
+    graph rebuild reads memory instead of the just-written partitions
+    (and can run CONCURRENTLY with the caller's own writes — no
+    read-after-write dependency remains). Returns whether a sidecar
+    was found."""
     from gwasdb_spark.operators.ann_graph import (
         refresh_graph_sidecar,
         sidecar_meta,
@@ -78,7 +82,8 @@ def _maybe_refresh_graphs(
     if meta is None:
         return False
     refresh_graph_sidecar(
-        spark, base, touched, R=int(meta.get("R", 8)), surviving=surviving
+        spark, base, touched, R=int(meta.get("R", 8)), surviving=surviving,
+        live=live,
     )
     return True
 
@@ -161,15 +166,46 @@ def upsert_cell_index(
     # three).
     man_merged = merged.select("vec_id", "cell")
 
+    # Surviving-cell set from the checkpoint BEFORE the writes (it no
+    # longer depends on them), so the emptied-partition cleanup and the
+    # graph refresh need no post-write jobs.
+    surviving = {
+        r["cell"] for r in merged.select("cell").distinct().collect()
+    }
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    graphs = False
     try:
-        merged.write.mode("overwrite").partitionBy("cell").parquet(
-            _index_path(base)
-        )
-        man_merged.write.mode("overwrite").partitionBy("cell").parquet(
-            _manifest_path(base)
-        )
+        # The index write, the manifest write, and the graph-sidecar
+        # rebuild are three INDEPENDENT jobs over the same checkpointed
+        # relation (the refresh consumes `merged` directly — no
+        # read-after-write dependency on the index tree). Submit them
+        # concurrently from driver threads (guide §2.6) instead of
+        # letting each job's tail idle the cluster.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def w_index():
+            merged.write.mode("overwrite").partitionBy("cell").parquet(
+                _index_path(base)
+            )
+
+        def w_manifest():
+            man_merged.write.mode("overwrite").partitionBy("cell").parquet(
+                _manifest_path(base)
+            )
+
+        def w_graphs():
+            return _maybe_refresh_graphs(
+                spark, base, touched, surviving=surviving, live=merged
+            )
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_i = pool.submit(w_index)
+            f_m = pool.submit(w_manifest)
+            f_g = pool.submit(w_graphs)
+            f_i.result()
+            f_m.result()
+            graphs = f_g.result()
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     # Dynamic overwrite only replaces partitions PRESENT in the written
@@ -178,9 +214,6 @@ def upsert_cell_index(
     # would silently survive. Drop emptied partitions explicitly.
     import shutil
 
-    surviving = {
-        r["cell"] for r in merged.select("cell").distinct().collect()
-    }
     for c in touched:
         if c in surviving:
             continue
@@ -188,7 +221,6 @@ def upsert_cell_index(
             part = os.path.join(root, f"cell={c}")
             if os.path.isdir(part):
                 shutil.rmtree(part)
-    graphs = _maybe_refresh_graphs(spark, base, touched, surviving=surviving)
     return {
         "touched_cells": [int(c) for c in touched],
         "n_updates": n_updates,
@@ -233,18 +265,42 @@ def delete_from_cell_index(
     # re-anti-joining the manifest (second scan + second checkpoint
     # removed — same discipline as the upsert).
     man_kept = kept.select("vec_id", "cell")
+    # Surviving-cell set from the checkpoint BEFORE the writes — the
+    # cleanup and the graph refresh need no post-write jobs.
+    surviving = {r["cell"] for r in kept.select("cell").distinct().collect()}
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    graphs = False
     try:
-        kept.write.mode("overwrite").partitionBy("cell").parquet(
-            _index_path(base)
-        )
-        man_kept.write.mode("overwrite").partitionBy("cell").parquet(
-            _manifest_path(base)
-        )
+        # Index write ∥ manifest write ∥ graph refresh — three
+        # independent jobs over the checkpointed survivors (the upsert's
+        # concurrency rationale applies verbatim).
+        from concurrent.futures import ThreadPoolExecutor
+
+        def w_index():
+            kept.write.mode("overwrite").partitionBy("cell").parquet(
+                _index_path(base)
+            )
+
+        def w_manifest():
+            man_kept.write.mode("overwrite").partitionBy("cell").parquet(
+                _manifest_path(base)
+            )
+
+        def w_graphs():
+            return _maybe_refresh_graphs(
+                spark, base, touched, surviving=surviving, live=kept
+            )
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_i = pool.submit(w_index)
+            f_m = pool.submit(w_manifest)
+            f_g = pool.submit(w_graphs)
+            f_i.result()
+            f_m.result()
+            graphs = f_g.result()
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    surviving = {r["cell"] for r in kept.select("cell").distinct().collect()}
     for c in touched:
         if c in surviving:
             continue
@@ -252,7 +308,6 @@ def delete_from_cell_index(
             part = os.path.join(root, f"cell={c}")
             if os.path.isdir(part):
                 shutil.rmtree(part)
-    graphs = _maybe_refresh_graphs(spark, base, touched, surviving=surviving)
     return {
         "touched_cells": [int(c) for c in touched],
         "n_deleted": n_deleted,

@@ -1128,52 +1128,82 @@ def c05_takedown_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = _c05_stage(sf_dir)
 
+    # The four store deletions are INDEPENDENT (disjoint on-disk
+    # stores); submitted sequentially, each one's job tail left the
+    # cluster idle. Run them from a driver thread pool (guide §2.6 —
+    # the x173 discipline). Only the ANN delete mutates session conf
+    # (partitionOverwriteMode), and every concurrent write in the
+    # other stores is an append or a NON-partitioned overwrite, which
+    # that mode does not affect. The audit plan below is built from
+    # the joined results and is unchanged.
+
     # -- store 1: corpus rows in the ACID table (bloom on the id) -----
-    acid_path = os.path.join(base, "acid")
-    t = AcidTable(spark, acid_path)
-    if t.latest_version() < 0:
-        t = AcidTable.create(
-            spark, acid_path, d.filter(F.col("doc_id") % 3 == 0),
-            bloom_cols=["doc_id"],
-        )
-    if t.latest_version() == 0:
-        t.append(d.filter(F.col("doc_id") % 3 == 1))
-    if t.latest_version() == 1:
-        t.append(d.filter(F.col("doc_id") % 3 == 2))
-    if t.latest_version() == 2:
-        t.delete_where(P.IsIn("doc_id", victim_ids))
-    acid_df = t.read()
+    def store_acid():
+        acid_path = os.path.join(base, "acid")
+        t = AcidTable(spark, acid_path)
+        if t.latest_version() < 0:
+            t = AcidTable.create(
+                spark, acid_path, d.filter(F.col("doc_id") % 3 == 0),
+                bloom_cols=["doc_id"],
+            )
+        if t.latest_version() == 0:
+            t.append(d.filter(F.col("doc_id") % 3 == 1))
+        if t.latest_version() == 1:
+            t.append(d.filter(F.col("doc_id") % 3 == 2))
+        if t.latest_version() == 2:
+            t.delete_where(P.IsIn("doc_id", victim_ids))
+        return t.read()
 
     # -- store 2: BM25 inverted index (tombstone, then physical) ------
     idx = os.path.join(base, "bm25")
-    if not os.path.isdir(os.path.join(idx, "consts")):
-        build_text_index(d, idx)
-    delete_from_text_index(victims, idx)  # replay-no-op when compacted
-    compact_text_index(spark, idx)
-    postings = spark.read.parquet(os.path.join(idx, "postings"))
-    doclen = spark.read.parquet(os.path.join(idx, "doclen"))
+
+    def store_bm25():
+        if not os.path.isdir(os.path.join(idx, "consts")):
+            build_text_index(d, idx)
+        delete_from_text_index(victims, idx)  # replay-no-op when compacted
+        compact_text_index(spark, idx)
+        return (
+            spark.read.parquet(os.path.join(idx, "postings")),
+            spark.read.parquet(os.path.join(idx, "doclen")),
+        )
 
     # -- store 3: ANN cell index ---------------------------------------
-    annb = os.path.join(base, "ann")
-    if not os.path.isdir(os.path.join(annb, "index")):
-        build_cell_index(e.select("vec_id", "embedding"), annb)
-    delete_from_cell_index(
-        spark, annb, e.filter(vic(F.col("vec_id"))).select("vec_id")
-    )
-    ann_index = read_cell_index(spark, annb)
-    ann_manifest = spark.read.parquet(os.path.join(annb, "manifest"))
+    def store_ann():
+        annb = os.path.join(base, "ann")
+        if not os.path.isdir(os.path.join(annb, "index")):
+            build_cell_index(e.select("vec_id", "embedding"), annb)
+        delete_from_cell_index(
+            spark, annb, e.filter(vic(F.col("vec_id"))).select("vec_id")
+        )
+        return (
+            read_cell_index(spark, annb),
+            spark.read.parquet(os.path.join(annb, "manifest")),
+        )
 
     # -- store 4: minhash band store (compaction folds victims out) ---
-    bands_full = os.path.join(base, "bands_full")
-    bands_live = os.path.join(base, "bands_live")
-    if not os.path.isdir(bands_full):
-        DD.minhash_bands(d, "doc_id", "text").write.parquet(bands_full)
-    if not os.path.isdir(bands_live):
-        spark.read.parquet(bands_full).join(
-            F.broadcast(victims.select(F.col("doc_id").alias("doc"))),
-            "doc", "left_anti",
-        ).write.parquet(bands_live)
-    band_store = spark.read.parquet(bands_live)
+    def store_bands():
+        bands_full = os.path.join(base, "bands_full")
+        bands_live = os.path.join(base, "bands_live")
+        if not os.path.isdir(bands_full):
+            DD.minhash_bands(d, "doc_id", "text").write.parquet(bands_full)
+        if not os.path.isdir(bands_live):
+            spark.read.parquet(bands_full).join(
+                F.broadcast(victims.select(F.col("doc_id").alias("doc"))),
+                "doc", "left_anti",
+            ).write.parquet(bands_live)
+        return spark.read.parquet(bands_live)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_acid = pool.submit(store_acid)
+        f_bm25 = pool.submit(store_bm25)
+        f_ann = pool.submit(store_ann)
+        f_bands = pool.submit(store_bands)
+        acid_df = f_acid.result()
+        postings, doclen = f_bm25.result()
+        ann_index, ann_manifest = f_ann.result()
+        band_store = f_bands.result()
 
     # -- audits: one conditional-sum pass per store --------------------
     def _vic_sum(c):

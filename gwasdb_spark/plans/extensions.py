@@ -6512,130 +6512,157 @@ def x173_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = stage_dir("x173_ingest_" + _fp_tag(sf_dir))
     nulld = F.lit(None).cast("double")
 
+    # The four store families are INDEPENDENT (disjoint on-disk stores,
+    # disjoint maintenance writes), but their builds/upserts/collects
+    # were submitted sequentially — each family's jobs left the cluster
+    # idle during the previous family's tail. Run the four maintenance
+    # pipelines from a small driver thread pool (guide §2.6 — overlap
+    # independent jobs; Spark's scheduler runs concurrent jobs FIFO and
+    # back-fills freed executors). Thread safety audited: only the ANN
+    # upsert mutates session conf (partitionOverwriteMode), and every
+    # concurrent write in the other families is an append or a
+    # NON-partitioned overwrite, which that mode does not affect. The
+    # returned plan (and so the result) is identical — only the
+    # side-effect jobs overlap.
+
     # -- family 1: exact-dup digest store ------------------------------
-    dig_corpus = os.path.join(base, "digests", "corpus")
-    dig_batches = os.path.join(base, "digests", "batches")
-    if not os.path.isdir(dig_corpus):
-        corpus_d.select(F.md5("text").alias("content_hash")).distinct() \
-            .write.parquet(dig_corpus)
-    digests = spark.read.parquet(dig_corpus)
-    bh = batch_d.select("doc_id", F.md5("text").alias("content_hash"))
-    wdd = Window.partitionBy("content_hash")
-    dedup_rows = (
-        bh.join(digests.withColumn("__corpus", F.lit(True)),
-                "content_hash", "left")
-        .withColumn("__minb", F.min("doc_id").over(wdd))
-        .select(
-            F.lit("dedup").alias("family"),
-            F.col("doc_id").alias("k1"),
-            F.when(F.col("__corpus").isNotNull(), F.lit("dup_corpus"))
-            .when(F.col("doc_id") != F.col("__minb"), F.lit("dup_batch"))
-            .otherwise(F.lit("new"))
-            .alias("k2"),
-            nulld.alias("v1"),
-            nulld.alias("v2"),
+    def fam_dedup():
+        dig_corpus = os.path.join(base, "digests", "corpus")
+        dig_batches = os.path.join(base, "digests", "batches")
+        if not os.path.isdir(dig_corpus):
+            corpus_d.select(F.md5("text").alias("content_hash")).distinct() \
+                .write.parquet(dig_corpus)
+        digests = spark.read.parquet(dig_corpus)
+        bh = batch_d.select("doc_id", F.md5("text").alias("content_hash"))
+        wdd = Window.partitionBy("content_hash")
+        dedup_rows = (
+            bh.join(digests.withColumn("__corpus", F.lit(True)),
+                    "content_hash", "left")
+            .withColumn("__minb", F.min("doc_id").over(wdd))
+            .select(
+                F.lit("dedup").alias("family"),
+                F.col("doc_id").alias("k1"),
+                F.when(F.col("__corpus").isNotNull(), F.lit("dup_corpus"))
+                .when(F.col("doc_id") != F.col("__minb"), F.lit("dup_batch"))
+                .otherwise(F.lit("new"))
+                .alias("k2"),
+                nulld.alias("v1"),
+                nulld.alias("v2"),
+            )
         )
-    )
-    marker = os.path.join(base, "digests", "_applied")
-    if not os.path.exists(marker):
-        bh.select("content_hash").distinct().join(
-            digests, "content_hash", "left_anti"
-        ).write.mode("append").parquet(dig_batches)
-        with open(marker, "w") as fh:
-            fh.write("batch digests appended\n")
+        marker = os.path.join(base, "digests", "_applied")
+        if not os.path.exists(marker):
+            bh.select("content_hash").distinct().join(
+                digests, "content_hash", "left_anti"
+            ).write.mode("append").parquet(dig_batches)
+            with open(marker, "w") as fh:
+                fh.write("batch digests appended\n")
+        return dedup_rows
 
     # -- family 2: minhash band store (x171 machinery, mod-5 batch) ----
-    cfg = dict(
-        n=3, num_hashes=32, bands=_MH_BANDS,
-        shingle_hash_fn=_mh_h32, perm_params=(_MH_P, _MH_AB),
-        band_hash_fn=_mh_band60,
-    )
-    bands_corpus = os.path.join(base, "bands", "corpus")
-    bands_batches = os.path.join(base, "bands", "batches")
-    if not os.path.isdir(bands_corpus):
-        DD.minhash_bands(corpus_d, "doc_id", "text", **cfg).write.parquet(
-            bands_corpus
+    def fam_bands():
+        cfg = dict(
+            n=3, num_hashes=32, bands=_MH_BANDS,
+            shingle_hash_fn=_mh_h32, perm_params=(_MH_P, _MH_AB),
+            band_hash_fn=_mh_band60,
         )
-    band_store = spark.read.parquet(bands_corpus)
-    bb = DD.minhash_bands(batch_d, "doc_id", "text", **cfg).localCheckpoint(
-        eager=True
-    )
-    bmark = os.path.join(base, "bands", "_applied")
-    if not os.path.exists(bmark):
-        bb.write.mode("append").parquet(bands_batches)
-        with open(bmark, "w") as fh:
-            fh.write("batch bands appended\n")
-    neardup_rows = _neardup_probe(bb, band_store).select(
-        F.lit("neardup").alias("family"),
-        F.col("id_a").alias("k1"),
-        F.col("id_b").cast("string").alias("k2"),
-        F.col("est_jaccard").alias("v1"),
-        nulld.alias("v2"),
-    )
+        bands_corpus = os.path.join(base, "bands", "corpus")
+        bands_batches = os.path.join(base, "bands", "batches")
+        if not os.path.isdir(bands_corpus):
+            DD.minhash_bands(corpus_d, "doc_id", "text", **cfg).write.parquet(
+                bands_corpus
+            )
+        band_store = spark.read.parquet(bands_corpus)
+        bb = DD.minhash_bands(
+            batch_d, "doc_id", "text", **cfg
+        ).localCheckpoint(eager=True)
+        bmark = os.path.join(base, "bands", "_applied")
+        if not os.path.exists(bmark):
+            bb.write.mode("append").parquet(bands_batches)
+            with open(bmark, "w") as fh:
+                fh.write("batch bands appended\n")
+        return _neardup_probe(bb, band_store).select(
+            F.lit("neardup").alias("family"),
+            F.col("id_a").alias("k1"),
+            F.col("id_b").cast("string").alias("k2"),
+            F.col("est_jaccard").alias("v1"),
+            nulld.alias("v2"),
+        )
 
     # -- family 3: ANN cell index (x153 upsert, x136 probe) ------------
-    annb = os.path.join(base, "ann")
-    if not os.path.isdir(os.path.join(annb, "index")):
-        build_cell_index(corpus_e.select("vec_id", "embedding"), annb)
-    upsert_cell_index(spark, annb, batch_e.select("vec_id", "embedding"))
-    index = read_cell_index(spark, annb)
-    qrows = (
-        index.filter(F.col("vec_id").between(1, 5))
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    probe_rows = []
-    for r in qrows:
-        qv = np.asarray(r["embedding"], dtype=np.float64)
-        top = np.lexsort((np.arange(qv.size), -qv))[:4]
-        for c in top:
-            probe_rows.append(
-                (int(r["vec_id"]),
-                 [float(x) for x in r["embedding"]], int(c) + 1)
+    def fam_ann():
+        annb = os.path.join(base, "ann")
+        if not os.path.isdir(os.path.join(annb, "index")):
+            build_cell_index(corpus_e.select("vec_id", "embedding"), annb)
+        upsert_cell_index(spark, annb, batch_e.select("vec_id", "embedding"))
+        index = read_cell_index(spark, annb)
+        qrows = (
+            index.filter(F.col("vec_id").between(1, 5))
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        probe_rows = []
+        for r in qrows:
+            qv = np.asarray(r["embedding"], dtype=np.float64)
+            top = np.lexsort((np.arange(qv.size), -qv))[:4]
+            for c in top:
+                probe_rows.append(
+                    (int(r["vec_id"]),
+                     [float(x) for x in r["embedding"]], int(c) + 1)
+                )
+        probes = spark.createDataFrame(
+            probe_rows, "query_id long, qv array<float>, cell int"
+        )
+        probe_cells = sorted({p[2] for p in probe_rows})
+        cand = (
+            index.filter(F.col("cell").isin(probe_cells))
+            .join(F.broadcast(probes), "cell")
+            .filter(F.col("vec_id") != F.col("query_id"))
+        )
+        wann = Window.partitionBy("query_id").orderBy(
+            F.col("cos_raw").desc(), F.col("neighbor_id")
+        )
+        return (
+            cand.select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                cosine(F.col("qv"), F.col("embedding")).alias("cos_raw"),
             )
-    probes = spark.createDataFrame(
-        probe_rows, "query_id long, qv array<float>, cell int"
-    )
-    probe_cells = sorted({p[2] for p in probe_rows})
-    cand = (
-        index.filter(F.col("cell").isin(probe_cells))
-        .join(F.broadcast(probes), "cell")
-        .filter(F.col("vec_id") != F.col("query_id"))
-    )
-    wann = Window.partitionBy("query_id").orderBy(
-        F.col("cos_raw").desc(), F.col("neighbor_id")
-    )
-    ann_rows = (
-        cand.select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("qv"), F.col("embedding")).alias("cos_raw"),
+            .withColumn("rank", F.row_number().over(wann))
+            .filter(F.col("rank") <= 10)
+            .select(
+                F.lit("ann").alias("family"),
+                F.col("query_id").alias("k1"),
+                F.col("neighbor_id").cast("string").alias("k2"),
+                F.col("rank").cast("double").alias("v1"),
+                F.round("cos_raw", 6).alias("v2"),
+            )
         )
-        .withColumn("rank", F.row_number().over(wann))
-        .filter(F.col("rank") <= 10)
-        .select(
-            F.lit("ann").alias("family"),
-            F.col("query_id").alias("k1"),
-            F.col("neighbor_id").cast("string").alias("k2"),
-            F.col("rank").cast("double").alias("v1"),
-            F.round("cos_raw", 6).alias("v2"),
-        )
-    )
 
     # -- family 4: BM25 inverted index (x62 update, x12g serve) --------
-    idx = os.path.join(base, "bm25")
-    if not os.path.isdir(os.path.join(idx, "consts")):
-        build_text_index(corpus_d, idx)
-    update_text_index(batch_d, idx)
-    bm_rows = bm25_topk_indexed(
-        spark, idx, ["hash", "join", "vector"], "doc_id", k=10
-    ).select(
-        F.lit("bm25").alias("family"),
-        F.col("doc_id").alias("k1"),
-        F.lit(None).cast("string").alias("k2"),
-        F.col("rank").cast("double").alias("v1"),
-        F.col("score").alias("v2"),
-    )
+    def fam_bm25():
+        idx = os.path.join(base, "bm25")
+        if not os.path.isdir(os.path.join(idx, "consts")):
+            build_text_index(corpus_d, idx)
+        update_text_index(batch_d, idx)
+        return bm25_topk_indexed(
+            spark, idx, ["hash", "join", "vector"], "doc_id", k=10
+        ).select(
+            F.lit("bm25").alias("family"),
+            F.col("doc_id").alias("k1"),
+            F.lit(None).cast("string").alias("k2"),
+            F.col("rank").cast("double").alias("v1"),
+            F.col("score").alias("v2"),
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futs = [pool.submit(f) for f in (fam_dedup, fam_bands,
+                                         fam_ann, fam_bm25)]
+        dedup_rows, neardup_rows, ann_rows, bm_rows = [
+            f.result() for f in futs
+        ]
 
     return (
         dedup_rows.unionByName(neardup_rows)
