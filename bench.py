@@ -385,6 +385,28 @@ def main() -> None:
     # the gate normalizes by the MEDIAN of the per-shape ratios —
     # a load story all three shapes agree on is real; one shape moving
     # alone no longer rescales the whole suite.
+    # r13 verdict #4 (wrong): the 3-shape basket has no WRITE/IO shape,
+    # and the r13 session's drift hit write-heavy rows while all three
+    # compute shapes read equal-or-faster — the basket under-captured an
+    # IO slowdown. The `write` sentinel times a small fixed parquet
+    # write+cleanup (same min-of-3 estimator); it is ADDED to the
+    # basket (existing shapes and the back-compat scalar unchanged).
+    import shutil
+    import tempfile
+
+    def _write_sentinel() -> None:
+        out = tempfile.mkdtemp(prefix="bench_write_sentinel_")
+        try:
+            (
+                spark.range(0, 4_000_000, 1, 32)
+                .selectExpr(
+                    "id", "id * 3 AS a", "CAST(id % 97 AS STRING) AS s"
+                )
+                .write.mode("overwrite").parquet(out)
+            )
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+
     def _basket_jobs() -> dict:
         return {
             "scan": lambda: (
@@ -392,6 +414,7 @@ def main() -> None:
                 .selectExpr("sum(id * 3 + (id % 7)) AS s")
                 .write.format("noop").mode("overwrite").save()
             ),
+            "write": _write_sentinel,
             "shuffle": lambda: (
                 spark.range(0, 40_000_000, 1, 32)
                 .groupBy((F.col("id") % 65536).alias("k"))

@@ -1335,7 +1335,14 @@ class AcidTable:
             # job PER group, 8-16 extra jobs per cluster/zorder commit).
             # Same aggregates, same just-written files, grouped by the
             # staging partition column instead of per-dir reads.
-            back_all = self.spark.read.parquet(staging)
+            # Explicit schema: an emptied table (delete-all then
+            # cluster/zorder) stages ZERO parquet files, and schema
+            # inference over the bare dir raises UNABLE_TO_INFER_SCHEMA
+            # (ADVICE r13 medium). The staged tree is `bucketed`'s own
+            # rows, so its schema is authoritative either way.
+            back_all = self.spark.read.schema(bucketed.schema).parquet(
+                staging
+            )
             stat_cols = [
                 f.name
                 for f in back_all.schema.fields

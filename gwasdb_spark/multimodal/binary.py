@@ -465,25 +465,29 @@ def byte_shingle_near_pairs(
         ),
         F.lit(stride_bytes),
     )
-    grams = F.array_distinct(
-        F.filter(
-            F.transform(
-                positions,
-                lambda p: F.substring(F.col("payload"), p, gram_bytes),
-            ),
-            lambda g: F.octet_length(g) == gram_bytes,
-        )
-    )
     from gwasdb_spark.operators.dedup import _spread
 
     # _spread: a few small local files give the scan (and so the gram
     # slice + explode above it) only that many tasks — the x130 lesson;
     # no-op at real input scale where the reader already splits.
-    base = _spread(binary_table.filter(F.col("doc_id").isNotNull())).select(
-        F.col("doc_id").alias("doc"), grams.alias("gs")
+    src = _spread(binary_table.filter(F.col("doc_id").isNotNull())).select(
+        F.col("doc_id").alias("doc"), "payload"
     )
+    # Pair-pipeline grams via explode(positions) + substring — whole-
+    # stage codegen end to end (r14, guide §4/§1.2): the previous
+    # transform(...)+filter(...) higher-order-function array build is
+    # CodegenFallback — interpreted PER ELEMENT (the ~5x penalty
+    # operators/dedup.py documents for its shingle path) — and it ran
+    # per gram of every payload. Dropping array_distinct is safe on
+    # this branch: collect_set(doc) below absorbs within-doc duplicate
+    # grams, so the bounded groups (and every downstream row) are
+    # identical. The sizes branch keeps the per-row distinct-gram
+    # array (its count is the oracle's exact denominator).
+    gram = F.col("payload").substr(F.col("p"), F.lit(gram_bytes))
     exploded = (
-        base.select("doc", F.explode("gs").alias("g"))
+        src.select("doc", F.explode(positions).alias("p"), "payload")
+        .select("doc", gram.alias("g"))
+        .where(F.octet_length("g") == gram_bytes)
         .select("doc", F.xxhash64("g").alias("sh"))
         .repartition("sh")
     )
@@ -505,13 +509,24 @@ def byte_shingle_near_pairs(
     # distinct GRAMS (bytes) rather than distinct hashes also matches
     # the oracle's ground truth exactly — no 2^-64 collision caveat on
     # the denominators. The extra scan of the (tiny) payload column is
-    # far cheaper than the 2x gram shuffle it replaces.
+    # far cheaper than the 2x gram shuffle it replaces. This branch
+    # keeps the higher-order-function array build (a per-row DISTINCT
+    # count has no codegen formulation) — one interpreted pass, pinned.
     # Pin the doc-grain counts ((long, int) rows — trivial to hold) so
     # the gram-array build runs once for this relation, not once per
     # join side.
-    sizes = base.select("doc", F.size("gs").alias("n_sh")).localCheckpoint(
-        eager=False
+    grams_distinct = F.array_distinct(
+        F.filter(
+            F.transform(
+                positions,
+                lambda p: F.substring(F.col("payload"), p, gram_bytes),
+            ),
+            lambda g: F.octet_length(g) == gram_bytes,
+        )
     )
+    sizes = src.select(
+        "doc", F.size(grams_distinct).alias("n_sh")
+    ).localCheckpoint(eager=False)
     sa = sizes.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("n_shared").cast("double") / (

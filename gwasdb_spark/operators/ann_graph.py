@@ -363,7 +363,13 @@ def graph_probe_topk(
     # The distinct probed-cell list is ≤ n_cells rows by construction
     # (one bounded collect); an unprobed cell contributes nothing to the
     # result, so this filter is plan-only: fewer rows shuffled/pickled,
-    # identical output.
+    # identical output. The lazy localCheckpoint pins the probes subtree
+    # so the collect and the cogroup read ONE materialization — without
+    # it a non-deterministic probes relation (sampled/rand-derived)
+    # could collect a cell list that diverges from the cogrouped rows
+    # and silently drop probed cells (ADVICE r13), and a deterministic
+    # one still paid the subtree twice.
+    probes = probes.localCheckpoint(eager=False)
     probe_cells = [
         r["cell"] for r in probes.select("cell").distinct().collect()
     ]
@@ -458,7 +464,10 @@ def graph_probe_topk_filtered(
     files (column-pruned when unfiltered serves read them); selective
     filters want a larger ef, the documented filtered-HNSW trade."""
     # Same probed-cell pruning as graph_probe_topk: unprobed cells can
-    # contribute nothing, so drop them before the cogroup exchange.
+    # contribute nothing, so drop them before the cogroup exchange. Same
+    # lazy-checkpoint pin: one probes materialization feeds the collect
+    # AND the cogroup (ADVICE r13 determinism note).
+    probes = probes.localCheckpoint(eager=False)
     probe_cells = [
         r["cell"] for r in probes.select("cell").distinct().collect()
     ]
@@ -637,14 +646,11 @@ def refresh_graph_sidecar(
             r["cell"] for r in live.select("cell").distinct().collect()
         }
     fresh = build_cell_graphs(live, R=R)
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        fresh.write.mode("overwrite").partitionBy("cell").parquet(
-            _graphs_path(base)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # Dynamic overwrite requested per-writer — never via session conf,
+    # which concurrent driver threads would observe (ADVICE r13).
+    fresh.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("cell").parquet(_graphs_path(base))
     for c in cells:
         if c in surviving:
             continue

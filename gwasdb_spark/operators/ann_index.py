@@ -132,9 +132,13 @@ def upsert_cell_index(
     # touched-cell probe, two broadcast anti-joins, the union into the
     # merged layout, and the returned count. The old path re-evaluated
     # the batch subtree for each of those (four scans of the source).
+    # LAZY checkpoint (r14, guide §1.4): the cell-count collect below is
+    # the op's first action over the batch — it materializes the
+    # checkpoint as a side effect, so pinning costs zero extra jobs
+    # (eager=True paid a dedicated materialization job first).
     updates = updates.select(
         "vec_id", "embedding", axis_cell(F.col("embedding")).alias("cell")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     upd_ids = updates.select("vec_id")
     # ONE bounded action answers both the batch's new cells and its
     # row count (was two separate jobs: distinct-collect + count).
@@ -155,10 +159,13 @@ def upsert_cell_index(
     kept = index.filter(F.col("cell").isin(touched)).join(
         F.broadcast(upd_ids), "vec_id", "left_anti"
     )
-    merged = kept.unionByName(updates).localCheckpoint(eager=True)
-    # localCheckpoint BEFORE the overwrite: the merged relation reads
-    # the very partitions the write replaces — without a materialization
-    # boundary the overwrite would race its own input scan.
+    merged = kept.unionByName(updates).localCheckpoint(eager=False)
+    # localCheckpoint materialized BEFORE the overwrite (the surviving-
+    # cell collect below is the first action and computes every
+    # partition): the merged relation reads the very partitions the
+    # write replaces — without a materialization boundary the overwrite
+    # would race its own input scan. LAZY (r14, guide §1.4): riding the
+    # collect saves the dedicated eager-materialization job.
     # The manifest is BY CONSTRUCTION the index's (vec_id, cell)
     # projection, so the merged manifest is a column slice of the
     # already-checkpointed merged index — no second manifest scan, no
@@ -168,46 +175,50 @@ def upsert_cell_index(
 
     # Surviving-cell set from the checkpoint BEFORE the writes (it no
     # longer depends on them), so the emptied-partition cleanup and the
-    # graph refresh need no post-write jobs.
+    # graph refresh need no post-write jobs. This distinct-collect is
+    # the action that materializes the lazy checkpoint above.
     surviving = {
         r["cell"] for r in merged.select("cell").distinct().collect()
     }
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     graphs = False
-    try:
-        # The index write, the manifest write, and the graph-sidecar
-        # rebuild are three INDEPENDENT jobs over the same checkpointed
-        # relation (the refresh consumes `merged` directly — no
-        # read-after-write dependency on the index tree). Submit them
-        # concurrently from driver threads (guide §2.6) instead of
-        # letting each job's tail idle the cluster.
-        from concurrent.futures import ThreadPoolExecutor
+    # The index write, the manifest write, and the graph-sidecar
+    # rebuild are three INDEPENDENT jobs over the same checkpointed
+    # relation (the refresh consumes `merged` directly — no
+    # read-after-write dependency on the index tree). Submit them
+    # concurrently from driver threads (guide §2.6) instead of
+    # letting each job's tail idle the cluster. Dynamic partition
+    # overwrite is requested per-writer (`.option(...)`) — the session
+    # conf is never mutated, so concurrent writes in other driver
+    # threads cannot observe it (ADVICE r13).
+    # Failure contract: these jobs are not atomic as a group. If any
+    # write fails mid-op the layout is inconsistent (manifest/graphs may
+    # describe rows the index does not serve) and the recovery is a full
+    # build_cell_index rebuild — same contract as the previous
+    # sequential ordering, which had the mirror-image window.
+    from concurrent.futures import ThreadPoolExecutor
 
-        def w_index():
-            merged.write.mode("overwrite").partitionBy("cell").parquet(
-                _index_path(base)
-            )
+    def w_index():
+        merged.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("cell").parquet(_index_path(base))
 
-        def w_manifest():
-            man_merged.write.mode("overwrite").partitionBy("cell").parquet(
-                _manifest_path(base)
-            )
+    def w_manifest():
+        man_merged.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("cell").parquet(_manifest_path(base))
 
-        def w_graphs():
-            return _maybe_refresh_graphs(
-                spark, base, touched, surviving=surviving, live=merged
-            )
+    def w_graphs():
+        return _maybe_refresh_graphs(
+            spark, base, touched, surviving=surviving, live=merged
+        )
 
-        with ThreadPoolExecutor(max_workers=3) as pool:
-            f_i = pool.submit(w_index)
-            f_m = pool.submit(w_manifest)
-            f_g = pool.submit(w_graphs)
-            f_i.result()
-            f_m.result()
-            graphs = f_g.result()
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_i = pool.submit(w_index)
+        f_m = pool.submit(w_manifest)
+        f_g = pool.submit(w_graphs)
+        f_i.result()
+        f_m.result()
+        graphs = f_g.result()
     # Dynamic overwrite only replaces partitions PRESENT in the written
     # data — a touched cell whose rows were all removed (every resident
     # replaced into other cells) writes nothing and its stale files
@@ -258,7 +269,11 @@ def delete_from_cell_index(
     kept = (
         index.filter(F.col("cell").isin(touched))
         .join(F.broadcast(ids), "vec_id", "left_anti")
-        .localCheckpoint(eager=True)  # the write replaces its own input
+        # The write replaces its own input, so the checkpoint must be
+        # materialized before the writes; LAZY because the surviving-
+        # cell collect below is the first action and does exactly that
+        # (r14, guide §1.4 — the eager form paid a dedicated job).
+        .localCheckpoint(eager=False)
     )
     # Manifest == index's (vec_id, cell) projection by construction:
     # slice the checkpointed survivors instead of re-scanning and
@@ -266,41 +281,37 @@ def delete_from_cell_index(
     # removed — same discipline as the upsert).
     man_kept = kept.select("vec_id", "cell")
     # Surviving-cell set from the checkpoint BEFORE the writes — the
-    # cleanup and the graph refresh need no post-write jobs.
+    # cleanup and the graph refresh need no post-write jobs. This
+    # collect materializes the lazy checkpoint.
     surviving = {r["cell"] for r in kept.select("cell").distinct().collect()}
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     graphs = False
-    try:
-        # Index write ∥ manifest write ∥ graph refresh — three
-        # independent jobs over the checkpointed survivors (the upsert's
-        # concurrency rationale applies verbatim).
-        from concurrent.futures import ThreadPoolExecutor
+    # Index write ∥ manifest write ∥ graph refresh — three independent
+    # jobs over the checkpointed survivors (the upsert's concurrency,
+    # per-writer-option, and failure-contract rationale apply verbatim).
+    from concurrent.futures import ThreadPoolExecutor
 
-        def w_index():
-            kept.write.mode("overwrite").partitionBy("cell").parquet(
-                _index_path(base)
-            )
+    def w_index():
+        kept.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("cell").parquet(_index_path(base))
 
-        def w_manifest():
-            man_kept.write.mode("overwrite").partitionBy("cell").parquet(
-                _manifest_path(base)
-            )
+    def w_manifest():
+        man_kept.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("cell").parquet(_manifest_path(base))
 
-        def w_graphs():
-            return _maybe_refresh_graphs(
-                spark, base, touched, surviving=surviving, live=kept
-            )
+    def w_graphs():
+        return _maybe_refresh_graphs(
+            spark, base, touched, surviving=surviving, live=kept
+        )
 
-        with ThreadPoolExecutor(max_workers=3) as pool:
-            f_i = pool.submit(w_index)
-            f_m = pool.submit(w_manifest)
-            f_g = pool.submit(w_graphs)
-            f_i.result()
-            f_m.result()
-            graphs = f_g.result()
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_i = pool.submit(w_index)
+        f_m = pool.submit(w_manifest)
+        f_g = pool.submit(w_graphs)
+        f_i.result()
+        f_m.result()
+        graphs = f_g.result()
     for c in touched:
         if c in surviving:
             continue

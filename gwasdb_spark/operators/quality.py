@@ -448,15 +448,22 @@ def exact_substring_spans(
                 F.col("__t").substr(F.col("pos").cast("int"), F.lit(L))
             ).alias("h"),
         )
-        .localCheckpoint(eager=False)
     )
-    dup_h = (
-        grams.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("n_occ"))
+    # Occurrence filter as ONE windowed count over the digest partition
+    # (r14, guide §2.4): the old shape pinned the gram stream with a
+    # localCheckpoint (a full materialization pass over the char-grain
+    # relation), aggregated it by h (exchange #1), and self-joined the
+    # duplicated digests back (exchange #2 + #3 for the sort-merge) —
+    # three exchanges plus a checkpoint of the corpus's largest
+    # intermediate. count(*) OVER (PARTITION BY h) computes the same
+    # multiset occurrence count with a single exchange, and the gram
+    # stream now has exactly one consumer, so no pin is needed.
+    occ_w = Window.partitionBy("h")
+    dup = (
+        grams.withColumn("n_occ", F.count(F.lit(1)).over(occ_w))
         .where(F.col("n_occ") > 1)
-        .select("h")
+        .select(id_col, "pos")
     )
-    dup = grams.join(dup_h, "h").select(id_col, "pos")
     w = Window.partitionBy(id_col).orderBy("pos")
     islands = (
         dup.withColumn("prev", F.lag("pos").over(w))

@@ -1131,11 +1131,11 @@ def c05_takedown_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The four store deletions are INDEPENDENT (disjoint on-disk
     # stores); submitted sequentially, each one's job tail left the
     # cluster idle. Run them from a driver thread pool (guide §2.6 —
-    # the x173 discipline). Only the ANN delete mutates session conf
-    # (partitionOverwriteMode), and every concurrent write in the
-    # other stores is an append or a NON-partitioned overwrite, which
-    # that mode does not affect. The audit plan below is built from
-    # the joined results and is unchanged.
+    # the x173 discipline). Thread safety: no pooled op mutates session
+    # conf — dynamic partition overwrite is a per-writer option since
+    # r14 (ADVICE r13), so there is no cross-thread conf coupling to
+    # audit. The audit plan below is built from the joined results and
+    # is unchanged.
 
     # -- store 1: corpus rows in the ACID table (bloom on the id) -----
     def store_acid():

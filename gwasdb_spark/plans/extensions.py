@@ -4784,25 +4784,15 @@ def st14_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # Idempotent under at-least-once retry: a replayed batch
         # overwrites its own batch_id partition instead of appending a
-        # second copy (the st13/st16 upsert discipline).
-        spark_b = batch_df.sparkSession
-        prev = spark_b.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", "static"
+        # second copy (the st13/st16 upsert discipline). Dynamic mode is
+        # a per-writer option, not a session-conf mutation (ADVICE r13).
+        (
+            out.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(sink)
         )
-        spark_b.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", "dynamic"
-        )
-        try:
-            (
-                out.withColumn("batch_id", F.lit(int(batch_id)))
-                .write.mode("overwrite")
-                .partitionBy("batch_id")
-                .parquet(sink)
-            )
-        finally:
-            spark_b.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", prev
-            )
 
     arrivals = (
         spark.readStream.schema("doc_id bigint, text string").json(src)
@@ -6518,12 +6508,11 @@ def x173_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # idle during the previous family's tail. Run the four maintenance
     # pipelines from a small driver thread pool (guide §2.6 — overlap
     # independent jobs; Spark's scheduler runs concurrent jobs FIFO and
-    # back-fills freed executors). Thread safety audited: only the ANN
-    # upsert mutates session conf (partitionOverwriteMode), and every
-    # concurrent write in the other families is an append or a
-    # NON-partitioned overwrite, which that mode does not affect. The
-    # returned plan (and so the result) is identical — only the
-    # side-effect jobs overlap.
+    # back-fills freed executors). Thread safety: no pooled op mutates
+    # session conf — dynamic partition overwrite is a per-writer option
+    # since r14 (ADVICE r13), removing the cross-thread coupling the
+    # old comment-enforced invariant guarded. The returned plan (and so
+    # the result) is identical — only the side-effect jobs overlap.
 
     # -- family 1: exact-dup digest store ------------------------------
     def fam_dedup():

@@ -233,17 +233,14 @@ def foreach_batch_upsert_rollup(
     def _up(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
             return
-        spark = batch_df.sparkSession
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                batch_df.write.mode("overwrite")
-                .partitionBy(*partition_cols)
-                .parquet(out_dir)
-            )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # Dynamic partition overwrite as a per-writer option — no
+        # session-conf mutation for other threads to observe (ADVICE r13).
+        (
+            batch_df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_cols)
+            .parquet(out_dir)
+        )
 
     return (
         rollup_updates.writeStream.foreachBatch(_up)

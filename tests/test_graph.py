@@ -7,7 +7,7 @@ from pyspark.sql import functions as F
 from gwasdb_spark.operators.dedup import ngram_jaccard_pairs
 from gwasdb_spark.operators.graph import connected_components, dedup_keep_representative
 
-from tests.conftest import SF_DIR
+from tests.conftest import SF_DIR, slow_gate
 
 
 def _union_find(pairs):
@@ -56,6 +56,7 @@ def test_dedup_keep_representative_transitive(spark):
     assert kept == [1, 9]
 
 
+@slow_gate  # slow parity twin (VERDICT r13 #1): x93's oracle row covers label propagation; this is the union-find parity twin on synthetic shapes
 def test_star_matches_labelprop_and_union_find_on_chain(spark):
     """The alternating star algorithm must reach the same fixpoint as both
     the label-prop formulation and the union-find oracle on a 40-node

@@ -49,8 +49,21 @@ NO_ORACLE_INVARIANTS = {
 }
 
 
+# DuckDB-side outliers: oracles whose recursive replay runs MINUTES in
+# single-threaded DuckDB recursion at sf0.001 (x141's 64-dim power
+# iteration: 115 s — 7% of the whole suite for one row). Slow-gated for
+# the driver's verify window (VERDICT r13 #1); the driver's own t2 gate
+# still adjudicates them independently whenever its rotating sample
+# seats them, and GWASDB_SLOW_TESTS=1 runs them here.
+SLOW_ORACLES = {"x141_pca_top_component"}
+
+
 @pytest.mark.parametrize("name", ALL_NAMES)
 def test_query_matches_oracle(name, spark, duck):
+    from tests.conftest import RUN_SLOW_TESTS
+
+    if name in SLOW_ORACLES and not RUN_SLOW_TESTS:
+        pytest.skip("minutes-scale DuckDB oracle; set GWASDB_SLOW_TESTS=1")
     q = QUERIES[name]
     sdf = q.fn(spark, SF_DIR)
     spark_pdf = sdf.toPandas()

@@ -10,11 +10,14 @@ from pyspark.sql import functions as F
 
 from gwasdb_spark.operators.range_join import range_join_bucketed
 
+from tests.conftest import slow_gate
+
 
 def _ts(m, s=0):
     return datetime(2024, 1, 1, 0, m, s)
 
 
+@slow_gate  # slow parity twin (VERDICT r13 #1): the bucketed range join serves oracle-adjudicated queries; this is the nested-loop parity twin
 def test_matches_nested_loop_and_boundaries(spark):
     left = spark.createDataFrame(
         [(1, _ts(0)), (2, _ts(10)), (3, _ts(59, 59))],

@@ -8,6 +8,8 @@ from pyspark.sql import functions as F
 
 from gwasdb_spark.operators.search import bm25_topk
 
+from tests.conftest import slow_gate
+
 
 @pytest.fixture(scope="module")
 def docs(spark):
@@ -129,6 +131,7 @@ def test_bm25f_field_weight_changes_ranking(spark):
     assert top_flat.doc_id == 2  # unweighted: tf 2 in body wins
 
 
+@slow_gate  # slow parity twin (VERDICT r13 #1): f06 (naive) and f08 (blocked) are each oracle-adjudicated in test_queries_oracle; this is the direct A==B twin
 def test_fuzzy_blocked_equals_naive(spark):
     """Blocking completeness: the trigram-blocked fuzzy join must return
     exactly the naive cross-scan's pairs — including a distance-2 match
