@@ -140,19 +140,29 @@ def upsert_cell_index(
         "vec_id", "embedding", axis_cell(F.col("embedding")).alias("cell")
     ).localCheckpoint(eager=False)
     upd_ids = updates.select("vec_id")
-    # ONE bounded action answers both the batch's new cells and its
-    # row count (was two separate jobs: distinct-collect + count).
-    cell_counts = updates.groupBy("cell").count().collect()
-    new_cells = {r["cell"] for r in cell_counts}
-    n_updates = int(sum(r["count"] for r in cell_counts))
+    # ONE bounded action answers the batch's new cells, its row count,
+    # AND the replaced rows' old cells (r14, guide §1.4): the two probe
+    # subtrees (batch cell-counts; manifest semi-join) are independent,
+    # so unioned under a single collect their stages run CONCURRENTLY
+    # inside one job — the r13 shape paid two sequential jobs, and this
+    # collect is also the action that materializes the lazy batch
+    # checkpoint above.
     manifest = spark.read.parquet(_manifest_path(base))
-    old_cells = {
-        r["cell"]
-        for r in manifest.join(F.broadcast(upd_ids), "vec_id")
-        .select("cell")
-        .distinct()
+    probe_rows = (
+        updates.groupBy("cell").count()
+        .withColumn("src", F.lit("new"))
+        .unionByName(
+            manifest.join(F.broadcast(upd_ids), "vec_id")
+            .groupBy("cell").count()
+            .withColumn("src", F.lit("old"))
+        )
         .collect()
-    }
+    )
+    new_cells = {r["cell"] for r in probe_rows if r["src"] == "new"}
+    n_updates = int(
+        sum(r["count"] for r in probe_rows if r["src"] == "new")
+    )
+    old_cells = {r["cell"] for r in probe_rows if r["src"] == "old"}
     touched = sorted(new_cells | old_cells)  # ≤ n_cells by construction
 
     index = spark.read.parquet(_index_path(base))

@@ -503,15 +503,34 @@ def update_text_index(
         .parquet(f"{index_dir}/postings")
     )
     doclen.write.mode("append").parquet(f"{index_dir}/doclen")
-    old = spark.read.parquet(f"{index_dir}/consts").collect()[0]
-    n_docs = float(old["n_docs"]) + float(df_new.count())
-    avgdl = (
-        spark.read.parquet(f"{index_dir}/doclen")
-        .agg((F.sum("dl") / F.count(F.lit(1))).alias("avgdl"))
-        .collect()[0]["avgdl"]
-    )
+    # Consts refresh as ONE bounded collect (r14, guide §1.4): the old
+    # consts row, the post-append avgdl aggregate, and the batch count
+    # are three INDEPENDENT scalar subtrees — unioned under a single
+    # action their stages run concurrently inside one job (the r13
+    # shape paid three sequential driver round-trips). The batch count
+    # reads the already-materialized checkpoint; avgdl reads the doclen
+    # dir AFTER its append, as before.
+    stats = {
+        r["k"]: float(r["v"])
+        for r in (
+            spark.read.parquet(f"{index_dir}/consts")
+            .select(F.col("n_docs").alias("v"), F.lit("old_n").alias("k"))
+            .unionByName(
+                spark.read.parquet(f"{index_dir}/doclen")
+                .agg((F.sum("dl") / F.count(F.lit(1))).alias("v"))
+                .select("v", F.lit("avgdl").alias("k"))
+            )
+            .unionByName(
+                df_new.agg(
+                    F.count(F.lit(1)).cast("double").alias("v")
+                ).select("v", F.lit("batch_n").alias("k"))
+            )
+            .collect()
+        )
+    }
+    n_docs = stats["old_n"] + stats["batch_n"]
     spark.createDataFrame(
-        [(n_docs, float(avgdl))], "n_docs double, avgdl double"
+        [(n_docs, stats["avgdl"])], "n_docs double, avgdl double"
     ).write.mode("overwrite").parquet(f"{index_dir}/consts")
 
 
@@ -559,22 +578,38 @@ def delete_from_text_index(
     tomb = _read_tombstones(spark, index_dir)
     if tomb is not None:
         victims = victims.join(tomb, "doc", "left_anti")
-    victims = victims.localCheckpoint(eager=True)
+    # LAZY checkpoint (r14, guide §1.4): the count below is the first
+    # action and materializes it — the eager form paid a dedicated job.
+    victims = victims.localCheckpoint(eager=False)
     n = victims.count()
     if n == 0:
         return 0
     victims.write.mode("append").parquet(f"{index_dir}/tombstones")
-    old = spark.read.parquet(f"{index_dir}/consts").collect()[0]
+    # Old consts + survivor avgdl as ONE bounded collect (r14, guide
+    # §1.4 — same fusion as update_text_index): two independent scalar
+    # subtrees under a single action instead of two sequential jobs.
+    # The survivor aggregate reads the tombstone dir AFTER the append,
+    # as before.
     survivors = spark.read.parquet(f"{index_dir}/doclen").join(
         spark.read.parquet(f"{index_dir}/tombstones").select("doc"),
         "doc",
         "left_anti",
     )
-    avgdl = survivors.agg(
-        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl")
-    ).collect()[0]["avgdl"]
+    stats = {
+        r["k"]: float(r["v"])
+        for r in (
+            spark.read.parquet(f"{index_dir}/consts")
+            .select(F.col("n_docs").alias("v"), F.lit("old_n").alias("k"))
+            .unionByName(
+                survivors.agg(
+                    (F.sum("dl") / F.count(F.lit(1))).alias("v")
+                ).select("v", F.lit("avgdl").alias("k"))
+            )
+            .collect()
+        )
+    }
     spark.createDataFrame(
-        [(float(old["n_docs"]) - n, float(avgdl))],
+        [(stats["old_n"] - n, stats["avgdl"])],
         "n_docs double, avgdl double",
     ).write.mode("overwrite").parquet(f"{index_dir}/consts")
     return n
@@ -625,8 +660,19 @@ def compact_text_index(spark, index_dir: str) -> None:
     tomb = _read_tombstones(spark, index_dir)
     if tomb is None:
         return
+    # Eager on purpose: the two rewrites below run CONCURRENTLY and a
+    # lazy checkpoint would race its own first materialization.
     tomb = tomb.localCheckpoint(eager=True)
-    for rel, order in (("postings", "term"), ("doclen", None)):
+
+    # The postings and doclen rewrites are independent (own source,
+    # own tmp dir) — submit both from a 2-thread pool (guide §2.6) so
+    # the doclen job back-fills the postings job's tail; the
+    # crash-safe rename swaps stay sequential per relation AFTER each
+    # write commits (same recover_text_index state machine).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def rewrite(rel_order):
+        rel, order = rel_order
         live = spark.read.parquet(f"{index_dir}/{rel}").join(
             F.broadcast(tomb), "doc", "left_anti"
         )
@@ -634,9 +680,14 @@ def compact_text_index(spark, index_dir: str) -> None:
             live = live.repartitionByRange(8, order).sortWithinPartitions(
                 order
             )
-        tmp = f"{index_dir}/{rel}.compact"
-        live.write.mode("overwrite").parquet(tmp)
-        os.rename(f"{index_dir}/{rel}", f"{index_dir}/{rel}.old")
-        os.rename(tmp, f"{index_dir}/{rel}")
-        shutil.rmtree(f"{index_dir}/{rel}.old")
+        live.write.mode("overwrite").parquet(f"{index_dir}/{rel}.compact")
+        return rel
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for rel in pool.map(
+            rewrite, (("postings", "term"), ("doclen", None))
+        ):
+            os.rename(f"{index_dir}/{rel}", f"{index_dir}/{rel}.old")
+            os.rename(f"{index_dir}/{rel}.compact", f"{index_dir}/{rel}")
+            shutil.rmtree(f"{index_dir}/{rel}.old")
     shutil.rmtree(f"{index_dir}/tombstones")

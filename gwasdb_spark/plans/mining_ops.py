@@ -3172,7 +3172,15 @@ def x160_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("p8_2").alias("s8"),
         F.sum("p4_4").alias("s4"),
         F.sum("p2_8").alias("s2"),
-    )
+    # Pin the ONE-ROW aggregate (r14, guide §2.4): the four (bands,
+    # rows_per_band) output rows each select from this relation, and
+    # collect_set inside the pair pipeline is flagged nondeterministic,
+    # which disqualifies every exchange under it from reuse — unpinned,
+    # the physical plan evaluated the ENTIRE x02 pair pipeline once per
+    # branch (24 parquet scans of `documents` in the before-plan, zero
+    # ReusedExchange). Eager, because the four union branches would
+    # otherwise race the first materialization inside one job.
+    ).localCheckpoint(eager=True)
     parts = []
     for bands, rows_pb, col in [(16, 1, "s16"), (8, 2, "s8"),
                                 (4, 4, "s4"), (2, 8, "s2")]:
